@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.GameIds
+
+/** Core relational operator coverage (SURVEY.md §2.2-§2.6) expressed over
+  * the driver's TPC-H-ish tables, each paired with ANSI SQL for the DuckDB
+  * oracle.
+  *
+  * Determinism notes (the driver hash-compares values):
+  *   - money aggregates are cast to DECIMAL before summing — double
+  *     summation order differs between engines and would flip last-ulp bits;
+  *   - every top-N has a total tiebreak order so the selected row *set* is
+  *     unique;
+  *   - `avg` is only taken over integer-valued doubles (l_quantity), where
+  *     the sum is exact in binary floating point.
+  */
+object Relational {
+
+  /** Cast-to-decimal sum: exact, engine-order-independent. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,4)"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-agg: recompute "season totals" style pre-aggregations (SURVEY §2.4)
+    // — TPC-H Q1 shape. Partial (map-side) aggregation + single exchange on
+    // the 2-key group; at 100 TB this is the canonical scalable agg.
+    "q01_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // P1/P4: projection pruning + pushed predicates (SURVEY §2.2 P1, P4).
+    "q02_project_filter" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    },
+
+    // P7/P8/P10: IN-list + null predicate + string-contains (SURVEY §2.2).
+    "q03_filter_in_contains" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(
+          col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          col("c_acctbal").isNotNull &&
+          col("c_name").contains("1"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // J1 driving equi-join + A-agg on the join result (SURVEY §2.3 J1).
+    "q04_join_agg" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("order_count"),
+          sum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // J3 semi-join existence probe (SURVEY §2.3 J3).
+    "q05_join_semi" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // J2 anti-join — the reference's delta-ingest idiom: keys not yet in the
+    // target table (reference: etl/play_by_play.py:50-62).
+    "q06_join_anti" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // J4 lookup join over small dims — explicitly broadcast: at 100 TB the
+    // fact side never shuffles for a dimension lookup (SURVEY §2.3 J4).
+    "q07_broadcast_dims" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // A2 DISTINCT projection (SURVEY §2.4 A2).
+    "q08_distinct" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+    },
+
+    // U1 union (schema-aligned by name, like the reference's home∪away
+    // frames — reference: etl/rotations.py:26) (SURVEY §2.6 U1).
+    "q09_union" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val b = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      a.unionByName(b)
+    },
+
+    // U2 except / set-minus delta filtering (SURVEY §2.6 U2).
+    "q10_except" -> { (s, dir) =>
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      rich.except(urgent)
+    },
+
+    // W2 first-row-per-group — the starter-derivation window idiom
+    // (reference: etl/players_on_court_at_start_of_period.py:73-88).
+    "q11_window_topn" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // W1/W4 global sort + LIMIT with total tiebreak (SURVEY §2.5).
+    "q12_sort_limit" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    },
+
+    // A5 duplicate-key check as a group-filter (reference: utils/utils.py:1-10).
+    "q13_key_multiplicity" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= 6)
+    },
+
+    // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
+    "q14_id_synth" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(
+          GameIds.syntheticId(col("o_orderkey"), col("o_custkey")).as("id"),
+          col("o_totalprice"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity > 45""",
+    "q03_filter_in_contains" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+           AND c_acctbal IS NOT NULL AND c_name LIKE '%1%'""",
+    "q04_join_agg" ->
+      """SELECT o_orderpriority,
+         count(DISTINCT o_orderkey) AS order_count,
+         sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q07_broadcast_dims" ->
+      """SELECT r_name, n_name,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q08_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q09_union" ->
+      """SELECT c_custkey, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+    "q10_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "q11_window_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3""",
+    "q12_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""",
+    "q13_key_multiplicity" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+         GROUP BY l_orderkey HAVING count(*) >= 6""",
+    "q14_id_synth" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR) AS id,
+         o_totalprice
+         FROM orders WHERE o_totalprice > 400000""")
+}

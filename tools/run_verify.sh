@@ -1,0 +1,17 @@
+#!/bin/bash
+# Run graft.Verify directly on the compiled classes (faster than sbt run).
+# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass]
+set -e
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/graft_verify}
+MAIN=${3:-graft.Verify}
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" "$MAIN" "$SF" "$OUT"
