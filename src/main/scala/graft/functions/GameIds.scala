@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object GameIds {
 
-  /** F3: "0022400061" -> "2024-25" (reference: utils/utils.py:66-69). */
+  /** F3: "0022400061" -> "2024-25" (reference: utils/utils.py:66-69).
+    *
+    * Intentional divergence from the reference: its
+    * `'20{}-{}'.format(int(yy), yy+1)` drops the zero-pad, yielding
+    * "205-6" for 2005-06 and "2099-100" for a 2099 season. We keep the
+    * well-formed "2005-06" / "2099-00" rendering — the reference output is
+    * a formatting bug, and every season the reference's README exercises
+    * (2010-11+) renders identically in both.
+    */
   def extractSeason(gameId: Column): Column = {
     val yy = substring(gameId, 4, 2).cast("int") // chars [3:5) zero-based
     val startYear = yy + 2000
@@ -30,9 +38,15 @@ object GameIds {
 
   /** F5: synthetic primary key = dash-joined natural-key columns cast to
     * string (reference: utils/utils.py:57-60).
+    *
+    * Each column is coalesced to the sentinel "None" before joining:
+    * `concat_ws` alone silently skips nulls, which would collide ids for
+    * rows differing only in which key column is null — e.g. (1,null,2) and
+    * (1,2,null) both become "1-2". The reference's pandas astype(str)
+    * renders nulls as "None", so the sentinel also matches its semantics.
     */
   def syntheticId(cols: Column*): Column =
-    concat_ws("-", cols.map(_.cast("string")): _*)
+    concat_ws("-", cols.map(c => coalesce(c.cast("string"), lit("None"))): _*)
 
   /** P12: the reference's null normalization — numeric NaN/null -> 0.0,
     * other columns untouched (reference: utils/utils.py:28-37; applied at

@@ -24,6 +24,17 @@ object Relational {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,4)"))
 
+  /** Decimal cast of an *input* column, applied BEFORE any arithmetic.
+    *
+    * Spark and DuckDB round the same binary double to decimal slightly
+    * differently (shortest-round-trip-string vs binary rounding), so any
+    * double arithmetic done before the cast can diverge in the 4th decimal
+    * digit. Casting each operand first makes both engines do exact decimal
+    * arithmetic on identically-rounded values.
+    */
+  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,4)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-agg: recompute "season totals" style pre-aggregations (SURVEY §2.4)
     // — TPC-H Q1 shape. Partial (map-side) aggregation + single exchange on
@@ -35,7 +46,7 @@ object Relational {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -99,7 +110,7 @@ object Relational {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_items"))
     },
 
@@ -172,7 +183,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
          sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
          avg(l_quantity) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -199,7 +210,7 @@ object Relational {
            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
     "q07_broadcast_dims" ->
       """SELECT r_name, n_name,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey

@@ -25,12 +25,20 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+def _sort_cell(x):
+    # Round floats before building the sort key so float noise between the
+    # two engines cannot change row alignment (it would misalign the zip
+    # compare and produce spurious FAILs the tolerance can't rescue).
+    if isinstance(x, float):
+        return f"{x:.6g}"
+    return str(x)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
+    return sorted(cols), sorted(out, key=lambda r: tuple(_sort_cell(x) for x in r))
 
 def cells_equal(a, b):
     if a is None or b is None:
