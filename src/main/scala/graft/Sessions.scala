@@ -26,6 +26,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright; read it as Long nanos and convert in the
+      // loader (Tables.events) — Spark timestamps are micros anyway.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

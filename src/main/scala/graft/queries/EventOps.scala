@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.{GameClock, GameIds}
+import graft.ops.{AsOfJoin, Sessionize, StatefulScan}
+
+/** Typed rows for the stateful-scan query — top-level (not nested private)
+  * because Spark's generated encoder code must be able to instantiate them.
+  */
+case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String)
+case class SinceSignup(event_id: Long, user_id: Long, n_since_signup: Long)
+
+/** Event-log operators (SURVEY.md §2.5, §2.7, §2.9) mapped onto the
+  * driver's `events` table — the play-by-play analog (FIXTURES.md §B):
+  * ordered per-key scans, sessionization (stints), as-of lookups, JSON
+  * round-trips, and the clock/id scalar functions, each with a DuckDB
+  * oracle.
+  *
+  * Engine-portability rules used throughout (the driver hash-compares):
+  *   - epoch math on whole seconds via `cast(ts as long)` == DuckDB
+  *     `date_diff('second', ...)` / `floor(epoch(...))`;
+  *   - `floor`/`abs` before any double->int cast (Spark truncates, DuckDB
+  *     rounds — floor first makes both exact);
+  *   - money/value sums cast to decimal(18,4) before aggregation.
+  */
+object EventOps {
+
+  /** Session gap: 6 h — events land ~10 h apart per user at sf0.01, so this
+    * yields a mix of single- and multi-event sessions. */
+  private val GapSeconds = 21600L
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W2 first-row-per-group — the starter-derivation idiom (reference:
+    // etl/players_on_court_at_start_of_period.py:73-88).
+    "q15_first_per_key" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    },
+
+    // Stint/sessionization (reference stints are per-player on-court
+    // sessions; SURVEY §2.9-§2.10): gap-based sessions per user.
+    "q16_sessionize" -> { (s, dir) =>
+      Sessionize.sessions(
+        Tables.events(s, dir), "user_id", "ts", "event_id", GapSeconds,
+        extraAggs = Seq(sum(dec(col("value"))).as("sum_value")))
+    },
+
+    // A1-adjacent: per-key sorted distinct collect (the reference's
+    // grouped collect with imposed order, etl/rotations.py:49-63).
+    "q17_collect_types" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sort_array(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // J6 as-of (point-in-interval) lookup: latest signup at-or-before each
+    // purchase, via the union+window rewrite (no inequality-join blowup).
+    "q18_asof_signup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("sid"), col("event_id"))
+      AsOfJoin.backward(purchases, signups,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightTie = "event_id", payloadCols = Seq("sid"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_sid").as("last_signup_id"))
+    },
+
+    // F6/F7 JSON round-trip (reference STINTS encode/decode,
+    // etl/rotations.py:13 / etl/play_by_play_with_players.py:16).
+    "q19_json_roundtrip" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        .withColumn("k2", col("k") * 2)
+        .select(col("event_id"), col("k"),
+          to_json(struct(col("k"), col("k2"))).as("js"))
+    },
+
+    // F1/F2 game-clock math on a synthesized 'MM:SS' column (reference:
+    // utils/utils.py:19-27) — string build + parse both happen in-plan.
+    "q20_clock_math" -> { (s, dir) =>
+      val period = (col("event_id") % 6 + 1).cast("int")
+      val base = floor(abs(col("value"))).cast("int")
+      val perLen = when(period <= 4, 720).otherwise(300)
+      val remaining = base % perLen
+      val clock = format_string("%d:%02d", (remaining / 60).cast("int"), remaining % 60)
+      Tables.events(s, dir)
+        .select(col("event_id"), period.as("period"), clock.as("clock"))
+        .withColumn("seconds_from_start",
+          GameClock.secondsFromStart(col("period"), col("clock")))
+    },
+
+    // F3/F4/F5 game-id parse + synthetic id on synthesized zero-padded ids
+    // (reference: utils/utils.py:57-79).
+    "q21_season_parse" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val td = when(col("o_orderkey") % 3 === 0, "1")
+        .when(col("o_orderkey") % 3 === 1, "2").otherwise("4")
+      val yy = (col("o_custkey") % 100).cast("int")
+      val gid = concat(lit("00"), td,
+        lpad(yy.cast("string"), 2, "0"),
+        lpad((col("o_orderkey") % 100000).cast("string"), 5, "0"))
+      o.select(
+        gid.as("game_id"),
+        GameIds.extractSeason(gid).as("season"),
+        GameIds.extractSeasonType(gid).as("season_type"),
+        GameIds.syntheticId(gid, col("o_orderkey")).as("id"))
+    },
+
+    // A1 grouped ordered collect of structs — the reference's stint
+    // aggregation (etl/rotations.py:49-63), sessions as array<struct>.
+    "q22_stint_agg" -> { (s, dir) =>
+      Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id", GapSeconds)
+        .select(col("user_id"),
+          col("session_start").cast("long").as("in_s"),
+          col("session_end").cast("long").as("out_s"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_stints"),
+          sort_array(collect_list(struct(col("in_s"), col("out_s")))).as("stints"))
+    },
+
+    // §2.9 flagship idiom: per-key ordered imperative state machine via
+    // secondary sort + mapPartitions (events since last signup).
+    "q23_stateful_scan" -> { (s, dir) =>
+      import s.implicits._
+      val ds = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .as[Ev]
+      StatefulScan.scanPartitions(ds,
+        partitionExprs = Seq(col("user_id")),
+        sortCols = Seq(col("user_id"), col("ts"), col("event_id"))) { it =>
+        var curUser = Long.MinValue
+        var counter = 0L
+        it.map { e =>
+          if (e.user_id != curUser) { curUser = e.user_id; counter = 0L }
+          if (e.event_type == "signup") counter = 0L else counter += 1
+          SinceSignup(e.event_id, e.user_id, counter)
+        }
+      }.toDF()
+    },
+
+    // J6 relational interval join as a checking query (SURVEY §2.3 J6):
+    // error events matched into their covering session interval.
+    "q25_interval_join" -> { (s, dir) =>
+      val sess = Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id", GapSeconds)
+      val err = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+      sess.join(err,
+          col("user_id") === col("e_user") &&
+          col("e_ts") >= col("session_start") && col("e_ts") <= col("session_end"),
+          "left")
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(col("e_id")).as("n_errors"))
+    })
+
+  private val sessionCte =
+    s"""WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) > $GapSeconds
+                 THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts, event_id, value,
+            sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM flagged),
+        sess AS (
+          SELECT user_id, session_no,
+            min(ts) AS session_start, max(ts) AS session_end,
+            count(*) AS n_events,
+            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+          FROM numbered GROUP BY user_id, session_no)"""
+
+  val oracles: Map[String, String] = Map(
+    "q15_first_per_key" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+           SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q16_sessionize" ->
+      s"""$sessionCte
+         SELECT user_id, session_no, session_start, session_end, n_events, sum_value
+         FROM sess""",
+    "q17_collect_types" ->
+      """SELECT d.user_id,
+           (SELECT list(DISTINCT event_type ORDER BY event_type)
+              FROM events e WHERE e.user_id = d.user_id) AS types,
+           count(*) AS n_events
+         FROM events d GROUP BY d.user_id""",
+    "q18_asof_signup" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup' THEN event_id END AS sid,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+           FROM events WHERE event_type IN ('signup','purchase')),
+         w AS (
+           SELECT *, last_value(sid IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, tag ASC, sid ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+           FROM u)
+         SELECT event_id, user_id, ts, last_signup_id FROM w WHERE tag = 1""",
+    "q19_json_roundtrip" ->
+      """SELECT event_id, k, to_json({'k': k, 'k2': k2})::VARCHAR AS js FROM (
+           SELECT event_id, CAST(props->>'k' AS INT) AS k,
+             CAST(props->>'k' AS INT) * 2 AS k2
+           FROM events) t""",
+    "q20_clock_math" ->
+      """SELECT event_id, period, clock,
+           CAST(CASE WHEN period <= 4
+             THEN (period-1)*720 + (720 - remaining)
+             ELSE 2880 + (period-5)*300 + (300 - remaining) END AS INT)
+             AS seconds_from_start
+         FROM (
+           SELECT event_id, period, remaining,
+             printf('%d:%02d', remaining // 60, remaining % 60) AS clock
+           FROM (
+             SELECT event_id,
+               CAST(event_id % 6 + 1 AS INT) AS period,
+               CAST(floor(abs(value)) AS INT)
+                 % (CASE WHEN CAST(event_id % 6 + 1 AS INT) <= 4 THEN 720 ELSE 300 END)
+                 AS remaining
+             FROM events) a) b""",
+    "q21_season_parse" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '4' END AS td,
+             CAST(o_custkey % 100 AS INT) AS yy
+           FROM orders),
+         g AS (
+           SELECT o_orderkey, td, yy,
+             '00' || td || lpad(CAST(yy AS VARCHAR), 2, '0')
+                 || lpad(CAST(o_orderkey % 100000 AS VARCHAR), 5, '0') AS gid
+           FROM t)
+         SELECT gid AS game_id,
+           printf('%d-%02d', 2000 + yy, (yy + 1) % 100) AS season,
+           CASE td WHEN '1' THEN 'Pre Season' WHEN '2' THEN 'Regular Season'
+                   ELSE 'Playoffs' END AS season_type,
+           gid || '-' || CAST(o_orderkey AS VARCHAR) AS id
+         FROM g""",
+    "q22_stint_agg" ->
+      s"""$sessionCte,
+         per AS (
+           SELECT user_id,
+             CAST(floor(epoch(session_start)) AS BIGINT) AS in_s,
+             CAST(floor(epoch(session_end)) AS BIGINT) AS out_s
+           FROM sess)
+         SELECT user_id, count(*) AS n_stints,
+           list({'in_s': in_s, 'out_s': out_s} ORDER BY in_s, out_s) AS stints
+         FROM per GROUP BY user_id""",
+    "q23_stateful_scan" ->
+      """WITH g AS (
+           SELECT event_id, user_id, ts,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM events)
+         SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id)
+             - CASE WHEN grp > 0 THEN 1 ELSE 0 END AS n_since_signup
+         FROM g""",
+    "q25_interval_join" ->
+      s"""$sessionCte
+         SELECT s.user_id, s.session_no, count(e.event_id) AS n_errors
+         FROM sess s LEFT JOIN events e
+           ON e.user_id = s.user_id AND e.event_type = 'error'
+           AND e.ts BETWEEN s.session_start AND s.session_end
+         GROUP BY s.user_id, s.session_no""")
+}
