@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
-      (EventOps.queries, EventOps.oracles))
+      (EventOps.queries, EventOps.oracles),
+      (TextOps.queries, TextOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

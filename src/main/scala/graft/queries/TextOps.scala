@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, n-gram-heuristic
+  * language id, and document fingerprinting.
+  *
+  * Everything is built-in `functions._` / higher-order functions — no UDFs —
+  * so the whole module stays inside whole-stage codegen and the parquet scan
+  * keeps column pruning (only `doc_id`/`text` are read).
+  *
+  * Portability: ratios are int/int divisions (bit-exact IEEE across
+  * engines); weighted sums use one fixed parenthesization mirrored in the
+  * oracle SQL; hashes are md5 hex strings (identical across engines).
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` — the reference vocabulary is
+    * space-separated lowercase words, so a plain single-space split is
+    * exact (and matches DuckDB's string_split). */
+  private def tokens: Column = split(col("text"), " ")
+
+  private val StopEn = Seq("the", "a")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + a BPE-ish word-regex token count.
+    "q40_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(tokens).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_word_tokens"),
+          length(col("text")).as("n_chars_measured"))
+    },
+
+    // Quality scoring: stopword ratio, mean token length, and a weighted
+    // quality score — the length/punct/stopword heuristics of a corpus
+    // filter pass.
+    "q41_quality_score" -> { (s, dir) =>
+      val toks = tokens
+      val nTok = size(toks)
+      val stopHits = hitCount(toks, StopEn)
+      val totTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      val stopRatio = stopHits.cast("double") / nTok.cast("double")
+      val meanTokLen = totTokLen.cast("double") / nTok.cast("double")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_measured"),
+          nTok.as("n_tokens"),
+          stopRatio.as("stop_ratio"),
+          meanTokLen.as("mean_tok_len"),
+          ((lit(1.0) - stopRatio) * lit(0.5) + when(meanTokLen >= 3.0 && meanTokLen <= 6.0, 0.5).otherwise(0.0))
+            .as("quality"))
+    },
+
+    // Language id by n-gram/stopword heuristic: score per candidate set,
+    // argmax with a fixed precedence tiebreak.
+    "q42_lang_id" -> { (s, dir) =>
+      val toks = tokens
+      val sEn = hitCount(toks, Seq("the", "a", "row", "table"))
+      val sDb = hitCount(toks, Seq("data", "query", "value"))
+      val sOp = hitCount(toks, Seq("merge", "join", "sort"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          sEn.as("s_en"), sDb.as("s_db"), sOp.as("s_op"),
+          when(sEn >= sDb && sEn >= sOp, "en")
+            .when(sDb >= sOp, "db").otherwise("op").as("predicted"))
+    },
+
+    // Document fingerprinting: md5 of whitespace-normalized text, grouped —
+    // the canonical-doc map an exact-dedup pass keys on.
+    "q43_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_count" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           length(text) AS n_chars_measured
+         FROM documents""",
+    "q41_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, length(text) AS n_chars_measured,
+             string_split(text, ' ') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_chars_measured,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS stop_hits,
+             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+               (acc, v) -> acc + v) AS tot_tok_len
+           FROM t)
+         SELECT doc_id, n_chars_measured, n_tokens,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+           (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+             + (CASE WHEN CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                      AND CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 6.0
+                     THEN 0.5 ELSE 0.0 END) AS quality
+         FROM m""",
+    "q42_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'row' OR x = 'table')) AS s_en,
+             len(list_filter(toks, x -> x = 'data' OR x = 'query' OR x = 'value')) AS s_db,
+             len(list_filter(toks, x -> x = 'merge' OR x = 'join' OR x = 'sort')) AS s_op
+           FROM t)
+         SELECT doc_id, s_en, s_db, s_op,
+           CASE WHEN s_en >= s_db AND s_en >= s_op THEN 'en'
+                WHEN s_db >= s_op THEN 'db' ELSE 'op' END AS predicted
+         FROM sc""",
+    "q43_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
+           min(doc_id) AS canonical_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""")
+}
