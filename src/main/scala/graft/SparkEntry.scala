@@ -16,7 +16,8 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (EventOps.queries, EventOps.oracles),
-      (TextOps.queries, TextOps.oracles))
+      (TextOps.queries, TextOps.oracles),
+      (DedupOps.queries, DedupOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

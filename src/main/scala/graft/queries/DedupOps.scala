@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Shingles
+
+/** Near-duplicate detection suite over `documents` — the dedup passes of a
+  * large-scale training-data pipeline: exact hash dedup, MinHash+LSH,
+  * SimHash banding, and exact n-gram-Jaccard via an inverted index.
+  *
+  * Scale design (the point of each variant at 100 TB):
+  *   - exact: one hash-groupBy, fully map-side combinable;
+  *   - MinHash+LSH: per-doc signature (narrow), band explode (4x rows),
+  *     equi-join on band value — candidate count, not |docs|^2, drives cost;
+  *     verification touches candidates only;
+  *   - SimHash: 16-bit signature, 4 bands x 4 bits; by pigeonhole a banded
+  *     equi-join is EXACT for hamming <= 3 (3 flipped bits cannot cover all
+  *     4 bands), so the approximate plan returns the exact answer;
+  *   - n-gram Jaccard: posting-list (inverted index) self-join — exact, and
+  *     scalable as long as shingle document-frequency is bounded; for a real
+  *     corpus you cap df (drop shingles appearing in > df_max docs) and let
+  *     MinHash cover the head, which changes recall only for pairs whose
+  *     every shared shingle is a stop-shingle.
+  *
+  * All hashes are md5 hex strings (engine-portable), so every query has a
+  * full DuckDB oracle replicating the same pipeline.
+  */
+object DedupOps {
+
+  private val NGram = 3
+  private val NumHashes = 8
+  private val BandRows = 2 // 4 bands x 2 rows
+  private val JaccardThreshold = 0.8
+  // 32 simhash bits over *shingles* (not tokens): with a 31-word vocabulary
+  // every doc contains nearly every token, so token-level signatures are
+  // hopelessly correlated (probed: 3.5M pairs at hamming<=3 at sf0.1);
+  // shingle sets are near-disjoint for unrelated docs, making bits
+  // independent and the pair count driven by true similarity.
+  private val SimBits = 32
+  private val SimBandBits = 8 // 4 bands x 8 bits: exact for hamming <= 3
+  private val HammingMax = 3
+
+  /** doc_id + distinct word-3-gram shingles, for docs with >= 3 tokens. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= NGram)
+      .select(col("doc_id"), Shingles.wordNGrams(col("text"), NGram).as("sh"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy (map-side combinable at any scale).
+    "q30_dedup_exact" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash + LSH banding, then exact-Jaccard verification of candidates.
+    "q31_minhash_lsh" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val sig = sh.select(
+        col("doc_id") +: col("sh") +:
+          (0 until NumHashes).map(j => Shingles.minHash(col("sh"), j).as(s"h$j")): _*)
+      val bandCols = (0 until NumHashes / BandRows).map { b =>
+        struct(lit(b).as("b"),
+          concat((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("v"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          Shingles.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+    },
+
+    // SimHash near-dup: per-shingle pseudo-random bits from md5, majority
+    // vote per bit, banded self-join (exact for hamming <= 3 by pigeonhole).
+    "q32_simhash" -> { (s, dir) =>
+      val gs = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("t"))
+      val scoreCols = (0 until SimBits).map(i =>
+        sum(when(substring(md5(concat(col("t"), lit("#" + i))), 1, 1) >= "8", 1)
+          .otherwise(-1)).as(s"s$i"))
+      val scored = gs.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
+      val sim = scored.select(col("doc_id"),
+        (0 until SimBits).map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
+          .reduce(_ + _).cast("long").as("sh"))
+      val bands = sim.select(col("doc_id"), col("sh"),
+        explode(array((0 until SimBits / SimBandBits).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("sh"), SimBandBits * b)
+              .bitwiseAND((1 << SimBandBits) - 1).as("v"))): _*))
+          .as("band"))
+        .select(col("doc_id"), col("sh"), col("band.b").as("b"), col("band.v").as("v"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HammingMax)
+    },
+
+    // Exact n-gram Jaccard via inverted-index (posting-list) self-join.
+    "q33_ngram_jaccard" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val posting = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      posting.as("x").join(posting.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+    })
+
+  /** Shared shingle CTE (mirrors `shingled`). */
+  private val shingleCte =
+    s"""WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= $NGram),
+        s AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - ${NGram - 2}),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM w)"""
+
+  private val minhashSelect =
+    (0 until NumHashes)
+      .map(j => s"list_min(list_transform(sh, x -> md5(x || '#$j'))) AS h$j")
+      .mkString(", ")
+
+  private val bandUnion =
+    (0 until NumHashes / BandRows)
+      .map(b => s"SELECT doc_id, $b AS b, h${2 * b} || h${2 * b + 1} AS v FROM m")
+      .mkString(" UNION ALL ")
+
+  private val simScores =
+    (0 until SimBits)
+      .map(i => s"sum(CASE WHEN substr(md5(t || '#$i'), 1, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+
+  private val simValue =
+    (0 until SimBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q31_minhash_lsh" ->
+      s"""$shingleCte,
+         m AS (SELECT doc_id, sh, $minhashSelect FROM s),
+         bands AS ($bandUnion),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+         FROM cand c
+         JOIN s a ON a.doc_id = c.doc_a
+         JOIN s b ON b.doc_id = c.doc_b
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $JaccardThreshold""",
+    "q32_simhash" ->
+      s"""$shingleCte,
+         tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         sc AS (SELECT doc_id, $simScores FROM tok GROUP BY doc_id),
+         sim AS (SELECT doc_id, $simValue AS sh FROM sc)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax""",
+    "q33_ngram_jaccard" ->
+      s"""$shingleCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST((len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DOUBLE)
+             AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST((len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DOUBLE)
+             >= $JaccardThreshold""")
+}
