@@ -17,7 +17,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (EventOps.queries, EventOps.oracles),
       (TextOps.queries, TextOps.oracles),
-      (DedupOps.queries, DedupOps.oracles))
+      (DedupOps.queries, DedupOps.oracles),
+      (VectorOps.queries, VectorOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cosine similarity over `array<float>` embedding columns as pure
+  * higher-order-function expressions (no UDFs — stays in codegen).
+  *
+  * Numeric portability: every element is cast to double BEFORE any
+  * arithmetic, products are folded strictly left-to-right
+  * (`aggregate(zip_with(...))` starts at 0.0, which is IEEE-identity), and
+  * the cosine is `dot / (norm_a * norm_b)` with exactly that
+  * parenthesization — mirrored by DuckDB `list_reduce(list_transform(
+  * list_zip(...)))`, so results are bit-identical across engines and
+  * hash-comparable.
+  */
+object VectorSim {
+
+  /** array<float> -> array<double> (each element exactly representable). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right fold of elementwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine from precomputed norms (compute `norm` once per vector, not
+    * once per pair — at N^2 pairs that's the difference between 2N and
+    * 2N^2 norm folds). */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+}

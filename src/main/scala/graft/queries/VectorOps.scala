@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.ops.VectorSim
+
+/** Similarity search over the `embeddings` table (`array<float>` x 64):
+  * brute-force cosine near-dup + top-k as the exact baselines, and an
+  * IVF-bucketed top-k as the approximate scale path.
+  *
+  * Scale design: the exact variants are quadratic by nature — they exist as
+  * the correctness baseline and for small query sets (broadcast the query
+  * side; the big side never shuffles). The IVF variant is the 100 TB shape:
+  * assign every vector to its nearest centroid (one broadcast join against
+  * k centroids), then search only the query's cell — cost drops from
+  * O(|Q| x N) to O(|Q| x N/k), trading recall, and the cells give the write
+  * path a partitioning key so each query touches one partition.
+  *
+  * Everything (including the IVF assignment) is deterministic and mirrored
+  * in the DuckDB oracle — see VectorSim for the bit-exactness argument.
+  */
+object VectorOps {
+
+  private val NearDupThreshold = 0.4 // probed: 59 pairs at sf0.01, max cos ~0.51
+  private val TopK = 5
+  private val IvfK = 3
+  private val NumCentroids = 8
+  private val QueryMod = 50
+
+  /** vec_id, e (array<double>), nrm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorSim.toDouble(col("embedding"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("nrm", VectorSim.norm(col("e")))
+  }
+
+  private def cos(ea: Column, na: Column, eb: Column, nb: Column): Column =
+    VectorSim.cosinePre(VectorSim.dot(ea, eb), na, nb)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-cosine near-dup: exact all-pairs baseline.
+    "q34_cosine_neardup" -> { (s, dir) =>
+      val n = vecs(s, dir)
+      val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          cos(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+        .filter(col("cos") >= NearDupThreshold)
+    },
+
+    // Brute-force cosine top-k: small broadcast query set against the full
+    // table — the fact side streams, never shuffles.
+    "q35_ann_topk" -> { (s, dir) =>
+      val n = vecs(s, dir)
+      val q = n.filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cos(col("qe"), col("qn"), col("e"), col("nrm")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    },
+
+    // IVF-bucketed top-k: nearest-centroid assignment (centroids = the
+    // first NumCentroids vectors — a deterministic 'training' pick), then
+    // search only the query's cell.
+    "q36_ivf_topk" -> { (s, dir) =>
+      val n = vecs(s, dir)
+      val cent = n.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      val assigned = n.join(broadcast(cent))
+        .select(col("vec_id"), col("e"), col("nrm"), col("c_id"),
+          cos(col("e"), col("nrm"), col("ce"), col("cn")).as("c_cos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cluster"))
+      val q = assigned.filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn"), col("cluster").as("qcluster"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(assigned,
+          col("qcluster") === col("cluster") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cos(col("qe"), col("qn"), col("e"), col("nrm")).as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= IvfK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    })
+
+  /** Shared vector CTE: double-cast elements + precomputed norm. DuckDB
+    * list_zip yields unnamed structs — index with p[1]/p[2]. */
+  private val vecCte =
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, e,
+           sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+         FROM v)"""
+
+  private def cosSql(ea: String, na: String, eb: String, nb: String): String =
+    s"""list_reduce(list_transform(list_zip($ea, $eb), p -> p[1] * p[2]),
+          (x, y) -> x + y) / ($na * $nb)"""
+
+  val oracles: Map[String, String] = Map(
+    "q34_cosine_neardup" ->
+      s"""$vecCte
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold""",
+    "q35_ann_topk" ->
+      s"""$vecCte,
+         q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+               WHERE vec_id % $QueryMod = 0),
+         scored AS (
+           SELECT q.query_id, n.vec_id,
+             ${cosSql("q.qe", "q.qn", "n.e", "n.nrm")} AS cos
+           FROM q JOIN n ON q.query_id <> n.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, vec_id AS neighbor_id, rank, cos
+         FROM ranked WHERE rank <= $TopK""",
+    "q36_ivf_topk" ->
+      s"""$vecCte,
+         cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n
+                  WHERE vec_id < $NumCentroids),
+         assigned AS (
+           SELECT vec_id, e, nrm, cluster FROM (
+             SELECT n.vec_id, n.e, n.nrm, cent.c_id AS cluster,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY ${cosSql("n.e", "n.nrm", "cent.ce", "cent.cn")} DESC,
+                          cent.c_id ASC) AS rn
+             FROM n CROSS JOIN cent) t
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster AS qcluster
+               FROM assigned WHERE vec_id % $QueryMod = 0),
+         scored AS (
+           SELECT q.query_id, a.vec_id,
+             ${cosSql("q.qe", "q.qn", "a.e", "a.nrm")} AS cos
+           FROM q JOIN assigned a
+             ON q.qcluster = a.cluster AND q.query_id <> a.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, vec_id AS neighbor_id, rank, cos
+         FROM ranked WHERE rank <= $IvfK""")
+}
