@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decoder for the stats-API response envelope
+  * `{"resultSets":[{"name","headers","rowSet"}]}` — the JSON -> DataFrame
+  * half of the reference's REST source (reference: api/smart.py:566-583;
+  * SURVEY.md §2.1 S1). The HTTP half is a driver-side/`mapPartitions`
+  * fetch that this zero-egress environment stubs; everything after the
+  * bytes arrive is here and testable.
+  *
+  * Cells are decoded as strings (the API mixes numbers and strings per
+  * column, like the reference's pandas inference) and cast by the caller
+  * against the declared schemas in [[graft.schema.Schemas]]. Non-empty
+  * rowSets only, one DataFrame per set name (reference skips empty sets,
+  * api/smart.py:570).
+  */
+object RestDecoder {
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("resultSets", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("headers", ArrayType(StringType)),
+      StructField("rowSet", ArrayType(ArrayType(StringType)))))))))
+
+  /** Parse raw envelope JSONs into (set name, headers, one row per rowSet
+    * entry). Fully distributed: each JSON document parses independently. */
+  def parse(jsons: Dataset[String])(implicit spark: SparkSession): DataFrame =
+    spark.read.schema(envelopeSchema).json(jsons)
+      .select(explode(col("resultSets")).as("rs"))
+      .select(col("rs.name").as("name"), col("rs.headers").as("headers"),
+        explode(col("rs.rowSet")).as("row"))
+
+  /** Materialize one named result set as a DataFrame with header-named
+    * string columns. Headers must be consistent across documents (they are:
+    * the API schema per endpoint is fixed); the first row's headers define
+    * the layout, like the reference taking `resultSets[i]['headers']`.
+    */
+  def resultSet(parsed: DataFrame, name: String): DataFrame = {
+    val subset = parsed.filter(col("name") === name)
+    val headers: Seq[String] = subset.select(col("headers")).limit(1)
+      .collect().headOption.map(_.getSeq[String](0)).getOrElse(Seq.empty)
+    require(headers.nonEmpty, s"result set '$name' absent or empty")
+    subset.select(headers.zipWithIndex.map { case (h, i) =>
+      col("row").getItem(i).as(h)
+    }: _*)
+  }
+
+  /** Cast the string-typed columns of a decoded result set to a declared
+    * schema (columns matched by name; extra decoded columns dropped). */
+  def cast(decoded: DataFrame, schema: StructType): DataFrame =
+    decoded.select(schema.fields.toSeq.collect {
+      case f if decoded.columns.contains(f.name) => col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
+}

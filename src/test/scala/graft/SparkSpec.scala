@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (getOrCreate: one JVM, one session). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+  implicit lazy val implicitSpark: SparkSession = spark
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = Sessions.local("graft-test")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

@@ -1,0 +1,68 @@
+package graft.nba
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Starter derivation semantics (etl/players_on_court_at_start_of_period.py:90-122):
+  * starter iff no sub event in the period, or the first one is a sub-OUT. */
+class StartersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // pbp columns: GAME_ID, PERIOD, EVENTNUM, EVENTMSGTYPE, PCTIMESTRING,
+  // PLAYER1_ID, PLAYER1_TEAM_ID, PLAYER2_ID, PLAYER2_TEAM_ID, PLAYER3_ID, PLAYER3_TEAM_ID
+  private type Row = (String, Int, Long, Int, String, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])
+  private def pbpOf(rows: Seq[Row]) =
+    rows.toDF("GAME_ID", "PERIOD", "EVENTNUM", "EVENTMSGTYPE", "PCTIMESTRING",
+      "PLAYER1_ID", "PLAYER1_TEAM_ID", "PLAYER2_ID", "PLAYER2_TEAM_ID",
+      "PLAYER3_ID", "PLAYER3_TEAM_ID")
+
+  private val G = "0022400001"
+  private val T1 = 100L
+
+  test("no-sub player is a starter; first-OUT is a starter; first-IN is not") {
+    val pbp = pbpOf(Seq[Row](
+      // p1 scores (appears, no subs) -> starter
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None),
+      // p2 subbed OUT for p3 at 10:00 -> p2 starter, p3 not (first event is IN)
+      (G, 1, 2L, 8, "10:00", Some(2L), Some(T1), Some(3L), Some(T1), None, None),
+      // p3 later subbed OUT again -> still not a starter (first event was IN)
+      (G, 1, 3L, 8, "05:00", Some(3L), Some(T1), Some(2L), Some(T1), None, None),
+      // team 0 slot is dropped (reference :105)
+      (G, 1, 4L, 1, "04:00", Some(9L), Some(0L), None, None, None, None)))
+    val got = Starters.derive(pbp)
+      .select(col("PLAYER_ID")).as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("same-event tiebreak: player both OUT and IN at the first event counts as OUT (reference :117-120)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 8, "10:00", Some(5L), Some(T1), Some(5L), Some(T1), None, None)))
+    val got = Starters.derive(pbp).select(col("PLAYER_ID")).as[Long].collect().toSet
+    assert(got == Set(5L))
+  }
+
+  test("periods are independent: sub-IN in p1 can still start p2") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 8, "10:00", Some(2L), Some(T1), Some(3L), Some(T1), None, None),
+      (G, 2, 10L, 1, "11:00", Some(3L), Some(T1), None, None, None, None)))
+    val p2Starters = Starters.derive(pbp)
+      .filter(col("PERIOD") === 2).select(col("PLAYER_ID")).as[Long].collect().toSet
+    assert(p2Starters == Set(3L))
+  }
+
+  test("violations flags periods without exactly 10 starters (reference :146-161)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))
+    val v = Starters.violations(Starters.derive(pbp))
+      .select(col("PERIOD"), col("n_starters")).as[(Int, Long)].collect().toSeq
+    assert(v == Seq((1, 1L)))
+  }
+
+  test("id/SEASON/SEASON_TYPE stamped like the reference writer (:190-195)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))
+    val row = Starters.derive(pbp)
+      .select(col("id"), col("SEASON"), col("SEASON_TYPE")).as[(String, String, String)].head()
+    assert(row == ((s"$G-1-1", "2024-25", "Regular Season")))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.nba
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Upsert emulation semantics (database/db_client.py:69-92). */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val existing = Seq(("a", 1), ("b", 2)).toDF("id", "v")
+  private val incoming = Seq(("b", 20), ("c", 30), ("c", 30)).toDF("id", "v")
+
+  test("replace: incoming wins on conflict, new keys appended, dupes collapsed") {
+    val got = Upsert.replace(existing, incoming, "id")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("a", 1), ("b", 20), ("c", 30)))
+  }
+
+  test("ignore: existing wins on conflict") {
+    val got = Upsert.ignore(existing, incoming, "id")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("a", 1), ("b", 2), ("c", 30)))
+  }
+
+  test("deltaNew: only unseen keys survive (delta-ingest anti-join, etl/play_by_play.py:50-62)") {
+    val got = Upsert.deltaNew(existing, incoming, Seq("id"))
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("c", 30), ("c", 30)))
+  }
+
+  test("duplicateKeys surfaces multiplicities > 1") {
+    val got = Upsert.duplicateKeys(incoming, "id")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("c", 2L)))
+  }
+}

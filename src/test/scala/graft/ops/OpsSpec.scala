@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit semantics of the reusable event-log operators. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("Sessionize: gap strictly greater than gapSeconds starts a new session") {
+    val ev = Seq(
+      (1L, ts(0), 1L), (1L, ts(100), 2L),
+      (1L, ts(100 + 3600), 3L),      // gap == 3600: same session
+      (1L, ts(100 + 3600 + 3601), 4L), // gap 3601 > 3600: new session
+      (2L, ts(50), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessionize.withSessionNo(ev, "user_id", "ts", "event_id", 3600L)
+      .select(col("event_id"), col("session_no")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("Sessionize.sessions aggregates bounds and counts per session") {
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(8000), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessionize.sessions(ev, "user_id", "ts", "event_id", 3600L)
+      .select(col("session_no"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got == Set((1L, ts(0), ts(10), 2L), (2L, ts(8000), ts(8000), 1L)))
+  }
+
+  test("AsOfJoin.backward: latest right at-or-before left; same-ts right visible; max tiebreak") {
+    val left = Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(5), "c"), (2L, ts(10), "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), 100L), (1L, ts(10), 101L), // two at same ts: 101 wins
+      (1L, ts(15), 102L))
+      .toDF("k", "rts", "payload")
+      .withColumn("tie", col("payload"))
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", "tie", Seq("payload"))
+      .select(col("tag"), col("asof_payload")).as[(String, Option[Long])].collect().toMap
+    assert(got == Map("a" -> Some(101L), "b" -> Some(102L), "c" -> None, "d" -> None))
+  }
+
+  test("StatefulScan: rows arrive key-grouped and ordered; state resets across keys") {
+    val ev = (1 to 100).map(i => ((i % 5).toLong, ts(i.toLong), i.toLong))
+      .toDF("k", "ts", "id")
+    case class R(k: Long, ts: Timestamp, id: Long)
+    val ds = ev.as[(Long, Timestamp, Long)]
+    val out = StatefulScan.scanPartitions(ds,
+      Seq(col("k")), Seq(col("k"), col("ts"), col("id"))) { it =>
+      var lastKey = Long.MinValue
+      var lastId = Long.MinValue
+      it.map { case (k, _, id) =>
+        val ordered = if (k == lastKey) id > lastId else true
+        lastKey = k; lastId = id
+        (k, id, ordered)
+      }
+    }.collect()
+    assert(out.length == 100)
+    assert(out.forall(_._3), "every row must see strictly increasing ids within its key run")
+  }
+}
