@@ -90,10 +90,10 @@ object Lineups {
     val side = sideInputs(rotations, starters, teamGameLog)
 
     ev.groupByKey(_.GAME_ID).cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
-      // materialize inside the Try: processGame's iterator is lazy, and an
-      // exception thrown mid-iteration must count as this game failing, not
-      // kill the task (a game is ~500 rows — bounded)
-      Try(processGame(gid, evIt.toArray, sideIt.toArray).toVector.iterator) match {
+      // processGame materializes (a game is ~500 rows — bounded), so a
+      // failure anywhere in the scan is caught here as this game failing
+      // rather than killing the task
+      Try(processGame(gid, evIt.toArray, sideIt.toArray)) match {
         case Success(rows) => rows
         case Failure(e) if !failFast =>
           // reference logs and continues (:223-225)
@@ -104,45 +104,67 @@ object Lineups {
     }
   }
 
+  /** Resumable lineup state — also the streaming operator's GroupState
+    * (graft.streaming.StreamOps.trackLineups). */
+  case class LineupState(
+      team1: Long, team2: Long,
+      cur1: Seq[Long], cur2: Seq[Long],
+      initialized: Boolean)
+
   /** One game, in memory (a game is ~500 events + ~20 roster rows). */
-  private[nba] def processGame(
+  private[graft] def processGame(
       gid: String,
       eventsIn: Array[PbpEvent],
-      side: Array[GameSide]): Iterator[PbpWithPlayers] = {
-    val events = eventsIn.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
+      side: Array[GameSide]): Iterator[PbpWithPlayers] =
+    advance(gid, eventsIn.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM)),
+      side, None)._1.iterator
+
+  /** Apply a sorted slice of events to prior state (None = start of game),
+    * returning the emitted rows and the state after the slice — the shared
+    * engine of the batch cogroup and the streaming flatMapGroupsWithState
+    * variant. */
+  private[graft] def advance(
+      gid: String,
+      events: Array[PbpEvent],
+      side: Array[GameSide],
+      prior: Option[LineupState]): (Vector[PbpWithPlayers], LineupState) = {
     val rotations = side.filter(_.kind == 0)
     val starters: Map[(Int, Long), List[Long]] = side.filter(_.kind == 1)
       .groupBy(g => (g.PERIOD, g.TEAM_ID))
       .map { case (k, rows) => k -> rows.map(_.PLAYER_ID).sorted.toList }
     val matchups = side.filter(_.kind == 2)
 
-    // J5 team resolution (reference :49-79)
-    val (team1, team2) = events
-      .find(e => e.EVENTMSGTYPE == 10 && e.EVENTMSGACTIONTYPE == 0)
-      .flatMap(e => e.PLAYER1_TEAM_ID.zip(e.PLAYER2_TEAM_ID))
+    // J5 team resolution (reference :49-79) — from prior state when resuming
+    val (team1, team2) = prior.filter(_.initialized).map(s => (s.team1, s.team2))
       .getOrElse {
-        require(matchups.length == 2,
-          s"could not determine teams for game $gid from team_game_log")
-        val home = matchups.find(_.MATCHUP != null).filter(_.MATCHUP.contains("vs"))
-          .orElse(matchups.find(m => m.MATCHUP != null && m.MATCHUP.contains("vs")))
-        val away = matchups.find(m => m.MATCHUP != null && m.MATCHUP.contains("@"))
-        require(home.nonEmpty && away.nonEmpty,
-          s"could not parse MATCHUP for game $gid")
-        (home.get.TEAM_ID, away.get.TEAM_ID)
+        events
+          .find(e => e.EVENTMSGTYPE == 10 && e.EVENTMSGACTIONTYPE == 0)
+          .flatMap(e => e.PLAYER1_TEAM_ID.zip(e.PLAYER2_TEAM_ID))
+          .getOrElse {
+            require(matchups.length == 2,
+              s"could not determine teams for game $gid from team_game_log")
+            val home = matchups.find(m => m.MATCHUP != null && m.MATCHUP.contains("vs"))
+            val away = matchups.find(m => m.MATCHUP != null && m.MATCHUP.contains("@"))
+            require(home.nonEmpty && away.nonEmpty,
+              s"could not parse MATCHUP for game $gid")
+            (home.get.TEAM_ID, away.get.TEAM_ID)
+          }
       }
 
     def teamRot(tid: Long) = rotations.filter(_.TEAM_ID == tid)
     val rot1 = teamRot(team1)
     val rot2 = teamRot(team2)
 
-    // initial lineups: stint starting at 0 (reference :81-86)
+    // initial lineups: stint starting at 0 (reference :81-86), or resumed
     def initial(rot: Array[GameSide]): mutable.ArrayBuffer[Long] = {
       val b = mutable.ArrayBuffer.from(
         rot.filter(_.STINTS.exists(_.IN_TIME_REAL == 0.0)).map(_.PLAYER_ID))
       b.sortInPlace()
     }
-    var cur1 = initial(rot1)
-    var cur2 = initial(rot2)
+    var cur1 = prior.filter(_.initialized)
+      .map(s => mutable.ArrayBuffer.from(s.cur1)).getOrElse(initial(rot1))
+    var cur2 = prior.filter(_.initialized)
+      .map(s => mutable.ArrayBuffer.from(s.cur2)).getOrElse(initial(rot2))
 
     def sub(players: mutable.ArrayBuffer[Long], outId: Long, inId: Long, eventnum: Long): Unit = {
       val idx = players.indexOf(outId)
@@ -165,7 +187,7 @@ object Lineups {
     }
 
     val seenEventnums = mutable.HashSet.empty[Long]
-    events.iterator.map { e =>
+    val out = events.iterator.map { e =>
       // A5 duplicate-id invariant (reference utils/utils.py:1-10, :163)
       if (!seenEventnums.add(e.EVENTNUM))
         throw new IllegalStateException(s"duplicate id $gid-${e.EVENTNUM}")
@@ -206,7 +228,8 @@ object Lineups {
         TEAM1_PLAYER4 = cur1(3), TEAM1_PLAYER5 = cur1(4),
         TEAM2_PLAYER1 = cur2(0), TEAM2_PLAYER2 = cur2(1), TEAM2_PLAYER3 = cur2(2),
         TEAM2_PLAYER4 = cur2(3), TEAM2_PLAYER5 = cur2(4))
-    }
+    }.toVector
+    (out, LineupState(team1, team2, cur1.toSeq, cur2.toSeq, initialized = true))
   }
 
   /** J6 relational cross-check (SURVEY.md §2.3 J6): every event joined to

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.schema.{PbpEvent, PbpWithPlayers}
+import graft.nba.{GameSide, Lineups}
+
+/** Structured Streaming forms of the engine's event-log operators
+  * (SURVEY.md §2.10 and §7.6 — the designed streaming extension; the
+  * reference is batch-only, its closest analog being the delta/incremental
+  * mode and the ordered stateful scan).
+  *
+  * Watermark semantics: the reference's lineup state machine performs
+  * in-place substitutions, so a late event would have to rewrite history —
+  * reference semantics therefore map to "drop late rows", which is exactly
+  * what a watermark + event-time ordering inside each micro-batch gives.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type with late-data drop. */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+
+  /** Session windows (gap-based), the streaming twin of ops.Sessionize. */
+  def sessionWindows(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming per-key running state: events-since-last-'signup' counter —
+    * the streaming twin of the batch stateful scan (queries.q23). Rows are
+    * ordered by event time within each micro-batch; cross-batch order is
+    * the source's append order (correct for an in-order log; late rows
+    * would need the watermark variant).
+    */
+  case class CounterState(n: Long)
+
+  def sinceLastSignup(events: Dataset[(Long, java.sql.Timestamp, Long, String)])(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[CounterState]) => {
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = it.toSeq.sortBy(e => (e._2.getTime, e._3)).map { e =>
+            if (e._4 == "signup") n = 0L else n += 1
+            (e._3, user, n)
+          }
+          state.update(CounterState(n))
+          out.iterator
+        })
+  }
+
+  /** Streaming lineup tracker — the flagship operator as a stream
+    * (SURVEY.md §2.9 "streaming variant"). Keyed by game; the GroupState is
+    * the batch engine's own LineupState, and every transition runs through
+    * the same Lineups.advance, so batch and streaming cannot drift apart.
+    * The per-game roster (stints) and starters reach every executor via a
+    * broadcast side input (rosters are tiny: ~20 rows per game — at larger
+    * scale they'd arrive as a stream-static join).
+    */
+  def trackLineups(
+      events: Dataset[PbpEvent],
+      rosterByGame: Map[String, Seq[GameSide]])(
+      implicit spark: SparkSession): Dataset[PbpWithPlayers] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rosterByGame)
+    events
+      .groupByKey(_.GAME_ID)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (gid: String, it: Iterator[PbpEvent], state: GroupState[Lineups.LineupState]) => {
+          val side = bc.value.getOrElse(gid, Seq.empty).toArray
+          val batch = it.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
+          val st = state.getOption
+          val (rows, next) = Lineups.advance(gid, batch, side, st)
+          state.update(next)
+          rows.iterator
+        })
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.nba.GameSide
+import graft.schema.{PbpEvent, Stint}
+
+/** Streaming operators driven through MemoryStream micro-batches —
+  * verifying cross-batch state continuity, which is the part batch tests
+  * cannot cover. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("tumblingCounts aggregates per window+type; late row beyond watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(df, "ts", "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("tumbling").outputMode("update").start()
+    try {
+      in.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 3.0))
+      q.processAllAvailable()
+      // watermark now 70-10=60; a row at t=5 (window [0,60)) is late -> dropped
+      in.addData((ts(5), "click", 99.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT window.start, event_type, n_events, CAST(sum_value AS DOUBLE)
+           FROM tumbling""")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(60), "view", 1L, 3.0)))
+      assert(!rows.exists { case (_, t, n, v) => t == "click" && v == 102.0 })
+    } finally q.stop()
+  }
+
+  test("sinceLastSignup keeps the running counter across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamOps.sinceLastSignup(in.toDS())
+    val q = out.toDF("event_id", "user_id", "n")
+      .writeStream.format("memory").queryName("counter").outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), 10L, "click"), (1L, ts(2), 11L, "click"))
+      q.processAllAvailable()
+      in.addData((1L, ts(3), 12L, "signup"), (1L, ts(4), 13L, "click"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, n FROM counter")
+        .as[(Long, Long)].collect().toMap
+      // batch 1: 10->1, 11->2; batch 2 resumes: signup->0, then 1
+      assert(got == Map(10L -> 1L, 11L -> 2L, 12L -> 0L, 13L -> 1L))
+    } finally q.stop()
+  }
+
+  test("trackLineups resumes lineup state across micro-batches via the batch engine") {
+    implicit val sqlCtx = spark.sqlContext
+    val G = "0022400100"
+    val T1 = 100L
+    val T2 = 200L
+    val roster: Map[String, Seq[GameSide]] = Map(G ->
+      ((101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
+        Seq(GameSide(G, 0, T1, 106L, -1, Seq(Stint(3600.0, 28800.0)), null)) ++
+        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))))
+
+    def ev(num: Long, typ: Int, act: Int, clock: String,
+        p1: Option[Long] = None, t1: Option[Long] = None,
+        p2: Option[Long] = None, t2: Option[Long] = None) = {
+      val Array(m, s) = clock.split(":").map(_.toInt)
+      PbpEvent(G, num, typ, act, 1, clock,
+        720 - (m * 60 + s), p1, t1, p2, t2)
+    }
+
+    val in = MemoryStream[PbpEvent]
+    val out = StreamOps.trackLineups(in.toDS(), roster)
+    val q = out.writeStream.format("memory").queryName("lineups").outputMode("append").start()
+    try {
+      in.addData(ev(1L, 10, 0, "12:00", Some(101L), Some(T1), Some(201L), Some(T2)))
+      q.processAllAvailable()
+      // next batch: substitution must apply against the REMEMBERED lineup
+      in.addData(ev(2L, 8, 0, "6:00", Some(103L), Some(T1), Some(106L), Some(T1)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT EVENTNUM, TEAM1_PLAYER1, TEAM1_PLAYER2, TEAM1_PLAYER3,
+                  TEAM1_PLAYER4, TEAM1_PLAYER5 FROM lineups ORDER BY EVENTNUM""")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(rows == Seq(
+        (1L, 101L, 102L, 103L, 104L, 105L),
+        (2L, 101L, 102L, 104L, 105L, 106L)))
+    } finally q.stop()
+  }
+}
