@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side plumbing here is real — schema, partition-parallel
+  * batched execution via `mapPartitions` over typed rows (the Scala analog
+  * of a Pandas-batch UDF: one JVM-side loop per partition, no per-row
+  * serialization), deterministic outputs, tests — while the actual codec
+  * work is STUBBED behind [[FakeCodec]] (image/audio libraries are not in
+  * this container). Swapping a real decoder in changes one object: every
+  * signature, column and batch shape stays.
+  *
+  * Scale notes: media bytes dominate row size, so (a) feature extraction
+  * prunes to (id, bytes) before the scan — never carry payloads through a
+  * shuffle; (b) outputs are fixed-width vectors/structs, so downstream
+  * joins/aggregations shuffle only features; (c) per-partition batching
+  * amortizes any model/codec init in the same place a Pandas-batch UDF
+  * would.
+  */
+object Multimodal {
+
+  /** One media document: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("format", StringType))))))
+
+  case class MediaMeta(width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], n_frames: Option[Int], format: Option[String])
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      features: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  /** The stubbed codec: a real implementation would call an image/audio
+    * library here (???-equivalent); the stub is a deterministic fake so the
+    * pipeline around it is fully testable. */
+  object FakeCodec {
+    val FeatureDim = 8
+
+    /** "Decode + feature-extract": deterministic 8-dim signature derived
+      * from the payload bytes — stands in for a model embedding. */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % FeatureDim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+
+    /** "Resize": truncate/pad the payload to `target` bytes — stands in
+      * for a real raster resize, preserving the contract (fixed output
+      * size, same metadata shape). */
+    def resize(bytes: Array[Byte], target: Int): Array[Byte] =
+      java.util.Arrays.copyOf(bytes, target)
+
+    /** "Frame-sample": every `stride`-th window of the payload — stands in
+      * for video frame extraction. */
+    def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+      bytes.grouped(frameSize).zipWithIndex
+        .collect { case (b, i) if i % stride == 0 => b }.toSeq
+  }
+
+  /** Feature extraction: partition-parallel batched map; prunes payload
+    * columns immediately after use. */
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes")).as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // codec/model init would happen once per partition, here
+        it.map { case (id, kind, bytes) =>
+          MediaFeatures(id, kind, bytes.length, FakeCodec.features(bytes))
+        }
+      }
+  }
+
+  /** Resize pass for image rows; non-image rows pass through unchanged. */
+  def resizeImages(media: Dataset[MediaRow], targetBytes: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind == "image") m.copy(bytes = FakeCodec.resize(m.bytes, targetBytes))
+      else m
+    })
+  }
+
+  /** Frame sampling for video rows: one output row per kept frame. */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      FakeCodec.sampleFrames(m.bytes, frameSize, stride).zipWithIndex.map {
+        case (b, i) => Frame(m.media_id, i, b)
+      }
+    })
+  }
+}
