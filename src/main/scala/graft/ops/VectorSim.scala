@@ -19,9 +19,15 @@ object VectorSim {
   /** array<float> -> array<double> (each element exactly representable). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right fold of elementwise products. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right fold of elementwise products — the portable HOF form;
+    * kept as the executable specification of [[dot]]'s semantics. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product (graft.expressions.DotProduct): same
+    * strict fold order as [[dotHof]], so bit-identical results, but inside
+    * whole-stage codegen instead of interpreted lambda evaluation. */
+  def dot(a: Column, b: Column): Column = graft.expressions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
