@@ -27,4 +27,18 @@ object Warehouse {
   def writeCsv(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(dir)
+
+  /** Bucketed catalog table: pre-shuffled layout on the join key, so two
+    * tables bucketed the same way join with NO exchange — the co-located
+    * join a 100 TB star schema needs for its fact-fact joins (pbp ⋈
+    * rotations ⋈ lineups on GAME_ID). Bucket count is a layout contract:
+    * both sides must match.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
