@@ -155,6 +155,31 @@ object EventOps {
       }.toDF()
     },
 
+    // W3 first matching row per key (the reference's filter + iloc[0],
+    // play_by_play_with_players.py:50-56): earliest purchase per user via a
+    // lexicographic struct-min — a single map-side-combinable aggregate,
+    // cheaper at scale than a row_number window (no per-key sort).
+    "q24_first_match" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"))
+    },
+
+    // J8 composite-key anti-join — the shot_details delta driver shape
+    // (etl/shot_details.py:28-51): 4-part combos not yet in the target.
+    "q26_composite_delta" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def combos(minQty: Double) = li
+        .filter(col("l_quantity") >= minQty)
+        .select(col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+          month(col("l_shipdate")).as("ship_month"))
+        .distinct()
+      combos(30).join(combos(45),
+        Seq("l_suppkey", "l_returnflag", "l_linestatus", "ship_month"), "left_anti")
+    },
+
     // J6 relational interval join as a checking query (SURVEY §2.3 J6):
     // error events matched into their covering session interval.
     "q25_interval_join" -> { (s, dir) =>
@@ -277,6 +302,26 @@ object EventOps {
            row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id)
              - CASE WHEN grp > 0 THEN 1 ELSE 0 END AS n_since_signup
          FROM g""",
+    "q24_first_match" ->
+      """SELECT user_id, ts, event_id FROM (
+           SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'purchase') t
+         WHERE rn = 1""",
+    "q26_composite_delta" ->
+      """WITH c30 AS (
+           SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus,
+             month(l_shipdate) AS ship_month
+           FROM lineitem WHERE l_quantity >= 30),
+         c45 AS (
+           SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus,
+             month(l_shipdate) AS ship_month
+           FROM lineitem WHERE l_quantity >= 45)
+         SELECT a.* FROM c30 a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM c45 b
+           WHERE a.l_suppkey = b.l_suppkey AND a.l_returnflag = b.l_returnflag
+             AND a.l_linestatus = b.l_linestatus AND a.ship_month = b.ship_month)""",
     "q25_interval_join" ->
       s"""$sessionCte
          SELECT s.user_id, s.session_no, count(e.event_id) AS n_errors
