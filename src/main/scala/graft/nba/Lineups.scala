@@ -25,6 +25,11 @@ case class GameSide(
     STINTS: Seq[Stint],
     MATCHUP: String)
 
+/** Per-game failure record for the quarantine channel (SURVEY.md §2.10 T4:
+  * the reference logs-and-continues; a pipeline at scale lands failures in
+  * a table instead of a log line). */
+case class GameError(GAME_ID: String, error: String)
+
 /** The flagship stateful operator (SURVEY.md §2.9): reconstruct both 5-man
   * lineups for every play-by-play event.
   *
@@ -102,6 +107,36 @@ object Lineups {
         case Failure(e) => throw e
       }
     }
+  }
+
+  /** T4 quarantine variant: one pass, rows and per-game errors as separate
+    * datasets (persist the union once; both sides filter it). */
+  def withPlayersAndErrors(
+      pbp: DataFrame,
+      rotations: DataFrame,
+      starters: Option[DataFrame] = None,
+      teamGameLog: Option[DataFrame] = None)(
+      implicit spark: SparkSession): (Dataset[PbpWithPlayers], Dataset[GameError]) = {
+    import spark.implicits._
+    val withSfs =
+      if (pbp.columns.contains("SECONDS_FROM_START")) pbp
+      else pbp.withColumn("SECONDS_FROM_START",
+        GameClock.secondsFromStart(col("PERIOD"), col("PCTIMESTRING")))
+    val ev = withSfs.select(col("GAME_ID"), col("EVENTNUM"), col("EVENTMSGTYPE"),
+      col("EVENTMSGACTIONTYPE"), col("PERIOD"), col("PCTIMESTRING"),
+      col("SECONDS_FROM_START"), col("PLAYER1_ID"), col("PLAYER1_TEAM_ID"),
+      col("PLAYER2_ID"), col("PLAYER2_TEAM_ID")).as[PbpEvent]
+    val side = sideInputs(rotations, starters, teamGameLog)
+    val outcomes = ev.groupByKey(_.GAME_ID)
+      .cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
+        Try(processGame(gid, evIt.toArray, sideIt.toArray)) match {
+          case Success(rows) => rows.map(r => (Option(r), Option.empty[GameError]))
+          case Failure(e) =>
+            Iterator((Option.empty[PbpWithPlayers],
+              Some(GameError(gid, String.valueOf(e.getMessage)))))
+        }
+      }.persist()
+    (outcomes.flatMap(_._1), outcomes.flatMap(_._2))
   }
 
   /** Resumable lineup state — also the streaming operator's GroupState

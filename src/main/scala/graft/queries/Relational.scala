@@ -169,6 +169,17 @@ object Relational {
         .filter(col("n_lines") >= 6)
     },
 
+    // A-agg rollup: the "recompute pre-aggregated season totals" shape
+    // (SURVEY §2.4 — the API's season-totals endpoints return data our
+    // engine must be able to rebuild from game logs at any grain).
+    "q27_rollup_totals" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"))
+    },
+
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
     "q14_id_synth" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -240,6 +251,12 @@ object Relational {
     "q13_key_multiplicity" ->
       """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
          GROUP BY l_orderkey HAVING count(*) >= 6""",
+    "q27_rollup_totals" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+         FROM orders
+         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
     "q14_id_synth" ->
       """SELECT CAST(o_orderkey AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR) AS id,
          o_totalprice

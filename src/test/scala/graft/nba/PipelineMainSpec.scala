@@ -1,0 +1,51 @@
+package graft.nba
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.schema.Stint
+
+class PipelineMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argument XOR validation matches the reference scripts (:198-203)") {
+    def p(s: String*) = PipelineArgs.parse(s)
+    assert(p("--game-id", "0022400001", "--input", "i", "--output", "o").isRight)
+    assert(p("--season", "2024-25", "--season-type", "Regular Season",
+      "--input", "i", "--output", "o").isRight)
+    assert(p("--game-id", "x", "--season", "2024-25", "--season-type", "RS",
+      "--input", "i", "--output", "o").swap.exists(_.contains("not both")))
+    assert(p("--input", "i", "--output", "o").isLeft)
+    assert(p("--season", "2024-25", "--input", "i", "--output", "o").isLeft) // type missing
+    assert(p("--game-id", "x").swap.exists(_.contains("required")))
+    assert(p("--bogus").swap.exists(_.contains("unknown argument")))
+  }
+
+  test("withPlayersAndErrors: good games emit rows, bad games land in the quarantine channel") {
+    val G1 = "0022400100" // good
+    val G2 = "0022400101" // bad: sub of absent player
+    val T1 = 100L
+    val T2 = 200L
+    def roster(g: String) =
+      ((1L to 5L).map(p => (g, T1, p, Seq(Stint(0.0, 28800.0)))) ++
+        Seq((g, T1, 6L, Seq(Stint(3600.0, 28800.0)))) ++
+        (11L to 15L).map(p => (g, T2, p, Seq(Stint(0.0, 28800.0)))))
+    val rotations = (roster(G1) ++ roster(G2))
+      .toDF("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS")
+    val pbp = Seq(
+      (G1, 1L, 10, 0, 1, "12:00", Some(1L), Some(T1), Some(11L), Some(T2)),
+      (G1, 2L, 8, 0, 1, "6:00", Some(1L), Some(T1), Some(6L), Some(T1)),
+      (G2, 1L, 10, 0, 1, "12:00", Some(1L), Some(T1), Some(11L), Some(T2)),
+      (G2, 2L, 8, 0, 1, "6:00", Some(999L), Some(T1), Some(6L), Some(T1)))
+      .toDF("GAME_ID", "EVENTNUM", "EVENTMSGTYPE", "EVENTMSGACTIONTYPE", "PERIOD",
+        "PCTIMESTRING", "PLAYER1_ID", "PLAYER1_TEAM_ID", "PLAYER2_ID", "PLAYER2_TEAM_ID")
+      .withColumn("PLAYER3_ID", lit(null).cast("long"))
+      .withColumn("PLAYER3_TEAM_ID", lit(null).cast("long"))
+
+    val (rows, errors) = Lineups.withPlayersAndErrors(pbp, rotations)
+    assert(rows.collect().map(_.GAME_ID).toSet == Set(G1))
+    assert(rows.count() == 2)
+    val errs = errors.collect()
+    assert(errs.length == 1 && errs.head.GAME_ID == G2)
+    assert(errs.head.error.contains("999"))
+  }
+}
