@@ -95,10 +95,14 @@ object Lineups {
     val side = sideInputs(rotations, starters, teamGameLog)
 
     ev.groupByKey(_.GAME_ID).cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
+      val events = evIt.toArray
+      // a game present only on the side-input side (no events this run,
+      // e.g. delta mode) is skipped, not failed
+      if (events.isEmpty) Iterator.empty
       // processGame materializes (a game is ~500 rows — bounded), so a
       // failure anywhere in the scan is caught here as this game failing
       // rather than killing the task
-      Try(processGame(gid, evIt.toArray, sideIt.toArray)) match {
+      else Try(processGame(gid, events, sideIt.toArray)) match {
         case Success(rows) => rows
         case Failure(e) if !failFast =>
           // reference logs and continues (:223-225)
@@ -129,7 +133,11 @@ object Lineups {
     val side = sideInputs(rotations, starters, teamGameLog)
     val outcomes = ev.groupByKey(_.GAME_ID)
       .cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
-        Try(processGame(gid, evIt.toArray, sideIt.toArray)) match {
+        val events = evIt.toArray
+        // side inputs cover every game in the warehouse; a game with no
+        // events in this run (delta mode filtered it) is not an error
+        if (events.isEmpty) Iterator.empty
+        else Try(processGame(gid, events, sideIt.toArray)) match {
           case Success(rows) => rows.map(r => (Option(r), Option.empty[GameError]))
           case Failure(e) =>
             Iterator((Option.empty[PbpWithPlayers],

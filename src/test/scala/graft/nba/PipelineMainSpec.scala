@@ -48,4 +48,17 @@ class PipelineMainSpec extends SparkSpec {
     assert(errs.length == 1 && errs.head.GAME_ID == G2)
     assert(errs.head.error.contains("999"))
   }
+
+  test("a game with side inputs but no events (delta mode) is skipped, not failed") {
+    val G = "0022400100"
+    val rotations = (1L to 5L).map(p => (G, 100L, p, Seq(Stint(0.0, 28800.0))))
+      .toDF("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS")
+    val pbp = Seq.empty[(String, Long, Int, Int, Int, String, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]
+      .toDF("GAME_ID", "EVENTNUM", "EVENTMSGTYPE", "EVENTMSGACTIONTYPE", "PERIOD",
+        "PCTIMESTRING", "PLAYER1_ID", "PLAYER1_TEAM_ID", "PLAYER2_ID", "PLAYER2_TEAM_ID",
+        "PLAYER3_ID", "PLAYER3_TEAM_ID")
+    val (rows, errors) = Lineups.withPlayersAndErrors(pbp, rotations)
+    assert(rows.count() == 0)
+    assert(errors.count() == 0)
+  }
 }
