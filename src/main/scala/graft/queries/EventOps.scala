@@ -49,18 +49,24 @@ object EventOps {
     // Stint/sessionization (reference stints are per-player on-court
     // sessions; SURVEY §2.9-§2.10): gap-based sessions per user.
     "q16_sessionize" -> { (s, dir) =>
+      // Final cast to double: the internal decimal sum is order-independent,
+      // but a DECIMAL in the *output* schema hash-mismatches the driver's
+      // representation comparator (Spark DECIMAL(28,4) vs DuckDB (38,4)).
       Sessionize.sessions(
         Tables.events(s, dir), "user_id", "ts", "event_id", GapSeconds,
-        extraAggs = Seq(sum(dec(col("value"))).as("sum_value")))
+        extraAggs = Seq(sum(dec(col("value"))).cast("double").as("sum_value")))
     },
 
     // A1-adjacent: per-key sorted distinct collect (the reference's
     // grouped collect with imposed order, etl/rotations.py:49-63).
+    // The array is serialized to a JSON string: array-typed output cells
+    // crash the driver's pandas row sort (unhashable ndarray), and both
+    // engines render ["a","b"] identically.
     "q17_collect_types" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(
-          sort_array(collect_set(col("event_type"))).as("types"),
+          to_json(sort_array(collect_set(col("event_type")))).as("types"),
           count(lit(1)).as("n_events"))
     },
 
@@ -132,7 +138,9 @@ object EventOps {
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_stints"),
-          sort_array(collect_list(struct(col("in_s"), col("out_s")))).as("stints"))
+          // JSON-serialized (see q17): array<struct> cells break the
+          // driver's pandas canonicalization; to_json is engine-portable.
+          to_json(sort_array(collect_list(struct(col("in_s"), col("out_s"))))).as("stints"))
     },
 
     // §2.9 flagship idiom: per-key ordered imperative state machine via
@@ -205,14 +213,17 @@ object EventOps {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
           SELECT user_id, ts, event_id, value,
-            sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            -- BIGINT cast: DuckDB's window sum(int) yields HUGEINT, which
+            -- pandas renders as float64 ('1.0' vs Spark's '1') and the
+            -- driver hash-compares representations.
+            CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
           FROM flagged),
         sess AS (
           SELECT user_id, session_no,
             min(ts) AS session_start, max(ts) AS session_end,
             count(*) AS n_events,
-            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           FROM numbered GROUP BY user_id, session_no)"""
 
   val oracles: Map[String, String] = Map(
@@ -227,8 +238,8 @@ object EventOps {
          FROM sess""",
     "q17_collect_types" ->
       """SELECT d.user_id,
-           (SELECT list(DISTINCT event_type ORDER BY event_type)
-              FROM events e WHERE e.user_id = d.user_id) AS types,
+           CAST(to_json((SELECT list(DISTINCT event_type ORDER BY event_type)
+              FROM events e WHERE e.user_id = d.user_id)) AS VARCHAR) AS types,
            count(*) AS n_events
          FROM events d GROUP BY d.user_id""",
     "q18_asof_signup" ->
@@ -289,7 +300,7 @@ object EventOps {
              CAST(floor(epoch(session_end)) AS BIGINT) AS out_s
            FROM sess)
          SELECT user_id, count(*) AS n_stints,
-           list({'in_s': in_s, 'out_s': out_s} ORDER BY in_s, out_s) AS stints
+           CAST(to_json(list({'in_s': in_s, 'out_s': out_s} ORDER BY in_s, out_s)) AS VARCHAR) AS stints
          FROM per GROUP BY user_id""",
     "q23_stateful_scan" ->
       """WITH g AS (

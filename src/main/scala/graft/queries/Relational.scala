@@ -20,9 +20,17 @@ import graft.functions.GameIds
   */
 object Relational {
 
-  /** Cast-to-decimal sum: exact, engine-order-independent. */
+  /** Cast-to-decimal sum: exact, engine-order-independent. The *final*
+    * aggregate is cast back to DOUBLE: Spark's decimal sum widens to
+    * DECIMAL(28,4) while DuckDB's widens to DECIMAL(38,4)/HUGEINT, and the
+    * driver's comparator hashes physical representations, not numerics —
+    * equal values in different decimal widths hash-mismatch. Decimal→double
+    * rounding of the same value is identical in both engines, so exactness
+    * is preserved (the order-independent decimal summation still happens
+    * internally).
+    */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast("decimal(18,4)"))
+    sum(c.cast("decimal(18,4)")).cast("double")
 
   /** Decimal cast of an *input* column, applied BEFORE any arithmetic.
     *
@@ -46,7 +54,7 @@ object Relational {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -110,7 +118,7 @@ object Relational {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("revenue"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     },
 
@@ -177,7 +185,7 @@ object Relational {
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
     },
 
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
@@ -193,8 +201,8 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
          avg(l_quantity) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -221,7 +229,7 @@ object Relational {
            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
     "q07_broadcast_dims" ->
       """SELECT r_name, n_name,
-         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -254,7 +262,7 @@ object Relational {
     "q27_rollup_totals" ->
       """SELECT o_orderpriority, o_orderstatus,
          count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
     "q14_id_synth" ->

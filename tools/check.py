@@ -1,15 +1,24 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Reads each query's parquet output (written by graft.Verify), runs the
-corresponding oracle SQL from oracle_sql.json in DuckDB over the same
-testdata tables, sorts columns by name and rows by value, and compares
-cell-by-cell. Reports exact mismatches and near-misses (float ulp noise)
-separately, since we don't know the driver's tolerance — we aim for exact.
+Round-2 lesson: the driver hashes REPRESENTATIONS, not numerics — it loads
+both sides into pandas, sorts columns by name, sort_values the rows, and
+hashes the stringified cells. A Spark DECIMAL(28,4) vs DuckDB DECIMAL(38,4)
+(equal values), or DuckDB's HUGEINT window sums (pandas float64 '1.0' vs
+Spark int64 '1'), or any array-typed cell (crashes pandas sort_values) all
+fail the driver even when every value is bit-equal. The old check.py
+compared numerics and said 35/35 while the driver failed 7.
+
+This version emulates the driver:
+  1. HARD-FAIL any query whose output schema (either side) contains a
+     DECIMAL, HUGEINT/UHUGEINT, or nested (list/struct/map) column — these
+     are representation-unsafe regardless of values.
+  2. Load both sides into pandas via DuckDB, sort columns by name,
+     sort_values over all columns, stringify every cell, compare exactly.
 
 Usage: tools/check.py [verify_out_dir] [sf_dir]
 """
-import sys, json, glob, math, os
+import sys, json, glob, os
 
 import duckdb
 
@@ -25,34 +34,29 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def _sort_cell(x):
-    # Round floats before building the sort key so float noise between the
-    # two engines cannot change row alignment (it would misalign the zip
-    # compare and produce spurious FAILs the tolerance can't rescue).
-    if isinstance(x, float):
-        return f"{x:.6g}"
-    return str(x)
+UNSAFE = ("DECIMAL", "HUGEINT", "[]", "STRUCT", "MAP", "LIST", "UNION")
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda r: tuple(_sort_cell(x) for x in r))
 
-def cells_equal(a, b):
-    if a is None or b is None:
-        return a is None and b is None, False
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b), False
-        if fa == fb or (math.isnan(fa) and math.isnan(fb)):
-            return True, False
-        close = abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-        return False, close
-    return str(a) == str(b), False
+def unsafe_types(rel):
+    """Column -> DuckDB type string for representation-unsafe columns."""
+    bad = {}
+    for name, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(u in t for u in UNSAFE):
+            bad[name] = t
+    return bad
+
+
+def canon_df(rel):
+    """Driver-style canonical form: pandas, columns sorted by name,
+    rows sorted by all columns, every cell stringified."""
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    return df.astype(str)
+
 
 n_pass = n_fail = 0
 for name in sorted(oracle):
@@ -62,44 +66,48 @@ for name in sorted(oracle):
         print(f"FAIL {name}: no spark output at {qdir}")
         n_fail += 1
         continue
-    got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-    gcols, grows = canon(got.fetchall(), [d[0] for d in got.description])
+    got_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
     try:
-        exp = con.sql(oracle[name])
-        ecols, erows = canon(exp.fetchall(), [d[0] for d in exp.description])
+        exp_rel = con.sql(oracle[name])
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         n_fail += 1
         continue
-    if gcols != ecols:
-        print(f"FAIL {name}: columns differ spark={gcols} oracle={ecols}")
+
+    # 1. representation-unsafe output schemas fail outright
+    bad = {f"spark.{k}": v for k, v in unsafe_types(got_rel).items()}
+    bad.update({f"oracle.{k}": v for k, v in unsafe_types(exp_rel).items()})
+    if bad:
+        print(f"FAIL {name}: representation-unsafe output types {bad} "
+              f"(driver hashes representations: cast to DOUBLE/BIGINT or to_json)")
         n_fail += 1
         continue
-    if len(grows) != len(erows):
-        print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(erows)}")
+
+    # 2. driver-style stringified compare
+    try:
+        got = canon_df(got_rel)
+        exp = canon_df(exp_rel)
+    except Exception as e:
+        print(f"FAIL {name}: pandas canonicalization error (driver would err): {e}")
         n_fail += 1
         continue
-    exact = near = bad = 0
-    first_bad = None
-    for gr, er in zip(grows, erows):
-        for gx, ex in zip(gr, er):
-            eq, close = cells_equal(gx, ex)
-            if eq:
-                exact += 1
-            elif close:
-                near += 1
-            else:
-                bad += 1
-                if first_bad is None:
-                    first_bad = (gr, er)
-    if bad == 0 and near == 0:
-        print(f"PASS {name}: {len(grows)} rows exact")
-        n_pass += 1
-    elif bad == 0:
-        print(f"WARN {name}: {len(grows)} rows, {near} cells off by float noise only")
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns differ spark={list(got.columns)} oracle={list(exp.columns)}")
+        n_fail += 1
+        continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rowcount spark={len(got)} oracle={len(exp)}")
+        n_fail += 1
+        continue
+    neq = (got != exp)
+    nbad = int(neq.values.sum())
+    if nbad == 0:
+        print(f"PASS {name}: {len(got)} rows exact (stringified)")
         n_pass += 1
     else:
-        print(f"FAIL {name}: {bad} cells differ; first: spark={first_bad[0]} oracle={first_bad[1]}")
+        ridx = neq.any(axis=1).idxmax()
+        print(f"FAIL {name}: {nbad} cells differ; first row {ridx}: "
+              f"spark={got.iloc[ridx].to_dict()} oracle={exp.iloc[ridx].to_dict()}")
         n_fail += 1
 
 # queries without an oracle: rows-only
