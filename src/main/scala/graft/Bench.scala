@@ -9,19 +9,28 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every column of every row — unlike count(),
-      // which lets Catalyst prune the whole projection away.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // One timed run: clear all cached blocks first so no query is billed
+      // for (or subsidized by) another query's persisted stages, then
+      // materialize through the noop sink — unlike count(), noop touches
+      // every column of every row, so Catalyst can't prune the projection.
+      def run(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // Best-of-2: single-shot timings showed one-off multi-second stalls
+      // (GC/scheduler noise) on queries that run in ~1s steady-state.
+      try { val a = run(); name -> math.min(a, run()) }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0 // sentinel: failed queries carry no timing (NaN isn't JSON)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -51,11 +51,53 @@ object DedupOps {
     * once" (cache or a temp parquet), which is how a 100 TB dedup pass is
     * structured anyway. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shingledOf(Tables.documents(s, dir)).persist()
+
+  /** doc_id + distinct word-n-gram shingles for any documents frame. */
+  def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= NGram)
       .select(col("doc_id"), Shingles.wordNGrams(col("w"), NGram).as("sh"))
-      .persist()
+
+  /** Exact n-gram Jaccard via inverted-index (posting-list) self-join.
+    *
+    * `dfMax` is the scale lever: the self-join costs O(Σ df²) over shingle
+    * document frequencies, so one stop-shingle appearing in d docs alone
+    * contributes d² candidate rows. With `dfMax = Some(cap)`, postings for
+    * shingles whose df exceeds the cap are dropped BEFORE the join via an
+    * anti-join against the (small, by definition) stop-shingle set —
+    * broadcastable at any corpus size because only the head of the df
+    * distribution exceeds a sane cap. Jaccard denominators still use the
+    * full per-doc shingle counts, so surviving pairs keep their exact
+    * score; recall changes only for pairs whose EVERY shared shingle is a
+    * stop-shingle (DedupOpsSpec pins both properties). Default off: the
+    * oracle query is the exact variant.
+    */
+  def ngramJaccard(shingles: DataFrame, dfMax: Option[Int] = None,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val postingAll = shingles
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val posting = dfMax match {
+      case Some(cap) =>
+        val stop = postingAll.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("g"))
+        postingAll.join(broadcast(stop), Seq("g"), "left_anti")
+      case None => postingAll
+    }
+    posting.as("x").join(posting.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy (map-side combinable at any scale).
@@ -122,20 +164,10 @@ object DedupOps {
         .filter(col("hamming") <= HammingMax)
     },
 
-    // Exact n-gram Jaccard via inverted-index (posting-list) self-join.
+    // Exact n-gram Jaccard via inverted-index (posting-list) self-join
+    // (dfMax off: the oracle replicates the exact variant).
     "q33_ngram_jaccard" -> { (s, dir) =>
-      val sh = shingled(s, dir)
-      val posting = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
-      posting.as("x").join(posting.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(
-          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.n").as("na"), col("y.n").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
+      ngramJaccard(shingled(s, dir))
     })
 
   /** Shared shingle CTE (mirrors `shingled`). */

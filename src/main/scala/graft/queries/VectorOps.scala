@@ -29,6 +29,9 @@ case class PairCos(vec_a: Long, vec_b: Long, cos: Double)
 object VectorOps {
 
   private val NearDupThreshold = 0.4 // probed: 59 pairs at sf0.01, max cos ~0.51
+  /** Blocks for the exact all-pairs triangle partitioning (q34): replication
+    * factor per vector; per-group memory = 2N/B vectors. */
+  private val AllPairsBlocks = 8
   private val TopK = 5
   private val IvfK = 3
   private val NumCentroids = 8
@@ -46,34 +49,61 @@ object VectorOps {
     VectorSim.cosinePre(VectorSim.dot(ea, eb), na, nb)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Embedding-cosine near-dup: exact all-pairs baseline, executed as a
-    // broadcast block-nested-loop in tight JVM code (mapPartitions) — the
-    // O(N^2 * dim) kernel is ~20x faster than interpreted higher-order
-    // functions, and the fold order (left-to-right doubles) is identical,
-    // so results stay bit-exact vs the oracle. One side is broadcast; the
-    // other streams partition-parallel. At 100 TB you run LSH/IVF first and
-    // reserve this kernel for within-bucket verification.
+    // Embedding-cosine near-dup: exact all-pairs, fully distributed via
+    // triangle block partitioning. Vectors are hashed into B blocks; every
+    // unordered block pair {p,q} becomes one reduce group that receives
+    // exactly the vectors of blocks p and q (each vector is replicated B
+    // times — the standard O(N*B) shuffle for exact all-pairs). Inside a
+    // group a tight JVM block-nested loop computes the O((N/B)^2 * dim)
+    // kernel (~20x faster than interpreted higher-order functions); the
+    // left-to-right double fold keeps results bit-exact vs the oracle.
+    // Nothing is ever collected to the driver and per-group memory is
+    // 2N/B vectors — at 100 TB pick B ~ sqrt(cluster parallelism) (and run
+    // LSH/IVF first, reserving this kernel for within-bucket verification).
     "q34_cosine_neardup" -> { (s, dir) =>
       import s.implicits._
       val n = vecs(s, dir)
         .select(col("vec_id"), col("e"), col("nrm"))
         .as[VecRow]
-      val all = n.collect().sortBy(_.vec_id)
-      val bc = s.sparkContext.broadcast(all)
+      val nBlocks = AllPairsBlocks
       val thr = NearDupThreshold
-      n.mapPartitions { it =>
-        val vs = bc.value
-        it.flatMap { a =>
-          // only partners with larger vec_id: each unordered pair once
-          var lo = 0; var hi = vs.length
-          while (lo < hi) { val m = (lo + hi) / 2; if (vs(m).vec_id <= a.vec_id) lo = m + 1 else hi = m }
-          Iterator.range(lo, vs.length).flatMap { j =>
-            val b = vs(j)
-            var dot = 0.0
-            var i = 0
-            while (i < a.e.length) { dot += a.e(i) * b.e(i); i += 1 }
-            val c = dot / (a.nrm * b.nrm)
-            if (c >= thr) Some(PairCos(a.vec_id, b.vec_id, c)) else None
+      n.flatMap { v =>
+        val b = (math.floorMod(v.vec_id, nBlocks.toLong)).toInt
+        (0 until nBlocks).iterator.map { j =>
+          (math.min(b, j) * nBlocks + math.max(b, j), v)
+        }
+      }.groupByKey(_._1).flatMapGroups { (key: Int, it: Iterator[(Int, VecRow)]) =>
+        val p = key / nBlocks
+        val q = key % nBlocks
+        val xs = scala.collection.mutable.ArrayBuffer.empty[VecRow] // block p
+        val ys = scala.collection.mutable.ArrayBuffer.empty[VecRow] // block q
+        it.foreach { case (_, v) =>
+          if (math.floorMod(v.vec_id, nBlocks.toLong).toInt == p) xs += v else ys += v
+        }
+        def cosOf(a: VecRow, b: VecRow): Double = {
+          var dot = 0.0
+          var i = 0
+          while (i < a.e.length) { dot += a.e(i) * b.e(i); i += 1 }
+          dot / (a.nrm * b.nrm)
+        }
+        if (p == q) {
+          // within-block: each unordered pair once (i < j on sorted ids)
+          val arr = xs.toArray.sortBy(_.vec_id)
+          Iterator.range(0, arr.length).flatMap { i =>
+            Iterator.range(i + 1, arr.length).flatMap { j =>
+              val c = cosOf(arr(i), arr(j))
+              if (c >= thr) Some(PairCos(arr(i).vec_id, arr(j).vec_id, c)) else None
+            }
+          }
+        } else {
+          // cross-block only: within-block pairs belong to the diagonal
+          // groups, so no pair is emitted twice across groups
+          xs.iterator.flatMap { a =>
+            ys.iterator.flatMap { b =>
+              val (lo, hi) = if (a.vec_id < b.vec_id) (a, b) else (b, a)
+              val c = cosOf(lo, hi)
+              if (c >= thr) Some(PairCos(lo.vec_id, hi.vec_id, c)) else None
+            }
           }
         }
       }.toDF("vec_a", "vec_b", "cos")

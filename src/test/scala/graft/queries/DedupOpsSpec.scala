@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The q33 `dfMax` posting-list cap: the O(Σ df²) self-join cost lever.
+  * Pins the two properties the scaladoc claims: a cap above every shingle's
+  * df is a no-op, and a binding cap removes exactly the pairs whose every
+  * shared shingle is a stop-shingle while surviving pairs keep exact scores.
+  */
+class DedupOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // six copies of a stop-phrase (every shingle df=6) + one rare near-dup
+  // pair (shingles df=2) + one unrelated doc
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"),
+    (3L, "the quick brown fox jumps"),
+    (4L, "the quick brown fox jumps"),
+    (5L, "the quick brown fox jumps"),
+    (6L, "the quick brown fox jumps"),
+    (7L, "zeta eta theta iota kappa"),
+    (8L, "zeta eta theta iota kappa"),
+    (9L, "alpha beta gamma delta epsilon")
+  ).toDF("doc_id", "text")
+
+  private def pairs(dfMax: Option[Int]) =
+    DedupOps.ngramJaccard(DedupOps.shingledOf(docs), dfMax)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("dfMax above every df is a no-op (exact equivalence)") {
+    assert(pairs(Some(1000)) == pairs(None))
+  }
+
+  test("a binding dfMax drops exactly the stop-shingle-only pairs, keeps exact scores") {
+    val exact = pairs(None)
+    val capped = pairs(Some(3)) // stop-phrase shingles have df=6 > 3
+    // the rare pair survives with its exact score
+    assert(capped == Set((7L, 8L, 1.0)))
+    // everything removed was a pair among the six stop-phrase copies
+    val removed = exact -- capped
+    assert(removed.nonEmpty)
+    assert(removed.forall { case (a, b, _) => a <= 6 && b <= 6 })
+    assert(removed.size == 15) // C(6,2) identical copies, jaccard 1.0 each
+  }
+}
