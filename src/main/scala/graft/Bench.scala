@@ -28,6 +28,7 @@ object Bench {
         name -> -1.0 // sentinel: failed queries carry no timing (NaN isn't JSON)
       }
     }
+    queries.DedupOps.release()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * results are bit-identical to both and stay hash-comparable against the
   * oracle. Null-intolerant: a null array yields null (codegen via
   * nullSafeCodeGen); element nulls are the caller's contract (cast arrays
-  * carry containsNull=false).
+  * carry containsNull=false). Mismatched lengths also yield null — the
+  * same semantics as `zip_with`'s null padding in VectorSim.dotHof, so the
+  * two documented-equivalent forms cannot diverge on ragged inputs.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // nullable even over non-null inputs: ragged arrays produce null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -43,22 +48,29 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_acc += $x.getDouble(${ev.value}_i) * $y.getDouble(${ev.value}_i);
+         |int ${ev.value}_n = $x.numElements();
+         |if (${ev.value}_n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}_acc = 0.0;
+         |  for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |    ${ev.value}_acc += $x.getDouble(${ev.value}_i) * $y.getDouble(${ev.value}_i);
+         |  }
+         |  ${ev.value} = ${ev.value}_acc;
          |}
-         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
 

@@ -1,5 +1,6 @@
 package graft.nba
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** CLI entry points mirroring the reference scripts' argument contract
@@ -51,6 +52,16 @@ object PipelineArgs {
   * track lineups, write partitioned parquet + a quarantine table to
   * --output. Delta mode anti-joins the existing output's game ids
   * (reference: etl/play_by_play_with_players.py:167-176).
+  *
+  * Idempotence (reference: `INSERT ... ON CONFLICT (id) DO UPDATE`,
+  * database/db_client.py:69-92): a non-delta rerun REPLACES what it
+  * recomputes instead of appending duplicates — existing rows of the
+  * affected partitions are merged with the new rows via Upsert.replace on
+  * id, and only the affected (SEASON, SEASON_TYPE) partitions are swapped
+  * (Warehouse.overwritePartitions); other seasons are untouched. The
+  * quarantine table heals the same way: errors of the games processed this
+  * run are replaced, so a game that fails twice has one error row and a
+  * game that now succeeds has none.
   */
 object PipelineMain {
 
@@ -59,14 +70,21 @@ object PipelineMain {
       case Left(err) =>
         System.err.println(err)
         sys.exit(2)
-      case Right(args) => run(args)
+      case Right(args) =>
+        val spark = graft.Sessions.local("graft-lineups")
+        try runWith(spark, args) finally spark.stop()
     }
 
-  private def run(args: PipelineArgs.Args): Unit = {
-    implicit val spark = graft.Sessions.local("graft-lineups")
+  /** The job body, on a caller-owned session (testable; main owns its own). */
+  def runWith(spark0: SparkSession, args: PipelineArgs.Args): Unit = {
+    implicit val spark: SparkSession = spark0
     import graft.functions.GameIds
+    import graft.sources.Warehouse
 
     def tbl(name: String) = spark.read.parquet(s"${args.input}/$name")
+    val outDir = s"${args.output}/play_by_play_with_players"
+    val errDir = s"${args.output}/lineup_errors"
+    def existingOut = scala.util.Try(spark.read.parquet(outDir)).toOption
 
     val pbpAll = tbl("play_by_play")
     val scoped = args.gameId match {
@@ -77,8 +95,7 @@ object PipelineMain {
     }
     val pbp =
       if (!args.delta) scoped
-      else scala.util.Try(spark.read.parquet(s"${args.output}/play_by_play_with_players"))
-        .toOption match {
+      else existingOut match {
         case Some(existing) =>
           Upsert.deltaNew(existing.select(col("GAME_ID")), scoped, Seq("GAME_ID"))
         case None => scoped
@@ -89,14 +106,35 @@ object PipelineMain {
     val (rows, errors) = Lineups.withPlayersAndErrors(
       pbp, tbl("rotations"), starters, teamLog)
 
-    rows.toDF()
+    val newRows = rows.toDF()
       .withColumn("SEASON", GameIds.extractSeason(col("GAME_ID")))
       .withColumn("SEASON_TYPE", GameIds.extractSeasonType(col("GAME_ID")))
-      .write.mode("append")
-      .partitionBy(graft.sources.Warehouse.PartitionCols: _*)
-      .parquet(s"${args.output}/play_by_play_with_players")
-    errors.toDF().write.mode("append")
-      .parquet(s"${args.output}/lineup_errors")
-    spark.stop()
+    if (args.delta)
+      // delta rows are by construction absent from the target: plain append
+      newRows.write.mode("append")
+        .partitionBy(Warehouse.PartitionCols: _*).parquet(outDir)
+    else {
+      val merged = existingOut match {
+        case Some(ex) =>
+          // merge only the partitions this run recomputes; the semi-join on
+          // the partition columns prunes the rest of the warehouse
+          val parts = newRows.select(Warehouse.PartitionCols.map(col): _*).distinct()
+          val affected = ex.join(broadcast(parts), Warehouse.PartitionCols, "left_semi")
+          Upsert.replace(affected, newRows, "id")
+        case None => newRows
+      }
+      Warehouse.overwritePartitions(merged, outDir)
+    }
+
+    // quarantine channel: drop stale errors of every game processed this
+    // run (delta or not), then add this run's failures
+    val processed = pbp.select(col("GAME_ID")).distinct()
+    val errDf = errors.toDF()
+    scala.util.Try(spark.read.parquet(errDir)).toOption match {
+      case Some(exErr) =>
+        Warehouse.replaceDir(
+          exErr.join(processed, Seq("GAME_ID"), "left_anti").unionByName(errDf), errDir)
+      case None => errDf.write.mode("append").parquet(errDir)
+    }
   }
 }

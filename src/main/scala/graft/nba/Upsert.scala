@@ -15,21 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Deterministic min-row-per-key dedup: the winner is the minimum row
+    * under the struct ordering of the non-key columns (field order = column
+    * order), so the same input set always elects the same winner regardless
+    * of partitioning or task order — unlike `dropDuplicates`, which keeps an
+    * arbitrary partition-order-dependent first row. One map-side-combinable
+    * aggregate, no window shuffle. */
+  private def minRowPerKey(df: DataFrame, key: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    if (others.isEmpty) df.dropDuplicates(key) // key-only rows are all equal
+    else df.groupBy(col(key))
+      .agg(min(struct(others.map(col): _*)).as("__row"))
+      .select(col(key) +: others.map(c => col("__row").getField(c).as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
+
   /** ON CONFLICT DO UPDATE: incoming wins; existing rows keep rows whose
-    * key is not being replaced. Incoming is deduped on the key first
-    * (last-write-wins is meaningless in a set, so min-row-per-key via
-    * dropDuplicates — the reference's executemany overwrites with the last
-    * occurrence, a nondeterministic order we replace with a deterministic
-    * dedup). */
+    * key is not being replaced. Incoming is deduped on the key first via
+    * deterministic min-row-per-key (the reference's executemany overwrites
+    * with the last occurrence — an insertion-order accident we replace with
+    * a total order). */
   def replace(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
-    val in = incoming.dropDuplicates(key)
+    val in = minRowPerKey(incoming, key)
     existing.join(in.select(col(key)), Seq(key), "left_anti").unionByName(in)
   }
 
   /** ON CONFLICT DO NOTHING: existing wins. */
   def ignore(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
     existing.unionByName(
-      incoming.dropDuplicates(key)
+      minRowPerKey(incoming, key)
         .join(existing.select(col(key)), Seq(key), "left_anti"))
 
   /** Delta mode (reference: etl/play_by_play.py:50-62 and friends): the

@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Join types for which replica-per-salt is multiplicity-preserving: the
+    * big (salted) side drives the result, so each of its rows meets exactly
+    * one replica. Right/full-outer would emit every unmatched small-side
+    * row once per replica — rejected rather than silently wrong. */
+  private val LeftFlavored = Set(
+    "inner", "left", "leftouter", "left_outer",
+    "leftsemi", "left_semi", "leftanti", "left_anti")
+
   /** Equi-join `big ⋈ small` on `keys`, salted `n` ways. `small` is
-    * replicated n× (keep it the dimension side). */
+    * replicated n× (keep it the dimension side). Only inner/left-flavored
+    * join types are accepted (see LeftFlavored). */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -25,6 +34,9 @@ object Salting {
       n: Int,
       joinType: String = "inner"): DataFrame = {
     require(n > 0, "salt factor must be positive")
+    require(LeftFlavored.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin is only correct for inner/left-flavored join types " +
+        s"(unmatched small-side rows would appear once per salt replica); got '$joinType'")
     val salted = big.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(n)).cast("int"))
     val replicated = small.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

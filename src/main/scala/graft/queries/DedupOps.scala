@@ -49,9 +49,29 @@ object DedupOps {
     * generator's child expression per OUTPUT row — profiled at 4.1s vs
     * 0.2s cached at sf0.1. At real scale this is "stage the shingle table
     * once" (cache or a temp parquet), which is how a 100 TB dedup pass is
-    * structured anyway. */
+    * structured anyway.
+    *
+    * Cache lifecycle: each call persists a fresh frame and unpersists the
+    * previous one, so a long-lived session running q31 -> q33 holds at most
+    * one shingle table's blocks; `release()` frees the last. (Queries are
+    * constructed-then-executed one at a time; a caller interleaving two
+    * dedup queries merely loses caching for the earlier, never correctness.) */
+  private val shingleLock = new Object
+  private var lastShingled: Option[DataFrame] = None
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingledOf(Tables.documents(s, dir)).persist()
+    shingleLock.synchronized {
+      lastShingled.foreach(_.unpersist())
+      val df = shingledOf(Tables.documents(s, dir)).persist()
+      lastShingled = Some(df)
+      df
+    }
+
+  /** Free the staged shingle cache — call after a dedup pass. */
+  def release(): Unit = shingleLock.synchronized {
+    lastShingled.foreach(_.unpersist())
+    lastShingled = None
+  }
 
   /** doc_id + distinct word-n-gram shingles for any documents frame. */
   def shingledOf(docs: DataFrame): DataFrame =

@@ -29,9 +29,18 @@ case class PairCos(vec_a: Long, vec_b: Long, cos: Double)
 object VectorOps {
 
   private val NearDupThreshold = 0.4 // probed: 59 pairs at sf0.01, max cos ~0.51
-  /** Blocks for the exact all-pairs triangle partitioning (q34): replication
-    * factor per vector; per-group memory = 2N/B vectors. */
-  private val AllPairsBlocks = 8
+
+  /** Block count B for the exact all-pairs triangle partitioning (q34).
+    * Cost model: shuffle volume is O(N*B) (each vector replicated B times),
+    * per-group memory is 2N/B vectors, and the triangle yields B(B+1)/2
+    * reduce groups. To keep every core busy while minimizing replication,
+    * pick the smallest B with B(B+1)/2 >= cluster parallelism, i.e.
+    * B ~ sqrt(2 * parallelism) — at local[32] that is B = 8 (36 groups);
+    * on a 1000-executor cluster B grows with the core count, and if
+    * 2N/B vectors still exceed group memory, B must grow further (or,
+    * properly, the kernel runs within LSH/IVF buckets, not globally). */
+  private[queries] def allPairsBlocks(s: SparkSession): Int =
+    math.max(2, math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
   private val TopK = 5
   private val IvfK = 3
   private val NumCentroids = 8
@@ -65,7 +74,7 @@ object VectorOps {
       val n = vecs(s, dir)
         .select(col("vec_id"), col("e"), col("nrm"))
         .as[VecRow]
-      val nBlocks = AllPairsBlocks
+      val nBlocks = allPairsBlocks(s)
       val thr = NearDupThreshold
       n.flatMap { v =>
         val b = (math.floorMod(v.vec_id, nBlocks.toLong)).toInt

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Physical-design analog of the reference's Postgres DDL hardening
@@ -27,6 +28,62 @@ object Warehouse {
   def writeCsv(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(dir)
+
+  /** Replace the whole directory-table `dir` with `df` via
+    * write-audit-publish: stage to a hidden sibling directory, then swap by
+    * rename. The staged write may freely READ the current `dir` (an upsert
+    * merge does) — the target is only touched after the stage commits, so
+    * there is never a self-overwrite read and a failed run leaves the
+    * published table intact. Renames are per-directory metadata ops, so the
+    * publish step is O(1) regardless of table size. */
+  def replaceDir(df: DataFrame, dir: String): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = stagingFor(target)
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"failed to publish $staging -> $target")
+  }
+
+  /** Dynamic partition overwrite via write-audit-publish: stage `df`
+    * partitioned, then swap exactly the partition directories present in
+    * the stage — partitions absent from `df` are untouched. Same guarantees
+    * as replaceDir (stage may read the target; publish is one rename per
+    * affected partition). This is the idempotent write a non-delta pipeline
+    * rerun needs: recomputing a season replaces that season's partitions
+    * instead of appending duplicates. */
+  def overwritePartitions(df: DataFrame, dir: String,
+      partitionCols: Seq[String] = PartitionCols): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = stagingFor(target)
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(staging.toString)
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    // compare decoded URI paths: listStatus returns scheme-qualified Paths
+    // while `staging` may be scheme-less, so raw toString prefixes differ
+    val stagingUriPath = fs.makeQualified(staging).toUri.getPath
+    leaves(staging, partitionCols.length).foreach { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(stagingUriPath).stripPrefix("/")
+      require(rel.nonEmpty && !rel.startsWith("/"), s"bad partition leaf $leaf")
+      val dst = new Path(target, rel)
+      fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(leaf, dst))
+        throw new java.io.IOException(s"failed to publish $leaf -> $dst")
+    }
+    fs.delete(staging, true)
+  }
+
+  private def stagingFor(target: Path): Path =
+    new Path(target.getParent, s".${target.getName}.staging")
 
   /** Bucketed catalog table: pre-shuffled layout on the join key, so two
     * tables bucketed the same way join with NO exchange — the co-located

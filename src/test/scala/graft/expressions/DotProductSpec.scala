@@ -22,12 +22,28 @@ class DotProductSpec extends SparkSpec {
     assert(pairs.filter(col("native").isNull).count() == 0)
   }
 
-  test("null array yields null; length mismatch uses the shorter prefix") {
+  test("null array and ragged (mismatched-length) arrays both yield null, like dotHof") {
     val df = Seq(
-      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0))),
-      (None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
-    val got = df.select(DotProduct(col("a"), col("b"))).as[Option[Double]].collect().toSeq
-    assert(got == Seq(Some(14.0), None))
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0))), // ragged: null, not a prefix dot
+      (None: Option[Seq[Double]], Some(Seq(1.0))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))) // well-formed control
+      .toDF("a", "b")
+    val native = df.select(DotProduct(col("a"), col("b"))).as[Option[Double]].collect().toSeq
+    val hof = df.select(VectorSim.dotHof(col("a"), col("b"))).as[Option[Double]].collect().toSeq
+    assert(native == Seq(None, None, Some(11.0)))
+    assert(native == hof, "native and HOF forms must agree on ragged/null inputs")
+  }
+
+  test("ragged arrays yield null from the interpreted path too (no codegen)") {
+    // force the interpreted eval path by evaluating the expression directly
+    val expr = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4.0, 5.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)))
+    assert(expr.eval(null) == null)
   }
 
   test("registered for SQL via spark.sql.extensions=graft.GraftExtensions") {

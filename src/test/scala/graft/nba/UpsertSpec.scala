@@ -16,6 +16,19 @@ class UpsertSpec extends SparkSpec {
     assert(got == Set(("a", 1), ("b", 20), ("c", 30)))
   }
 
+  test("replace elects a deterministic per-key winner regardless of partitioning") {
+    // three conflicting rows for key "k": the min under the (v, w) struct
+    // order must win no matter how the input is partitioned or ordered
+    val conflicted = Seq(("k", 5, "z"), ("k", 2, "b"), ("k", 2, "a"), ("x", 9, "q"))
+    def winner(df: org.apache.spark.sql.DataFrame) =
+      Upsert.replace(Seq.empty[(String, Int, String)].toDF("id", "v", "w"), df, "id")
+        .as[(String, Int, String)].collect().toSet
+    val one = winner(conflicted.toDF("id", "v", "w").repartition(1))
+    val seven = winner(conflicted.reverse.toDF("id", "v", "w").repartition(7))
+    assert(one == Set(("k", 2, "a"), ("x", 9, "q")))
+    assert(one == seven, "winner must not depend on partitioning or input order")
+  }
+
   test("ignore: existing wins on conflict") {
     val got = Upsert.ignore(existing, incoming, "id")
       .as[(String, Int)].collect().toSet

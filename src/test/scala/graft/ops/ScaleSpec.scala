@@ -22,6 +22,29 @@ class ScaleSpec extends SparkSpec {
     assert(salted(1L) == 900L)
   }
 
+  test("saltedJoin left_anti equals the plain anti-join") {
+    val big = ((1 to 50).map(_ => 1L) ++ Seq(2L, 3L, 4L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "left_anti")
+      .as[(Long, Long)].collect().toSet
+    val salted = Salting.saltedJoin(big, small, Seq("k"), n = 8, joinType = "left_anti")
+      .as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.map(_._1) == Set(2L, 4L))
+  }
+
+  test("saltedJoin rejects right/full-outer join types (replicas would multiply unmatched rows)") {
+    val big = Seq((1L, 1L)).toDF("k", "payload")
+    val small = Seq((1L, "a")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Salting.saltedJoin(big, small, Seq("k"), n = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("left-flavored"), jt)
+    }
+  }
+
   test("saltedAgg equals the direct aggregation for decomposable aggregates") {
     val df = ((1 to 900).map(_ => (1L, 2.0)) ++ (1 to 100).map(i => (i.toLong + 1, i.toDouble)))
       .toDF("k", "v")
