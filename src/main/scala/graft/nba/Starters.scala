@@ -5,38 +5,38 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GameClock, GameIds}
 
-/** Period-starter derivation from play-by-play alone — the reference's
-  * pbp fallback path (reference:
-  * etl/players_on_court_at_start_of_period.py:90-122): a player who appears
-  * in a period started it iff their first substitution event in the period
-  * is a sub-OUT, or they have no substitution events at all.
+/** Period-starter derivation — both of the reference's paths
+  * (reference: etl/players_on_court_at_start_of_period.py):
+  *
+  *   - PRIMARY (:42-58, :73-88): candidates are the players with non-null
+  *     MIN in the period-sliced traditional box score (fetched with the F2
+  *     RangeType-2 bounds — Endpoints.boxScoreForPeriod builds that
+  *     request); a candidate started the period iff their first
+  *     substitution event in the period is a sub-OUT, or they have no
+  *     substitution events at all. TEAM_ID comes from the box score (:137).
+  *   - PBP FALLBACK (:90-122): same first-sub-decides rule, but candidates
+  *     are every (player, team) slot appearing in the period's play-by-play.
+  *   - COMBINER (:125-161): per (game, period), use the primary result iff
+  *     it yields exactly 10 starters, else the fallback; periods where
+  *     neither yields 10 are surfaced by `violations` (the reference
+  *     raises and fails the game).
   *
   * Relational formulation (SURVEY.md §2.5 W2): instead of the reference's
   * per-player loop, one window `row_number() == 1` over the unpivoted sub
-  * events — a single shuffle on (GAME_ID, PERIOD, PLAYER_ID), scale-free.
+  * events — a single shuffle on (GAME_ID, PERIOD, PLAYER_ID) shared by both
+  * paths, and the per-period path choice is a semi/anti join on the tiny
+  * (game, period) key set, so the whole derivation is three scans and
+  * scale-free where the reference loops game-by-game, period-by-period.
   */
 object Starters {
 
-  /** pbp must carry GAME_ID, PERIOD, EVENTNUM, EVENTMSGTYPE, PCTIMESTRING,
-    * PLAYER{1,2,3}_ID, PLAYER{1,2,3}_TEAM_ID. Returns
-    * (id, GAME_ID, PERIOD, PLAYER_ID, TEAM_ID, SEASON, SEASON_TYPE).
-    */
-  def derive(pbp: DataFrame): DataFrame = {
-    // players seen in the period: union of the three (id, team) slots,
-    // team 0 / null dropped (reference :94-107)
-    val players = Seq(1, 2, 3)
-      .map { k =>
-        pbp.select(col("GAME_ID"), col("PERIOD"),
-          col(s"PLAYER${k}_ID").as("PLAYER_ID"),
-          col(s"PLAYER${k}_TEAM_ID").as("TEAM_ID"))
-      }
-      .reduce(_ unionByName _)
-      .filter(col("TEAM_ID").isNotNull && col("TEAM_ID") =!= 0 && col("PLAYER_ID").isNotNull)
-      .distinct()
+  private val GroupKeys = Seq("GAME_ID", "PERIOD", "PLAYER_ID")
 
-    // substitution events, unpivoted to one row per involved player;
-    // at the same event the OUT row wins (reference :117-120 checks
-    // PLAYER1_ID first), hence the is_out DESC tiebreak
+  /** First substitution event per (game, period, player), unpivoted to one
+    * row per involved player; at the same event the OUT row wins (reference
+    * :117-120 checks PLAYER1_ID first), hence the is_out DESC tiebreak.
+    * Columns: GAME_ID, PERIOD, PLAYER_ID, is_out. */
+  private def firstSubPerPlayer(pbp: DataFrame): DataFrame = {
     val subs = pbp
       .filter(col("EVENTMSGTYPE") === 8)
       .withColumn("SECONDS_FROM_START",
@@ -49,23 +49,74 @@ object Starters {
       }
       .reduce(_ unionByName _)
       .filter(col("PLAYER_ID").isNotNull)
-
     val w = Window
-      .partitionBy(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID"))
+      .partitionBy(GroupKeys.map(col): _*)
       .orderBy(col("SECONDS_FROM_START").asc, col("EVENTNUM").asc, col("is_out").desc)
-    val firstSub = subLong
+    subLong
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID"), col("is_out"))
+  }
 
-    players
-      .join(firstSub, Seq("GAME_ID", "PERIOD", "PLAYER_ID"), "left")
+  /** first-sub-decides over a candidate set, stamped with the output
+    * schema (id, SEASON, SEASON_TYPE like the reference writer :190-195). */
+  private def decide(candidates: DataFrame, pbp: DataFrame): DataFrame =
+    candidates
+      .join(firstSubPerPlayer(pbp), GroupKeys, "left")
       .filter(col("is_out").isNull || col("is_out") === 1)
       .select(
         GameIds.syntheticId(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID")).as("id"),
         col("GAME_ID"), col("PERIOD"), col("PLAYER_ID"), col("TEAM_ID"),
         GameIds.extractSeason(col("GAME_ID")).as("SEASON"),
         GameIds.extractSeasonType(col("GAME_ID")).as("SEASON_TYPE"))
+
+  /** PBP fallback path (reference :90-122): candidates are the union of
+    * the three (id, team) pbp slots, team 0 / null dropped (:94-107).
+    * pbp must carry GAME_ID, PERIOD, EVENTNUM, EVENTMSGTYPE, PCTIMESTRING,
+    * PLAYER{1,2,3}_ID, PLAYER{1,2,3}_TEAM_ID. */
+  def derive(pbp: DataFrame): DataFrame = {
+    val players = Seq(1, 2, 3)
+      .map { k =>
+        pbp.select(col("GAME_ID"), col("PERIOD"),
+          col(s"PLAYER${k}_ID").as("PLAYER_ID"),
+          col(s"PLAYER${k}_TEAM_ID").as("TEAM_ID"))
+      }
+      .reduce(_ unionByName _)
+      .filter(col("TEAM_ID").isNotNull && col("TEAM_ID") =!= 0 && col("PLAYER_ID").isNotNull)
+      .distinct()
+    decide(players, pbp)
+  }
+
+  /** PRIMARY box-score path (reference :42-58, :73-88): candidates are the
+    * non-null-MIN rows of the period-sliced traditional box score.
+    * `boxPerPeriod` is PlayerStats keyed per period — GAME_ID, PERIOD,
+    * PLAYER_ID, TEAM_ID, MIN — i.e. one Endpoints.boxScoreForPeriod fetch
+    * per (game, period), landed as a table. */
+  def deriveFromBox(pbp: DataFrame, boxPerPeriod: DataFrame): DataFrame = {
+    val candidates = boxPerPeriod
+      .filter(col("MIN").isNotNull)
+      .select(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID"), col("TEAM_ID"))
+      .distinct()
+    decide(candidates, pbp)
+  }
+
+  /** Combined derivation (reference process_game :125-161): per (game,
+    * period), the primary result iff it yields exactly 10 starters, else
+    * the pbp fallback. Both paths are one-pass relational plans evaluated
+    * lazily; the choice is a semi/anti join on the (game, period) keys the
+    * primary satisfied. Periods where neither path yields 10 appear in the
+    * output with their (wrong) fallback cardinality — run `violations` on
+    * the result, which is where the reference raises (:159-161). */
+  def derive(pbp: DataFrame, boxPerPeriod: DataFrame): DataFrame = {
+    val primary = deriveFromBox(pbp, boxPerPeriod)
+    val primaryOk = primary
+      .groupBy(col("GAME_ID"), col("PERIOD"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 10)
+      .select(col("GAME_ID"), col("PERIOD"))
+    primary.join(primaryOk, Seq("GAME_ID", "PERIOD"), "left_semi")
+      .unionByName(
+        derive(pbp).join(primaryOk, Seq("GAME_ID", "PERIOD"), "left_anti"))
   }
 
   /** The reference's 10-starters-per-period invariant (reference :135,146-161)
@@ -74,5 +125,18 @@ object Starters {
     starters
       .groupBy(col("GAME_ID"), col("PERIOD"))
       .agg(count(lit(1)).as("n_starters"))
+      .filter(col("n_starters") =!= 10)
+
+  /** `violations` including periods that vanished entirely (0 starters from
+    * both paths produce no output rows, which plain `violations` cannot
+    * see): every (game, period) present in the play-by-play must have
+    * exactly 10 starters. */
+  def violations(starters: DataFrame, pbp: DataFrame): DataFrame =
+    pbp.select(col("GAME_ID"), col("PERIOD")).distinct()
+      .join(
+        starters.groupBy(col("GAME_ID"), col("PERIOD"))
+          .agg(count(lit(1)).as("n_starters")),
+        Seq("GAME_ID", "PERIOD"), "left")
+      .withColumn("n_starters", coalesce(col("n_starters"), lit(0L)))
       .filter(col("n_starters") =!= 10)
 }
