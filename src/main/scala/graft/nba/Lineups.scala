@@ -148,11 +148,16 @@ object Lineups {
   }
 
   /** Resumable lineup state — also the streaming operator's GroupState
-    * (graft.streaming.StreamOps.trackLineups). */
+    * (graft.streaming.StreamOps.trackLineups). `seenEventnums` carries the
+    * A5 duplicate-id invariant across slices: a replayed EVENTNUM in a
+    * later micro-batch throws exactly like a duplicate inside one batch
+    * (reference utils/utils.py:1-10). A game is ~500 events, so the set is
+    * bounded and cheap to keep in state. */
   case class LineupState(
       team1: Long, team2: Long,
       cur1: Seq[Long], cur2: Seq[Long],
-      initialized: Boolean)
+      initialized: Boolean,
+      seenEventnums: Seq[Long] = Seq.empty)
 
   /** One game, in memory (a game is ~500 events + ~20 roster rows). */
   private[graft] def processGame(
@@ -229,7 +234,8 @@ object Lineups {
       next.sortInPlace()
     }
 
-    val seenEventnums = mutable.HashSet.empty[Long]
+    val seenEventnums =
+      mutable.HashSet.from(prior.toSeq.flatMap(_.seenEventnums))
     val out = events.iterator.map { e =>
       // A5 duplicate-id invariant (reference utils/utils.py:1-10, :163)
       if (!seenEventnums.add(e.EVENTNUM))
@@ -272,7 +278,8 @@ object Lineups {
         TEAM2_PLAYER1 = cur2(0), TEAM2_PLAYER2 = cur2(1), TEAM2_PLAYER3 = cur2(2),
         TEAM2_PLAYER4 = cur2(3), TEAM2_PLAYER5 = cur2(4))
     }.toVector
-    (out, LineupState(team1, team2, cur1.toSeq, cur2.toSeq, initialized = true))
+    (out, LineupState(team1, team2, cur1.toSeq, cur2.toSeq, initialized = true,
+      seenEventnums = seenEventnums.toSeq.sorted))
   }
 
   /** J6 relational cross-check (SURVEY.md §2.3 J6): every event joined to

@@ -23,8 +23,10 @@ import graft.functions.{GameClock, GameIds}
   *
   * Relational formulation (SURVEY.md §2.5 W2): instead of the reference's
   * per-player loop, one window `row_number() == 1` over the unpivoted sub
-  * events — a single shuffle on (GAME_ID, PERIOD, PLAYER_ID) shared by both
-  * paths, and the per-period path choice is a semi/anti join on the tiny
+  * events — one shuffle on (GAME_ID, PERIOD, PLAYER_ID), built once and
+  * threaded into both paths of the combined derivation (collapsed to a
+  * single exchange when ReuseExchange matches the identical subtrees),
+  * and the per-period path choice is a semi/anti join on the tiny
   * (game, period) key set, so the whole derivation is three scans and
   * scale-free where the reference loops game-by-game, period-by-period.
   */
@@ -59,10 +61,15 @@ object Starters {
   }
 
   /** first-sub-decides over a candidate set, stamped with the output
-    * schema (id, SEASON, SEASON_TYPE like the reference writer :190-195). */
-  private def decide(candidates: DataFrame, pbp: DataFrame): DataFrame =
+    * schema (id, SEASON, SEASON_TYPE like the reference writer :190-195).
+    * `firstSubs` is a precomputed firstSubPerPlayer(pbp) — the combined
+    * derivation builds it once and threads the same subplan into both
+    * paths, so the sub-events window shuffle is planned once per path from
+    * one shared tree (and collapsed to a single exchange when ReuseExchange
+    * matches the canonicalized plans, which identical trees do). */
+  private def decide(candidates: DataFrame, firstSubs: DataFrame): DataFrame =
     candidates
-      .join(firstSubPerPlayer(pbp), GroupKeys, "left")
+      .join(firstSubs, GroupKeys, "left")
       .filter(col("is_out").isNull || col("is_out") === 1)
       .select(
         GameIds.syntheticId(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID")).as("id"),
@@ -74,8 +81,11 @@ object Starters {
     * the three (id, team) pbp slots, team 0 / null dropped (:94-107).
     * pbp must carry GAME_ID, PERIOD, EVENTNUM, EVENTMSGTYPE, PCTIMESTRING,
     * PLAYER{1,2,3}_ID, PLAYER{1,2,3}_TEAM_ID. */
-  def derive(pbp: DataFrame): DataFrame = {
-    val players = Seq(1, 2, 3)
+  def derive(pbp: DataFrame): DataFrame =
+    decide(pbpCandidates(pbp), firstSubPerPlayer(pbp))
+
+  private def pbpCandidates(pbp: DataFrame): DataFrame =
+    Seq(1, 2, 3)
       .map { k =>
         pbp.select(col("GAME_ID"), col("PERIOD"),
           col(s"PLAYER${k}_ID").as("PLAYER_ID"),
@@ -84,39 +94,63 @@ object Starters {
       .reduce(_ unionByName _)
       .filter(col("TEAM_ID").isNotNull && col("TEAM_ID") =!= 0 && col("PLAYER_ID").isNotNull)
       .distinct()
-    decide(players, pbp)
-  }
 
   /** PRIMARY box-score path (reference :42-58, :73-88): candidates are the
     * non-null-MIN rows of the period-sliced traditional box score.
     * `boxPerPeriod` is PlayerStats keyed per period — GAME_ID, PERIOD,
     * PLAYER_ID, TEAM_ID, MIN — i.e. one Endpoints.boxScoreForPeriod fetch
     * per (game, period), landed as a table. */
-  def deriveFromBox(pbp: DataFrame, boxPerPeriod: DataFrame): DataFrame = {
-    val candidates = boxPerPeriod
+  def deriveFromBox(pbp: DataFrame, boxPerPeriod: DataFrame): DataFrame =
+    decide(boxCandidates(boxPerPeriod), firstSubPerPlayer(pbp))
+
+  private def boxCandidates(boxPerPeriod: DataFrame): DataFrame =
+    boxPerPeriod
       .filter(col("MIN").isNotNull)
       .select(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID"), col("TEAM_ID"))
       .distinct()
-    decide(candidates, pbp)
-  }
 
   /** Combined derivation (reference process_game :125-161): per (game,
     * period), the primary result iff it yields exactly 10 starters, else
     * the pbp fallback. Both paths are one-pass relational plans evaluated
-    * lazily; the choice is a semi/anti join on the (game, period) keys the
-    * primary satisfied. Periods where neither path yields 10 appear in the
-    * output with their (wrong) fallback cardinality — run `violations` on
-    * the result, which is where the reference raises (:159-161). */
-  def derive(pbp: DataFrame, boxPerPeriod: DataFrame): DataFrame = {
-    val primary = deriveFromBox(pbp, boxPerPeriod)
+    * lazily (sharing one firstSubPerPlayer subplan); the choice is a
+    * semi/anti join on the (game, period) keys the primary satisfied.
+    *
+    * With `strict = true` the derivation enforces the reference's
+    * 10-per-period invariant in-plan (:135,146-161 raises and fails the
+    * game): every (game, period) in the play-by-play must end with exactly
+    * 10 starters, including periods that vanish entirely — checked with
+    * `assert_true` kept alive in a filter so column pruning cannot drop
+    * it, and failing at action time executor-side, no extra pass over pbp.
+    * With `strict = false` (default) violating periods appear with their
+    * wrong cardinality — run `violations` to surface them. */
+  def derive(pbp: DataFrame, boxPerPeriod: DataFrame, strict: Boolean = false): DataFrame = {
+    val firstSubs = firstSubPerPlayer(pbp)
+    val primary = decide(boxCandidates(boxPerPeriod), firstSubs)
     val primaryOk = primary
       .groupBy(col("GAME_ID"), col("PERIOD"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") === 10)
       .select(col("GAME_ID"), col("PERIOD"))
-    primary.join(primaryOk, Seq("GAME_ID", "PERIOD"), "left_semi")
+    val combined = primary.join(primaryOk, Seq("GAME_ID", "PERIOD"), "left_semi")
       .unionByName(
-        derive(pbp).join(primaryOk, Seq("GAME_ID", "PERIOD"), "left_anti"))
+        decide(pbpCandidates(pbp), firstSubs)
+          .join(primaryOk, Seq("GAME_ID", "PERIOD"), "left_anti"))
+    if (!strict) combined
+    else {
+      // full-outer vs the pbp period keys so a period that produced 0
+      // starters still surfaces (as a phantom row with null PLAYER_ID)
+      val periods = pbp.select(col("GAME_ID"), col("PERIOD")).distinct()
+      val w = Window.partitionBy(col("GAME_ID"), col("PERIOD"))
+      combined
+        .join(periods, Seq("GAME_ID", "PERIOD"), "full_outer")
+        .withColumn("__n", count(col("PLAYER_ID")).over(w))
+        .filter(assert_true(col("__n") === 10,
+          concat(lit("starters invariant violated: game "), col("GAME_ID"),
+            lit(" period "), col("PERIOD"), lit(" has "), col("__n"),
+            lit(" starters, expected 10"))).isNull)
+        .filter(col("PLAYER_ID").isNotNull)
+        .drop("__n")
+    }
   }
 
   /** The reference's 10-starters-per-period invariant (reference :135,146-161)

@@ -1,7 +1,9 @@
 package graft.nba
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Idempotent keyed writes — the DataFrame emulation of the reference's
   * row-by-row `INSERT ... ON CONFLICT (id) DO UPDATE / DO NOTHING`
@@ -15,19 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Struct ordering is only defined for orderable types — MapType (at any
+    * nesting depth) has no ordering and fails analysis inside min(struct). */
+  private def isOrderable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case ArrayType(et, _) => isOrderable(et)
+    case StructType(fields) => fields.forall(f => isOrderable(f.dataType))
+    case _ => true
+  }
+
   /** Deterministic min-row-per-key dedup: the winner is the minimum row
     * under the struct ordering of the non-key columns (field order = column
     * order), so the same input set always elects the same winner regardless
     * of partitioning or task order — unlike `dropDuplicates`, which keeps an
     * arbitrary partition-order-dependent first row. One map-side-combinable
-    * aggregate, no window shuffle. */
+    * aggregate, no window shuffle. Rows containing non-orderable columns
+    * (maps) fall back to a window ordered by the row's JSON rendering —
+    * still deterministic (equal JSON ⇒ equal row for the types we write),
+    * at the cost of a window shuffle instead of a combinable aggregate. */
   private def minRowPerKey(df: DataFrame, key: String): DataFrame = {
     val others = df.columns.filterNot(_ == key)
     if (others.isEmpty) df.dropDuplicates(key) // key-only rows are all equal
-    else df.groupBy(col(key))
-      .agg(min(struct(others.map(col): _*)).as("__row"))
-      .select(col(key) +: others.map(c => col("__row").getField(c).as(c)): _*)
-      .select(df.columns.map(col): _*)
+    else if (others.forall(c => isOrderable(df.schema(c).dataType)))
+      df.groupBy(col(key))
+        .agg(min(struct(others.map(col): _*)).as("__row"))
+        .select(col(key) +: others.map(c => col("__row").getField(c).as(c)): _*)
+        .select(df.columns.map(col): _*)
+    else {
+      val w = Window.partitionBy(col(key))
+        .orderBy(to_json(struct(others.map(col): _*)).asc_nulls_last)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** ON CONFLICT DO UPDATE: incoming wins; existing rows keep rows whose

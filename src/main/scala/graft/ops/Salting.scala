@@ -22,7 +22,7 @@ object Salting {
     * row once per replica — rejected rather than silently wrong. */
   private val LeftFlavored = Set(
     "inner", "left", "leftouter", "left_outer",
-    "leftsemi", "left_semi", "leftanti", "left_anti")
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
 
   /** Equi-join `big ⋈ small` on `keys`, salted `n` ways. `small` is
     * replicated n× (keep it the dimension side). Only inner/left-flavored

@@ -34,17 +34,44 @@ object Warehouse {
     * rename. The staged write may freely READ the current `dir` (an upsert
     * merge does) — the target is only touched after the stage commits, so
     * there is never a self-overwrite read and a failed run leaves the
-    * published table intact. Renames are per-directory metadata ops, so the
-    * publish step is O(1) regardless of table size. */
+    * published table intact. The swap itself renames the old table ASIDE
+    * (never deletes it first), so a crash mid-publish strands at most a
+    * hidden `.old` sibling, not the table: `recoverDir` (called on entry)
+    * rolls an interrupted swap forward or back on the next run. Renames are
+    * per-directory metadata ops, so publish is O(1) regardless of size. */
   def replaceDir(df: DataFrame, dir: String): Unit = {
     val target = new Path(dir)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverDir(fs, target)
     val staging = stagingFor(target)
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
+    swap(fs, staging, target)
+  }
+
+  /** Publish `staging` as `target` without a window in which neither
+    * exists: old target → hidden `.old` sibling, staging → target, then
+    * drop the `.old`. On a failed final rename the old table is restored. */
+  private def swap(fs: org.apache.hadoop.fs.FileSystem, staging: Path, target: Path): Unit = {
+    val old = oldFor(target)
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"failed to retire $target -> $old")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // roll back
       throw new java.io.IOException(s"failed to publish $staging -> $target")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Heal an interrupted swap: if a crash left the `.old` sibling holding
+    * the table (target missing), rename it back; otherwise drop leftovers. */
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit = {
+    val old = oldFor(target)
+    if (fs.exists(old)) {
+      if (!fs.exists(target)) fs.rename(old, target)
+      else fs.delete(old, true)
+    }
   }
 
   /** Dynamic partition overwrite via write-audit-publish: stage `df`
@@ -74,16 +101,20 @@ object Warehouse {
       val rel = leaf.toUri.getPath.stripPrefix(stagingUriPath).stripPrefix("/")
       require(rel.nonEmpty && !rel.startsWith("/"), s"bad partition leaf $leaf")
       val dst = new Path(target, rel)
-      fs.delete(dst, true)
       fs.mkdirs(dst.getParent)
-      if (!fs.rename(leaf, dst))
-        throw new java.io.IOException(s"failed to publish $leaf -> $dst")
+      recoverDir(fs, dst)
+      swap(fs, leaf, dst) // per-partition rename-aside: no delete-then-rename window
     }
     fs.delete(staging, true)
   }
 
   private def stagingFor(target: Path): Path =
     new Path(target.getParent, s".${target.getName}.staging")
+
+  /** Hidden (dot-prefixed, so invisible to parquet readers) sibling holding
+    * the retired version of `target` during a swap. */
+  private def oldFor(target: Path): Path =
+    new Path(target.getParent, s".${target.getName}.old")
 
   /** Bucketed catalog table: pre-shuffled layout on the join key, so two
     * tables bucketed the same way join with NO exchange — the co-located

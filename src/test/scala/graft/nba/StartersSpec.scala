@@ -58,6 +58,69 @@ class StartersSpec extends SparkSpec {
     assert(v == Seq((1, 1L)))
   }
 
+  private val T2 = 200L
+  private def boxOf(rows: Seq[(String, Int, Long, Long, Option[Double])]) =
+    rows.toDF("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID", "MIN")
+
+  /** Both teams' full five in the period-sliced box score, no subs. */
+  private def fullBox(period: Int = 1) =
+    boxOf((1L to 5L).map(p => (G, period, p, T1, Some(1.0))) ++
+      (11L to 15L).map(p => (G, period, p, T2, Some(1.0))))
+
+  test("primary box path: non-null-MIN candidates, first-sub-decides (reference :42-58,:73-88)") {
+    val pbp = pbpOf(Seq[Row](
+      // p1 subbed OUT for p6 -> p1 starter, p6 not; everyone else no-sub
+      (G, 1, 1L, 8, "10:00", Some(1L), Some(T1), Some(6L), Some(T1), None, None)))
+    val box = boxOf(
+      (1L to 5L).map(p => (G, 1, p, T1, Some(1.0))) ++
+        Seq((G, 1, 6L, T1, Some(0.5)), (G, 1, 7L, T1, None)) ++ // 6 sub-IN, 7 DNP
+        (11L to 15L).map(p => (G, 1, p, T2, Some(1.0))))
+    val got = Starters.deriveFromBox(pbp, box)
+      .select(col("PLAYER_ID")).as[Long].collect().toSet
+    assert(got == (1L to 5L).toSet ++ (11L to 15L).toSet)
+  }
+
+  test("combined derive prefers the primary path when it yields 10, else pbp fallback (reference :125-161)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None),
+      // period 2: box is missing -> fallback derives from pbp slots
+      (G, 2, 10L, 1, "11:00", Some(99L), Some(T1), None, None, None, None)))
+    val got = Starters.derive(pbp, fullBox())
+    val p1 = got.filter(col("PERIOD") === 1).select(col("PLAYER_ID")).as[Long].collect().toSet
+    val p2 = got.filter(col("PERIOD") === 2).select(col("PLAYER_ID")).as[Long].collect().toSet
+    assert(p1 == (1L to 5L).toSet ++ (11L to 15L).toSet, "period 1 must come from the box score")
+    assert(p2 == Set(99L), "period 2 must fall back to pbp (and is a violation, not silently dropped)")
+  }
+
+  test("strict derive passes when every pbp period has exactly 10 starters") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))
+    val got = Starters.derive(pbp, fullBox(), strict = true)
+    assert(got.count() == 10)
+  }
+
+  test("strict derive fails at action time when a period lacks 10 starters (reference raises, :159-161)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))
+    val box = fullBox().filter(col("PLAYER_ID") =!= 15L) // primary yields 9 -> fallback yields 1
+    val e = intercept[Exception] { Starters.derive(pbp, box, strict = true).count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("starters invariant violated")), messages(e).mkString("|"))
+  }
+
+  test("strict derive catches a period that produced ZERO starters (invisible to plain violations)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None),
+      // period 2 exists in pbp but every slot is team-0 -> no candidates at all
+      (G, 2, 10L, 1, "11:00", Some(9L), Some(0L), None, None, None, None)))
+    val e = intercept[Exception] { Starters.derive(pbp, fullBox(), strict = true).count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("starters invariant violated") && m.contains("has 0")),
+      messages(e).mkString("|"))
+  }
+
   test("id/SEASON/SEASON_TYPE stamped like the reference writer (:190-195)") {
     val pbp = pbpOf(Seq[Row](
       (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))

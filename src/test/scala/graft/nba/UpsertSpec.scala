@@ -29,6 +29,22 @@ class UpsertSpec extends SparkSpec {
     assert(one == seven, "winner must not depend on partitioning or input order")
   }
 
+  test("replace handles non-orderable (map) columns with a deterministic winner") {
+    // min(struct) fails analysis on MapType; the JSON-ordered window path
+    // must kick in and still elect a partitioning-independent winner
+    val conflicted = Seq(
+      ("k", Map("b" -> 2)), ("k", Map("a" -> 1)), ("x", Map("q" -> 9)))
+    def winner(rows: Seq[(String, Map[String, Int])], parts: Int) =
+      Upsert.replace(
+        Seq.empty[(String, Map[String, Int])].toDF("id", "m"),
+        rows.toDF("id", "m").repartition(parts), "id")
+        .as[(String, Map[String, Int])].collect().toMap
+    val one = winner(conflicted, 1)
+    val seven = winner(conflicted.reverse, 7)
+    assert(one == Map("k" -> Map("a" -> 1), "x" -> Map("q" -> 9)))
+    assert(one == seven, "winner must not depend on partitioning or input order")
+  }
+
   test("ignore: existing wins on conflict") {
     val got = Upsert.ignore(existing, incoming, "id")
       .as[(String, Int)].collect().toSet

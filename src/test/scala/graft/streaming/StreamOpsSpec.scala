@@ -91,4 +91,30 @@ class StreamOpsSpec extends SparkSpec {
         (2L, 101L, 102L, 104L, 105L, 106L)))
     } finally q.stop()
   }
+
+  test("trackLineups enforces the A5 duplicate-id invariant ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val G = "0022400101"
+    val T1 = 100L
+    val T2 = 200L
+    val roster: Map[String, Seq[GameSide]] = Map(G ->
+      ((101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
+        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))))
+    def ev(num: Long) = PbpEvent(G, num, 10, 0, 1, "12:00", 0,
+      Some(101L), Some(T1), Some(201L), Some(T2))
+
+    val in = MemoryStream[PbpEvent]
+    val out = StreamOps.trackLineups(in.toDS(), roster)
+    val q = out.writeStream.format("memory").queryName("lineups_dup").outputMode("append").start()
+    try {
+      in.addData(ev(1L))
+      q.processAllAvailable()
+      in.addData(ev(1L)) // replayed EVENTNUM in a LATER batch
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+      assert(messages(e).exists(_.contains("duplicate id")),
+        s"expected the batch engine's duplicate-id failure, got: ${messages(e)}")
+    } finally q.stop()
+  }
 }
