@@ -36,11 +36,9 @@ class FetcherSpec extends AnyFunSuite {
   }
 
   test("endpoint catalog carries the reference's parameter tuples") {
-    val gl = Endpoints.leagueGameLog("2024-25", "Regular Season")
+    val gl = Endpoints.teamsGameLog(season = "2024-25")
     assert(gl.path == "leaguegamelog")
-    assert(gl.params("Sorter") == "DATE" && gl.params("Direction") == "ASC")
-    assert(gl.params("Season") == "2024-25")
-    assert(Endpoints.uncalledEndpoints.size == 14) // the dead surface, cataloged
-    intercept[IllegalArgumentException](Endpoints.uncalled("nope"))
+    assert(gl.param("sorter").contains("DATE") && gl.param("direction").contains("ASC"))
+    assert(gl.param("Season").contains("2024-25") && gl.param("playerOrTeam").contains("T"))
   }
 }
