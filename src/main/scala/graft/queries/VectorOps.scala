@@ -161,7 +161,22 @@ object VectorOps {
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= IvfK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    },
+
+    // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
+    // `exists` prunes rows and `filter`+`size` counts hits, all inside
+    // whole-stage codegen over the array<float> column — no explode, so
+    // the row count never blows up by the array width and the scan reads
+    // only (vec_id, embedding).
+    "q44_array_exists" -> { (s, dir) =>
+      val hot = (x: Column) => x > lit(HotThreshold)
+      Tables.embeddings(s, dir)
+        .filter(exists(col("embedding"), hot))
+        .select(col("vec_id"),
+          size(filter(col("embedding"), hot)).as("n_hot"))
     })
+
+  private val HotThreshold = 0.4 // probed: 15 of 500 rows at sf0.01
 
   /** Shared vector CTE: double-cast elements + precomputed norm. DuckDB
     * list_zip yields unnamed structs — index with p[1]/p[2]. */
@@ -225,5 +240,10 @@ object VectorOps {
                ORDER BY cos DESC, vec_id ASC) AS rank
            FROM scored)
          SELECT query_id, vec_id AS neighbor_id, rank, cos
-         FROM ranked WHERE rank <= $IvfK""")
+         FROM ranked WHERE rank <= $IvfK""",
+    "q44_array_exists" ->
+      s"""SELECT vec_id,
+           len(list_filter(embedding, x -> x > $HotThreshold)) AS n_hot
+         FROM embeddings
+         WHERE len(list_filter(embedding, x -> x > $HotThreshold)) > 0""")
 }

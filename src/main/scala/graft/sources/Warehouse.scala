@@ -116,6 +116,21 @@ object Warehouse {
   private def oldFor(target: Path): Path =
     new Path(target.getParent, s".${target.getName}.old")
 
+  /** S8 database bootstrap (reference: database/db_init.py:7-20,
+    * create_database_if_not_exists): the catalog analog — idempotent
+    * CREATE DATABASE, optionally pinned to a warehouse root directory so
+    * catalog tables (writeBucketed) land under a governed location.
+    * Returns true iff this call created the database. */
+  def createDatabase(spark: SparkSession, name: String,
+      location: Option[String] = None): Boolean = {
+    val existed = spark.catalog.databaseExists(name)
+    if (!existed) {
+      val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`$loc")
+    }
+    !existed
+  }
+
   /** Bucketed catalog table: pre-shuffled layout on the join key, so two
     * tables bucketed the same way join with NO exchange — the co-located
     * join a 100 TB star schema needs for its fact-fact joins (pbp ⋈

@@ -106,6 +106,17 @@ class PipelineMainSpec extends SparkSpec {
       .select("GAME_ID").as[String].collect().toSeq == Seq(G2))
   }
 
+  test("createDatabase bootstraps once and is idempotent (S8, db_init.py:7-20)") {
+    import graft.sources.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_db").toString
+    assert(Warehouse.createDatabase(spark, "graft_boot", Some(s"$tmp/graft_boot.db")),
+      "first call must report creation")
+    assert(!Warehouse.createDatabase(spark, "graft_boot"),
+      "second call must be a no-op, like CREATE DATABASE IF NOT EXISTS")
+    assert(spark.catalog.databaseExists("graft_boot"))
+    spark.sql("DROP DATABASE graft_boot")
+  }
+
   test("a game with side inputs but no events (delta mode) is skipped, not failed") {
     val G = "0022400100"
     val rotations = (1L to 5L).map(p => (G, 100L, p, Seq(Stint(0.0, 28800.0))))
