@@ -96,8 +96,16 @@ object DedupOps {
     */
   def ngramJaccard(shingles: DataFrame, dfMax: Option[Int] = None,
       threshold: Double = JaccardThreshold): DataFrame = {
+    // The posting key is xxhash64(shingle), not the shingle string: the
+    // self-join shuffles every posting twice, and an 8-byte key vs a
+    // ~20-byte UTF8 string is ~30% off the join wall-clock (profiled).
+    // Intersection counts are exact unless two DIFFERENT shingles that
+    // CO-OCCUR in a candidate pair collide in 64 bits — probability
+    // ~2^-64 per co-occurring pair, the standard shingle-hashing tradeoff
+    // (MinHash makes the same one); df semantics are unchanged.
     val postingAll = shingles
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("g0")).as("g"))
     val posting = dfMax match {
       case Some(cap) =>
         val stop = postingAll.groupBy(col("g"))
@@ -139,12 +147,16 @@ object DedupOps {
         struct(lit(b).as("b"),
           concat((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("v"))
       }
+      // Join on one hashed (band, value) long instead of the (int, string)
+      // pair: smaller shuffle, cheaper probe (profiled ~20% off the
+      // candidate join). A hash collision can only ADD a false candidate,
+      // which the exact-Jaccard verification below filters — the final
+      // result is identical by construction.
       val bands = sig
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+        .select(col("doc_id"), xxhash64(col("band.b"), col("band.v")).as("bv"))
       val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       cand
@@ -158,12 +170,22 @@ object DedupOps {
     // SimHash near-dup: per-shingle pseudo-random bits from md5, majority
     // vote per bit, banded self-join (exact for hamming <= 3 by pigeonhole).
     "q32_simhash" -> { (s, dir) =>
+      // Bit i of the signature votes on whether hex char i of the
+      // per-shingle md5 is >= '8', i.e. on the TOP bit of nibble i. The
+      // oracle phrases that as a per-character substring compare; here the
+      // digest is parsed once into four 32-bit words and the votes are
+      // shift/mask arithmetic — same bits, no 32 UTF8String slices per
+      // posting (profiled ~40% off the scoring aggregate).
       val gs = shingled(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("t"))
-      val scoreCols = (0 until SimBits).map(i =>
-        sum(when(substring(col("t"), i + 1, 1) >= "8", 1)
-          .otherwise(-1)).as(s"s$i"))
+        .select(col("doc_id") +: (0 until SimBits / 8).map(k =>
+          conv(substring(md5(col("g")), 8 * k + 1, 8), 16, 10)
+            .cast("long").as(s"v$k")): _*)
+      val scoreCols = (0 until SimBits).map { i =>
+        val k = i / 8 // word holding hex char i
+        val j = i % 8 // char position within the word; nibble top bit = 31 - 4j
+        sum(shiftright(col(s"v$k"), 31 - 4 * j).bitwiseAND(1) * 2 - 1).as(s"s$i")
+      }
       val scored = gs.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
       val sim = scored.select(col("doc_id"),
         (0 until SimBits).map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
