@@ -28,12 +28,15 @@ object Shingles {
         concat(parts: _*)
       }))
 
-  /** One md5 hex digest per shingle — computed once and sliced into
-    * independent sub-hashes by the consumers below (8-32x cheaper than
-    * hashing once per seed/bit). md5 hex strings order identically in every
-    * engine, which makes signatures oracle-reproducible (unlike
-    * engine-specific 64-bit hashes).
-    */
+  /** One md5 hex digest per shingle — sliced into independent sub-hashes
+    * by minHashSlice (8-32x cheaper than hashing once per seed/bit). md5
+    * hex strings order identically in every engine, which makes signatures
+    * oracle-reproducible (unlike engine-specific 64-bit hashes).
+    *
+    * Hot-path caveat: referencing this array from N downstream lambdas
+    * (e.g. one array_min per seed) re-inlines the md5 transform N times —
+    * Spark does no CSE across lambda bodies. For bulk signatures, explode
+    * to postings and groupBy-min instead (queries.DedupOps q31). */
   def md5PerShingle(shingles: Column): Column =
     transform(shingles, x => md5(x))
 

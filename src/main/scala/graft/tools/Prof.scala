@@ -132,6 +132,28 @@ object Prof {
       .distinct()
     time("q31_candidates_hashed")(noop(candH))
 
+    // ---- q31 variant: signatures via posting groupBy-min (one md5/posting)
+    val post31 = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("t", md5(col("g")))
+    val sigAgg = post31.groupBy(col("doc_id"))
+      .agg(min(substring(col("t"), 1, 4)).as("h0"),
+        (1 until 8).map(j => min(substring(col("t"), 4 * j + 1, 4)).as(s"h$j")): _*)
+    time("q31_signatures_agg")(noop(sigAgg))
+    val bandsAgg = sigAgg
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), xxhash64(col("band.b"), col("band.v")).as("bv"))
+    val candAgg = bandsAgg.as("x").join(bandsAgg.as("y"),
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val verAgg = candAgg
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Shingles.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    time("q31_full_agg")(noop(verAgg))
+
     sh.unpersist()
     spark.stop()
   }
