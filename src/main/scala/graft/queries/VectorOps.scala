@@ -164,10 +164,11 @@ object VectorOps {
     },
 
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
-    // `exists` prunes rows and `filter`+`size` counts hits, all inside
-    // whole-stage codegen over the array<float> column — no explode, so
-    // the row count never blows up by the array width and the scan reads
-    // only (vec_id, embedding).
+    // `exists` prunes rows and `filter`+`size` counts hits over the
+    // array<float> column in place — no explode, so the row count never
+    // blows up by the array width and the scan reads only
+    // (vec_id, embedding). (HOF lambdas evaluate outside whole-stage
+    // codegen, but stay a single narrow pass — PlanSpec pins the shape.)
     "q44_array_exists" -> { (s, dir) =>
       val hot = (x: Column) => x > lit(HotThreshold)
       Tables.embeddings(s, dir)

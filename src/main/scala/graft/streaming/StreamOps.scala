@@ -35,6 +35,20 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of the batch content-hash
+    * dedup (queries.DedupOps q30), for an ingest stream feeding the corpus:
+    * first document per content hash wins; later copies are dropped.
+    * `dropDuplicatesWithinWatermark` bounds the hash state by the
+    * watermark, which is the only way exact dedup state stays finite on an
+    * unbounded stream — duplicates farther apart than the watermark are the
+    * batch pass's job (run q30 over the landed table), exactly how a
+    * stream+batch dedup pipeline splits the work at scale. */
+  def dedupExact(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming per-key running state: events-since-last-'signup' counter —
     * the streaming twin of the batch stateful scan (queries.q23). Rows are
     * ordered by event time within each micro-batch; cross-batch order is

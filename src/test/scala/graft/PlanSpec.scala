@@ -56,4 +56,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q35_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q44: no explode, and the scan reads only the two needed columns") {
+    val p = plan("q44_array_exists")
+    assert(!p.contains("Generate"), "no explode: " + p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("vec_id") && readSchema.contains("embedding"), readSchema)
+    assert(!readSchema.contains("label"), "label must be pruned: " + readSchema)
+  }
+
+  test("q33: the posting self-join keys on 8-byte hashed longs, not shingle strings") {
+    val p = plan("q33_ngram_jaccard")
+    assert(p.contains("xxhash64"), p)
+    // the join key g is a long (#NL), whichever physical join AQE picks
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[g#\\d+L".r
+      .findFirstIn(p).isDefined, p)
+  }
 }

@@ -37,6 +37,21 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExact drops a replayed document in a later micro-batch (within watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.dedupExact(in.toDF().toDF("ts", "doc_id", "text"), "ts", "1 minute")
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((ts(10), 1L, "alpha"), (ts(11), 2L, "beta"))
+      q.processAllAvailable()
+      in.addData((ts(12), 3L, "alpha"), (ts(13), 4L, "gamma")) // doc 3 is a dup
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM dedup").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("sinceLastSignup keeps the running counter across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String)]
