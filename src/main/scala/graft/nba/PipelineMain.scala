@@ -17,7 +17,8 @@ object PipelineArgs {
       gameId: Option[String] = None,
       delta: Boolean = false,
       input: String = "",
-      output: String = "")
+      output: String = "",
+      table: Option[String] = None)
 
   def parse(argv: Seq[String]): Either[String, Args] = {
     def loop(rest: List[String], acc: Args): Either[String, Args] = rest match {
@@ -28,6 +29,7 @@ object PipelineArgs {
       case "--delta" :: t => loop(t, acc.copy(delta = true))
       case "--input" :: v :: t => loop(t, acc.copy(input = v))
       case "--output" :: v :: t => loop(t, acc.copy(output = v))
+      case "--table" :: v :: t => loop(t, acc.copy(table = Some(v)))
       case other :: _ => Left(s"unknown argument: $other")
     }
     loop(argv.toList, Args()).flatMap(validate)
@@ -109,22 +111,7 @@ object PipelineMain {
     val newRows = rows.toDF()
       .withColumn("SEASON", GameIds.extractSeason(col("GAME_ID")))
       .withColumn("SEASON_TYPE", GameIds.extractSeasonType(col("GAME_ID")))
-    if (args.delta)
-      // delta rows are by construction absent from the target: plain append
-      newRows.write.mode("append")
-        .partitionBy(Warehouse.PartitionCols: _*).parquet(outDir)
-    else {
-      val merged = existingOut match {
-        case Some(ex) =>
-          // merge only the partitions this run recomputes; the semi-join on
-          // the partition columns prunes the rest of the warehouse
-          val parts = newRows.select(Warehouse.PartitionCols.map(col): _*).distinct()
-          val affected = ex.join(broadcast(parts), Warehouse.PartitionCols, "left_semi")
-          Upsert.replace(affected, newRows, "id")
-        case None => newRows
-      }
-      Warehouse.overwritePartitions(merged, outDir)
-    }
+    Publish.idempotent(newRows, outDir, args.delta)
 
     // quarantine channel: drop stale errors of every game processed this
     // run (delta or not), then add this run's failures

@@ -43,7 +43,6 @@ object StartersMain {
     implicit val spark: SparkSession = spark0
     import spark.implicits._
     import graft.functions.GameIds
-    import graft.sources.Warehouse
 
     def tbl(name: String) = spark.read.parquet(s"${args.input}/$name")
     val outDir = s"${args.output}/$TableName"
@@ -79,19 +78,6 @@ object StartersMain {
       pbp.select(col("GAME_ID")).distinct(), Seq("GAME_ID"), "left_semi")
     val newRows = Starters.derive(pbp, boxScoped, strict = true)
 
-    if (args.delta)
-      // delta rows are by construction absent from the target: plain append
-      newRows.write.mode("append")
-        .partitionBy(Warehouse.PartitionCols: _*).parquet(outDir)
-    else {
-      val merged = existingOut match {
-        case Some(ex) =>
-          val parts = newRows.select(Warehouse.PartitionCols.map(col): _*).distinct()
-          val affected = ex.join(broadcast(parts), Warehouse.PartitionCols, "left_semi")
-          Upsert.replace(affected, newRows, "id")
-        case None => newRows
-      }
-      Warehouse.overwritePartitions(merged, outDir)
-    }
+    Publish.idempotent(newRows, outDir, args.delta)
   }
 }
