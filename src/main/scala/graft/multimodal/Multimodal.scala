@@ -88,6 +88,31 @@ object Multimodal {
       }
   }
 
+  /** Media similarity — the bridge from multimodal ingest to the
+    * similarity-search suite (queries.VectorOps): extracted features are
+    * fixed-width vectors, so after extraction the payload bytes never
+    * reach a join or shuffle; the query side broadcasts and the corpus
+    * side streams, exactly like the brute-force top-k baseline (q35). At
+    * scale the same features feed the IVF path (q36) unchanged. */
+  def similarMedia(media: DataFrame, queryIds: Seq[Long], topK: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.ops.VectorSim
+    val feats = extractFeatures(media).toDF()
+      .select(col("media_id"), VectorSim.toDouble(col("features")).as("e"))
+      .withColumn("nrm", VectorSim.norm(col("e")))
+    val q = feats.filter(col("media_id").isin(queryIds: _*))
+      .select(col("media_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("media_id").asc)
+    broadcast(q).join(feats, col("query_id") =!= col("media_id"))
+      .select(col("query_id"), col("media_id"),
+        VectorSim.cosinePre(VectorSim.dot(col("qe"), col("e")),
+          col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("media_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Resize pass for image rows; non-image rows pass through unchanged. */
   def resizeImages(media: Dataset[MediaRow], targetBytes: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {

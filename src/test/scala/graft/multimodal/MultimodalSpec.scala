@@ -44,6 +44,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).bytes.toSeq == (16 until 24).map(_.toByte))
   }
 
+  test("similarMedia ranks a near-identical payload above a different one (the ANN bridge)") {
+    // 1 and 4 share payload bytes (one appended byte); 5 is unrelated
+    val media = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3, 4, 5, 6), MediaMeta(None, None, None, None, None)),
+      MediaRow(4L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 1), MediaMeta(None, None, None, None, None)),
+      MediaRow(5L, "image", Array.tabulate[Byte](16)(i => (100 + i).toByte), MediaMeta(None, None, None, None, None)))
+      .toDS()
+    val got = similarMedia(media.toDF(), queryIds = Seq(1L), topK = 2)
+      .select(col("neighbor_id"), col("rank")).as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._1) == Seq(4L, 5L), s"nearest neighbor of 1 must be its near-copy: $got")
+    // payload bytes never cross a shuffle: no Exchange outputs a binary column
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = similarMedia(media.toDF(), Seq(1L), 2).queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.forall(_.output.forall(_.dataType.typeName != "binary")),
+      exchanges.map(_.output.mkString(",")).mkString("; "))
+  }
+
   test("media table round-trips through parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     mediaDs.write.mode("overwrite").parquet(dir)
