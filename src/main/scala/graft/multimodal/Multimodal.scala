@@ -97,10 +97,14 @@ object Multimodal {
   def similarMedia(media: DataFrame, queryIds: Seq[Long], topK: Int)(
       implicit spark: SparkSession): DataFrame = {
     import graft.ops.VectorSim
-    val feats = extractFeatures(media).toDF()
+    def featsOf(df: DataFrame) = extractFeatures(df).toDF()
       .select(col("media_id"), VectorSim.toDouble(col("features")).as("e"))
       .withColumn("nrm", VectorSim.norm(col("e")))
-    val q = feats.filter(col("media_id").isin(queryIds: _*))
+    val feats = featsOf(media)
+    // filter BEFORE extraction: mapPartitions is an optimizer barrier, so
+    // an id filter above it would decode the whole corpus a second time
+    // just to keep the handful of query rows
+    val q = featsOf(media.filter(col("media_id").isin(queryIds: _*)))
       .select(col("media_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("media_id").asc)

@@ -50,30 +50,17 @@ object IngestMain {
     val table = args.table.get
     val raw = spark.read.parquet(s"${args.input}/${table}_raw")
     val outDir = s"${args.output}/$table"
-    def existingOut = scala.util.Try(spark.read.parquet(outDir)).toOption
+    graft.sources.Warehouse.recover(spark, outDir) // heal swaps before any read
 
-    // season scoping: shot_details raw carries stamped SEASON/SEASON_TYPE;
-    // the game-keyed tables derive both from the game id (F3/F4)
-    val scoped = args.gameId match {
-      case Some(g) => raw.filter(col("GAME_ID") === g)
-      case None if table == "shot_details" => raw.filter(
-        col("SEASON") === args.season.get &&
-        col("SEASON_TYPE") === args.seasonType.get)
-      case None => raw.filter(
-        GameIds.extractSeason(col("GAME_ID")) === args.season.get &&
-        GameIds.extractSeasonType(col("GAME_ID")) === args.seasonType.get)
-    }
-
+    // shot_details raw carries stamped SEASON/SEASON_TYPE (and its delta
+    // unit is the fetch combo); the game-keyed tables derive season from
+    // the game id and delta by game
     val deltaKeys =
       if (table == "shot_details") Seq("PLAYER_ID", "TEAM_ID", "SEASON", "SEASON_TYPE")
       else Seq("GAME_ID")
-    val in =
-      if (!args.delta) scoped
-      else existingOut match {
-        case Some(existing) => Upsert.deltaNew(
-          existing.select(deltaKeys.map(col): _*), scoped, deltaKeys)
-        case None => scoped
-      }
+    val in = Publish.deltaOnly(
+      Publish.scope(raw, args, seasonFromColumns = table == "shot_details"),
+      args.delta, outDir, deltaKeys)
 
     val enriched: DataFrame = table match {
       case "play_by_play" => Etl.playByPlay(in)

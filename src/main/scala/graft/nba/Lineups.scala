@@ -152,7 +152,13 @@ object Lineups {
     * A5 duplicate-id invariant across slices: a replayed EVENTNUM in a
     * later micro-batch throws exactly like a duplicate inside one batch
     * (reference utils/utils.py:1-10). A game is ~500 events, so the set is
-    * bounded and cheap to keep in state. */
+    * bounded and cheap to keep in state.
+    *
+    * Schema-evolution caveat: any field change here changes the streaming
+    * state schema, and a trackLineups query restarted from a checkpoint
+    * written by an older build fails Spark's state-store compatibility
+    * check (stateStore.stateSchemaCheck) — restart such streams from a
+    * fresh checkpoint (a game's state rebuilds from its event log). */
   case class LineupState(
       team1: Long, team2: Long,
       cur1: Seq[Long], cur2: Seq[Long],

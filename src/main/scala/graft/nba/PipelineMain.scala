@@ -86,22 +86,11 @@ object PipelineMain {
     def tbl(name: String) = spark.read.parquet(s"${args.input}/$name")
     val outDir = s"${args.output}/play_by_play_with_players"
     val errDir = s"${args.output}/lineup_errors"
-    def existingOut = scala.util.Try(spark.read.parquet(outDir)).toOption
+    Warehouse.recover(spark, outDir) // heal interrupted swaps before any read
+    Warehouse.recover(spark, errDir)
 
-    val pbpAll = tbl("play_by_play")
-    val scoped = args.gameId match {
-      case Some(g) => pbpAll.filter(col("GAME_ID") === g)
-      case None => pbpAll.filter(
-        GameIds.extractSeason(col("GAME_ID")) === args.season.get &&
-        GameIds.extractSeasonType(col("GAME_ID")) === args.seasonType.get)
-    }
-    val pbp =
-      if (!args.delta) scoped
-      else existingOut match {
-        case Some(existing) =>
-          Upsert.deltaNew(existing.select(col("GAME_ID")), scoped, Seq("GAME_ID"))
-        case None => scoped
-      }
+    val pbp = Publish.deltaOnly(
+      Publish.scope(tbl("play_by_play"), args), args.delta, outDir, Seq("GAME_ID"))
 
     val starters = scala.util.Try(tbl("players_on_court_at_start_of_period")).toOption
     val teamLog = scala.util.Try(tbl("team_game_log")).toOption

@@ -46,22 +46,10 @@ object StartersMain {
 
     def tbl(name: String) = spark.read.parquet(s"${args.input}/$name")
     val outDir = s"${args.output}/$TableName"
-    def existingOut = scala.util.Try(spark.read.parquet(outDir)).toOption
+    graft.sources.Warehouse.recover(spark, outDir) // heal swaps before any read
 
-    val pbpAll = tbl("play_by_play")
-    val scoped = args.gameId match {
-      case Some(g) => pbpAll.filter(col("GAME_ID") === g)
-      case None => pbpAll.filter(
-        GameIds.extractSeason(col("GAME_ID")) === args.season.get &&
-        GameIds.extractSeasonType(col("GAME_ID")) === args.seasonType.get)
-    }
-    val pbp =
-      if (!args.delta) scoped
-      else existingOut match {
-        case Some(existing) =>
-          Upsert.deltaNew(existing.select(col("GAME_ID")), scoped, Seq("GAME_ID"))
-        case None => scoped
-      }
+    val pbp = Publish.deltaOnly(
+      Publish.scope(tbl("play_by_play"), args), args.delta, outDir, Seq("GAME_ID"))
 
     // primary path candidates, when the period-sliced box scores are landed;
     // an empty primary sends every period down the pbp fallback (still

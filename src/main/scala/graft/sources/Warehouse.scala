@@ -74,6 +74,33 @@ object Warehouse {
     }
   }
 
+  /** Heal ALL interrupted swaps under table `dir` — the root and every
+    * partition directory. A crash between retire and publish leaves data
+    * only in a dot-hidden `.name.old` sibling, INVISIBLE to parquet
+    * readers: any read-modify-write that runs before recovery would merge
+    * against a table silently missing that partition and then permanently
+    * overwrite it. Therefore this must run BEFORE the target is read, not
+    * merely before it is written — Publish.idempotent and the entry points
+    * call it first thing; it is idempotent and costs one listing walk. */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, target)
+    def walk(p: Path): Unit =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory) {
+            if (n.startsWith(".") && n.endsWith(".old")) {
+              val orig = new Path(p, n.drop(1).dropRight(4))
+              if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+              else fs.delete(st.getPath, true)
+            } else if (!n.startsWith(".") && !n.startsWith("_")) walk(st.getPath)
+          }
+        }
+    walk(target)
+  }
+
   /** Dynamic partition overwrite via write-audit-publish: stage `df`
     * partitioned, then swap exactly the partition directories present in
     * the stage — partitions absent from `df` are untouched. Same guarantees
@@ -85,6 +112,9 @@ object Warehouse {
       partitionCols: Seq[String] = PartitionCols): Unit = {
     val target = new Path(dir)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // heal interrupted swaps FIRST: `df` may read the target (a merge
+    // does), and that read must see partitions stranded in .old siblings
+    recover(df.sparkSession, dir)
     val staging = stagingFor(target)
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite)
