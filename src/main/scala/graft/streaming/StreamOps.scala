@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import graft.schema.{PbpEvent, PbpWithPlayers}
 import graft.nba.{GameSide, Lineups}
 
@@ -100,5 +101,44 @@ object StreamOps {
           state.update(next)
           rows.iterator
         })
+  }
+
+  /** The lineup tracker on the arbitrary-state API that supersedes
+    * flatMapGroupsWithState in Spark 4 (`transformWithState` +
+    * StatefulProcessor): same engine (Lineups.advance), state in a typed
+    * ValueState. Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass) — which is also what
+    * a 100 TB deployment runs, for state larger than executor heap and
+    * incremental checkpointing. The two variants must stay behaviorally
+    * identical; StreamOpsSpec drives both through the same scenario. */
+  class LineupProcessor(rosterByGame: Map[String, Seq[GameSide]])
+      extends StatefulProcessor[String, PbpEvent, PbpWithPlayers] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Lineups.LineupState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState(
+        "lineup", Encoders.product[Lineups.LineupState], TTLConfig.NONE)
+
+    override def handleInputRows(gid: String, rows: Iterator[PbpEvent],
+        timerValues: TimerValues): Iterator[PbpWithPlayers] = {
+      val side = rosterByGame.getOrElse(gid, Seq.empty).toArray
+      val batch = rows.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
+      val prior = if (state.exists()) Some(state.get()) else None
+      val (out, next) = Lineups.advance(gid, batch, side, prior)
+      state.update(next)
+      out.iterator
+    }
+  }
+
+  def trackLineupsTws(
+      events: Dataset[PbpEvent],
+      rosterByGame: Map[String, Seq[GameSide]])(
+      implicit spark: SparkSession): Dataset[PbpWithPlayers] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.GAME_ID)
+      .transformWithState(new LineupProcessor(rosterByGame),
+        TimeMode.None(), OutputMode.Append())
   }
 }
