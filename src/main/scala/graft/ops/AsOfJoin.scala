@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: for each left row, attach the payload of the
   * latest right row with `right.ts <= left.ts` on the same key — the
@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.StructField
   * formulation that survives 100 TB. Right rows sort before left rows at
   * equal timestamps (tag 0 < 1), so "at-or-before" semantics hold; among
   * equal-timestamp right rows the one with the greatest tiebreak wins.
+  *
+  * The payload travels as ONE struct column (null only on the interleaved
+  * left rows), so a single `last(ignoreNulls)` always returns the whole
+  * latest right ROW — per-column lasts would skip a legitimately-null
+  * payload field and stitch the output from different right rows.
   */
 object AsOfJoin {
 
@@ -32,31 +37,27 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payloadCols.forall(right.columns.contains), "payload must exist on right")
 
-    def nullOf(f: StructField): Column = lit(null).cast(f.dataType)
+    val payloadType = StructType(payloadCols.map(c => right.schema(c)))
+    def nullOf(dt: org.apache.spark.sql.types.DataType): Column = lit(null).cast(dt)
 
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
-      .withColumn("__tie", lit(null).cast(right.schema(rightTie).dataType))
-    val withRightNulls = payloadCols.foldLeft(taggedLeft) { (d, c) =>
-      d.withColumn(s"__p_$c", nullOf(right.schema(c)))
-    }
+      .withColumn("__tie", nullOf(right.schema(rightTie).dataType))
+      .withColumn("__p", nullOf(payloadType))
 
-    val taggedRightBase = right
+    val taggedRight = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
       .withColumn("__tie", col(rightTie))
-    val taggedRight = payloadCols
-      .foldLeft(taggedRightBase) { (d, c) => d.withColumn(s"__p_$c", col(c)) }
+      .withColumn("__p", struct(payloadCols.map(c => col(c).as(c)): _*))
       .select(
-        keyCols.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tie")) ++
-          payloadCols.map(c => col(s"__p_$c")) ++
-          leftCols.filterNot(keyCols.contains).map(c => nullOf(left.schema(c)).as(c)): _*)
+        keyCols.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tie"), col("__p")) ++
+          leftCols.filterNot(keyCols.contains).map(c => nullOf(left.schema(c).dataType).as(c)): _*)
 
-    val unioned = withRightNulls
+    val unioned = taggedLeft
       .select(
-        keyCols.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tie")) ++
-          payloadCols.map(c => col(s"__p_$c")) ++
+        keyCols.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tie"), col("__p")) ++
           leftCols.filterNot(keyCols.contains).map(col): _*)
       .unionByName(taggedRight)
 
@@ -65,14 +66,11 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payloadCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-
-    filled
+    unioned
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(
         leftCols.map(col) ++
-          payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+          payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

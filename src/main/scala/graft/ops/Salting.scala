@@ -24,6 +24,10 @@ object Salting {
     "inner", "left", "leftouter", "left_outer",
     "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
 
+  /** Uniform deterministic-enough salt in [0, n) for a big-side row. */
+  private def saltCol(n: Int): org.apache.spark.sql.Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(n)).cast("int")
+
   /** Equi-join `big ⋈ small` on `keys`, salted `n` ways. `small` is
     * replicated n× (keep it the dimension side). Only inner/left-flavored
     * join types are accepted (see LeftFlavored). */
@@ -37,7 +41,7 @@ object Salting {
     require(LeftFlavored.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin is only correct for inner/left-flavored join types " +
         s"(unmatched small-side rows would appear once per salt replica); got '$joinType'")
-    val salted = big.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(n)).cast("int"))
+    val salted = big.withColumn("__salt", saltCol(n))
     val replicated = small.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
@@ -53,8 +57,7 @@ object Salting {
       partialAggs: Seq[Column],
       finalAggs: Seq[Column]): DataFrame = {
     require(n > 0 && partialAggs.nonEmpty && finalAggs.nonEmpty)
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(n)).cast("int"))
+    val salted = df.withColumn("__salt", saltCol(n))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 object Shingles {
 
   /** Distinct word `n`-gram shingles of a PRE-TOKENIZED array column.
-    * Caller must ensure at least `n` tokens (filter upstream) — shorter
-    * inputs would produce null-padded shingles.
+    * Inputs shorter than `n` tokens yield an empty array (without the
+    * guard, `sequence(1, size-(n-1))` would DESCEND through zero — Spark
+    * steps -1 when start > stop — and `element_at(tokens, 0)` throws).
     *
     * Takes tokens, not text, on purpose: a `split(text)` expression
     * referenced inside the transform lambda is re-evaluated on every lambda
@@ -18,8 +19,8 @@ object Shingles {
     * O(tokens^2) per document. Materialize the split into a column first
     * and each `element_at` is an O(1) array read.
     */
-  def wordNGrams(tokens: Column, n: Int): Column =
-    array_distinct(
+  def wordNGrams(tokens: Column, n: Int): Column = {
+    val grams = array_distinct(
       transform(sequence(lit(1), size(tokens) - (n - 1)), i => {
         val parts = (0 until n).flatMap { k =>
           val e = element_at(tokens, i + k)
@@ -27,6 +28,8 @@ object Shingles {
         }
         concat(parts: _*)
       }))
+    when(size(tokens) >= n, grams).otherwise(array().cast("array<string>"))
+  }
 
   /** One md5 hex digest per shingle — sliced into independent sub-hashes
     * by minHashSlice (8-32x cheaper than hashing once per seed/bit). md5

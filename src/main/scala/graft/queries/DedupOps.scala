@@ -157,9 +157,11 @@ object DedupOps {
       }
       // Join on one hashed (band, value) long instead of the (int, string)
       // pair: smaller shuffle, cheaper probe (profiled ~20% off the
-      // candidate join). A hash collision can only ADD a false candidate,
-      // which the exact-Jaccard verification below filters — the final
-      // result is identical by construction.
+      // candidate join). A hash collision can only ADD a candidate pair;
+      // verification then keeps it only if its EXACT Jaccard clears the
+      // threshold — so a collision can at worst surface a true near-dup
+      // the bands alone would have missed (~2^-64 per pair), never a
+      // wrong pair.
       val bands = sig
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
         .select(col("doc_id"), xxhash64(col("band.b"), col("band.v")).as("bv"))

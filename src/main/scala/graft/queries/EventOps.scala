@@ -94,13 +94,22 @@ object EventOps {
             .getField("k"))
         .withColumn("k2", col("k") * 2)
         .select(col("event_id"), col("k"),
-          to_json(struct(col("k"), col("k2"))).as("js"))
+          // ignoreNullFields=false: Spark's default DROPS null struct
+          // fields ("{}") while DuckDB's to_json emits them
+          // ('{"k":null,...}') — rows with unparseable/missing k would
+          // hash-mismatch without it
+          to_json(struct(col("k"), col("k2")),
+            Map("ignoreNullFields" -> "false")).as("js"))
     },
 
     // F1/F2 game-clock math on a synthesized 'MM:SS' column (reference:
     // utils/utils.py:19-27) — string build + parse both happen in-plan.
     "q20_clock_math" -> { (s, dir) =>
       val period = (col("event_id") % 6 + 1).cast("int")
+      // NaN caveat: Spark's non-ANSI cast renders NaN as 0 where DuckDB's
+      // CAST errors — equivalent only while `value` is NaN-free (the
+      // testdata generator never emits NaN; a NaN-bearing source would
+      // need a symmetric isnan() guard on both sides)
       val base = floor(abs(col("value"))).cast("int")
       val perLen = when(period <= 4, 720).otherwise(300)
       val remaining = base % perLen

@@ -185,7 +185,7 @@ object Relational {
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+          dsum(col("o_totalprice")).as("sum_price"))
     },
 
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).

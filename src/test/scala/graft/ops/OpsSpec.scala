@@ -44,6 +44,30 @@ class OpsSpec extends SparkSpec {
     assert(got == Map("a" -> Some(101L), "b" -> Some(102L), "c" -> None, "d" -> None))
   }
 
+  test("AsOfJoin.backward: multi-column payload comes from ONE right row, null fields included") {
+    // right@1 has (a=1, b=null); right@2 has (a=null, b=2). The as-of row
+    // for left@3 is right@2 — the output must be (null, 2), never the
+    // per-column stitch (1, 2).
+    val left = Seq((1L, ts(3))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts(1), Option(1L), Option.empty[Long]),
+      (1L, ts(2), Option.empty[Long], Option(2L)))
+      .toDF("k", "rts", "a", "b")
+      .withColumn("tie", col("rts").cast("long"))
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", "tie", Seq("a", "b"))
+      .select(col("asof_a"), col("asof_b")).as[(Option[Long], Option[Long])].head()
+    assert(got == ((None, Some(2L))), s"payload must be the latest right ROW, got $got")
+  }
+
+  test("Shingles.wordNGrams yields an empty array (not a crash) for inputs shorter than n") {
+    import graft.ops.Shingles
+    val got = Seq(Seq("a", "b"), Seq("a", "b", "c"))
+      .toDF("w")
+      .select(Shingles.wordNGrams(col("w"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq.empty, Seq("a b c")))
+  }
+
   test("StatefulScan: rows arrive key-grouped and ordered; state resets across keys") {
     val ev = (1 to 100).map(i => ((i % 5).toLong, ts(i.toLong), i.toLong))
       .toDF("k", "ts", "id")
