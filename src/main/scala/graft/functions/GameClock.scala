@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object GameClock {
 
-  private val RegulationPeriodSec = 720
-  private val OvertimePeriodSec = 300
-  private val RegulationTotalSec = 4 * RegulationPeriodSec // 2880
+  // the one definition of the period clock model, shared with the scalar
+  // consumers (Endpoints.boxScoreForPeriod builds fetch bounds from it)
+  private[graft] val RegulationPeriodSec = 720
+  private[graft] val OvertimePeriodSec = 300
+  private[graft] val RegulationTotalSec = 4 * RegulationPeriodSec // 2880
 
   /** Seconds elapsed in the period so far given the remaining 'MM:SS'. */
   private def elapsedInPeriod(period: Column, clock: Column): Column = {

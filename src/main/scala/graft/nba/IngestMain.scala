@@ -47,6 +47,8 @@ object IngestMain {
   /** The job body, on a caller-owned session (testable; main owns its own). */
   def runWith(spark0: SparkSession, args: PipelineArgs.Args): Unit = {
     implicit val spark: SparkSession = spark0
+    require(args.table.exists(Tables.contains),
+      s"--table must be one of ${Tables.mkString(", ")}; got ${args.table.getOrElse("<none>")}")
     val table = args.table.get
     val raw = spark.read.parquet(s"${args.input}/${table}_raw")
     val outDir = s"${args.output}/$table"

@@ -77,6 +77,55 @@ object Lineups {
 
   /** pbp needs the playByPlay schema columns; SECONDS_FROM_START is derived
     * here if absent. */
+  /** Columns PbpEvent cannot decode as null (non-nullable primitives): a
+    * null here fails the encoder at `groupByKey`'s MAP-SIDE key extraction
+    * — before any per-game Try can catch it — so undecodable games must be
+    * split off relationally, not imperatively. */
+  private val RequiredEventCols =
+    Seq("EVENTNUM", "EVENTMSGTYPE", "EVENTMSGACTIONTYPE", "PERIOD", "SECONDS_FROM_START")
+
+  /** Shared input prep for both cogroup variants — ONE definition of the
+    * PbpEvent column list and the side-input union, so the pipeline and
+    * quarantine paths cannot read different event shapes. Returns the
+    * typed CLEAN events (games with a required-null row excluded), the
+    * undecodable game ids, and the side inputs. */
+  private def prepare(
+      pbp: DataFrame,
+      rotations: DataFrame,
+      starters: Option[DataFrame],
+      teamGameLog: Option[DataFrame])(
+      implicit spark: SparkSession):
+      (Dataset[PbpEvent], Dataset[String], Dataset[GameSide]) = {
+    import spark.implicits._
+    val withSfs =
+      if (pbp.columns.contains("SECONDS_FROM_START")) pbp
+      else pbp.withColumn("SECONDS_FROM_START",
+        GameClock.secondsFromStart(col("PERIOD"), col("PCTIMESTRING")))
+    val badGames = withSfs
+      .filter(RequiredEventCols.map(col(_).isNull).reduce(_ || _))
+      .select(col("GAME_ID")).distinct().as[String]
+    val ev = withSfs
+      .join(badGames.toDF("GAME_ID"), Seq("GAME_ID"), "left_anti")
+      .select(col("GAME_ID"), col("EVENTNUM"), col("EVENTMSGTYPE"),
+        col("EVENTMSGACTIONTYPE"), col("PERIOD"), col("PCTIMESTRING"),
+        col("SECONDS_FROM_START"), col("PLAYER1_ID"), col("PLAYER1_TEAM_ID"),
+        col("PLAYER2_ID"), col("PLAYER2_TEAM_ID")).as[PbpEvent]
+    (ev, badGames, sideInputs(rotations, starters, teamGameLog))
+  }
+
+  /** Consume one cogroup group entirely under Try so any in-group failure
+    * is that game's failure, not the task's. A game with no events this
+    * run (delta mode filtered it) succeeds empty. */
+  private def runGame(
+      gid: String,
+      evIt: Iterator[PbpEvent],
+      sideIt: Iterator[GameSide]): Try[Vector[PbpWithPlayers]] =
+    Try {
+      val events = evIt.toArray
+      if (events.isEmpty) Vector.empty
+      else processGame(gid, events, sideIt.toArray).toVector
+    }
+
   def withPlayers(
       pbp: DataFrame,
       rotations: DataFrame,
@@ -84,26 +133,20 @@ object Lineups {
       teamGameLog: Option[DataFrame] = None,
       failFast: Boolean = false)(implicit spark: SparkSession): Dataset[PbpWithPlayers] = {
     import spark.implicits._
-    val withSfs =
-      if (pbp.columns.contains("SECONDS_FROM_START")) pbp
-      else pbp.withColumn("SECONDS_FROM_START",
-        GameClock.secondsFromStart(col("PERIOD"), col("PCTIMESTRING")))
-    val ev = withSfs.select(col("GAME_ID"), col("EVENTNUM"), col("EVENTMSGTYPE"),
-      col("EVENTMSGACTIONTYPE"), col("PERIOD"), col("PCTIMESTRING"),
-      col("SECONDS_FROM_START"), col("PLAYER1_ID"), col("PLAYER1_TEAM_ID"),
-      col("PLAYER2_ID"), col("PLAYER2_TEAM_ID")).as[PbpEvent]
-    val side = sideInputs(rotations, starters, teamGameLog)
-
+    val (ev, badGames, side) = prepare(pbp, rotations, starters, teamGameLog)
+    if (failFast) {
+      // fail-fast keeps the reference's raise: the first undecodable game
+      // aborts the job with its id in the message (an eager, tiny action)
+      val bad = badGames.take(1)
+      require(bad.isEmpty, s"undecodable play-by-play for game ${bad.mkString}" +
+        s" (null in one of ${RequiredEventCols.mkString("/")})")
+    }
+    // with failFast off, undecodable games are simply absent from the
+    // output (log-and-continue semantics; withPlayersAndErrors lands them
+    // in the quarantine channel instead)
     ev.groupByKey(_.GAME_ID).cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
-      val events = evIt.toArray
-      // a game present only on the side-input side (no events this run,
-      // e.g. delta mode) is skipped, not failed
-      if (events.isEmpty) Iterator.empty
-      // processGame materializes (a game is ~500 rows — bounded), so a
-      // failure anywhere in the scan is caught here as this game failing
-      // rather than killing the task
-      else Try(processGame(gid, events, sideIt.toArray)) match {
-        case Success(rows) => rows
+      runGame(gid, evIt, sideIt) match {
+        case Success(rows) => rows.iterator
         case Failure(e) if !failFast =>
           // reference logs and continues (:223-225)
           System.err.println(s"[lineups] failed for game $gid: ${e.getMessage}")
@@ -114,37 +157,32 @@ object Lineups {
   }
 
   /** T4 quarantine variant: one pass, rows and per-game errors as separate
-    * datasets (persist the union once; both sides filter it). */
+    * datasets (the union is persisted once; both sides filter it). The
+    * third element releases that cache — call it once both datasets have
+    * been consumed, or the blocks stay pinned for the session. */
   def withPlayersAndErrors(
       pbp: DataFrame,
       rotations: DataFrame,
       starters: Option[DataFrame] = None,
       teamGameLog: Option[DataFrame] = None)(
-      implicit spark: SparkSession): (Dataset[PbpWithPlayers], Dataset[GameError]) = {
+      implicit spark: SparkSession):
+      (Dataset[PbpWithPlayers], Dataset[GameError], () => Unit) = {
     import spark.implicits._
-    val withSfs =
-      if (pbp.columns.contains("SECONDS_FROM_START")) pbp
-      else pbp.withColumn("SECONDS_FROM_START",
-        GameClock.secondsFromStart(col("PERIOD"), col("PCTIMESTRING")))
-    val ev = withSfs.select(col("GAME_ID"), col("EVENTNUM"), col("EVENTMSGTYPE"),
-      col("EVENTMSGACTIONTYPE"), col("PERIOD"), col("PCTIMESTRING"),
-      col("SECONDS_FROM_START"), col("PLAYER1_ID"), col("PLAYER1_TEAM_ID"),
-      col("PLAYER2_ID"), col("PLAYER2_TEAM_ID")).as[PbpEvent]
-    val side = sideInputs(rotations, starters, teamGameLog)
+    val (ev, badGames, side) = prepare(pbp, rotations, starters, teamGameLog)
+    val decodeErrors = badGames.map(g => GameError(g,
+      s"undecodable play-by-play: null in one of ${RequiredEventCols.mkString("/")}"))
     val outcomes = ev.groupByKey(_.GAME_ID)
       .cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
-        val events = evIt.toArray
-        // side inputs cover every game in the warehouse; a game with no
-        // events in this run (delta mode filtered it) is not an error
-        if (events.isEmpty) Iterator.empty
-        else Try(processGame(gid, events, sideIt.toArray)) match {
-          case Success(rows) => rows.map(r => (Option(r), Option.empty[GameError]))
+        runGame(gid, evIt, sideIt) match {
+          case Success(rows) => rows.iterator.map(r => (Option(r), Option.empty[GameError]))
           case Failure(e) =>
             Iterator((Option.empty[PbpWithPlayers],
               Some(GameError(gid, String.valueOf(e.getMessage)))))
         }
       }.persist()
-    (outcomes.flatMap(_._1), outcomes.flatMap(_._2))
+    (outcomes.flatMap(_._1),
+      outcomes.flatMap(_._2).union(decodeErrors),
+      () => { outcomes.unpersist(); () })
   }
 
   /** Resumable lineup state — also the streaming operator's GroupState
@@ -291,19 +329,27 @@ object Lineups {
   /** J6 relational cross-check (SURVEY.md §2.3 J6): every event joined to
     * the stints covering it — an interval join usable to validate the
     * stateful output (a lineup player's covering stint must exist).
-    */
+    *
+    * The covering-range condition lives IN the join, not in a post-join
+    * filter: a filter after a left join would drop exactly the rows where
+    * no stint covers the event — the violation this check exists to
+    * surface — leaving the check vacuously green. With the condition in
+    * the join, an uncovered (event, player) survives as one null-stint
+    * row and reports n_covering_stints = 0. */
   def intervalCheck(pbpWithPlayers: DataFrame, rotations: DataFrame): DataFrame = {
     val ex = Stints.explodeStints(rotations)
-      .select(col("GAME_ID"), col("PLAYER_ID"),
+      .select(col("GAME_ID").as("r_gid"), col("PLAYER_ID").as("r_pid"),
         col("IN_TIME_REAL"), col("OUT_TIME_REAL"))
     pbpWithPlayers
       .select(col("GAME_ID"), col("EVENTNUM"),
         (col("SECONDS_FROM_START") * 10.0).as("t"),
         explode(array((1 to 5).flatMap(i =>
           Seq(col(s"TEAM1_PLAYER$i"), col(s"TEAM2_PLAYER$i"))): _*)).as("PLAYER_ID"))
-      .join(ex, Seq("GAME_ID", "PLAYER_ID"), "left")
-      .filter(col("t") >= col("IN_TIME_REAL") && col("t") <= col("OUT_TIME_REAL"))
+      .join(ex,
+        col("GAME_ID") === col("r_gid") && col("PLAYER_ID") === col("r_pid") &&
+          col("t") >= col("IN_TIME_REAL") && col("t") <= col("OUT_TIME_REAL"),
+        "left")
       .groupBy(col("GAME_ID"), col("EVENTNUM"), col("PLAYER_ID"))
-      .agg(count(lit(1)).as("n_covering_stints"))
+      .agg(count(col("IN_TIME_REAL")).as("n_covering_stints"))
   }
 }

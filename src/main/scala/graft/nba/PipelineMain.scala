@@ -94,7 +94,7 @@ object PipelineMain {
 
     val starters = scala.util.Try(tbl("players_on_court_at_start_of_period")).toOption
     val teamLog = scala.util.Try(tbl("team_game_log")).toOption
-    val (rows, errors) = Lineups.withPlayersAndErrors(
+    val (rows, errors, release) = Lineups.withPlayersAndErrors(
       pbp, tbl("rotations"), starters, teamLog)
 
     val newRows = rows.toDF()
@@ -112,5 +112,6 @@ object PipelineMain {
           exErr.join(processed, Seq("GAME_ID"), "left_anti").unionByName(errDf), errDir)
       case None => errDf.write.mode("append").parquet(errDir)
     }
+    release() // both channels are written; free the cached outcomes
   }
 }

@@ -101,13 +101,19 @@ object Starters {
     * PLAYER_ID, TEAM_ID, MIN — i.e. one Endpoints.boxScoreForPeriod fetch
     * per (game, period), landed as a table. */
   def deriveFromBox(pbp: DataFrame, boxPerPeriod: DataFrame): DataFrame =
-    decide(boxCandidates(boxPerPeriod), firstSubPerPlayer(pbp))
+    decide(boxCandidates(boxPerPeriod, pbp), firstSubPerPlayer(pbp))
 
-  private def boxCandidates(boxPerPeriod: DataFrame): DataFrame =
+  private def boxCandidates(boxPerPeriod: DataFrame, pbp: DataFrame): DataFrame =
     boxPerPeriod
       .filter(col("MIN").isNotNull)
       .select(col("GAME_ID"), col("PERIOD"), col("PLAYER_ID"), col("TEAM_ID"))
       .distinct()
+      // only periods the play-by-play actually contains: a dirty box fetch
+      // can carry a slice for a period that never happened, and without
+      // this semi-join its rows would emit starters for a phantom period
+      // (the reference iterates pbp periods only, :127-130)
+      .join(pbp.select(col("GAME_ID"), col("PERIOD")).distinct(),
+        Seq("GAME_ID", "PERIOD"), "left_semi")
 
   /** Combined derivation (reference process_game :125-161): per (game,
     * period), the primary result iff it yields exactly 10 starters, else
@@ -125,7 +131,7 @@ object Starters {
     * wrong cardinality — run `violations` to surface them. */
   def derive(pbp: DataFrame, boxPerPeriod: DataFrame, strict: Boolean = false): DataFrame = {
     val firstSubs = firstSubPerPlayer(pbp)
-    val primary = decide(boxCandidates(boxPerPeriod), firstSubs)
+    val primary = decide(boxCandidates(boxPerPeriod, pbp), firstSubs)
     val primaryOk = primary
       .groupBy(col("GAME_ID"), col("PERIOD"))
       .agg(count(lit(1)).as("n"))

@@ -180,9 +180,10 @@ object Endpoints {
     * (etl/players_on_court_at_start_of_period.py:24-31,42-53): RangeType 2
     * with the F2 period bounds in tenths, nudged 5 tenths inward. */
   def boxScoreForPeriod(gameId: String, period: Int): Request = {
-    val startSec = if (period <= 4) (period - 1) * 12 * 60
-                   else 4 * 12 * 60 + (period - 5) * 5 * 60
-    val endSec = startSec + (if (period <= 4) 12 * 60 else 5 * 60)
+    import graft.functions.GameClock.{OvertimePeriodSec, RegulationPeriodSec, RegulationTotalSec}
+    val startSec = if (period <= 4) (period - 1) * RegulationPeriodSec
+                   else RegulationTotalSec + (period - 5) * OvertimePeriodSec
+    val endSec = startSec + (if (period <= 4) RegulationPeriodSec else OvertimePeriodSec)
     boxScoreTraditional(gameId, period, period,
       startSec * 10L + 5, endSec * 10L - 5, rangeType = 2)
   }

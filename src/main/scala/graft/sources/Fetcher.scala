@@ -37,7 +37,10 @@ object Fetcher {
     while (attempt < retries) {
       try return transport.get(request)
       catch {
-        case e: Throwable =>
+        // NonFatal only: an InterruptedException (Spark killing the task)
+        // or an Error must propagate immediately, not burn the retry
+        // budget re-issuing requests for a dead task
+        case e: Throwable if scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (attempt < retries) sleep(backoffMs * attempt)

@@ -49,9 +49,16 @@ object RestDecoder {
   }
 
   /** Cast the string-typed columns of a decoded result set to a declared
-    * schema (columns matched by name; extra decoded columns dropped). */
-  def cast(decoded: DataFrame, schema: StructType): DataFrame =
-    decoded.select(schema.fields.toSeq.collect {
-      case f if decoded.columns.contains(f.name) => col(f.name).cast(f.dataType).as(f.name)
+    * schema (columns matched by name; extra decoded columns dropped).
+    * Every declared column must be present — a missing one means the API
+    * renamed/dropped a header, and failing HERE names the source instead
+    * of surfacing as an unresolved-column error deep in the ETL. */
+  def cast(decoded: DataFrame, schema: StructType): DataFrame = {
+    val missing = schema.fieldNames.filterNot(decoded.columns.contains)
+    require(missing.isEmpty,
+      s"decoded result set lacks declared column(s): ${missing.mkString(", ")}")
+    decoded.select(schema.fields.toSeq.map { f =>
+      col(f.name).cast(f.dataType).as(f.name)
     }: _*)
+  }
 }

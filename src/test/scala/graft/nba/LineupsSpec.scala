@@ -142,4 +142,35 @@ class LineupsSpec extends SparkSpec {
     // every (event, player) pair that appears has at least one covering stint
     assert(chk.filter(col("n_covering_stints") < 1).count() == 0)
   }
+
+  test("interval cross-check actually FIRES: an uncovered player reports 0 covering stints") {
+    // 103 starts (stint from 0) but the stint ends at t=100 tenths; a
+    // second event at 6:00 (t=3600 tenths) still shows 103 on court (no
+    // sub happened), so the check must emit n_covering_stints = 0 for
+    // (event 2, 103) — a post-join range filter would silently drop it
+    val pbp = pbpOf(Seq(
+      jumpBall,
+      (G, 2L, 1, 0, 1, "6:00", Some(101L), Some(T1), None, None, None, None)))
+    val rot = rotationsOf().filter(col("PLAYER_ID") =!= 103L)
+      .unionByName(Seq((T1, 103L, Seq(Stint(0.0, 100.0))))
+        .toDF("TEAM_ID", "PLAYER_ID", "STINTS").withColumn("GAME_ID", lit(G)))
+    val out = Lineups.withPlayers(pbp, rot)
+    val violations = Lineups.intervalCheck(out.toDF(), rot)
+      .filter(col("n_covering_stints") < 1)
+      .select(col("EVENTNUM"), col("PLAYER_ID")).as[(Long, Long)].collect().toSet
+    assert(violations == Set((2L, 103L)), s"uncovered player must surface, got $violations")
+  }
+
+  test("a row that fails PbpEvent deserialization quarantines its game, not the job (T4)") {
+    val bad = "0022400101"
+    val pbp = pbpOf(Seq(
+      jumpBall, // good game G
+      // null clock: SECONDS_FROM_START decodes null into a non-nullable Int
+      (bad, 1L, 10, 0, 1, null, Some(101L), Some(T1), Some(201L), Some(T2), None, None)))
+    val rot = rotationsOf().unionByName(rotationsOf().withColumn("GAME_ID", lit(bad)))
+    val (rows, errors, release) = Lineups.withPlayersAndErrors(pbp, rot)
+    assert(rows.collect().map(_.GAME_ID).toSet == Set(G))
+    assert(errors.collect().map(_.GAME_ID).toSet == Set(bad))
+    release()
+  }
 }

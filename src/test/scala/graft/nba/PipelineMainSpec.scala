@@ -41,12 +41,13 @@ class PipelineMainSpec extends SparkSpec {
       .withColumn("PLAYER3_ID", lit(null).cast("long"))
       .withColumn("PLAYER3_TEAM_ID", lit(null).cast("long"))
 
-    val (rows, errors) = Lineups.withPlayersAndErrors(pbp, rotations)
+    val (rows, errors, release) = Lineups.withPlayersAndErrors(pbp, rotations)
     assert(rows.collect().map(_.GAME_ID).toSet == Set(G1))
     assert(rows.count() == 2)
     val errs = errors.collect()
     assert(errs.length == 1 && errs.head.GAME_ID == G2)
     assert(errs.head.error.contains("999"))
+    release()
   }
 
   test("non-delta rerun is idempotent (ON CONFLICT DO UPDATE semantics) and the quarantine heals") {
@@ -125,8 +126,9 @@ class PipelineMainSpec extends SparkSpec {
       .toDF("GAME_ID", "EVENTNUM", "EVENTMSGTYPE", "EVENTMSGACTIONTYPE", "PERIOD",
         "PCTIMESTRING", "PLAYER1_ID", "PLAYER1_TEAM_ID", "PLAYER2_ID", "PLAYER2_TEAM_ID",
         "PLAYER3_ID", "PLAYER3_TEAM_ID")
-    val (rows, errors) = Lineups.withPlayersAndErrors(pbp, rotations)
+    val (rows, errors, release) = Lineups.withPlayersAndErrors(pbp, rotations)
     assert(rows.count() == 0)
     assert(errors.count() == 0)
+    release()
   }
 }

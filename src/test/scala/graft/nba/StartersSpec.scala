@@ -92,6 +92,18 @@ class StartersSpec extends SparkSpec {
     assert(p2 == Set(99L), "period 2 must fall back to pbp (and is a violation, not silently dropped)")
   }
 
+  test("box rows for a period absent from the pbp never emit starters (dirty fetch)") {
+    val pbp = pbpOf(Seq[Row](
+      (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))
+    // dirty box data: a period-5 slice for a game whose pbp ends at period 1
+    val box = fullBox().unionByName(fullBox(period = 5))
+    val got = Starters.derive(pbp, box, strict = true)
+    assert(got.select(col("PERIOD")).distinct().as[Int].collect().toSeq == Seq(1),
+      "phantom period 5 must not surface")
+    assert(Starters.deriveFromBox(pbp, box)
+      .filter(col("PERIOD") === 5).count() == 0)
+  }
+
   test("strict derive passes when every pbp period has exactly 10 starters") {
     val pbp = pbpOf(Seq[Row](
       (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))

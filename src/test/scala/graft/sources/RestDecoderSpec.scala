@@ -46,6 +46,16 @@ class RestDecoderSpec extends SparkSpec {
     assert(rows.forall(_._1 == "0022400236"))
   }
 
+  test("cast fails loudly when the decoded frame lacks a declared column (API drift)") {
+    val parsed = RestDecoder.parse(Seq(envelope).toDS())
+    val away = RestDecoder.resultSet(parsed, "AwayTeam")
+    val drifted = StructType(Seq(
+      StructField("GAME_ID", StringType),
+      StructField("RENAMED_COLUMN", LongType)))
+    val e = intercept[IllegalArgumentException](RestDecoder.cast(away, drifted))
+    assert(e.getMessage.contains("RENAMED_COLUMN"))
+  }
+
   test("missing result set raises like the reference's KeyError path") {
     val parsed = RestDecoder.parse(Seq(envelope).toDS())
     intercept[IllegalArgumentException] {
