@@ -1,5 +1,7 @@
 package graft
 
+import graft.tools.Jsons.{str => js}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,20 +22,31 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // Best-of-2: single-shot timings showed one-off multi-second stalls
-      // (GC/scheduler noise) on queries that run in ~1s steady-state.
-      try { val a = run(); name -> math.min(a, run()) }
-      catch { case e: Throwable =>
+      // (GC/scheduler noise) on queries that run in ~1s steady-state. A
+      // second-run failure keeps the first, valid measurement — only a
+      // query that never succeeded is reported failed.
+      try {
+        val a = run()
+        val b =
+          try Some(run())
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] $name second run failed (keeping first timing): ${e.getMessage}")
+            None
+          }
+        name -> b.fold(a)(math.min(a, _))
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0 // sentinel: failed queries carry no timing (NaN isn't JSON)
       }
     }
     queries.DedupOps.release()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson = failed.map(js(_)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

@@ -11,14 +11,22 @@ import org.apache.spark.sql.SparkSession
   * and AQE coalesces the rest.
   */
 object Sessions {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** Parsed once: the same value feeds both local[N] and
+    * spark.sql.shuffle.partitions, so a master-only value like '*' must
+    * fail HERE with a clear message, not at the first shuffle. */
+  def cpus: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(raw.nonEmpty && raw.forall(_.isDigit) && raw.toInt > 0,
+      s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'")
+    raw.toInt
+  }
 
   def local(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

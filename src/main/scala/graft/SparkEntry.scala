@@ -26,10 +26,24 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    merged(modules.map(_._1), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+    merged(modules.map(_._2), "oracle")
+
+  /** Map ++ silently keeps only the LAST entry on a key collision — which
+    * here would shrink the graded inventory (or pair a query with another
+    * module's oracle) with no signal. Fail loudly instead. */
+  private def merged[V](maps: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val m = maps.reduce(_ ++ _)
+    require(m.size == maps.map(_.size).sum, {
+      val dupes = maps.flatMap(_.keys).groupBy(identity).collect {
+        case (k, ks) if ks.size > 1 => k
+      }
+      s"duplicate $what name(s) across modules: ${dupes.mkString(", ")}"
+    })
+    m
+  }
 }

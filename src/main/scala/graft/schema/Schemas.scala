@@ -11,6 +11,14 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §1.5). `GAME_ID` stays StringType everywhere — it is
   * zero-padded and characters encode season/season-type
   * (reference: utils/utils.py:66-79).
+  *
+  * Usage map: `stint`/`stints` and the case classes are load-bearing in
+  * the engine; `gameRotation` pins the golden-file read
+  * (GoldenRotationSpec). The remaining table StructTypes are the declared
+  * decode-time shapes for the fetch boundary (`RestDecoder.cast` — which
+  * now REQUIRES every declared column, so casting against these catches
+  * API drift at the source); the parquet ingest path reads the landed
+  * files' embedded schemas and does not re-apply them.
   */
 object Schemas {
 
