@@ -163,6 +163,41 @@ object VectorOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
     },
 
+    // Embedding-cosine near-dup at scale: random-hyperplane LSH (SimHash
+    // for vectors). Sixteen md5-derived ±1 hyperplanes give a 16-bit
+    // signature whose bits agree with probability 1 - θ/π; four 4-bit
+    // bands turn that into an equi-join (cost = candidates, never
+    // all-pairs), and the exact cosine verifies each candidate — the
+    // banded shape that replaces q34's exact kernel once N² is unpayable,
+    // with recall traded by (bits, bands) instead of compute. Bands join
+    // on the raw (band, 4-bit value) ints, so the candidate set — and
+    // therefore the output — is identical to the oracle's by construction.
+    "q37_hyperplane_lsh" -> { (s, dir) =>
+      val n = vecs(s, dir)
+      val sigCol = (0 until HyperplaneBits).map { j =>
+        when(VectorSim.dot(col("e"),
+          typedlit(hyperplaneSigns(j).toSeq)) > 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val bands = n.withColumn("sig", sigCol)
+        .select(col("vec_id"),
+          explode(array((0 until HyperplaneBits / HyperplaneBandBits).map(b =>
+            struct(lit(b).as("b"),
+              shiftright(col("sig"), HyperplaneBandBits * b)
+                .bitwiseAND((1 << HyperplaneBandBits) - 1).as("v"))): _*)).as("band"))
+        .select(col("vec_id"), col("band.b").as("b"), col("band.v").as("v"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
+        .join(n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          cos(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+        .filter(col("cos") >= NearDupThreshold)
+    },
+
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
     // `exists` prunes rows and `filter`+`size` counts hits over the
     // array<float> column in place — no explode, so the row count never
@@ -178,6 +213,24 @@ object VectorOps {
     })
 
   private val HotThreshold = 0.4 // probed: 15 of 500 rows at sf0.01
+
+  private val HyperplaneBits = 16
+  private val HyperplaneBandBits = 4 // 4 bands x 4 bits
+  private val Dim = 64
+
+  /** md5-derived ±1 hyperplane signs — deterministic and engine-portable:
+    * sign(j, i) = +1 iff the first hex char of md5("j-i") is >= '8'. The
+    * DuckDB oracle evaluates the SAME formula, so the signatures (and the
+    * band join) agree bit-for-bit; probed at sf0.01: 33 of the 59 exact
+    * q34 pairs recalled from ~23% of the all-pairs candidate volume. */
+  private[queries] lazy val hyperplaneSigns: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(HyperplaneBits, Dim) { (j, i) =>
+      val hex = md.digest(s"$j-$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (hex.charAt(0) >= '8') 1.0 else -1.0
+    }
+  }
 
   /** Shared vector CTE: double-cast elements + precomputed norm. DuckDB
     * list_zip yields unnamed structs — index with p[1]/p[2]. */
@@ -246,5 +299,29 @@ object VectorOps {
       s"""SELECT vec_id,
            len(list_filter(embedding, x -> x > $HotThreshold)) AS n_hot
          FROM embeddings
-         WHERE len(list_filter(embedding, x -> x > $HotThreshold)) > 0""")
+         WHERE len(list_filter(embedding, x -> x > $HotThreshold)) > 0""",
+    "q37_hyperplane_lsh" -> {
+      val sigSql = (0 until HyperplaneBits).map { j =>
+        val signs = "LIST_VALUE(" +
+          hyperplaneSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString(",") + ")"
+        s"""(CASE WHEN list_reduce(list_transform(list_zip(e, $signs),
+              p -> p[1] * p[2]), (a, b) -> a + b) > 0 THEN ${1 << j} ELSE 0 END)"""
+      }.mkString(" + ")
+      val bandsSql = (0 until HyperplaneBits / HyperplaneBandBits).map { b =>
+        s"SELECT vec_id, $b AS b, (sig // ${1 << (HyperplaneBandBits * b)}) % ${1 << HyperplaneBandBits} AS bv FROM sg"
+      }.mkString(" UNION ALL ")
+      s"""$vecCte,
+         sg AS (SELECT vec_id, e, nrm, $sigSql AS sig FROM n),
+         bands AS ($bandsSql),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         SELECT c.vec_a, c.vec_b,
+           ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
+         FROM cand c
+         JOIN n a ON a.vec_id = c.vec_a
+         JOIN n b ON b.vec_id = c.vec_b
+         WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold"""
+    })
 }
