@@ -70,52 +70,7 @@ object VectorOps {
     // 2N/B vectors — at 100 TB pick B ~ sqrt(cluster parallelism) (and run
     // LSH/IVF first, reserving this kernel for within-bucket verification).
     "q34_cosine_neardup" -> { (s, dir) =>
-      import s.implicits._
-      val n = vecs(s, dir)
-        .select(col("vec_id"), col("e"), col("nrm"))
-        .as[VecRow]
-      val nBlocks = allPairsBlocks(s)
-      val thr = NearDupThreshold
-      n.flatMap { v =>
-        val b = (math.floorMod(v.vec_id, nBlocks.toLong)).toInt
-        (0 until nBlocks).iterator.map { j =>
-          (math.min(b, j) * nBlocks + math.max(b, j), v)
-        }
-      }.groupByKey(_._1).flatMapGroups { (key: Int, it: Iterator[(Int, VecRow)]) =>
-        val p = key / nBlocks
-        val q = key % nBlocks
-        val xs = scala.collection.mutable.ArrayBuffer.empty[VecRow] // block p
-        val ys = scala.collection.mutable.ArrayBuffer.empty[VecRow] // block q
-        it.foreach { case (_, v) =>
-          if (math.floorMod(v.vec_id, nBlocks.toLong).toInt == p) xs += v else ys += v
-        }
-        def cosOf(a: VecRow, b: VecRow): Double = {
-          var dot = 0.0
-          var i = 0
-          while (i < a.e.length) { dot += a.e(i) * b.e(i); i += 1 }
-          dot / (a.nrm * b.nrm)
-        }
-        if (p == q) {
-          // within-block: each unordered pair once (i < j on sorted ids)
-          val arr = xs.toArray.sortBy(_.vec_id)
-          Iterator.range(0, arr.length).flatMap { i =>
-            Iterator.range(i + 1, arr.length).flatMap { j =>
-              val c = cosOf(arr(i), arr(j))
-              if (c >= thr) Some(PairCos(arr(i).vec_id, arr(j).vec_id, c)) else None
-            }
-          }
-        } else {
-          // cross-block only: within-block pairs belong to the diagonal
-          // groups, so no pair is emitted twice across groups
-          xs.iterator.flatMap { a =>
-            ys.iterator.flatMap { b =>
-              val (lo, hi) = if (a.vec_id < b.vec_id) (a, b) else (b, a)
-              val c = cosOf(lo, hi)
-              if (c >= thr) Some(PairCos(lo.vec_id, hi.vec_id, c)) else None
-            }
-          }
-        }
-      }.toDF("vec_a", "vec_b", "cos")
+      exactNearDup(vecs(s, dir), NearDupThreshold, allPairsBlocks(s))(s)
     },
 
     // Brute-force cosine top-k: small broadcast query set against the full
@@ -173,29 +128,7 @@ object VectorOps {
     // on the raw (band, 4-bit value) ints, so the candidate set — and
     // therefore the output — is identical to the oracle's by construction.
     "q37_hyperplane_lsh" -> { (s, dir) =>
-      val n = vecs(s, dir)
-      val sigCol = (0 until HyperplaneBits).map { j =>
-        when(VectorSim.dot(col("e"),
-          typedlit(hyperplaneSigns(j).toSeq)) > 0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-      val bands = n.withColumn("sig", sigCol)
-        .select(col("vec_id"),
-          explode(array((0 until HyperplaneBits / HyperplaneBandBits).map(b =>
-            struct(lit(b).as("b"),
-              shiftright(col("sig"), HyperplaneBandBits * b)
-                .bitwiseAND((1 << HyperplaneBandBits) - 1).as("v"))): _*)).as("band"))
-        .select(col("vec_id"), col("band.b").as("b"), col("band.v").as("v"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
-      cand
-        .join(n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
-        .join(n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          cos(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
-        .filter(col("cos") >= NearDupThreshold)
+      lshNearDup(vecs(s, dir), NearDupThreshold)
     },
 
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
@@ -230,6 +163,87 @@ object VectorOps {
         .map(b => f"$b%02x").mkString
       if (hex.charAt(0) >= '8') 1.0 else -1.0
     }
+  }
+
+  /** Exact all-pairs cosine near-dup over (vec_id, e, nrm) rows — the
+    * distributed triangle-block kernel behind q34 (see the q34 query notes
+    * for the cost model). Public as a DataFrame-in operator so callers can
+    * run it globally at small N or WITHIN LSH/IVF buckets at scale. */
+  def exactNearDup(n0: DataFrame, threshold: Double, nBlocks: Int)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val n = n0.select(col("vec_id"), col("e"), col("nrm")).as[VecRow]
+    val thr = threshold
+    n.flatMap { v =>
+      val b = (math.floorMod(v.vec_id, nBlocks.toLong)).toInt
+      (0 until nBlocks).iterator.map { j =>
+        (math.min(b, j) * nBlocks + math.max(b, j), v)
+      }
+    }.groupByKey(_._1).flatMapGroups { (key: Int, it: Iterator[(Int, VecRow)]) =>
+      val p = key / nBlocks
+      val q = key % nBlocks
+      val xs = scala.collection.mutable.ArrayBuffer.empty[VecRow] // block p
+      val ys = scala.collection.mutable.ArrayBuffer.empty[VecRow] // block q
+      it.foreach { case (_, v) =>
+        if (math.floorMod(v.vec_id, nBlocks.toLong).toInt == p) xs += v else ys += v
+      }
+      def cosOf(a: VecRow, b: VecRow): Double = {
+        var dot = 0.0
+        var i = 0
+        while (i < a.e.length) { dot += a.e(i) * b.e(i); i += 1 }
+        dot / (a.nrm * b.nrm)
+      }
+      if (p == q) {
+        // within-block: each unordered pair once (i < j on sorted ids)
+        val arr = xs.toArray.sortBy(_.vec_id)
+        Iterator.range(0, arr.length).flatMap { i =>
+          Iterator.range(i + 1, arr.length).flatMap { j =>
+            val c = cosOf(arr(i), arr(j))
+            if (c >= thr) Some(PairCos(arr(i).vec_id, arr(j).vec_id, c)) else None
+          }
+        }
+      } else {
+        // cross-block only: within-block pairs belong to the diagonal
+        // groups, so no pair is emitted twice across groups
+        xs.iterator.flatMap { a =>
+          ys.iterator.flatMap { b =>
+            val (lo, hi) = if (a.vec_id < b.vec_id) (a, b) else (b, a)
+            val c = cosOf(lo, hi)
+            if (c >= thr) Some(PairCos(lo.vec_id, hi.vec_id, c)) else None
+          }
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Hyperplane-LSH cosine near-dup over (vec_id, e, nrm) rows — the
+    * banded scale path behind q37 (see the q37 query notes): signature,
+    * band equi-join on raw small ints, exact-cosine verification of the
+    * candidates. Recall is traded by (HyperplaneBits, HyperplaneBandBits);
+    * precision is exact — every emitted pair's cosine clears `threshold`. */
+  def lshNearDup(n: DataFrame, threshold: Double): DataFrame = {
+    val sigCol = (0 until HyperplaneBits).map { j =>
+      when(VectorSim.dot(col("e"),
+        typedlit(hyperplaneSigns(j).toSeq)) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    val bands = n.withColumn("sig", sigCol)
+      .select(col("vec_id"),
+        explode(array((0 until HyperplaneBits / HyperplaneBandBits).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("sig"), HyperplaneBandBits * b)
+              .bitwiseAND((1 << HyperplaneBandBits) - 1).as("v"))): _*)).as("band"))
+      .select(col("vec_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cos(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Shared vector CTE: double-cast elements + precomputed norm. DuckDB
