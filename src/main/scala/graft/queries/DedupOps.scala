@@ -127,6 +127,87 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash + LSH banding over a shingle frame (see shingledOf), then
+    * exact-Jaccard verification of the candidates — the q31 operator as a
+    * DataFrame-in function.
+    *
+    * Signatures via posting-explode + groupBy-min rather than nested array
+    * HOFs: one md5 per (doc, shingle) posting, then eight 16-bit
+    * min-slices as a map-side-combinable aggregate (the HOF form inlines
+    * the md5-per-shingle array into each array_min projection — no CSE
+    * across lambda bodies; profiled ~30% slower). Bands join on one hashed
+    * (band, value) long: a collision can only ADD a candidate, which the
+    * exact verification keeps only if its true Jaccard clears the
+    * threshold. */
+  def minhashNearDup(shingles: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val post = shingles.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("t", md5(col("g")))
+    val sig = post.groupBy(col("doc_id"))
+      .agg(min(substring(col("t"), 1, 4)).as("h0"),
+        (1 until NumHashes).map(j =>
+          min(substring(col("t"), 4 * j + 1, 4)).as(s"h$j")): _*)
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("b"),
+        concat((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("v"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), xxhash64(col("band.b"), col("band.v")).as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Shingles.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup over a shingle frame — the q32 operator as a
+    * DataFrame-in function: per-shingle pseudo-random bits from md5,
+    * majority vote per bit, banded self-join (exact for hamming <=
+    * `hammingMax` = bands - 1 by pigeonhole).
+    *
+    * Bit i votes on whether hex char i of the per-shingle md5 is >= '8'
+    * (the top bit of nibble i); the digest is parsed once into four 32-bit
+    * words and the votes are shift/mask arithmetic — same bits as the
+    * per-character compare the oracle phrases, no 32 UTF8String slices per
+    * posting (profiled ~40% off the scoring aggregate). */
+  def simhashNearDup(shingles: DataFrame,
+      hammingMax: Int = HammingMax): DataFrame = {
+    val gs = shingles
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id") +: (0 until SimBits / 8).map(k =>
+        conv(substring(md5(col("g")), 8 * k + 1, 8), 16, 10)
+          .cast("long").as(s"v$k")): _*)
+    val scoreCols = (0 until SimBits).map { i =>
+      val k = i / 8 // word holding hex char i
+      val j = i % 8 // char position within the word; nibble top bit = 31 - 4j
+      sum(shiftright(col(s"v$k"), 31 - 4 * j).bitwiseAND(1) * 2 - 1).as(s"s$i")
+    }
+    val scored = gs.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
+    val sim = scored.select(col("doc_id"),
+      (0 until SimBits).map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
+        .reduce(_ + _).cast("long").as("sh"))
+    val bands = sim.select(col("doc_id"), col("sh"),
+      explode(array((0 until SimBits / SimBandBits).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("sh"), SimBandBits * b)
+            .bitwiseAND((1 << SimBandBits) - 1).as("v"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("sh"), col("band.b").as("b"), col("band.v").as("v"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy (map-side combinable at any scale).
     "q30_dedup_exact" -> { (s, dir) =>
@@ -137,83 +218,13 @@ object DedupOps {
 
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
     "q31_minhash_lsh" -> { (s, dir) =>
-      val sh = shingled(s, dir)
-      // Signatures via posting-explode + groupBy-min rather than nested
-      // array HOFs: one md5 per (doc, shingle) posting, then eight 16-bit
-      // min-slices as a map-side-combinable aggregate. The HOF form inlines
-      // the md5-per-shingle array into each of the eight array_min
-      // projections (no CSE across lambda bodies), and the narrow posting
-      // stream aggregates faster than per-row array traversals (profiled
-      // ~30% off the query at sf0.1); same values either way.
-      val post = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        .withColumn("t", md5(col("g")))
-      val sig = post.groupBy(col("doc_id"))
-        .agg(min(substring(col("t"), 1, 4)).as("h0"),
-          (1 until NumHashes).map(j =>
-            min(substring(col("t"), 4 * j + 1, 4)).as(s"h$j")): _*)
-      val bandCols = (0 until NumHashes / BandRows).map { b =>
-        struct(lit(b).as("b"),
-          concat((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("v"))
-      }
-      // Join on one hashed (band, value) long instead of the (int, string)
-      // pair: smaller shuffle, cheaper probe (profiled ~20% off the
-      // candidate join). A hash collision can only ADD a candidate pair;
-      // verification then keeps it only if its EXACT Jaccard clears the
-      // threshold — so a collision can at worst surface a true near-dup
-      // the bands alone would have missed (~2^-64 per pair), never a
-      // wrong pair.
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), xxhash64(col("band.b"), col("band.v")).as("bv"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          Shingles.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
+      minhashNearDup(shingled(s, dir))
     },
 
     // SimHash near-dup: per-shingle pseudo-random bits from md5, majority
     // vote per bit, banded self-join (exact for hamming <= 3 by pigeonhole).
     "q32_simhash" -> { (s, dir) =>
-      // Bit i of the signature votes on whether hex char i of the
-      // per-shingle md5 is >= '8', i.e. on the TOP bit of nibble i. The
-      // oracle phrases that as a per-character substring compare; here the
-      // digest is parsed once into four 32-bit words and the votes are
-      // shift/mask arithmetic — same bits, no 32 UTF8String slices per
-      // posting (profiled ~40% off the scoring aggregate).
-      val gs = shingled(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id") +: (0 until SimBits / 8).map(k =>
-          conv(substring(md5(col("g")), 8 * k + 1, 8), 16, 10)
-            .cast("long").as(s"v$k")): _*)
-      val scoreCols = (0 until SimBits).map { i =>
-        val k = i / 8 // word holding hex char i
-        val j = i % 8 // char position within the word; nibble top bit = 31 - 4j
-        sum(shiftright(col(s"v$k"), 31 - 4 * j).bitwiseAND(1) * 2 - 1).as(s"s$i")
-      }
-      val scored = gs.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
-      val sim = scored.select(col("doc_id"),
-        (0 until SimBits).map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
-          .reduce(_ + _).cast("long").as("sh"))
-      val bands = sim.select(col("doc_id"), col("sh"),
-        explode(array((0 until SimBits / SimBandBits).map(b =>
-          struct(lit(b).as("b"),
-            shiftright(col("sh"), SimBandBits * b)
-              .bitwiseAND((1 << SimBandBits) - 1).as("v"))): _*))
-          .as("band"))
-        .select(col("doc_id"), col("sh"), col("band.b").as("b"), col("band.v").as("v"))
-      bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= HammingMax)
+      simhashNearDup(shingled(s, dir))
     },
 
     // Exact n-gram Jaccard via inverted-index (posting-list) self-join
