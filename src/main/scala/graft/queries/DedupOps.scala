@@ -208,6 +208,54 @@ object DedupOps {
       .filter(col("hamming") <= hammingMax)
   }
 
+  /** Collapse near-dup PAIRS into components: each doc labeled with the
+    * minimum doc_id reachable through the pair graph — what turns any of
+    * the pair-producing passes above into an actual corpus dedup. Labels
+    * converge by iterative min-propagation (each round one join + one
+    * map-side-combinable min-agg; rounds needed = component diameter,
+    * which for near-dup clusters is tiny), the standard no-GraphX
+    * connected-components shape at corpus scale. Only docs that appear in
+    * a pair are returned. Throws if `maxIter` rounds do not converge
+    * (pathological chain longer than maxIter). */
+  def components(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"components did not converge within $maxIter rounds")
+    labels
+  }
+
+  /** The full corpus-dedup operator: given documents and near-dup pairs
+    * (from minhashNearDup / simhashNearDup / ngramJaccard), keep one
+    * canonical document per component — the min doc_id, like the exact
+    * pass's min(doc_id) canonical — and every untouched document. */
+  def dedupeCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = components(pairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy (map-side combinable at any scale).
     "q30_dedup_exact" -> { (s, dir) =>

@@ -45,4 +45,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(removed.forall { case (a, b, _) => a <= 6 && b <= 6 })
     assert(removed.size == 15) // C(6,2) identical copies, jaccard 1.0 each
   }
+
+  test("components: min-label propagation converges across chains and leaves islands apart") {
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L), // a 4-doc chain
+      (100L, 200L))                       // a separate pair
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      100L -> 100L, 200L -> 100L))
+  }
+
+  test("dedupeCorpus keeps one canonical per component plus every untouched doc") {
+    val corpus = docs // ids 1-9
+    val pairs = DedupOps.ngramJaccard(DedupOps.shingledOf(corpus))
+    val kept = DedupOps.dedupeCorpus(corpus, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1-6 are one identical-text component (canonical 1), 7-8 another
+    // (canonical 7), 9 is untouched
+    assert(kept == Set(1L, 7L, 9L))
+  }
 }
