@@ -97,9 +97,14 @@ object Multimodal {
   def similarMedia(media: DataFrame, queryIds: Seq[Long], topK: Int)(
       implicit spark: SparkSession): DataFrame = {
     import graft.ops.VectorSim
+    // nrm > 0: a degenerate (empty/zero) payload has an all-zero feature
+    // vector whose cosine is NaN, and Spark SQL sorts NaN above every real
+    // similarity — without the guard such media would rank first in every
+    // query's top-k
     def featsOf(df: DataFrame) = extractFeatures(df).toDF()
       .select(col("media_id"), VectorSim.toDouble(col("features")).as("e"))
       .withColumn("nrm", VectorSim.norm(col("e")))
+      .filter(col("nrm") > 0)
     val feats = featsOf(media)
     // filter BEFORE extraction: mapPartitions is an optimizer barrier, so
     // an id filter above it would decode the whole corpus a second time

@@ -93,7 +93,8 @@ object Lineups {
       pbp: DataFrame,
       rotations: DataFrame,
       starters: Option[DataFrame],
-      teamGameLog: Option[DataFrame])(
+      teamGameLog: Option[DataFrame],
+      sanitize: Boolean)(
       implicit spark: SparkSession):
       (Dataset[PbpEvent], Dataset[String], Dataset[GameSide]) = {
     import spark.implicits._
@@ -101,11 +102,26 @@ object Lineups {
       if (pbp.columns.contains("SECONDS_FROM_START")) pbp
       else pbp.withColumn("SECONDS_FROM_START",
         GameClock.secondsFromStart(col("PERIOD"), col("PCTIMESTRING")))
+    // a null GAME_ID is itself undecodable (the row cannot be attributed
+    // to a game, and a null key would slip through the null-unsafe
+    // anti-join below) — fold it into the bad set under a sentinel id
     val badGames = withSfs
-      .filter(RequiredEventCols.map(col(_).isNull).reduce(_ || _))
-      .select(col("GAME_ID")).distinct().as[String]
-    val ev = withSfs
-      .join(badGames.toDF("GAME_ID"), Seq("GAME_ID"), "left_anti")
+      .filter(col("GAME_ID").isNull ||
+        RequiredEventCols.map(col(_).isNull).reduce(_ || _))
+      .select(coalesce(col("GAME_ID"), lit("<null GAME_ID>")).as("GAME_ID"))
+      .distinct().as[String]
+    val base =
+      if (sanitize)
+        // quarantine path: undecodable games are split off so the encoder
+        // never sees them
+        withSfs.filter(col("GAME_ID").isNotNull)
+          .join(badGames.toDF("GAME_ID"), Seq("GAME_ID"), "left_anti")
+      else
+        // fail-fast path: left unsanitized ON PURPOSE so the encoder's
+        // non-null violation aborts the job at action time (lazy — no job
+        // runs at plan construction)
+        withSfs
+    val ev = base
       .select(col("GAME_ID"), col("EVENTNUM"), col("EVENTMSGTYPE"),
         col("EVENTMSGACTIONTYPE"), col("PERIOD"), col("PCTIMESTRING"),
         col("SECONDS_FROM_START"), col("PLAYER1_ID"), col("PLAYER1_TEAM_ID"),
@@ -133,17 +149,12 @@ object Lineups {
       teamGameLog: Option[DataFrame] = None,
       failFast: Boolean = false)(implicit spark: SparkSession): Dataset[PbpWithPlayers] = {
     import spark.implicits._
-    val (ev, badGames, side) = prepare(pbp, rotations, starters, teamGameLog)
-    if (failFast) {
-      // fail-fast keeps the reference's raise: the first undecodable game
-      // aborts the job with its id in the message (an eager, tiny action)
-      val bad = badGames.take(1)
-      require(bad.isEmpty, s"undecodable play-by-play for game ${bad.mkString}" +
-        s" (null in one of ${RequiredEventCols.mkString("/")})")
-    }
     // with failFast off, undecodable games are simply absent from the
     // output (log-and-continue semantics; withPlayersAndErrors lands them
-    // in the quarantine channel instead)
+    // in the quarantine channel instead); with failFast on the events stay
+    // unsanitized so the encoder's violation aborts at action time
+    val (ev, _, side) =
+      prepare(pbp, rotations, starters, teamGameLog, sanitize = !failFast)
     ev.groupByKey(_.GAME_ID).cogroup(side.groupByKey(_.GAME_ID)) { (gid, evIt, sideIt) =>
       runGame(gid, evIt, sideIt) match {
         case Success(rows) => rows.iterator
@@ -168,7 +179,8 @@ object Lineups {
       implicit spark: SparkSession):
       (Dataset[PbpWithPlayers], Dataset[GameError], () => Unit) = {
     import spark.implicits._
-    val (ev, badGames, side) = prepare(pbp, rotations, starters, teamGameLog)
+    val (ev, badGames, side) =
+      prepare(pbp, rotations, starters, teamGameLog, sanitize = true)
     val decodeErrors = badGames.map(g => GameError(g,
       s"undecodable play-by-play: null in one of ${RequiredEventCols.mkString("/")}"))
     val outcomes = ev.groupByKey(_.GAME_ID)

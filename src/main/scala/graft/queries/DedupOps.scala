@@ -225,24 +225,33 @@ object DedupOps {
       .withColumn("label", col("doc_id")).persist()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
+    try {
+      while (!converged && iter < maxIter) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("label")).as("nlabel"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .persist()
+        converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+          .filter(col("label") =!= col("old")).isEmpty
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      require(converged, s"components did not converge within $maxIter rounds")
+      // localCheckpoint(eager): materialize the result WITHOUT the
+      // iterative lineage, so every loop intermediate can be released
+      // here and now; the checkpoint blocks themselves are cleaned by
+      // Spark's ContextCleaner once the caller drops the frame
+      labels.localCheckpoint(true)
+    } finally {
       labels.unpersist()
-      labels = next
-      iter += 1
+      edges.unpersist()
+      ()
     }
-    edges.unpersist()
-    require(converged, s"components did not converge within $maxIter rounds")
-    labels
   }
 
   /** The full corpus-dedup operator: given documents and near-dup pairs

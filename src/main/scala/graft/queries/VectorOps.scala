@@ -221,7 +221,12 @@ object VectorOps {
     * band equi-join on raw small ints, exact-cosine verification of the
     * candidates. Recall is traded by (HyperplaneBits, HyperplaneBandBits);
     * precision is exact — every emitted pair's cosine clears `threshold`. */
-  def lshNearDup(n: DataFrame, threshold: Double): DataFrame = {
+  def lshNearDup(n0: DataFrame, threshold: Double): DataFrame = {
+    // zero-norm vectors produce NaN cosines, and Spark SQL orders NaN
+    // ABOVE every value (so `NaN >= threshold` is true) — without this
+    // guard q37 would emit NaN pairs the exact kernel (JVM `>=`, NaN
+    // false) never does. The oracle applies the same nrm > 0 filter.
+    val n = n0.filter(col("nrm") > 0)
     val sigCol = (0 until HyperplaneBits).map { j =>
       when(VectorSim.dot(col("e"),
         typedlit(hyperplaneSigns(j).toSeq)) > 0, 1 << j).otherwise(0)
@@ -309,11 +314,15 @@ object VectorOps {
            FROM scored)
          SELECT query_id, vec_id AS neighbor_id, rank, cos
          FROM ranked WHERE rank <= $IvfK""",
+    // CAST(x AS DOUBLE): Spark promotes the float element to double
+    // against the double literal; without the explicit cast DuckDB could
+    // compare in FLOAT (its DECIMAL literal sits below FLOAT) and an
+    // element equal to float(0.4) would flip membership between engines
     "q44_array_exists" ->
       s"""SELECT vec_id,
-           len(list_filter(embedding, x -> x > $HotThreshold)) AS n_hot
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) AS n_hot
          FROM embeddings
-         WHERE len(list_filter(embedding, x -> x > $HotThreshold)) > 0""",
+         WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) > 0""",
     "q37_hyperplane_lsh" -> {
       val sigSql = (0 until HyperplaneBits).map { j =>
         val signs = "LIST_VALUE(" +
@@ -325,7 +334,7 @@ object VectorOps {
         s"SELECT vec_id, $b AS b, (sig // ${1 << (HyperplaneBandBits * b)}) % ${1 << HyperplaneBandBits} AS bv FROM sg"
       }.mkString(" UNION ALL ")
       s"""$vecCte,
-         sg AS (SELECT vec_id, e, nrm, $sigSql AS sig FROM n),
+         sg AS (SELECT vec_id, e, nrm, $sigSql AS sig FROM n WHERE nrm > 0),
          bands AS ($bandsSql),
          cand AS (
            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
