@@ -28,62 +28,68 @@ object TextOps {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
 
+  /** Token counting over any frame with (doc_id, text) — the q40
+    * operator as a DataFrame-in function. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_word_tokens"),
+      length(col("text")).as("n_chars_measured"))
+
+  /** Quality scoring (q41): stopword ratio, mean token length, weighted
+    * quality — the length/punct/stopword heuristics of a filter pass. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens
+    val nTok = size(toks)
+    val stopHits = hitCount(toks, StopEn)
+    val totTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val stopRatio = stopHits.cast("double") / nTok.cast("double")
+    val meanTokLen = totTokLen.cast("double") / nTok.cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      nTok.as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      meanTokLen.as("mean_tok_len"),
+      ((lit(1.0) - stopRatio) * lit(0.5) + when(meanTokLen >= 3.0 && meanTokLen <= 6.0, 0.5).otherwise(0.0))
+        .as("quality"))
+  }
+
+  /** Language id (q42) by n-gram/stopword heuristic: score per candidate
+    * set, argmax with a fixed precedence tiebreak. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens
+    val sEn = hitCount(toks, Seq("the", "a", "row", "table"))
+    val sDb = hitCount(toks, Seq("data", "query", "value"))
+    val sOp = hitCount(toks, Seq("merge", "join", "sort"))
+    docs.select(
+      col("doc_id"),
+      sEn.as("s_en"), sDb.as("s_db"), sOp.as("s_op"),
+      when(sEn >= sDb && sEn >= sOp, "en")
+        .when(sDb >= sOp, "db").otherwise("op").as("predicted"))
+  }
+
+  /** Document fingerprinting (q43): md5 of normalized text, grouped — the
+    * canonical-doc map an exact-dedup pass keys on. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish word-regex token count.
-    "q40_token_count" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          size(tokens).as("n_ws_tokens"),
-          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_word_tokens"),
-          length(col("text")).as("n_chars_measured"))
-    },
+    "q40_token_count" -> { (s, dir) => tokenCounts(Tables.documents(s, dir)) },
 
-    // Quality scoring: stopword ratio, mean token length, and a weighted
-    // quality score — the length/punct/stopword heuristics of a corpus
-    // filter pass.
-    "q41_quality_score" -> { (s, dir) =>
-      val toks = tokens
-      val nTok = size(toks)
-      val stopHits = hitCount(toks, StopEn)
-      val totTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
-      val stopRatio = stopHits.cast("double") / nTok.cast("double")
-      val meanTokLen = totTokLen.cast("double") / nTok.cast("double")
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          length(col("text")).as("n_chars_measured"),
-          nTok.as("n_tokens"),
-          stopRatio.as("stop_ratio"),
-          meanTokLen.as("mean_tok_len"),
-          ((lit(1.0) - stopRatio) * lit(0.5) + when(meanTokLen >= 3.0 && meanTokLen <= 6.0, 0.5).otherwise(0.0))
-            .as("quality"))
-    },
+    // Quality scoring (see qualityScore).
+    "q41_quality_score" -> { (s, dir) => qualityScore(Tables.documents(s, dir)) },
 
-    // Language id by n-gram/stopword heuristic: score per candidate set,
-    // argmax with a fixed precedence tiebreak.
-    "q42_lang_id" -> { (s, dir) =>
-      val toks = tokens
-      val sEn = hitCount(toks, Seq("the", "a", "row", "table"))
-      val sDb = hitCount(toks, Seq("data", "query", "value"))
-      val sOp = hitCount(toks, Seq("merge", "join", "sort"))
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          sEn.as("s_en"), sDb.as("s_db"), sOp.as("s_op"),
-          when(sEn >= sDb && sEn >= sOp, "en")
-            .when(sDb >= sOp, "db").otherwise("op").as("predicted"))
-    },
+    // Language id (see langId).
+    "q42_lang_id" -> { (s, dir) => langId(Tables.documents(s, dir)) },
 
-    // Document fingerprinting: md5 of whitespace-normalized text, grouped —
-    // the canonical-doc map an exact-dedup pass keys on.
-    "q43_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"))
-        .groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
-    })
+    // Fingerprinting (see fingerprint).
+    "q43_fingerprint" -> { (s, dir) => fingerprint(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
