@@ -36,6 +36,21 @@ object GameIds {
       .when(substring(gameId, 3, 1) === "4", "Playoffs")
       .otherwise(lit(null).cast("string"))
 
+  /** Driver-side twin of [[extractSeason]], for request-scope decisions
+    * made before any DataFrame exists (the fetch front). Same rendering. */
+  def seasonOfId(gameId: String): String = {
+    val yy = gameId.substring(3, 5).toInt
+    f"${yy + 2000}%d-${(yy + 1) % 100}%02d"
+  }
+
+  /** Driver-side twin of [[extractSeasonType]]; null for unknown codes. */
+  def seasonTypeOfId(gameId: String): String = gameId.charAt(2) match {
+    case '1' => "Pre Season"
+    case '2' => "Regular Season"
+    case '4' => "Playoffs"
+    case _ => null
+  }
+
   /** F5: synthetic primary key = dash-joined natural-key columns cast to
     * string (reference: utils/utils.py:57-60).
     *

@@ -44,13 +44,23 @@ object IngestMain {
         sys.exit(2)
     }
 
-  /** The job body, on a caller-owned session (testable; main owns its own). */
-  def runWith(spark0: SparkSession, args: PipelineArgs.Args): Unit = {
+  /** The job body, on a caller-owned session (testable; main owns its own).
+    *
+    * With a `transport`, the job is the WHOLE reference script: the fetch
+    * front ([[Fetch.landRaw]]) enumerates the scope, fans the requests out
+    * over the cluster, decodes, and lands `<input>/<table>_raw` itself;
+    * without one (this zero-egress environment's default) the raw table is
+    * read pre-landed, exactly as before. */
+  def runWith(spark0: SparkSession, args: PipelineArgs.Args,
+      transport: Option[graft.sources.Fetcher.Transport] = None): Unit = {
     implicit val spark: SparkSession = spark0
     require(args.table.exists(Tables.contains),
       s"--table must be one of ${Tables.mkString(", ")}; got ${args.table.getOrElse("<none>")}")
     val table = args.table.get
-    val raw = spark.read.parquet(s"${args.input}/${table}_raw")
+    val raw = transport match {
+      case Some(t) => Fetch.landRaw(table, args, t)
+      case None => spark.read.parquet(s"${args.input}/${table}_raw")
+    }
     val outDir = s"${args.output}/$table"
     graft.sources.Warehouse.recover(spark, outDir) // heal swaps before any read
 
