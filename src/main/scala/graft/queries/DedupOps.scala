@@ -211,44 +211,72 @@ object DedupOps {
   /** Collapse near-dup PAIRS into components: each doc labeled with the
     * minimum doc_id reachable through the pair graph — what turns any of
     * the pair-producing passes above into an actual corpus dedup. Labels
-    * converge by iterative min-propagation (each round one join + one
-    * map-side-combinable min-agg; rounds needed = component diameter,
-    * which for near-dup clusters is tiny), the standard no-GraphX
-    * connected-components shape at corpus scale. Only docs that appear in
-    * a pair are returned. Throws if `maxIter` rounds do not converge
-    * (pathological chain longer than maxIter). */
-  def components(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    * converge by iterative min-propagation, the standard no-GraphX
+    * connected-components shape at corpus scale.
+    *
+    * Cost model: ONE Spark job per round — the round's `count` action both
+    * materializes the persisted propagation result and yields the
+    * convergence signal (labels only ever decrease, so `label < old` counts
+    * exactly the docs that moved; zero moved = converged). Rounds needed =
+    * component diameter + 1 — for near-dup clusters, single digits; the
+    * default budget of 50 covers any plausible corpus (a 50-hop near-dup
+    * chain means the threshold, not the algorithm, is wrong). A graph that
+    * genuinely exceeds the budget fails loudly rather than returning
+    * silently-unmerged labels; raise `maxIter` (or switch the propagation
+    * to large-star/small-star alternation, which converges in O(log n)
+    * rounds) if that day comes. Only docs that appear in a pair are
+    * returned. */
+  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds executed —
+    * package-visible so the volume spec can pin rounds = diameter + 1. */
+  private[graft] def componentsWithRounds(pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+      .withColumn("label", col("doc_id"))
+    var prev: Option[DataFrame] = None
     var iter = 0
-    var converged = false
+    var changed = 1L
+    var ok = false
     try {
-      while (!converged && iter < maxIter) {
+      while (changed > 0 && iter < maxIter) {
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
           .groupBy(col("dst").as("doc_id"))
           .agg(min(col("label")).as("nlabel"))
+        // ONE job per round: localCheckpoint(eager) materializes the round
+        // AND truncates lineage (a persist would keep stacking the
+        // iterative plan — analysis cost grows per round and a ~30-round
+        // chain overflows the tree-string stack), while the Observation
+        // rides the same job to deliver the convergence signal (labels
+        // only ever decrease, so `label < old` counts exactly the moves) —
+        // no second join + isEmpty probe, no extra action at all
+        val obs = org.apache.spark.sql.Observation()
         val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("label").as("old"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .persist()
-        converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-          .filter(col("label") =!= col("old")).isEmpty
-        labels.unpersist()
+          .observe(obs, count(when(col("label") < col("old"), true)).as("changed"))
+          .select(col("doc_id"), col("label"))
+          .localCheckpoint(true)
+        changed = obs.get("changed").asInstanceOf[Long]
+        // the new checkpoint is self-contained — the previous round's
+        // blocks are dead weight and can be dropped NOW
+        prev.foreach(_.unpersist())
+        prev = Some(next)
         labels = next
         iter += 1
       }
-      require(converged, s"components did not converge within $maxIter rounds")
-      // localCheckpoint(eager): materialize the result WITHOUT the
-      // iterative lineage, so every loop intermediate can be released
-      // here and now; the checkpoint blocks themselves are cleaned by
-      // Spark's ContextCleaner once the caller drops the frame
-      labels.localCheckpoint(true)
+      require(changed == 0, s"components did not converge within $maxIter rounds")
+      ok = true
+      (labels, iter)
     } finally {
-      labels.unpersist()
+      // on failure release the last round too; on success the caller owns
+      // the returned checkpoint (ContextCleaner reaps it when dropped)
+      if (!ok) prev.foreach(_.unpersist())
       edges.unpersist()
       ()
     }
@@ -288,6 +316,13 @@ object DedupOps {
     // (dfMax off: the oracle replicates the exact variant).
     "q33_ngram_jaccard" -> { (s, dir) =>
       ngramJaccard(shingled(s, dir))
+    },
+
+    // Corpus-dedup capstone: the q31 pair set collapsed into connected
+    // components (min reachable doc_id per doc) — the oracle recomputes the
+    // same pairs and walks reachability with a recursive CTE.
+    "q38_components" -> { (s, dir) =>
+      components(minhashNearDup(shingled(s, dir)))
     })
 
   /** Shared shingle CTE (mirrors `shingled`). */
@@ -311,6 +346,27 @@ object DedupOps {
       .map(b => s"SELECT doc_id, $b AS b, h${2 * b} || h${2 * b + 1} AS v FROM m")
       .mkString(" UNION ALL ")
 
+  /** MinHash candidate chain (assumes `s` from [[shingleCte]] in scope). */
+  private val minhashCandCte =
+    s"""hs AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hs FROM s),
+       m AS (SELECT doc_id, sh, $minhashSelect FROM hs),
+       bands AS ($bandUnion),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)"""
+
+  /** Exact-Jaccard verification of the candidates — the q31 result shape. */
+  private val minhashPairsSelect =
+    s"""SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+       FROM cand c
+       JOIN s a ON a.doc_id = c.doc_a
+       JOIN s b ON b.doc_id = c.doc_b
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $JaccardThreshold"""
+
   private val simScores =
     (0 until SimBits)
       .map(i => s"sum(CASE WHEN substr(t, ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
@@ -328,21 +384,22 @@ object DedupOps {
          FROM documents GROUP BY 1""",
     "q31_minhash_lsh" ->
       s"""$shingleCte,
-         hs AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hs FROM s),
-         m AS (SELECT doc_id, sh, $minhashSelect FROM hs),
-         bands AS ($bandUnion),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM bands x JOIN bands y
-             ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
-         SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-         FROM cand c
-         JOIN s a ON a.doc_id = c.doc_a
-         JOIN s b ON b.doc_id = c.doc_b
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $JaccardThreshold""",
+         $minhashCandCte
+         $minhashPairsSelect""",
+    "q38_components" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         $minhashCandCte,
+         pairs AS ($minhashPairsSelect),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS doc_id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS doc_id, r.label AS label
+           FROM reach r JOIN edges e ON e.src = r.doc_id)
+         SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id""",
     "q32_simhash" ->
       s"""$shingleCte,
          tok AS (SELECT doc_id, md5(unnest(sh)) AS t FROM s),
