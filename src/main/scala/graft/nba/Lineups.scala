@@ -213,7 +213,18 @@ object Lineups {
       team1: Long, team2: Long,
       cur1: Seq[Long], cur2: Seq[Long],
       initialized: Boolean,
-      seenEventnums: Seq[Long] = Seq.empty)
+      seenEventnums: Seq[Long] = Seq.empty,
+      // the game's roster/starters/matchup side input, delivered ONCE via
+      // the streaming initial-state API and carried in the state store —
+      // the at-scale replacement for a driver-held roster map (a game is
+      // ~20 small rows, so state residency beats re-shipping the roster on
+      // every event through a stream-static join)
+      side: Seq[GameSide] = Seq.empty)
+
+  /** Initial state carrying only the roster — what the streaming trackers
+    * seed each game with before its first event arrives. */
+  def rosterState(side: Seq[GameSide]): LineupState =
+    LineupState(0L, 0L, Nil, Nil, initialized = false, side = side)
 
   /** One game, in memory (a game is ~500 events + ~20 roster rows). */
   private[graft] def processGame(
@@ -335,7 +346,10 @@ object Lineups {
         TEAM2_PLAYER4 = cur2(3), TEAM2_PLAYER5 = cur2(4))
     }.toVector
     (out, LineupState(team1, team2, cur1.toSeq, cur2.toSeq, initialized = true,
-      seenEventnums = seenEventnums.toSeq.sorted))
+      seenEventnums = seenEventnums.toSeq.sorted,
+      // carry the side input forward: a streaming resume gets the roster
+      // from state, not from a re-delivered side channel
+      side = side.toSeq))
   }
 
   /** J6 relational cross-check (SURVEY.md §2.3 J6): every event joined to

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues}
 import graft.schema.{PbpEvent, PbpWithPlayers}
 import graft.nba.{GameSide, Lineups}
 
@@ -76,27 +76,44 @@ object StreamOps {
         })
   }
 
+  /** The per-game roster/starters/matchup side inputs as STREAMING initial
+    * state: one [[Lineups.LineupState]] per game, carrying only the side
+    * rows. This is how the static side of the join reaches the trackers at
+    * scale — the roster table is a distributed Dataset end to end (grouped,
+    * shuffled and stored alongside the stream state), never a driver-held
+    * map or broadcast. */
+  private def rosterState(roster: Dataset[GameSide])(
+      implicit spark: SparkSession):
+      org.apache.spark.sql.KeyValueGroupedDataset[String, Lineups.LineupState] = {
+    import spark.implicits._
+    roster.groupByKey(_.GAME_ID)
+      .mapGroups((gid, it) => gid -> Lineups.rosterState(it.toSeq))
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
   /** Streaming lineup tracker — the flagship operator as a stream
     * (SURVEY.md §2.9 "streaming variant"). Keyed by game; the GroupState is
     * the batch engine's own LineupState, and every transition runs through
     * the same Lineups.advance, so batch and streaming cannot drift apart.
-    * The per-game roster (stints) and starters reach every executor via a
-    * broadcast side input (rosters are tiny: ~20 rows per game — at larger
-    * scale they'd arrive as a stream-static join).
-    */
+    * The static side (rotations/starters/matchup rows, shaped by
+    * [[graft.nba.Lineups.sideInputs]]) joins the stream through the
+    * initial-state API: each game's roster is grouped ON THE CLUSTER and
+    * seeded into that game's state before its first event, then carried by
+    * the state store — a game is ~20 small rows, so state residency beats
+    * re-shipping the roster with every event. */
   def trackLineups(
       events: Dataset[PbpEvent],
-      rosterByGame: Map[String, Seq[GameSide]])(
+      roster: Dataset[GameSide])(
       implicit spark: SparkSession): Dataset[PbpWithPlayers] = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rosterByGame)
     events
       .groupByKey(_.GAME_ID)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        rosterState(roster))(
         (gid: String, it: Iterator[PbpEvent], state: GroupState[Lineups.LineupState]) => {
-          val side = bc.value.getOrElse(gid, Seq.empty).toArray
-          val batch = it.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
           val st = state.getOption
+          val side = st.map(_.side.toArray).getOrElse(Array.empty[GameSide])
+          val batch = it.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
           val (rows, next) = Lineups.advance(gid, batch, side, st)
           state.update(next)
           rows.iterator
@@ -106,13 +123,16 @@ object StreamOps {
   /** The lineup tracker on the arbitrary-state API that supersedes
     * flatMapGroupsWithState in Spark 4 (`transformWithState` +
     * StatefulProcessor): same engine (Lineups.advance), state in a typed
-    * ValueState. Requires the RocksDB state store provider
-    * (spark.sql.streaming.stateStore.providerClass) — which is also what
-    * a 100 TB deployment runs, for state larger than executor heap and
-    * incremental checkpointing. The two variants must stay behaviorally
-    * identical; StreamOpsSpec drives both through the same scenario. */
-  class LineupProcessor(rosterByGame: Map[String, Seq[GameSide]])
-      extends StatefulProcessor[String, PbpEvent, PbpWithPlayers] {
+    * ValueState, roster via `handleInitialState` (the
+    * StatefulProcessorWithInitialState hook). Requires the RocksDB state
+    * store provider (spark.sql.streaming.stateStore.providerClass) — which
+    * is also what a 100 TB deployment runs, for state larger than executor
+    * heap and incremental checkpointing. The two variants must stay
+    * behaviorally identical; StreamOpsSpec drives both through the same
+    * scenario. */
+  class LineupProcessor
+      extends StatefulProcessorWithInitialState[
+        String, PbpEvent, PbpWithPlayers, Lineups.LineupState] {
     @transient private var state:
       org.apache.spark.sql.streaming.ValueState[Lineups.LineupState] = _
 
@@ -120,11 +140,15 @@ object StreamOps {
       state = getHandle.getValueState(
         "lineup", Encoders.product[Lineups.LineupState], TTLConfig.NONE)
 
+    override def handleInitialState(gid: String,
+        initialState: Lineups.LineupState, timerValues: TimerValues): Unit =
+      state.update(initialState)
+
     override def handleInputRows(gid: String, rows: Iterator[PbpEvent],
         timerValues: TimerValues): Iterator[PbpWithPlayers] = {
-      val side = rosterByGame.getOrElse(gid, Seq.empty).toArray
-      val batch = rows.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
       val prior = if (state.exists()) Some(state.get()) else None
+      val side = prior.map(_.side.toArray).getOrElse(Array.empty[GameSide])
+      val batch = rows.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
       val (out, next) = Lineups.advance(gid, batch, side, prior)
       state.update(next)
       out.iterator
@@ -133,12 +157,12 @@ object StreamOps {
 
   def trackLineupsTws(
       events: Dataset[PbpEvent],
-      rosterByGame: Map[String, Seq[GameSide]])(
+      roster: Dataset[GameSide])(
       implicit spark: SparkSession): Dataset[PbpWithPlayers] = {
     import spark.implicits._
     events
       .groupByKey(_.GAME_ID)
-      .transformWithState(new LineupProcessor(rosterByGame),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LineupProcessor,
+        TimeMode.None(), OutputMode.Append(), rosterState(roster))
   }
 }

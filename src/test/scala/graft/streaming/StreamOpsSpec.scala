@@ -70,15 +70,17 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("trackLineups resumes lineup state across micro-batches via the batch engine") {
+  test("trackLineups: static roster table via initial state; stream == batch path") {
     implicit val sqlCtx = spark.sqlContext
     val G = "0022400100"
     val T1 = 100L
     val T2 = 200L
-    val roster: Map[String, Seq[GameSide]] = Map(G ->
-      ((101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
+    // the STATIC side: a roster table (Dataset, not a driver map), exactly
+    // what Lineups.sideInputs produces from the rotations table
+    val roster: Seq[GameSide] =
+      (101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
         Seq(GameSide(G, 0, T1, 106L, -1, Seq(Stint(3600.0, 28800.0)), null)) ++
-        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))))
+        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))
 
     def ev(num: Long, typ: Int, act: Int, clock: String,
         p1: Option[Long] = None, t1: Option[Long] = None,
@@ -87,15 +89,17 @@ class StreamOpsSpec extends SparkSpec {
       PbpEvent(G, num, typ, act, 1, clock,
         720 - (m * 60 + s), p1, t1, p2, t2)
     }
+    val batch1 = Seq(ev(1L, 10, 0, "12:00", Some(101L), Some(T1), Some(201L), Some(T2)))
+    val batch2 = Seq(ev(2L, 8, 0, "6:00", Some(103L), Some(T1), Some(106L), Some(T1)))
 
     val in = MemoryStream[PbpEvent]
-    val out = StreamOps.trackLineups(in.toDS(), roster)
+    val out = StreamOps.trackLineups(in.toDS(), roster.toDS())
     val q = out.writeStream.format("memory").queryName("lineups").outputMode("append").start()
     try {
-      in.addData(ev(1L, 10, 0, "12:00", Some(101L), Some(T1), Some(201L), Some(T2)))
+      in.addData(batch1: _*)
       q.processAllAvailable()
       // next batch: substitution must apply against the REMEMBERED lineup
-      in.addData(ev(2L, 8, 0, "6:00", Some(103L), Some(T1), Some(106L), Some(T1)))
+      in.addData(batch2: _*)
       q.processAllAvailable()
       val rows = spark.sql(
         """SELECT EVENTNUM, TEAM1_PLAYER1, TEAM1_PLAYER2, TEAM1_PLAYER3,
@@ -104,6 +108,16 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows == Seq(
         (1L, 101L, 102L, 103L, 104L, 105L),
         (2L, 101L, 102L, 104L, 105L, 106L)))
+      // the stream-static composition must agree with the batch operator
+      // run over the same events + the same static tables, row for row
+      val rotations = roster.toDS().toDF()
+        .select(col("GAME_ID"), col("TEAM_ID"), col("PLAYER_ID"), col("STINTS"))
+      val batchRows = graft.nba.Lineups.withPlayers(
+        (batch1 ++ batch2).toDS().toDF(), rotations, failFast = true)
+        .collect().toSet
+      val streamed = spark.sql("SELECT * FROM lineups")
+        .as[graft.schema.PbpWithPlayers].collect().toSet
+      assert(streamed == batchRows, "stream and batch paths diverged")
     } finally q.stop()
   }
 
@@ -112,10 +126,10 @@ class StreamOpsSpec extends SparkSpec {
     val G = "0022400102"
     val T1 = 100L
     val T2 = 200L
-    val roster: Map[String, Seq[GameSide]] = Map(G ->
-      ((101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
+    val roster: Seq[GameSide] =
+      (101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
         Seq(GameSide(G, 0, T1, 106L, -1, Seq(Stint(3600.0, 28800.0)), null)) ++
-        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))))
+        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))
     def ev(num: Long, typ: Int, clock: String,
         p1: Option[Long] = None, t1: Option[Long] = None,
         p2: Option[Long] = None, t2: Option[Long] = None) = {
@@ -127,7 +141,7 @@ class StreamOpsSpec extends SparkSpec {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = MemoryStream[PbpEvent]
-    val q = StreamOps.trackLineupsTws(in.toDS(), roster)
+    val q = StreamOps.trackLineupsTws(in.toDS(), roster.toDS())
       .writeStream.format("memory").queryName("lineups_tws").outputMode("append").start()
     try {
       in.addData(ev(1L, 10, "12:00", Some(101L), Some(T1), Some(201L), Some(T2)))
@@ -156,14 +170,14 @@ class StreamOpsSpec extends SparkSpec {
     val G = "0022400101"
     val T1 = 100L
     val T2 = 200L
-    val roster: Map[String, Seq[GameSide]] = Map(G ->
-      ((101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
-        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))))
+    val roster: Seq[GameSide] =
+      (101L to 105L).map(p => GameSide(G, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
+        (201L to 205L).map(p => GameSide(G, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))
     def ev(num: Long) = PbpEvent(G, num, 10, 0, 1, "12:00", 0,
       Some(101L), Some(T1), Some(201L), Some(T2))
 
     val in = MemoryStream[PbpEvent]
-    val out = StreamOps.trackLineups(in.toDS(), roster)
+    val out = StreamOps.trackLineups(in.toDS(), roster.toDS())
     val q = out.writeStream.format("memory").queryName("lineups_dup").outputMode("append").start()
     try {
       in.addData(ev(1L))
