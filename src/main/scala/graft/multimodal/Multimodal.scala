@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real — schema, partition-parallel
   * batched execution via `mapPartitions` over typed rows (the Scala analog
   * of a Pandas-batch UDF: one JVM-side loop per partition, no per-row
-  * serialization), deterministic outputs, tests — while the actual codec
-  * work is STUBBED behind [[FakeCodec]] (image/audio libraries are not in
-  * this container). Swapping a real decoder in changes one object: every
-  * signature, column and batch shape stays.
+  * serialization), deterministic outputs, tests. The IMAGE codec is real
+  * too: decode/features/resize run on actual pixels via `javax.imageio`
+  * (in the JDK — no new dependency). Audio/video codecs are not in the
+  * JDK and stay STUBBED behind [[FakeCodec]]; swapping a real decoder in
+  * changes one object — every signature, column and batch shape stays.
   *
   * Scale notes: media bytes dominate row size, so (a) feature extraction
   * prunes to (id, bytes) before the scan — never carry payloads through a
@@ -44,9 +45,85 @@ object Multimodal {
       features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, bytes: Array[Byte])
 
-  /** The stubbed codec: a real implementation would call an image/audio
-    * library here (???-equivalent); the stub is a deterministic fake so the
-    * pipeline around it is fully testable. */
+  /** The codec boundary. Images take a REAL path: `javax.imageio` ships
+    * with the JDK (PNG/JPEG/BMP/GIF), so decode, feature extraction and
+    * raster resize need no external library. Audio/video stay behind
+    * [[FakeCodec]] — those codecs are not in the JDK, and the deterministic
+    * fake keeps the pipeline around them fully testable; swapping a real
+    * decoder in changes only this object. */
+  object Codec {
+    import java.awt.image.BufferedImage
+
+    val FeatureDim: Int = FakeCodec.FeatureDim
+
+    /** None when the payload is not a decodable image (ImageIO returns
+      * null for unknown formats and throws on truncated streams — both
+      * fold to None so the caller can fall back deterministically). */
+    def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+      scala.util.Try(Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))).toOption.flatten
+
+    /** 8-dim image signature from real pixels: quadrant mean luminance
+      * (4), mean R/G/B (3), aspect ratio (1) — a deterministic stand-in
+      * for a model embedding with actual geometric content. */
+    def imageFeatures(img: BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = new Array[Double](4)
+      val n = new Array[Long](4)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          lum(q) += (r + g + b) / (3.0 * 255.0)
+          n(q) += 1
+          sr += r; sg += g; sb += b
+          x += 1
+        }
+        y += 1
+      }
+      val total = w.toLong * h * 255.0
+      Array(
+        (if (n(0) > 0) lum(0) / n(0) else 0.0).toFloat,
+        (if (n(1) > 0) lum(1) / n(1) else 0.0).toFloat,
+        (if (n(2) > 0) lum(2) / n(2) else 0.0).toFloat,
+        (if (n(3) > 0) lum(3) / n(3) else 0.0).toFloat,
+        (sr / total).toFloat, (sg / total).toFloat, (sb / total).toFloat,
+        w.toFloat / h.toFloat)
+    }
+
+    /** Kind-routed features: decodable images through the real pixel path,
+      * everything else (audio/video/undecodable) through the fake. */
+    def features(kind: String, bytes: Array[Byte]): Array[Float] =
+      if (kind == "image") decodeImage(bytes).map(imageFeatures)
+        .getOrElse(FakeCodec.features(bytes))
+      else FakeCodec.features(bytes)
+
+    /** Real raster resize: nearest-neighbor (deterministic across JVMs —
+      * bilinear kernels may differ), re-encoded as PNG (lossless, in the
+      * JDK). None when the payload is not a decodable image. */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(bytes).map { img =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** The stubbed half of the codec boundary: deterministic fakes for the
+    * modalities whose codecs are NOT in the JDK (audio, video) and for
+    * payloads that fail the real image decode. */
   object FakeCodec {
     val FeatureDim = 8
 
@@ -83,7 +160,7 @@ object Multimodal {
       .mapPartitions { it =>
         // codec/model init would happen once per partition, here
         it.map { case (id, kind, bytes) =>
-          MediaFeatures(id, kind, bytes.length, FakeCodec.features(bytes))
+          MediaFeatures(id, kind, bytes.length, Codec.features(kind, bytes))
         }
       }
   }
@@ -122,13 +199,23 @@ object Multimodal {
       .select(col("query_id"), col("media_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Resize pass for image rows; non-image rows pass through unchanged. */
-  def resizeImages(media: Dataset[MediaRow], targetBytes: Int)(
+  /** Resize pass for image rows; non-image rows pass through unchanged.
+    * Decodable images go through the REAL raster path (ImageIO decode →
+    * nearest-neighbor scale → PNG re-encode) with metadata updated to the
+    * new geometry; payloads the decoder rejects fall back to the
+    * fixed-size byte fake (a raw-raster stand-in), keeping the pass
+    * total — a corrupt image must not kill the partition. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      if (m.kind == "image") m.copy(bytes = FakeCodec.resize(m.bytes, targetBytes))
-      else m
+      if (m.kind != "image") m
+      else Codec.resizeImage(m.bytes, width, height) match {
+        case Some(png) => m.copy(bytes = png,
+          meta = m.meta.copy(width = Some(width), height = Some(height),
+            format = Some("png")))
+        case None => m.copy(bytes = FakeCodec.resize(m.bytes, width * height))
+      }
     })
   }
 

@@ -28,11 +28,61 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats.schema.fields.exists(_.dataType.typeName == "binary"))
   }
 
-  test("resizeImages touches only images and enforces the target size") {
-    val resized = resizeImages(mediaDs, targetBytes = 4).collect().map(m => m.media_id -> m).toMap
-    assert(resized(1L).bytes.length == 4)
+  test("resizeImages touches only images; undecodable images fall back to the byte fake") {
+    val resized = resizeImages(mediaDs, width = 2, height = 2)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(resized(1L).bytes.length == 4) // not a real PNG -> 2x2 raw-raster fake
     assert(resized(2L).bytes.toSeq == Seq[Byte](10, 20, 30)) // untouched
     assert(resized(3L).bytes.length == 32)
+  }
+
+  /** A real PNG, generated in-memory: a w x h gradient with a bright
+    * top-left quadrant. */
+  private def png(w: Int, h: Int, bright: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val topLeft = x < w / 2 && y < h / 2
+      val v = if (bright && topLeft) 255 else (x * 13 + y * 7) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: features come from pixels, not payload bytes") {
+    // same gradient at two sizes -> different aspect/pixels; bright variant
+    // must light up the top-left quadrant feature (index 0)
+    val rows = Seq(
+      MediaRow(10L, "image", png(8, 6), MediaMeta(Some(8), Some(6), None, None, Some("png"))),
+      MediaRow(11L, "image", png(8, 6, bright = true), MediaMeta(Some(8), Some(6), None, None, Some("png"))))
+      .toDS()
+    val got = extractFeatures(rows.toDF()).collect().map(f => f.media_id -> f.features).toMap
+    assert(got(10L).length == FakeCodec.FeatureDim)
+    assert(math.abs(got(10L)(7) - 8f / 6f) < 1e-6, "feature 7 is the true aspect ratio")
+    assert(got(11L)(0) > got(10L)(0), "bright top-left quadrant must raise feature 0")
+    assert(got(11L)(3) == got(10L)(3), "untouched quadrant must match exactly")
+    // decoding is deterministic
+    val again = extractFeatures(rows.toDF()).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(got.map { case (k, v) => k -> v.toSeq } == again)
+  }
+
+  test("real image resize: output is a decodable PNG at the target geometry, meta updated") {
+    val rows = Seq(
+      MediaRow(20L, "image", png(8, 6), MediaMeta(Some(8), Some(6), None, None, Some("png")))).toDS()
+    val out = resizeImages(rows, width = 4, height = 3).collect().head
+    val back = Codec.decodeImage(out.bytes)
+    assert(back.isDefined, "resized payload must re-decode")
+    assert(back.get.getWidth == 4 && back.get.getHeight == 3)
+    assert(out.meta.width.contains(4) && out.meta.height.contains(3))
+    assert(out.meta.format.contains("png"))
+    // nearest-neighbor on a solid quadrant is exact: resize of the bright
+    // variant keeps its top-left corner pixel fully bright
+    val b = resizeImages(Seq(MediaRow(21L, "image", png(8, 6, bright = true),
+      MediaMeta(None, None, None, None, None))).toDS(), 4, 3).collect().head
+    val img = Codec.decodeImage(b.bytes).get
+    assert((img.getRGB(0, 0) & 0xffffff) == 0xffffff)
   }
 
   test("sampleFrames: every stride-th fixed-size window of video payloads only") {
