@@ -10,6 +10,7 @@ object Bench {
     // not classloading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // One timed run: clear all cached blocks first so no query is billed
       // for (or subsidized by) another query's persisted stages, then
@@ -24,12 +25,16 @@ object Bench {
       // Best-of-2: single-shot timings showed one-off multi-second stalls
       // (GC/scheduler noise) on queries that run in ~1s steady-state. A
       // second-run failure keeps the first, valid measurement — only a
-      // query that never succeeded is reported failed.
+      // query that never succeeded is reported failed; the name still
+      // lands in the machine-readable "flaky" array so an intermittent
+      // crash (e.g. a sporadic OOM) is visible to the driver, not only on
+      // stderr.
       try {
         val a = run()
         val b =
           try Some(run())
           catch { case e: Throwable =>
+            flaky += name
             System.err.println(
               s"[bench] $name second run failed (keeping first timing): ${e.getMessage}")
             None
@@ -41,12 +46,16 @@ object Bench {
         name -> -1.0 // sentinel: failed queries carry no timing (NaN isn't JSON)
       }
     }
+    // release the staged shingle cache (q31-q33/q38 stage it; best-of-2 is
+    // safe — each shingled() call swaps the previous cache for a fresh one,
+    // so at most one table's blocks are ever held, and this frees the last)
     queries.DedupOps.release()
     val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map(js(_)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${js(sfDir)}}""")
+    val flakyJson = flaky.map(js(_)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

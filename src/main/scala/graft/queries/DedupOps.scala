@@ -138,7 +138,17 @@ object DedupOps {
     * across lambda bodies; profiled ~30% slower). Bands join on one hashed
     * (band, value) long: a collision can only ADD a candidate, which the
     * exact verification keeps only if its true Jaccard clears the
-    * threshold. */
+    * threshold.
+    *
+    * Oracle-parity caveat (deliberate): the DuckDB oracle bands on raw
+    * (b, v) equality while this joins on xxhash64(b, v), so a 64-bit
+    * collision between two bands that co-occur could admit a candidate the
+    * oracle never sees — and if that pair ALSO cleared the exact-Jaccard
+    * threshold, the outputs would diverge. Probability ~2^-64 per
+    * co-occurring band pair (the standard shingle-hashing tradeoff, and
+    * the same one ngramJaccard's hashed posting keys make); a caller
+    * needing parity by construction joins on the raw (b, v) pair at ~30%
+    * more join wall-clock. */
   def minhashNearDup(shingles: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
     val post = shingles.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -178,6 +188,13 @@ object DedupOps {
     * posting (profiled ~40% off the scoring aggregate). */
   def simhashNearDup(shingles: DataFrame,
       hammingMax: Int = HammingMax): DataFrame = {
+    // pigeonhole bound: hammingMax flipped bits can dodge the banded
+    // equi-join only while they cover fewer than all bands — beyond
+    // bands - 1 the join silently loses recall, so refuse instead
+    require(hammingMax <= SimBits / SimBandBits - 1,
+      s"banded simhash join is only exact for hammingMax <= " +
+        s"${SimBits / SimBandBits - 1} (bands - 1); got $hammingMax — " +
+        "widen SimBandBits/SimBits or lower the threshold")
     val gs = shingles
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id") +: (0 until SimBits / 8).map(k =>

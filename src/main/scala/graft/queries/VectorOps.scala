@@ -25,6 +25,7 @@ import graft.ops.VectorSim
   * generated encoders can instantiate them). */
 case class VecRow(vec_id: Long, e: Array[Double], nrm: Double)
 case class PairCos(vec_a: Long, vec_b: Long, cos: Double)
+case class BucketVec(bucket: Int, vec_id: Long, e: Array[Double], nrm: Double)
 
 object VectorOps {
 
@@ -227,17 +228,7 @@ object VectorOps {
     // guard q37 would emit NaN pairs the exact kernel (JVM `>=`, NaN
     // false) never does. The oracle applies the same nrm > 0 filter.
     val n = n0.filter(col("nrm") > 0)
-    val sigCol = (0 until HyperplaneBits).map { j =>
-      when(VectorSim.dot(col("e"),
-        typedlit(hyperplaneSigns(j).toSeq)) > 0, 1 << j).otherwise(0)
-    }.reduce(_ + _)
-    val bands = n.withColumn("sig", sigCol)
-      .select(col("vec_id"),
-        explode(array((0 until HyperplaneBits / HyperplaneBandBits).map(b =>
-          struct(lit(b).as("b"),
-            shiftright(col("sig"), HyperplaneBandBits * b)
-              .bitwiseAND((1 << HyperplaneBandBits) - 1).as("v"))): _*)).as("band"))
-      .select(col("vec_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val bands = lshBands(n)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -249,6 +240,64 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"),
         cos(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Per-vector (vec_id, band index b, band value v) rows for the
+    * hyperplane-LSH signature — shared by the banded equi-join
+    * ([[lshNearDup]]) and the within-bucket exact kernel
+    * ([[exactNearDupInLshBuckets]]) so the two paths cannot band
+    * differently. Callers pass a zero-norm-filtered frame. */
+  private def lshBands(n: DataFrame): DataFrame = {
+    val sigCol = (0 until HyperplaneBits).map { j =>
+      when(VectorSim.dot(col("e"),
+        typedlit(hyperplaneSigns(j).toSeq)) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    n.withColumn("sig", sigCol)
+      .select(col("vec_id"),
+        explode(array((0 until HyperplaneBits / HyperplaneBandBits).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("sig"), HyperplaneBandBits * b)
+              .bitwiseAND((1 << HyperplaneBandBits) - 1).as("v"))): _*)).as("band"))
+      .select(col("vec_id"), col("band.b").as("b"), col("band.v").as("v"))
+  }
+
+  /** The composition the q34 notes prescribe at 100x: the EXACT kernel run
+    * WITHIN hyperplane-LSH buckets. Candidate universe identical to
+    * [[lshNearDup]] (pairs sharing at least one band — same signatures,
+    * same bands, by construction through [[lshBands]]), but each bucket's
+    * work is the tight JVM all-pairs loop instead of a pairwise equi-join
+    * + Column cosine — the shape for buckets too large to join pairwise.
+    * The per-pair fold order matches the global kernel (low id left), so a
+    * pair found in several bands yields bit-identical cosines and the
+    * distinct collapses them. Equals the GLOBAL exact kernel whenever
+    * every true pair shares a band — the recall contract the spec pins on
+    * clustered data. */
+  def exactNearDupInLshBuckets(n0: DataFrame, threshold: Double)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val n = n0.filter(col("nrm") > 0)
+    val thr = threshold
+    lshBands(n)
+      .join(n.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+      .select((col("b") * (1 << HyperplaneBandBits) + col("v")).as("bucket"),
+        col("vec_id"), col("e"), col("nrm"))
+      .as[BucketVec]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val arr = it.toArray.sortBy(_.vec_id)
+        Iterator.range(0, arr.length).flatMap { i =>
+          Iterator.range(i + 1, arr.length).flatMap { j =>
+            val a = arr(i); val b = arr(j)
+            var dot = 0.0
+            var k = 0
+            while (k < a.e.length) { dot += a.e(k) * b.e(k); k += 1 }
+            val c = dot / (a.nrm * b.nrm)
+            if (c >= thr) Some(PairCos(a.vec_id, b.vec_id, c)) else None
+          }
+        }
+      }
+      .distinct() // a pair may co-occur in several bands
+      .toDF("vec_a", "vec_b", "cos")
   }
 
   /** Shared vector CTE: double-cast elements + precomputed norm. DuckDB

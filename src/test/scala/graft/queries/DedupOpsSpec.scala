@@ -66,4 +66,13 @@ class DedupOpsSpec extends SparkSpec {
     // (canonical 7), 9 is untouched
     assert(kept == Set(1L, 7L, 9L))
   }
+
+  test("simhashNearDup refuses a hammingMax beyond the pigeonhole-exact bound") {
+    // 32 bits / 8-bit bands -> banded join is exact only for hamming <= 3;
+    // a larger bound would silently lose recall, so it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDup(DedupOps.shingledOf(docs), hammingMax = 4)
+    }
+    assert(e.getMessage.contains("hammingMax"))
+  }
 }

@@ -29,6 +29,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("exactNearDupInLshBuckets == lshNearDup, and == the global kernel on recall-complete data") {
+    import spark.implicits._
+    // 4 orthogonal clusters x 6 scaled copies of one direction: parallel
+    // vectors have cosine exactly 1.0 and IDENTICAL hyperplane signs
+    // (scaling never flips a dot's sign), so every true pair shares all
+    // bands — the bucketing is recall-complete and the three paths must
+    // agree exactly; cross-cluster cosines are exactly 0.0 (orthogonal)
+    val rows = for (c <- 0 until 4; k <- 1 to 6) yield {
+      val e = Array.fill(64)(0.0); e(c * 7) = k.toDouble
+      (c * 10L + k, e.toSeq)
+    }
+    val n = rows.toDF("vec_id", "e")
+      .withColumn("nrm", VectorSim.norm(col("e")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = pairs(VectorOps.exactNearDupInLshBuckets(n, 0.4))
+    val banded = pairs(VectorOps.lshNearDup(n, 0.4))
+    val global = pairs(VectorOps.exactNearDup(n, 0.4, 4))
+    assert(bucketed.size == 4 * 15, "C(6,2) pairs per cluster")
+    assert(bucketed == banded, "same candidate universe, same verification")
+    assert(bucketed == global, "recall-complete buckets must reproduce the global kernel")
+  }
+
   test("q34: building the plan collects no data to the driver") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
