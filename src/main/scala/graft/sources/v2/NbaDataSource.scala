@@ -1,0 +1,204 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{Endpoints, Fetcher}
+
+/** DataSourceV2 table over the REST source: `spark.read.format("nba")`
+  * plans a partitioned, column-pruned scan whose input partitions are
+  * id-range slices of the request fan-out — the V2 rendering of
+  * [[graft.sources.FetchAll]] (each task fetches its slice with Fetcher's
+  * per-request retry budget and decodes the declared result set).
+  *
+  * Options:
+  *   - `path`        endpoint path, e.g. "gamerotation" (required)
+  *   - `resultSet`   result-set name to decode, e.g. "AwayTeam" (required)
+  *   - `ids`         comma-separated id list to fan out over (required)
+  *   - `idParam`     request key the id binds to (default "GameID" —
+  *                   case-preserved: the stats API is case-sensitive)
+  *   - `idsPerPartition` fan-out granularity (default 8): one input
+  *                   partition per slice, so scan parallelism = ids/slice
+  *   - `transport`   FQCN of a [[Fetcher.Transport]] (no-arg class or
+  *                   Scala object); instantiated per partition reader on
+  *                   the executor (required — production would default to
+  *                   an HttpClient transport; this environment has none)
+  *   - `retries` / `backoffMs`  Fetcher budget (defaults 10 / 100)
+  *
+  * Schema: inferred by probing the FIRST id at planning time (headers →
+  * all-string columns, the decode-as-strings contract of RestDecoder), or
+  * user-supplied via `.schema(...)` with string/long/int/double/float/
+  * boolean columns cast at read time. Column pruning is pushed into the
+  * scan (`SupportsPushDownRequiredColumns`), so `select(one column)` reads
+  * only that column out of each decoded row.
+  *
+  * Reference analog: the per-game fetch loops (etl/rotations.py:128-140)
+  * — here as a first-class table any Spark query can scan, prune and join.
+  */
+class NbaDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nba"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NbaScanConf(options.asCaseSensitiveMap().asScala.toMap).probeSchema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NbaTable(schema, NbaScanConf(properties.asScala.toMap))
+}
+
+/** Parsed, serializable scan configuration (keys case-insensitive like the
+  * option map they come from; values case-preserved). */
+final case class NbaScanConf(options: Map[String, String]) {
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private def req(key: String): String = opt(key).getOrElse(
+    throw new IllegalArgumentException(s"the nba source requires option '$key'"))
+
+  def path: String = req("path")
+  def resultSet: String = req("resultSet")
+  def ids: Seq[String] = req("ids").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  def idParam: String = opt("idParam").getOrElse("GameID")
+  def idsPerPartition: Int = opt("idsPerPartition").map(_.toInt).getOrElse(8)
+  def retries: Int = opt("retries").map(_.toInt).getOrElse(10)
+  def backoffMs: Long = opt("backoffMs").map(_.toLong).getOrElse(100L)
+
+  def request(id: String): Endpoints.Request =
+    Endpoints.Request(path, Seq(idParam -> id))
+
+  /** Instantiate the transport by FQCN — a Scala `object` (trailing '$',
+    * via MODULE$) or a no-arg class. Called lazily on the executor. */
+  def transport(): Fetcher.Transport = {
+    val cn = req("transport")
+    val cls = Class.forName(cn)
+    val inst =
+      if (cn.endsWith("$")) cls.getField("MODULE$").get(null)
+      else cls.getDeclaredConstructor().newInstance()
+    inst.asInstanceOf[Fetcher.Transport]
+  }
+
+  /** Planning-time schema probe: fetch the first id once, take the result
+    * set's headers as all-string columns. */
+  def probeSchema(): StructType = {
+    val first = ids.headOption.getOrElse(
+      throw new IllegalArgumentException("the nba source needs at least one id"))
+    val body = Fetcher.fetch(transport(), request(first), retries, backoffMs)
+    val headers = NbaEnvelope.headersOf(body, resultSet).getOrElse(
+      throw new IllegalArgumentException(
+        s"result set '$resultSet' absent from a probe fetch of $path"))
+    StructType(headers.map(StructField(_, StringType)))
+  }
+}
+
+/** Jackson-based envelope decode for the V2 readers (RestDecoder's Spark
+  * JSON reader needs a session; partition readers must not). */
+object NbaEnvelope {
+  private def sets(body: String) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readTree(body).path("resultSets").elements().asScala
+  }
+
+  def headersOf(body: String, name: String): Option[Seq[String]] =
+    sets(body).find(_.path("name").asText() == name)
+      .map(_.path("headers").elements().asScala.map(_.asText()).toSeq)
+
+  /** (headers, rows) of one named result set; absent/empty sets yield no
+    * rows (reference skips empty sets, api/smart.py:570). */
+  def rowsOf(body: String, name: String): (Seq[String], Iterator[Array[String]]) =
+    sets(body).find(_.path("name").asText() == name) match {
+      case None => (Seq.empty, Iterator.empty)
+      case Some(rs) =>
+        val headers = rs.path("headers").elements().asScala.map(_.asText()).toSeq
+        val rows = rs.path("rowSet").elements().asScala.map { row =>
+          row.elements().asScala.map(c => if (c.isNull) null else c.asText()).toArray
+        }
+        (headers, rows)
+    }
+}
+
+class NbaTable(tableSchema: StructType, conf: NbaScanConf) extends Table with SupportsRead {
+  override def name(): String = s"nba:${conf.path}/${conf.resultSet}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NbaScanBuilder(tableSchema, conf)
+}
+
+class NbaScanBuilder(full: StructType, conf: NbaScanConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new NbaScan(required, conf)
+}
+
+class NbaScan(required: StructType, conf: NbaScanConf) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"nba ${conf.path}/${conf.resultSet} over ${conf.ids.length} ids"
+
+  /** One input partition per id slice — the scan's parallelism contract:
+    * ceil(|ids| / idsPerPartition) tasks, each owning its fetch loop. */
+  override def planInputPartitions(): Array[InputPartition] =
+    conf.ids.grouped(conf.idsPerPartition).map(s => NbaIdSlice(s.toArray)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    NbaReaderFactory(required, conf)
+}
+
+final case class NbaIdSlice(ids: Array[String]) extends InputPartition
+
+final case class NbaReaderFactory(schema: StructType, conf: NbaScanConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NbaPartitionReader(schema, conf, p.asInstanceOf[NbaIdSlice].ids)
+}
+
+class NbaPartitionReader(schema: StructType, conf: NbaScanConf, ids: Array[String])
+    extends PartitionReader[InternalRow] {
+  private lazy val transport = conf.transport() // once per partition
+  private val idIt = ids.iterator
+  private var rowIt: Iterator[InternalRow] = Iterator.empty
+
+  override def next(): Boolean = {
+    while (!rowIt.hasNext && idIt.hasNext) rowIt = fetchRows(idIt.next())
+    rowIt.hasNext
+  }
+  override def get(): InternalRow = rowIt.next()
+  override def close(): Unit = ()
+
+  private def fetchRows(id: String): Iterator[InternalRow] = {
+    val body = Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs)
+    val (headers, rows) = NbaEnvelope.rowsOf(body, conf.resultSet)
+    val idx = schema.fields.map(f => headers.indexOf(f.name))
+    rows.map { cells =>
+      new GenericInternalRow(schema.fields.zip(idx).map { case (f, i) =>
+        convert(if (i >= 0 && i < cells.length) cells(i) else null, f.dataType)
+      }.asInstanceOf[Array[Any]])
+    }
+  }
+
+  private def convert(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v)
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"the nba source cannot cast to $other (string/long/int/double/float/boolean)")
+    }
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The DataSourceV2 REST table: `spark.read.format("nba")` over a fake
+  * transport — partition-level fan-out parallelism and column pruning must
+  * both be visible in the physical plan. */
+class NbaTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1 to 20).map(i => f"00224000$i%02d")
+
+  private def reader = spark.read.format("nba")
+    .option("path", "gamerotation")
+    .option("resultSet", "AwayTeam")
+    .option("ids", ids.mkString(","))
+    .option("idsPerPartition", "5")
+    .option("transport", "graft.sources.NbaTableSpec$FakeApi$")
+
+  test("schema is probed from the endpoint; rows decode per id; partitions follow the id slices") {
+    val df = reader.load()
+    assert(df.columns.toSeq == Seq("GAME_ID", "PERSON_ID", "IN_TIME_REAL"))
+    // 20 ids / 5 per slice = 4 input partitions — the fan-out parallelism
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 40) // two away players per game
+    assert(df.select(countDistinct(col("GAME_ID"))).as[Long].head() == 20L)
+  }
+
+  test("column pruning reaches the scan (SupportsPushDownRequiredColumns)") {
+    val pruned = reader.load().select(col("PERSON_ID"))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+    assert(scan.output.map(_.name) == Seq("PERSON_ID"),
+      s"scan must read only the selected column, got ${scan.output}")
+  }
+
+  test("a user-supplied schema casts at read time") {
+    val df = reader.schema("GAME_ID string, PERSON_ID long").load()
+    assert(df.schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("GAME_ID" -> "string", "PERSON_ID" -> "long"))
+    val rows = df.as[(String, Long)].collect()
+    assert(rows.length == 40)
+    assert(rows.forall { case (g, p) => g.startsWith("00224000") && p >= 201L })
+  }
+
+  test("joins compose: the V2 table is a first-class relation") {
+    val names = Seq((201L, "away starter"), (202L, "away bench")).toDF("PERSON_ID", "ROLE")
+    val joined = reader.schema("GAME_ID string, PERSON_ID long").load()
+      .join(broadcast(names), "PERSON_ID")
+    assert(joined.count() == 40)
+  }
+}
+
+object NbaTableSpec {
+  /** Two away players per game, deterministic from the requested id. */
+  object FakeApi extends Fetcher.Transport {
+    def get(r: Endpoints.Request): String = {
+      require(r.path == "gamerotation", s"unexpected path ${r.path}")
+      val gid = r.param("GameID").get
+      s"""{"resultSets":[
+           {"name":"AwayTeam","headers":["GAME_ID","PERSON_ID","IN_TIME_REAL"],
+            "rowSet":[["$gid","201","0.0"],["$gid","202","3600.0"]]},
+           {"name":"HomeTeam","headers":["GAME_ID","PERSON_ID","IN_TIME_REAL"],
+            "rowSet":[["$gid","101","0.0"]]}]}""".replaceAll("\n\\s*", "")
+    }
+  }
+}
