@@ -250,8 +250,12 @@ object DedupOps {
     * package-visible so the volume spec can pin rounds = diameter + 1. */
   private[graft] def componentsWithRounds(pairs: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // stage the pair set before mirroring it: the union's two branches
+    // would otherwise each recompute the full upstream pair-producing
+    // pipeline (minhash/simhash/jaccard) inside the first round's job
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
@@ -295,6 +299,7 @@ object DedupOps {
       // the returned checkpoint (ContextCleaner reaps it when dropped)
       if (!ok) prev.foreach(_.unpersist())
       edges.unpersist()
+      p.unpersist()
       ()
     }
   }
