@@ -214,7 +214,11 @@ object Multimodal {
         case Some(png) => m.copy(bytes = png,
           meta = m.meta.copy(width = Some(width), height = Some(height),
             format = Some("png")))
-        case None => m.copy(bytes = FakeCodec.resize(m.bytes, width * height))
+        case None => m.copy(bytes = FakeCodec.resize(m.bytes, width * height),
+          // meta must describe the payload it sits next to: the fallback
+          // is a width x height raw raster, not the original geometry
+          meta = m.meta.copy(width = Some(width), height = Some(height),
+            format = Some("raw")))
       }
     })
   }

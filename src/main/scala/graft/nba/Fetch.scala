@@ -60,18 +60,24 @@ object Fetch {
     StructField("SHOT_TYPE", StringType)))
 
   /** Game ids in scope: `--game-id` verbatim, else the distinct GAME_IDs of
-    * one season game-log fetch. One request decodes distributed; the ids
-    * stay a Dataset and never hit the driver. */
+    * one season game-log fetch. The driving request is a SINGLE fetch, so
+    * it runs on the driver (like RestDecoder's header probe) — routing it
+    * through the distributed fan-out would re-issue the HTTP request once
+    * per consuming action (the header probe + the fan-out materialization),
+    * and a fetch failure would surface as a misleading "result set absent"
+    * instead of the transport error, which this way propagates with its
+    * cause. The RESULT decodes distributed, and the ids map straight into
+    * request rows without collecting. */
   def gameIds(transport: Fetcher.Transport, args: PipelineArgs.Args)(
       implicit spark: SparkSession): Dataset[String] = {
     import spark.implicits._
     args.gameId match {
       case Some(g) => Seq(g).toDS()
       case None =>
-        val req = Seq(Endpoints.teamsGameLog(
-          seasonType = args.seasonType.get, season = args.season.get)).toDS()
+        val body = Fetcher.fetch(transport, Endpoints.teamsGameLog(
+          seasonType = args.seasonType.get, season = args.season.get))
         val log = RestDecoder.resultSet(
-          FetchAll.fetchAll(req, transport), LeagueGameLogSet)
+          RestDecoder.parse(Seq(body).toDS()), LeagueGameLogSet)
         log.select(col("GAME_ID")).distinct().as[String]
     }
   }
@@ -91,6 +97,10 @@ object Fetch {
         Seq(Endpoints.teamsGameLog(seasonType = seasonType, season = season)).toDS()
       case "shot_details" =>
         val (season, seasonType) = seasonScope(args)
+        // heal-before-read: a crashed rotations publish may have stranded
+        // partitions in the .old sibling — the combo enumeration must see
+        // them (Warehouse.recover's own invariant)
+        Warehouse.recover(spark, s"${args.output}/rotations")
         val rot = spark.read.parquet(s"${args.output}/rotations")
         rot.filter(col("SEASON") === season && col("SEASON_TYPE") === seasonType)
           .select(col("PLAYER_ID"), col("TEAM_ID")).distinct()
@@ -106,7 +116,14 @@ object Fetch {
     args.gameId match {
       case Some(g) =>
         import graft.functions.GameIds
-        (GameIds.seasonOfId(g), GameIds.seasonTypeOfId(g))
+        val st = GameIds.seasonTypeOfId(g)
+        // a null season type (All-Star '3', play-in '5', ...) would turn
+        // the combo filter into `col === null` — never true — and surface
+        // as a baffling empty-result-set error far downstream
+        require(st != null,
+          s"game id $g has an unsupported season-type code ('${g.charAt(2)}'); " +
+            "pass --season/--season-type explicitly")
+        (GameIds.seasonOfId(g), st)
       case None => (args.season.get, args.seasonType.get)
     }
 
@@ -124,6 +141,16 @@ object Fetch {
     val fetched = FetchAll.fetchRaw(requestsFor(table, args, transport), transport)
       .persist()
     try {
+    // land the quarantine FIRST: decoding probes the result-set headers
+    // eagerly, and a run whose every fetch failed dies there — the
+    // per-request error rows must already be on disk when it does, or the
+    // T4 contract ("a dead game id costs one error row") loses the errors
+    // exactly when they matter most
+    val errors = FetchAll.failures(fetched)
+      .map(f => (f.path, f.params.map { case (k, v) => s"$k=$v" }.mkString("&"),
+        f.error.getOrElse("")))
+      .toDF("path", "params", "error")
+    Warehouse.replaceDir(errors, s"${args.input}/${table}_fetch_errors")
     val parsed = RestDecoder.parse(fetched.flatMap(_.body))
     val raw = table match {
       case "play_by_play" =>
@@ -140,11 +167,6 @@ object Fetch {
           .withColumn("SEASON", lit(season))
           .withColumn("SEASON_TYPE", lit(seasonType))
     }
-    val errors = FetchAll.failures(fetched)
-      .map(f => (f.path, f.params.map { case (k, v) => s"$k=$v" }.mkString("&"),
-        f.error.getOrElse("")))
-      .toDF("path", "params", "error")
-    Warehouse.replaceDir(errors, s"${args.input}/${table}_fetch_errors")
     Warehouse.replaceDir(raw, s"${args.input}/${table}_raw")
     spark.read.parquet(s"${args.input}/${table}_raw")
     } finally {

@@ -34,6 +34,11 @@ import graft.sources.{Endpoints, Fetcher}
   *                   the executor (required — production would default to
   *                   an HttpClient transport; this environment has none)
   *   - `retries` / `backoffMs`  Fetcher budget (defaults 10 / 100)
+  *   - `onError`     "fail" (default: a terminal fetch failure fails the
+  *                   scan) or "skip" (one dead id costs its rows, logged —
+  *                   the reference's per-game try/except; without this a
+  *                   deterministic dead id would re-fail the task until
+  *                   maxFailures kills the whole job)
   *
   * Schema: inferred by probing the FIRST id at planning time (headers →
   * all-string columns, the decode-as-strings contract of RestDecoder), or
@@ -72,6 +77,7 @@ final case class NbaScanConf(options: Map[String, String]) {
   def idsPerPartition: Int = opt("idsPerPartition").map(_.toInt).getOrElse(8)
   def retries: Int = opt("retries").map(_.toInt).getOrElse(10)
   def backoffMs: Long = opt("backoffMs").map(_.toLong).getOrElse(100L)
+  def skipErrors: Boolean = opt("onError").exists(_.equalsIgnoreCase("skip"))
 
   def request(id: String): Endpoints.Request =
     Endpoints.Request(path, Seq(idParam -> id))
@@ -179,9 +185,27 @@ class NbaPartitionReader(schema: StructType, conf: NbaScanConf, ids: Array[Strin
   override def close(): Unit = ()
 
   private def fetchRows(id: String): Iterator[InternalRow] = {
-    val body = Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs)
+    val body =
+      try Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs)
+      catch {
+        case e: Fetcher.FetchFailedException if conf.skipErrors =>
+          // onError=skip: one dead id costs its rows, not the task — a
+          // task death would re-fetch every healthy id in the slice on
+          // the task retry, and maxFailures task deaths kill the scan
+          System.err.println(s"[nba] skipping id $id: ${e.getMessage}")
+          return Iterator.empty
+      }
     val (headers, rows) = NbaEnvelope.rowsOf(body, conf.resultSet)
-    val idx = schema.fields.map(f => headers.indexOf(f.name))
+    // case-insensitive, like every other name in this source; a declared
+    // column the response lacks fails NAMING the column (API drift must
+    // not surface as a silently all-null column)
+    val idx = schema.fields.map { f =>
+      val i = headers.indexWhere(_.equalsIgnoreCase(f.name))
+      if (i < 0 && rows.hasNext) throw new IllegalArgumentException(
+        s"result set '${conf.resultSet}' lacks declared column '${f.name}' " +
+          s"(headers: ${headers.mkString(", ")})")
+      i
+    }
     rows.map { cells =>
       new GenericInternalRow(schema.fields.zip(idx).map { case (f, i) =>
         convert(if (i >= 0 && i < cells.length) cells(i) else null, f.dataType)

@@ -111,12 +111,21 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
         rosterState(roster))(
         (gid: String, it: Iterator[PbpEvent], state: GroupState[Lineups.LineupState]) => {
-          val st = state.getOption
-          val side = st.map(_.side.toArray).getOrElse(Array.empty[GameSide])
           val batch = it.toArray.sortBy(e => (e.PERIOD, e.SECONDS_FROM_START, e.EVENTNUM))
-          val (rows, next) = Lineups.advance(gid, batch, side, st)
-          state.update(next)
-          rows.iterator
+          // initial-state seeding: Spark invokes this function with an
+          // EMPTY iterator for every initial-state key absent from the
+          // micro-batch (skipEmittingInitialStateKeys defaults to false).
+          // Running advance there would resolve teams from the matchup
+          // fallback — or crash without one — before any event exists;
+          // just keep the seeded roster state until events arrive
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption
+            val side = st.map(_.side.toArray).getOrElse(Array.empty[GameSide])
+            val (rows, next) = Lineups.advance(gid, batch, side, st)
+            state.update(next)
+            rows.iterator
+          }
         })
   }
 

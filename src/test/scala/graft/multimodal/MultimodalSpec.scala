@@ -32,6 +32,8 @@ class MultimodalSpec extends SparkSpec {
     val resized = resizeImages(mediaDs, width = 2, height = 2)
       .collect().map(m => m.media_id -> m).toMap
     assert(resized(1L).bytes.length == 4) // not a real PNG -> 2x2 raw-raster fake
+    // the fallback's meta must describe the fake raster, not the original
+    assert(resized(1L).meta == MediaMeta(Some(2), Some(2), None, None, Some("raw")))
     assert(resized(2L).bytes.toSeq == Seq[Byte](10, 20, 30)) // untouched
     assert(resized(3L).bytes.length == 32)
   }

@@ -85,6 +85,19 @@ class IngestMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/in/rotations_fetch_errors").count() == 0)
   }
 
+  test("a run whose every fetch dies still lands the quarantine before failing") {
+    val root = Files.createTempDirectory("graft_ing").toString
+    val a = PipelineArgs.Args(gameId = Some(G), input = s"$root/in",
+      output = s"$root/out", table = Some("rotations"))
+    intercept[Exception] {
+      IngestMain.runWith(spark, a, Some(IngestMainSpec.DeadApi))
+    }
+    // the per-request errors must already be on disk when the decode dies
+    val errs = spark.read.parquet(s"$root/in/rotations_fetch_errors")
+    assert(errs.count() == 1)
+    assert(errs.select("error").as[String].head().contains("attempts"))
+  }
+
   test("shot_details fetch front: combos come from the published rotations table") {
     val root = Files.createTempDirectory("graft_ing").toString
     val rot = args(s"$root/in", s"$root/out", "rotations")
@@ -160,5 +173,11 @@ object IngestMainSpec {
           Seq(Seq("0022400001", pid + "0", pid, tid, "1", "2PT Field Goal")))}]}"""
       case other => throw new RuntimeException(s"unexpected endpoint $other")
     }
+  }
+
+  /** Every request fails terminally — the all-dead-fetch scenario. */
+  object DeadApi extends graft.sources.Fetcher.Transport {
+    def get(r: graft.sources.Endpoints.Request): String =
+      throw new RuntimeException("connection refused")
   }
 }

@@ -46,6 +46,32 @@ class NbaTableSpec extends SparkSpec {
     assert(rows.forall { case (g, p) => g.startsWith("00224000") && p >= 201L })
   }
 
+  test("user schema matches headers case-insensitively; a missing declared column fails loudly") {
+    val df = reader.schema("game_id string, person_id long").load()
+    assert(df.count() == 40, "lower-cased declared names must still bind to the API headers")
+    val drifted = reader.schema("GAME_ID string, RENAMED_COLUMN long").load()
+    // collect, not count: count() prunes every column away and the reader
+    // never looks the drifted name up
+    val e = intercept[Exception](drifted.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("RENAMED_COLUMN")),
+      s"API drift must name the missing column, got ${messages(e)}")
+  }
+
+  test("onError=skip: a dead id costs its rows, not the scan") {
+    val withDead = reader
+      .option("ids", (ids :+ "DEAD99").mkString(","))
+      .option("retries", "2").option("backoffMs", "0")
+    val e = intercept[Exception](withDead.load().count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("DEAD") || m.contains("attempts")),
+      s"default onError must fail the scan with the fetch error, got ${messages(e)}")
+    val skipped = withDead.option("onError", "skip").load()
+    assert(skipped.count() == 40) // the 20 healthy ids; the dead one logged
+  }
+
   test("joins compose: the V2 table is a first-class relation") {
     val names = Seq((201L, "away starter"), (202L, "away bench")).toDF("PERSON_ID", "ROLE")
     val joined = reader.schema("GAME_ID string, PERSON_ID long").load()
@@ -60,6 +86,7 @@ object NbaTableSpec {
     def get(r: Endpoints.Request): String = {
       require(r.path == "gamerotation", s"unexpected path ${r.path}")
       val gid = r.param("GameID").get
+      if (gid.startsWith("DEAD")) throw new RuntimeException(s"dead id $gid")
       s"""{"resultSets":[
            {"name":"AwayTeam","headers":["GAME_ID","PERSON_ID","IN_TIME_REAL"],
             "rowSet":[["$gid","201","0.0"],["$gid","202","3600.0"]]},

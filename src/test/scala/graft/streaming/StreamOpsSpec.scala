@@ -165,6 +165,37 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("a roster game with no events yet only seeds state (initial-state keys fire with an empty iterator)") {
+    implicit val sqlCtx = spark.sqlContext
+    val T1 = 100L
+    val T2 = 200L
+    def gameRoster(g: String): Seq[GameSide] =
+      (101L to 105L).map(p => GameSide(g, 0, T1, p, -1, Seq(Stint(0.0, 28800.0)), null)) ++
+        (201L to 205L).map(p => GameSide(g, 0, T2, p, -1, Seq(Stint(0.0, 28800.0)), null))
+    val gA = "0022400103"
+    val gB = "0022400104"
+    def jump(g: String, num: Long) = PbpEvent(g, num, 10, 0, 1, "12:00", 0,
+      Some(101L), Some(T1), Some(201L), Some(T2))
+
+    val in = MemoryStream[PbpEvent]
+    // roster covers BOTH games; batch 1 has events only for A — Spark
+    // still invokes the tracker for B (empty iterator) to seed its state,
+    // which must neither crash (no matchup fallback here) nor emit
+    val q = StreamOps.trackLineups(in.toDS(), (gameRoster(gA) ++ gameRoster(gB)).toDS())
+      .writeStream.format("memory").queryName("lineups_seed").outputMode("append").start()
+    try {
+      in.addData(jump(gA, 1L))
+      q.processAllAvailable()
+      val afterA = spark.sql("SELECT GAME_ID FROM lineups_seed").as[String].collect()
+      assert(afterA.toSeq == Seq(gA), "the event-less game must not emit")
+      // B's events arrive later and must find the seeded roster in state
+      in.addData(jump(gB, 1L))
+      q.processAllAvailable()
+      val games = spark.sql("SELECT DISTINCT GAME_ID FROM lineups_seed").as[String].collect().toSet
+      assert(games == Set(gA, gB))
+    } finally q.stop()
+  }
+
   test("trackLineups enforces the A5 duplicate-id invariant ACROSS micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val G = "0022400101"
