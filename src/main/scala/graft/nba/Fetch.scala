@@ -146,11 +146,7 @@ object Fetch {
     // per-request error rows must already be on disk when it does, or the
     // T4 contract ("a dead game id costs one error row") loses the errors
     // exactly when they matter most
-    val errors = FetchAll.failures(fetched)
-      .map(f => (f.path, f.params.map { case (k, v) => s"$k=$v" }.mkString("&"),
-        f.error.getOrElse("")))
-      .toDF("path", "params", "error")
-    Warehouse.replaceDir(errors, s"${args.input}/${table}_fetch_errors")
+    landErrors(fetched, s"${args.input}/${table}_fetch_errors")
     val parsed = RestDecoder.parse(fetched.flatMap(_.body))
     val raw = table match {
       case "play_by_play" =>
@@ -173,5 +169,69 @@ object Fetch {
       fetched.unpersist()
       ()
     }
+  }
+
+  /** Result-set name + landed shape of the period-sliced box score
+    * (reference players_on_court_at_start_of_period.py:42-58). */
+  val BoxPlayerSet = "PlayerStats"
+  val BoxTable = "box_score_per_period"
+  val boxRaw: StructType = StructType(Seq(
+    StructField("GAME_ID", StringType, nullable = false),
+    StructField("PERIOD", IntegerType, nullable = false),
+    StructField("PLAYER_ID", LongType, nullable = false),
+    StructField("TEAM_ID", LongType, nullable = false),
+    StructField("MIN", StringType)))
+
+  /** Land `box_score_per_period` for the given (GAME_ID, PERIOD) pairs:
+    * one period-sliced traditional box fetch per pair, PERIOD stamped from
+    * the request params via the TAGGED decode — the response rows carry
+    * the game but not the slice that produced them. The starters ETL's
+    * fetch half (reference players_on_court_at_start_of_period.py:42-58,
+    * fetched per game inside the loop; here one distributed fan-out). */
+  def landBoxScores(gamePeriods: DataFrame, args: PipelineArgs.Args,
+      transport: Fetcher.Transport)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val requests = gamePeriods
+      .select(col("GAME_ID"), col("PERIOD")).distinct()
+      .as[(String, Int)]
+      .map { case (g, p) => Endpoints.boxScoreForPeriod(g, p) }
+    val fetched = FetchAll.fetchRaw(requests, transport).persist()
+    try {
+      landErrors(fetched, s"${args.input}/${BoxTable}_fetch_errors")
+      val tagged = fetched
+        .flatMap(f => f.body.map(b => (f.params.toMap, b)))
+        .toDF("params", "body")
+      // a delta run with nothing new fans out zero requests — land the
+      // empty table instead of dying on the header probe
+      val raw =
+        if (tagged.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], boxRaw)
+        else
+          RestDecoder.resultSet(
+              RestDecoder.parseTagged(tagged), BoxPlayerSet, keep = Seq("params"))
+            .select(
+              col("GAME_ID").cast("string").as("GAME_ID"),
+              element_at(col("params"), "startPeriod").cast("int").as("PERIOD"),
+              col("PLAYER_ID").cast("long").as("PLAYER_ID"),
+              col("TEAM_ID").cast("long").as("TEAM_ID"),
+              col("MIN").cast("string").as("MIN"))
+      Warehouse.replaceDir(raw, s"${args.input}/$BoxTable")
+      spark.read.parquet(s"${args.input}/$BoxTable")
+    } finally {
+      fetched.unpersist()
+      ()
+    }
+  }
+
+  private def landErrors(fetched: org.apache.spark.sql.Dataset[FetchAll.Fetched],
+      dir: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val errors = FetchAll.failures(fetched)
+      .map(f => (f.path, f.params.map { case (k, v) => s"$k=$v" }.mkString("&"),
+        f.error.getOrElse("")))
+      .toDF("path", "params", "error")
+    Warehouse.replaceDir(errors, dir)
   }
 }

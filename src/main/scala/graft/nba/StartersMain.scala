@@ -38,8 +38,12 @@ object StartersMain {
         try runWith(spark, args) finally spark.stop()
     }
 
-  /** The job body, on a caller-owned session (testable; main owns its own). */
-  def runWith(spark0: SparkSession, args: PipelineArgs.Args): Unit = {
+  /** The job body, on a caller-owned session (testable; main owns its own).
+    * With a `transport`, the period-sliced box scores are FETCHED for the
+    * scoped (game, period) pairs and landed by [[Fetch.landBoxScores]]
+    * instead of read pre-landed — the last main's fetch half, raw-less. */
+  def runWith(spark0: SparkSession, args: PipelineArgs.Args,
+      transport: Option[graft.sources.Fetcher.Transport] = None): Unit = {
     implicit val spark: SparkSession = spark0
     import spark.implicits._
     import graft.functions.GameIds
@@ -59,9 +63,13 @@ object StartersMain {
     // data is inherently game-scoped): an unscoped box table would emit
     // starters for out-of-scope games — on a delta rerun, a duplicate of
     // every already-processed game.
-    val box: DataFrame = scala.util.Try(tbl("box_score_per_period")).toOption
-      .getOrElse(Seq.empty[(String, Int, Long, Long, Option[Double])]
-        .toDF("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID", "MIN"))
+    val box: DataFrame = transport match {
+      case Some(t) =>
+        Fetch.landBoxScores(pbp.select(col("GAME_ID"), col("PERIOD")), args, t)
+      case None => scala.util.Try(tbl("box_score_per_period")).toOption
+        .getOrElse(Seq.empty[(String, Int, Long, Long, Option[Double])]
+          .toDF("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID", "MIN"))
+    }
     val boxScoped = box.join(
       pbp.select(col("GAME_ID")).distinct(), Seq("GAME_ID"), "left_semi")
     val newRows = Starters.derive(pbp, boxScoped, strict = true)

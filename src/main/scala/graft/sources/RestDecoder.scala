@@ -33,17 +33,31 @@ object RestDecoder {
       .select(col("rs.name").as("name"), col("rs.headers").as("headers"),
         explode(col("rs.rowSet")).as("row"))
 
+  /** Parse while RETAINING request identity: input rows are
+    * (params map<string,string>, body), output one (params, name, headers,
+    * row) per rowSet entry — for endpoints whose rows do not carry the
+    * request's coordinates (the period-sliced box score: PERIOD exists
+    * only in the request, which the reference stamps per fetch at
+    * etl/players_on_court_at_start_of_period.py:42-58). */
+  def parseTagged(bodies: DataFrame): DataFrame =
+    bodies.select(col("params"), from_json(col("body"), envelopeSchema).as("env"))
+      .select(col("params"), explode(col("env.resultSets")).as("rs"))
+      .select(col("params"), col("rs.name").as("name"),
+        col("rs.headers").as("headers"), explode(col("rs.rowSet")).as("row"))
+
   /** Materialize one named result set as a DataFrame with header-named
     * string columns. Headers must be consistent across documents (they are:
     * the API schema per endpoint is fixed); the first row's headers define
     * the layout, like the reference taking `resultSets[i]['headers']`.
+    * `keep` carries extra columns of the parsed frame through (e.g. the
+    * `params` tag of [[parseTagged]]).
     */
-  def resultSet(parsed: DataFrame, name: String): DataFrame = {
+  def resultSet(parsed: DataFrame, name: String, keep: Seq[String] = Nil): DataFrame = {
     val subset = parsed.filter(col("name") === name)
     val headers: Seq[String] = subset.select(col("headers")).limit(1)
       .collect().headOption.map(_.getSeq[String](0)).getOrElse(Seq.empty)
     require(headers.nonEmpty, s"result set '$name' absent or empty")
-    subset.select(headers.zipWithIndex.map { case (h, i) =>
+    subset.select(keep.map(col) ++ headers.zipWithIndex.map { case (h, i) =>
       col("row").getItem(i).as(h)
     }: _*)
   }

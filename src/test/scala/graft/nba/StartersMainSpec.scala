@@ -63,6 +63,22 @@ class StartersMainSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("starters invariant violated")), messages(e))
   }
 
+  test("raw-less: box scores are fetched per (game, period), landed, and drive the primary path") {
+    val root = Files.createTempDirectory("graft_sm").toString
+    writeFixture(s"$root/in", withBox = false) // NO landed box table
+    StartersMain.runWith(spark, args(s"$root/in", s"$root/out"),
+      Some(StartersMainSpec.FakeBoxApi))
+    val got = spark.read.parquet(s"$root/out/${StartersMain.TableName}")
+    assert(got.count() == 10, "the fetched box table must drive the primary path")
+    // the box table was landed under --input with the PERIOD stamped from
+    // the request slice (the response rows never carry it)
+    val landed = spark.read.parquet(s"$root/in/${Fetch.BoxTable}")
+    assert(landed.count() == 10)
+    assert(landed.select("PERIOD").distinct().as[Int].collect().toSeq == Seq(1))
+    assert(landed.schema("PLAYER_ID").dataType.typeName == "long")
+    assert(spark.read.parquet(s"$root/in/${Fetch.BoxTable}_fetch_errors").count() == 0)
+  }
+
   test("without a landed box table every period falls back to pbp, still strict") {
     val root = Files.createTempDirectory("graft_sm").toString
     writeFixture(s"$root/in", withBox = false) // pbp names only 2 players
@@ -72,5 +88,22 @@ class StartersMainSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(_.contains("starters invariant violated")), messages(e))
+  }
+}
+
+object StartersMainSpec {
+  /** Period-sliced traditional box score: 5 players per team with non-null
+    * MIN for whatever (gameId, startPeriod) slice is requested. */
+  object FakeBoxApi extends graft.sources.Fetcher.Transport {
+    def get(r: graft.sources.Endpoints.Request): String = {
+      require(r.path == "boxscoretraditionalv2", s"unexpected path ${r.path}")
+      require(r.param("rangeType").contains("2"), "starters fetch must be range-sliced (F2)")
+      val gid = r.param("gameId").get
+      val players = (1 to 5).map(p => (p.toLong, 100L)) ++ (11 to 15).map(p => (p.toLong, 200L))
+      val rows = players.map { case (p, t) => s"""["$gid","$t","$p","11:45"]""" }.mkString(",")
+      s"""{"resultSets":[{"name":"PlayerStats",
+           "headers":["GAME_ID","TEAM_ID","PLAYER_ID","MIN"],
+           "rowSet":[$rows]}]}""".replaceAll("\n\\s*", "")
+    }
   }
 }
