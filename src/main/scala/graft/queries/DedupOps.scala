@@ -345,6 +345,14 @@ object DedupOps {
     // same pairs and walks reachability with a recursive CTE.
     "q38_components" -> { (s, dir) =>
       components(minhashNearDup(shingled(s, dir)))
+    },
+
+    // The full corpus-dedup operator: one canonical survivor per component
+    // plus every untouched document (doc_id only — the payload column adds
+    // nothing to the survivorship check).
+    "q39_dedupe_corpus" -> { (s, dir) =>
+      dedupeCorpus(Tables.documents(s, dir), minhashNearDup(shingled(s, dir)))
+        .select(col("doc_id"))
     })
 
   /** Shared shingle CTE (mirrors `shingled`). */
@@ -422,6 +430,25 @@ object DedupOps {
            SELECT e.dst AS doc_id, r.label AS label
            FROM reach r JOIN edges e ON e.src = r.doc_id)
          SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id""",
+    "q39_dedupe_corpus" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         $minhashCandCte,
+         pairs AS ($minhashPairsSelect),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS doc_id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS doc_id, r.label AS label
+           FROM reach r JOIN edges e ON e.src = r.doc_id),
+         drop_ids AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)
+           WHERE doc_id <> label)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)""",
     "q32_simhash" ->
       s"""$shingleCte,
          tok AS (SELECT doc_id, md5(unnest(sh)) AS t FROM s),
