@@ -217,8 +217,22 @@ object Fetch {
               col("PLAYER_ID").cast("long").as("PLAYER_ID"),
               col("TEAM_ID").cast("long").as("TEAM_ID"),
               col("MIN").cast("string").as("MIN"))
-      Warehouse.replaceDir(raw, s"${args.input}/$BoxTable")
-      spark.read.parquet(s"${args.input}/$BoxTable")
+      // MERGE with whatever is already landed: this run's slices replace
+      // their (game, period) pairs, every other pair is kept — a delta run
+      // fetching 5 new games (or an outage where every fetch failed and
+      // `raw` is empty) must not destroy the 1000 games a previous run
+      // landed, because transport-less StartersMain reruns read this table
+      // as their primary path
+      val dir = s"${args.input}/$BoxTable"
+      Warehouse.recover(spark, dir)
+      val merged = scala.util.Try(spark.read.parquet(dir)).toOption match {
+        case Some(existing) =>
+          val keys = raw.select(col("GAME_ID"), col("PERIOD")).distinct()
+          existing.join(keys, Seq("GAME_ID", "PERIOD"), "left_anti").unionByName(raw)
+        case None => raw
+      }
+      Warehouse.replaceDir(merged, dir)
+      spark.read.parquet(dir)
     } finally {
       fetched.unpersist()
       ()

@@ -93,15 +93,27 @@ final case class NbaScanConf(options: Map[String, String]) {
     inst.asInstanceOf[Fetcher.Transport]
   }
 
-  /** Planning-time schema probe: fetch the first id once, take the result
-    * set's headers as all-string columns. */
+  /** Planning-time schema probe: fetch one id, take the result set's
+    * headers as all-string columns. Honors onError=skip — a dead FIRST id
+    * must not fail the whole scan at planning time, so the probe walks the
+    * id list until one fetch decodes (without skip, the first failure
+    * propagates, matching the scan's own failure mode). */
   def probeSchema(): StructType = {
-    val first = ids.headOption.getOrElse(
-      throw new IllegalArgumentException("the nba source needs at least one id"))
-    val body = Fetcher.fetch(transport(), request(first), retries, backoffMs)
-    val headers = NbaEnvelope.headersOf(body, resultSet).getOrElse(
-      throw new IllegalArgumentException(
-        s"result set '$resultSet' absent from a probe fetch of $path"))
+    require(ids.nonEmpty, "the nba source needs at least one id")
+    val t = transport()
+    val headers = ids.iterator
+      .map { id =>
+        try NbaEnvelope.headersOf(
+          Fetcher.fetch(t, request(id), retries, backoffMs), resultSet)
+        catch {
+          case e: Fetcher.FetchFailedException if skipErrors =>
+            System.err.println(s"[nba] schema probe skipping id $id: ${e.getMessage}")
+            None
+        }
+      }
+      .collectFirst { case Some(h) => h }
+      .getOrElse(throw new IllegalArgumentException(
+        s"result set '$resultSet' absent from every probe fetch of $path"))
     StructType(headers.map(StructField(_, StringType)))
   }
 }
@@ -185,17 +197,20 @@ class NbaPartitionReader(schema: StructType, conf: NbaScanConf, ids: Array[Strin
   override def close(): Unit = ()
 
   private def fetchRows(id: String): Iterator[InternalRow] = {
-    val body =
-      try Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs)
+    // onError=skip: one dead id costs its rows, not the task — a task
+    // death would re-fetch every healthy id in the slice on the task
+    // retry, and maxFailures task deaths kill the scan. The catch covers
+    // the DECODE too: a 200 response carrying an unparsable body (the
+    // HTML-error-page-with-200 failure mode) is the same per-id loss.
+    val (headers, rows) =
+      try NbaEnvelope.rowsOf(
+        Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs),
+        conf.resultSet)
       catch {
-        case e: Fetcher.FetchFailedException if conf.skipErrors =>
-          // onError=skip: one dead id costs its rows, not the task — a
-          // task death would re-fetch every healthy id in the slice on
-          // the task retry, and maxFailures task deaths kill the scan
+        case scala.util.control.NonFatal(e) if conf.skipErrors =>
           System.err.println(s"[nba] skipping id $id: ${e.getMessage}")
           return Iterator.empty
       }
-    val (headers, rows) = NbaEnvelope.rowsOf(body, conf.resultSet)
     // case-insensitive, like every other name in this source; a declared
     // column the response lacks fails NAMING the column (API drift must
     // not surface as a silently all-null column)

@@ -58,8 +58,6 @@ class StartersMainSpec extends SparkSpec {
     val e = intercept[Exception] {
       StartersMain.runWith(spark, args(s"$root/in", s"$root/out"))
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(_.contains("starters invariant violated")), messages(e))
   }
 
@@ -77,6 +75,13 @@ class StartersMainSpec extends SparkSpec {
     assert(landed.select("PERIOD").distinct().as[Int].collect().toSeq == Seq(1))
     assert(landed.schema("PLAYER_ID").dataType.typeName == "long")
     assert(spark.read.parquet(s"$root/in/${Fetch.BoxTable}_fetch_errors").count() == 0)
+    // a delta rerun scopes to zero new games -> zero requests; the landed
+    // box table must MERGE (keep the 10 rows), not be replaced by the
+    // empty slice — transport-less reruns depend on it
+    StartersMain.runWith(spark, args(s"$root/in", s"$root/out", delta = true),
+      Some(StartersMainSpec.FakeBoxApi))
+    assert(spark.read.parquet(s"$root/in/${Fetch.BoxTable}").count() == 10,
+      "an empty delta fetch must not destroy previously landed box data")
   }
 
   test("without a landed box table every period falls back to pbp, still strict") {
@@ -85,8 +90,6 @@ class StartersMainSpec extends SparkSpec {
     val e = intercept[Exception] {
       StartersMain.runWith(spark, args(s"$root/in", s"$root/out"))
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(_.contains("starters invariant violated")), messages(e))
   }
 }

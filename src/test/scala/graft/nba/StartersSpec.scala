@@ -116,8 +116,6 @@ class StartersSpec extends SparkSpec {
       (G, 1, 1L, 1, "11:00", Some(1L), Some(T1), None, None, None, None)))
     val box = fullBox().filter(col("PLAYER_ID") =!= 15L) // primary yields 9 -> fallback yields 1
     val e = intercept[Exception] { Starters.derive(pbp, box, strict = true).count() }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(_.contains("starters invariant violated")), messages(e).mkString("|"))
   }
 
@@ -127,8 +125,6 @@ class StartersSpec extends SparkSpec {
       // period 2 exists in pbp but every slot is team-0 -> no candidates at all
       (G, 2, 10L, 1, "11:00", Some(9L), Some(0L), None, None, None, None)))
     val e = intercept[Exception] { Starters.derive(pbp, fullBox(), strict = true).count() }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(m => m.contains("starters invariant violated") && m.contains("has 0")),
       messages(e).mkString("|"))
   }

@@ -47,14 +47,16 @@ class NbaTableSpec extends SparkSpec {
   }
 
   test("user schema matches headers case-insensitively; a missing declared column fails loudly") {
-    val df = reader.schema("game_id string, person_id long").load()
-    assert(df.count() == 40, "lower-cased declared names must still bind to the API headers")
+    // collect, not count — count() would prune the columns away and never
+    // exercise the binding
+    val rows = reader.schema("game_id string, person_id long").load()
+      .as[(String, Long)].collect()
+    assert(rows.length == 40 && rows.forall { case (g, p) => g != null && p >= 201L },
+      "lower-cased declared names must still bind to the API headers")
     val drifted = reader.schema("GAME_ID string, RENAMED_COLUMN long").load()
     // collect, not count: count() prunes every column away and the reader
     // never looks the drifted name up
     val e = intercept[Exception](drifted.collect())
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(_.contains("RENAMED_COLUMN")),
       s"API drift must name the missing column, got ${messages(e)}")
   }
@@ -64,8 +66,6 @@ class NbaTableSpec extends SparkSpec {
       .option("ids", (ids :+ "DEAD99").mkString(","))
       .option("retries", "2").option("backoffMs", "0")
     val e = intercept[Exception](withDead.load().count())
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
     assert(messages(e).exists(m => m.contains("DEAD") || m.contains("attempts")),
       s"default onError must fail the scan with the fetch error, got ${messages(e)}")
     val skipped = withDead.option("onError", "skip").load()

@@ -188,11 +188,18 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       val afterA = spark.sql("SELECT GAME_ID FROM lineups_seed").as[String].collect()
       assert(afterA.toSeq == Seq(gA), "the event-less game must not emit")
-      // B's events arrive later and must find the seeded roster in state
+      // B's events arrive later and must find the seeded roster in state:
+      // assert on the LINEUP PLAYERS (derivable only from the seeded
+      // GameSide stints) — a jump-ball event alone could resolve the teams,
+      // so game presence would not prove the roster survived
       in.addData(jump(gB, 1L))
       q.processAllAvailable()
-      val games = spark.sql("SELECT DISTINCT GAME_ID FROM lineups_seed").as[String].collect().toSet
-      assert(games == Set(gA, gB))
+      val bRow = spark.sql(
+        s"""SELECT TEAM1_PLAYER1, TEAM1_PLAYER5, TEAM2_PLAYER1, TEAM2_PLAYER5
+            FROM lineups_seed WHERE GAME_ID = '$gB'""")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(bRow == Seq((101L, 105L, 201L, 205L)),
+        "game B's lineups must come from the roster seeded in batch 1")
     } finally q.stop()
   }
 
@@ -215,8 +222,6 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(ev(1L)) // replayed EVENTNUM in a LATER batch
       val e = intercept[Exception] { q.processAllAvailable() }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
       assert(messages(e).exists(_.contains("duplicate id")),
         s"expected the batch engine's duplicate-id failure, got: ${messages(e)}")
     } finally q.stop()
