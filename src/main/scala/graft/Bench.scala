@@ -18,6 +18,11 @@ object Bench {
       // every column of every row, so Catalyst can't prune the projection.
       def run(): Double = {
         spark.catalog.clearCache()
+        // also drop RDD-level blocks (components()' per-round
+        // localCheckpoints live OUTSIDE the SQL cache): between queries
+        // nothing references them, and leaving them to the ContextCleaner
+        // lets earlier queries' blocks pressure later queries' memory
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
