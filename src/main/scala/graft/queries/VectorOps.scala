@@ -132,6 +132,16 @@ object VectorOps {
       lshNearDup(vecs(s, dir), NearDupThreshold)
     },
 
+    // The within-bucket EXACT kernel over the same hyperplane-LSH bands as
+    // q37: identical candidate universe and identical per-pair fold order,
+    // so the result must hash-match q37's oracle while exercising the
+    // typed block-nested-loop path instead of the pairwise equi-join —
+    // the bucketed composition the q34 notes prescribe at 100x, with the
+    // same oracle evidence as the banded form.
+    "q28_lsh_bucketed_exact" -> { (s, dir) =>
+      exactNearDupInLshBuckets(vecs(s, dir), NearDupThreshold)(s)
+    },
+
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
     // `exists` prunes rows and `filter`+`size` counts hits over the
     // array<float> column in place — no explode, so the row count never
@@ -372,7 +382,13 @@ object VectorOps {
            len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) AS n_hot
          FROM embeddings
          WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) > 0""",
-    "q37_hyperplane_lsh" -> {
+    "q37_hyperplane_lsh" -> hyperplaneOracle,
+    // same oracle by design: the bucketed exact kernel has the same
+    // candidate universe (pairs sharing >= 1 band) and bit-identical
+    // cosines (same fold order) as the banded equi-join form
+    "q28_lsh_bucketed_exact" -> hyperplaneOracle)
+
+  private lazy val hyperplaneOracle: String = {
       val sigSql = (0 until HyperplaneBits).map { j =>
         val signs = "LIST_VALUE(" +
           hyperplaneSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString(",") + ")"
@@ -395,5 +411,5 @@ object VectorOps {
          JOIN n a ON a.vec_id = c.vec_a
          JOIN n b ON b.vec_id = c.vec_b
          WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold"""
-    })
+  }
 }
