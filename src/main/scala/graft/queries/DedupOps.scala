@@ -242,7 +242,13 @@ object DedupOps {
     * silently-unmerged labels; raise `maxIter` (or switch the propagation
     * to large-star/small-star alternation, which converges in O(log n)
     * rounds) if that day comes. Only docs that appear in a pair are
-    * returned. */
+    * returned.
+    *
+    * Fault-tolerance note: per-round localCheckpoint trades lineage for
+    * speed — an executor loss mid-computation fails the job (Spark's
+    * documented local-checkpoint caveat) and the caller reruns it; for a
+    * multi-hour corpus pass on preemptible nodes, swap in reliable
+    * `checkpoint()` with a checkpoint dir — same shape, durable rounds. */
   def components(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     componentsWithRounds(pairs, maxIter)._1
 

@@ -121,10 +121,12 @@ final case class NbaScanConf(options: Map[String, String]) {
 /** Jackson-based envelope decode for the V2 readers (RestDecoder's Spark
   * JSON reader needs a session; partition readers must not). */
 object NbaEnvelope {
-  private def sets(body: String) = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // one mapper per JVM: ObjectMapper is thread-safe for readTree and
+  // costs real setup time — per-request allocation would tax every fetch
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def sets(body: String) =
     mapper.readTree(body).path("resultSets").elements().asScala
-  }
 
   def headersOf(body: String, name: String): Option[Seq[String]] =
     sets(body).find(_.path("name").asText() == name)
