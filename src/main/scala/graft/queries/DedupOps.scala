@@ -235,7 +235,9 @@ object DedupOps {
     * materializes the persisted propagation result and yields the
     * convergence signal (labels only ever decrease, so `label < old` counts
     * exactly the docs that moved; zero moved = converged). Rounds needed =
-    * component diameter + 1 — for near-dup clusters, single digits; the
+    * component diameter, counting the final detect round (the first
+    * propagation hop is fused into the init) — for near-dup clusters,
+    * single digits; the
     * default budget of 50 covers any plausible corpus (a 50-hop near-dup
     * chain means the threshold, not the algorithm, is wrong). A graph that
     * genuinely exceeds the budget fails loudly rather than returning
@@ -263,8 +265,14 @@ object DedupOps {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed with the first propagation hop fused into init: label0 =
+    // min(self, direct neighbors) costs the same single shuffle as a
+    // distinct-ids init but saves one full round on every graph (a clique
+    // converges in the init itself, leaving only the detect round)
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
     var prev: Option[DataFrame] = None
     var iter = 0
     var changed = 1L

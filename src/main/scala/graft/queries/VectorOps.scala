@@ -281,7 +281,14 @@ object VectorOps {
     * pair found in several bands yields bit-identical cosines and the
     * distinct collapses them. Equals the GLOBAL exact kernel whenever
     * every true pair shares a band — the recall contract the spec pins on
-    * clustered data. */
+    * clustered data.
+    *
+    * Skew caveat: one bucket's work is quadratic in ITS size, so a
+    * degenerate corpus where many vectors share a band value concentrates
+    * on one task. The lever is more signature bits per band (smaller
+    * buckets, lower recall) — salting cannot split an in-bucket N²;
+    * at that point run the triangle-blocked global kernel per oversized
+    * bucket instead. */
   def exactNearDupInLshBuckets(n0: DataFrame, threshold: Double)(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._

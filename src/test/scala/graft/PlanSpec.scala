@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("label"), "label must be pruned: " + readSchema)
   }
 
+  test("q28: the bucketed kernel groups by bucket — no cartesian, no pairwise join") {
+    val p = plan("q28_lsh_bucketed_exact")
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p)
+    assert(!p.contains("CartesianProduct"), "in-bucket pairs come from the typed kernel: " + p)
+  }
+
   test("q33: the posting self-join keys on 8-byte hashed longs, not shingle strings") {
     val p = plan("q33_ngram_jaccard")
     assert(p.contains("xxhash64"), p)

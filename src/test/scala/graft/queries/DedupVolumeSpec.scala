@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class DedupVolumeSpec extends SparkSpec {
   import spark.implicits._
 
-  test("chain at 16x: labels converge to the min endpoint in diameter+1 rounds") {
+  test("chain at 16x: labels converge to the min endpoint in diameter rounds") {
     val n = 32 // nodes 0..32, diameter 32
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("doc_a", "doc_b")
@@ -19,17 +19,18 @@ class DedupVolumeSpec extends SparkSpec {
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got.size == n + 1)
     assert(got.values.forall(_ == 0L), "every chained doc joins component 0")
-    assert(rounds == n + 1, s"expected ${n + 1} rounds (diameter + detect), got $rounds")
+    // the first hop is fused into the init, the last round is the detect
+    assert(rounds == n, s"expected $n rounds (diameter, hop 1 in init), got $rounds")
   }
 
-  test("star at 16x: rounds follow diameter (3 when the min label sits on a leaf), not size") {
+  test("star at 16x: rounds follow diameter (2 when the min label sits on a leaf), not size") {
     // center 100, leaves 1..64: min label 1 must cross the center — diameter 2
     val pairs = (1L to 64L).map(l => (100L, l)).toDF("doc_a", "doc_b")
     val (labels, rounds) = DedupOps.componentsWithRounds(pairs)
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got.size == 65)
     assert(got.values.forall(_ == 1L))
-    assert(rounds == 3, s"star must converge by diameter (2) + detect, got $rounds")
+    assert(rounds == 2, s"star must converge by diameter (init hop + 1) + detect, got $rounds")
   }
 
   test("one action per round: only the fused materialize+converge count runs (no isEmpty probe)") {
