@@ -18,11 +18,12 @@ object Bench {
       // every column of every row, so Catalyst can't prune the projection.
       def run(): Double = {
         spark.catalog.clearCache()
-        // also drop RDD-level blocks (components()' per-round
-        // localCheckpoints live OUTSIDE the SQL cache): between queries
-        // nothing references them, and leaving them to the ContextCleaner
-        // lets earlier queries' blocks pressure later queries' memory
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // also drop RDD-level blocks (components()' localCheckpoints live
+        // OUTSIDE the SQL cache): between queries nothing references them,
+        // and leaving them to the ContextCleaner lets earlier queries'
+        // blocks pressure later queries' memory. BLOCKING: the sweep runs
+        // before t0, so an async removal cannot bleed into the timed window
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

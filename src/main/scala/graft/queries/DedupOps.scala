@@ -255,7 +255,7 @@ object DedupOps {
     componentsWithRounds(pairs, maxIter)._1
 
   /** [[components]] plus the number of propagation rounds executed —
-    * package-visible so the volume spec can pin rounds = diameter + 1. */
+    * package-visible so the volume spec can pin rounds = diameter. */
   private[graft] def componentsWithRounds(pairs: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
     // stage the pair set before mirroring it: the union's two branches
@@ -273,7 +273,16 @@ object DedupOps {
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
-    var prev: Option[DataFrame] = None
+    // the physical blocks of a localCheckpoint'ed frame belong to the
+    // UNDERLYING RDD (the Dataset's plan is a LogicalRDD over it);
+    // Dataset.unpersist only clears SQL-cache entries and would free
+    // nothing — rounds must release the real RDD or a deep component
+    // holds every round's full label table in memory simultaneously
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var iter = 0
     var changed = 1L
     var ok = false
@@ -299,9 +308,11 @@ object DedupOps {
           .localCheckpoint(true)
         changed = obs.get("changed").asInstanceOf[Long]
         // the new checkpoint is self-contained — the previous round's
-        // blocks are dead weight and can be dropped NOW
-        prev.foreach(_.unpersist())
-        prev = Some(next)
+        // blocks are dead weight and can be dropped NOW (unpersisting a
+        // locally-checkpointed RDD discards its data, which is safe
+        // exactly because nothing references the previous round anymore)
+        prevRdds.foreach(_.unpersist(false))
+        prevRdds = checkpointRdds(next)
         labels = next
         iter += 1
       }
@@ -311,7 +322,7 @@ object DedupOps {
     } finally {
       // on failure release the last round too; on success the caller owns
       // the returned checkpoint (ContextCleaner reaps it when dropped)
-      if (!ok) prev.foreach(_.unpersist())
+      if (!ok) prevRdds.foreach(_.unpersist(false))
       edges.unpersist()
       p.unpersist()
       ()

@@ -14,8 +14,6 @@ import graft.SparkSpec
 class EndToEndSpec extends SparkSpec {
   import spark.implicits._
 
-  private val G = "0022400001"
-
   test("fetch -> ingest -> starters -> flagship lineup tracking, raw-less") {
     val root = Files.createTempDirectory("graft_e2e").toString
     val in = s"$root/in" // landed raw

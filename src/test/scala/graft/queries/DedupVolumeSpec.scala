@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** components() at the shapes that maximize round count: a 32-hop chain and
   * a 64-leaf star (16x the unit-spec graphs). Pins the cost model the
-  * scaladoc promises — rounds = diameter + 1, and ONE action per round (the
-  * count that both materializes the round and carries the convergence
-  * signal; the old shape ran a second join + isEmpty probe per round). */
+  * scaladoc promises — rounds = diameter (first hop fused into the init),
+  * ONE action per round (the Observation-carrying materialization; the old
+  * shape ran a second join + isEmpty probe per round), and per-round
+  * release of the previous round's checkpoint blocks. */
 class DedupVolumeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,12 +16,19 @@ class DedupVolumeSpec extends SparkSpec {
     val n = 32 // nodes 0..32, diameter 32
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (labels, rounds) = DedupOps.componentsWithRounds(pairs)
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got.size == n + 1)
     assert(got.values.forall(_ == 0L), "every chained doc joins component 0")
     // the first hop is fused into the init, the last round is the detect
     assert(rounds == n, s"expected $n rounds (diameter, hop 1 in init), got $rounds")
+    // each round must RELEASE the previous round's checkpoint blocks
+    // (Dataset.unpersist can't — the blocks belong to the underlying RDD):
+    // after 32 rounds, at most the final checkpoint + unpersist-in-flight
+    // stragglers may remain, never one entry per round
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3, s"rounds leaked ${leaked.size} persisted RDDs")
   }
 
   test("star at 16x: rounds follow diameter (2 when the min label sits on a leaf), not size") {
