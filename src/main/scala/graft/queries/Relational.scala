@@ -38,6 +38,13 @@ object Relational {
     * differently (shortest-round-trip-string vs binary rounding), so any
     * double arithmetic done before the cast can diverge in the 4th decimal
     * digit. Casting each operand first makes both engines do exact decimal
+    *
+    * Scale-8 products (price x discount) reduce to DECIMAL(38,4) BEFORE the
+    * final double cast: a scale-8 sum's unscaled value exceeds 2^53 at
+    * sf0.1+, and DuckDB's decimal->double (int128 divided by 10^scale)
+    * then double-rounds — 1 ulp off Spark's correctly-rounded conversion.
+    * At scale 4 the unscaled value stays exactly representable (sums up to
+    * ~9e11), so both engines produce the identical double.
     * arithmetic on identically-rounded values.
     */
   private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -54,7 +61,7 @@ object Relational {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("decimal(38,4)").cast("double").as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -118,7 +125,7 @@ object Relational {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("double").as("revenue"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     },
 
@@ -202,7 +209,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
          avg(l_quantity) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -229,7 +236,7 @@ object Relational {
            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
     "q07_broadcast_dims" ->
       """SELECT r_name, n_name,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
