@@ -97,15 +97,22 @@ final case class NbaScanConf(options: Map[String, String]) {
     * headers as all-string columns. Honors onError=skip — a dead FIRST id
     * must not fail the whole scan at planning time, so the probe walks the
     * id list until one fetch decodes (without skip, the first failure
-    * propagates, matching the scan's own failure mode). */
+    * propagates, matching the scan's own failure mode).
+    *
+    * Every body the probe successfully fetches is parked in [[ProbeCache]]
+    * so the scan ships it to the executor inside the InputPartition instead
+    * of paying the probe id's fetch a second time. */
   def probeSchema(): StructType = {
     require(ids.nonEmpty, "the nba source needs at least one id")
     val t = transport()
     val headers = ids.iterator
       .map { id =>
-        try NbaEnvelope.headersOf(
-          Fetcher.fetch(t, request(id), retries, backoffMs), resultSet)
-        catch {
+        val rq = request(id)
+        try {
+          val body = Fetcher.fetch(t, rq, retries, backoffMs)
+          ProbeCache.put(rq, body)
+          NbaEnvelope.headersOf(body, resultSet)
+        } catch {
           case e: Fetcher.FetchFailedException if skipErrors =>
             System.err.println(s"[nba] schema probe skipping id $id: ${e.getMessage}")
             None
@@ -116,6 +123,23 @@ final case class NbaScanConf(options: Map[String, String]) {
         s"result set '$resultSet' absent from every probe fetch of $path"))
     StructType(headers.map(StructField(_, StringType)))
   }
+}
+
+/** Driver-side cache of probe-fetched bodies: the planning-time schema
+  * probe already paid for a full response, so the scan reuses it rather
+  * than refetching the probe id. Consume-once (taken at planInputPartitions
+  * time): a re-planned scan of the same table simply refetches, so a
+  * cached body can never be served twice — staleness is bounded by one
+  * plan of one read. Driver-only by construction: both probeSchema and
+  * planInputPartitions run at planning; the body travels to the executor
+  * serialized inside [[NbaIdSlice]]. */
+private[v2] object ProbeCache {
+  private val bodies =
+    new java.util.concurrent.ConcurrentHashMap[Endpoints.Request, String]()
+  def put(request: Endpoints.Request, body: String): Unit =
+    bodies.put(request, body)
+  def take(request: Endpoints.Request): Option[String] =
+    Option(bodies.remove(request))
 }
 
 /** Jackson-based envelope decode for the V2 readers (RestDecoder's Spark
@@ -169,26 +193,38 @@ class NbaScan(required: StructType, conf: NbaScanConf) extends Scan with Batch {
     s"nba ${conf.path}/${conf.resultSet} over ${conf.ids.length} ids"
 
   /** One input partition per id slice — the scan's parallelism contract:
-    * ceil(|ids| / idsPerPartition) tasks, each owning its fetch loop. */
-  override def planInputPartitions(): Array[InputPartition] =
-    conf.ids.grouped(conf.idsPerPartition).map(s => NbaIdSlice(s.toArray)).toArray
+    * ceil(|ids| / idsPerPartition) tasks, each owning its fetch loop. Ids
+    * whose body the schema probe already fetched ride along prefetched, so
+    * the executor skips their fetch. Memoized: Spark calls
+    * planInputPartitions more than once per query (physical planning and
+    * execution each ask), and the ProbeCache take() is consume-once — the
+    * slices must be computed exactly once per Scan so the call that
+    * consumes the cache is the one whose slices actually execute. */
+  private lazy val slices: Array[InputPartition] =
+    conf.ids.grouped(conf.idsPerPartition).map { s =>
+      val pre = s.flatMap(id => ProbeCache.take(conf.request(id)).map(id -> _)).toMap
+      NbaIdSlice(s.toArray, pre)
+    }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = slices
 
   override def createReaderFactory(): PartitionReaderFactory =
     NbaReaderFactory(required, conf)
 }
 
-final case class NbaIdSlice(ids: Array[String]) extends InputPartition
+final case class NbaIdSlice(ids: Array[String],
+    prefetched: Map[String, String] = Map.empty) extends InputPartition
 
 final case class NbaReaderFactory(schema: StructType, conf: NbaScanConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new NbaPartitionReader(schema, conf, p.asInstanceOf[NbaIdSlice].ids)
+    new NbaPartitionReader(schema, conf, p.asInstanceOf[NbaIdSlice])
 }
 
-class NbaPartitionReader(schema: StructType, conf: NbaScanConf, ids: Array[String])
+class NbaPartitionReader(schema: StructType, conf: NbaScanConf, slice: NbaIdSlice)
     extends PartitionReader[InternalRow] {
   private lazy val transport = conf.transport() // once per partition
-  private val idIt = ids.iterator
+  private val idIt = slice.ids.iterator
   private var rowIt: Iterator[InternalRow] = Iterator.empty
 
   override def next(): Boolean = {
@@ -205,10 +241,11 @@ class NbaPartitionReader(schema: StructType, conf: NbaScanConf, ids: Array[Strin
     // the DECODE too: a 200 response carrying an unparsable body (the
     // HTML-error-page-with-200 failure mode) is the same per-id loss.
     val (headers, rows) =
-      try NbaEnvelope.rowsOf(
-        Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs),
-        conf.resultSet)
-      catch {
+      try {
+        val body = slice.prefetched.getOrElse(id,
+          Fetcher.fetch(transport, conf.request(id), conf.retries, conf.backoffMs))
+        NbaEnvelope.rowsOf(body, conf.resultSet)
+      } catch {
         case scala.util.control.NonFatal(e) if conf.skipErrors =>
           System.err.println(s"[nba] skipping id $id: ${e.getMessage}")
           return Iterator.empty

@@ -72,6 +72,30 @@ class NbaTableSpec extends SparkSpec {
     assert(skipped.count() == 40) // the 20 healthy ids; the dead one logged
   }
 
+  test("the probe body is reused by the scan: each id fetched exactly once") {
+    NbaTableSpec.CountingApi.fetches.set(0)
+    val df = reader
+      .option("transport", "graft.sources.NbaTableSpec$CountingApi$")
+      .load() // inferSchema probes the first id: 1 fetch
+    assert(NbaTableSpec.CountingApi.fetches.get == 1)
+    assert(df.collect().length == 40)
+    // the scan consumed the probe's cached body for id 1 — 19 fresh
+    // fetches, not 20
+    assert(NbaTableSpec.CountingApi.fetches.get == ids.length,
+      s"scan must reuse the probe body, got ${NbaTableSpec.CountingApi.fetches.get} fetches")
+    // the body is embedded in the planned slice, so re-executing the SAME
+    // Dataset replays it (the determinism a task retry needs) — only the
+    // 19 unprefetched ids refetch
+    assert(df.collect().length == 40)
+    assert(NbaTableSpec.CountingApi.fetches.get == 2 * ids.length - 1)
+    // a FRESH read probes and scans anew — the cache is consume-once, so
+    // a stale body can never leak across reads
+    val again = reader.option("transport", "graft.sources.NbaTableSpec$CountingApi$")
+      .load()
+    assert(again.collect().length == 40)
+    assert(NbaTableSpec.CountingApi.fetches.get == 3 * ids.length - 1)
+  }
+
   test("joins compose: the V2 table is a first-class relation") {
     val names = Seq((201L, "away starter"), (202L, "away bench")).toDF("PERSON_ID", "ROLE")
     val joined = reader.schema("GAME_ID string, PERSON_ID long").load()
@@ -81,6 +105,13 @@ class NbaTableSpec extends SparkSpec {
 }
 
 object NbaTableSpec {
+  /** FakeApi plus a JVM-wide fetch counter (local mode: driver probe and
+    * partition readers share it) for the fetch-exactly-once spec. */
+  object CountingApi extends Fetcher.Transport {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def get(r: Endpoints.Request): String = { fetches.incrementAndGet(); FakeApi.get(r) }
+  }
+
   /** Two away players per game, deterministic from the requested id. */
   object FakeApi extends Fetcher.Transport {
     def get(r: Endpoints.Request): String = {
