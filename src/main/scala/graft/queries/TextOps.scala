@@ -78,6 +78,68 @@ object TextOps {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Repetition signals (q29) — the Gopher-style quality filters that
+    * catch degenerate/looping generations: per doc, the fraction of all
+    * bigrams taken by the single most frequent bigram and the
+    * distinct-to-total bigram ratio. All counts are integers and the
+    * ratios int/int double divisions, so the result is engine-exact.
+    *
+    * Shape at scale: explode + two hash aggregations keyed by doc — fully
+    * map-side combinable, no window, no skew risk beyond document length
+    * itself (bounded by the corpus's max doc). The bigram array is
+    * materialized as a column BEFORE the explode so the generator's child
+    * is a plain attribute (explode re-evaluates a computed child per
+    * OUTPUT row — the measured 20x pitfall the dedup suite documents). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val perBigram = docs
+      .select(col("doc_id"), tokens.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("w")) - 2), i =>
+          concat(element_at(col("w"), i + 1), lit(" "),
+            element_at(col("w"), i + 2))).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    perBigram.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        (col("n_distinct_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .as("distinct_ratio"))
+  }
+
+  /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by
+    * (tf desc, df asc, term asc) — the idf ordering without the float: a
+    * term with higher tf and lower df ranks first, and the integer tuple
+    * order equals the tf·log(N/df) order whenever that order is
+    * well-defined, while staying bit-exact across engines.
+    *
+    * Shape at scale: the document-frequency table has one row per vocab
+    * term — broadcast by construction — so the fact-side tf table never
+    * shuffles for the join; the ranking window partitions by doc_id
+    * (millions of small partitions, never a global sort). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, term), so count(*) per term IS the df
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfTbl), "term")
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish word-regex token count.
     "q40_token_count" -> { (s, dir) => tokenCounts(Tables.documents(s, dir)) },
@@ -89,7 +151,13 @@ object TextOps {
     "q42_lang_id" -> { (s, dir) => langId(Tables.documents(s, dir)) },
 
     // Fingerprinting (see fingerprint).
-    "q43_fingerprint" -> { (s, dir) => fingerprint(Tables.documents(s, dir)) })
+    "q43_fingerprint" -> { (s, dir) => fingerprint(Tables.documents(s, dir)) },
+
+    // Repetition signals (see repetitionSignals).
+    "q29_repetition" -> { (s, dir) => repetitionSignals(Tables.documents(s, dir)) },
+
+    // TF-IDF keyword extraction (see tfIdfTopTerms).
+    "q45_tfidf_terms" -> { (s, dir) => tfIdfTopTerms(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -133,5 +201,32 @@ object TextOps {
     "q43_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
            min(doc_id) AS canonical_id, count(*) AS n_docs
-         FROM documents GROUP BY 1""")
+         FROM documents GROUP BY 1""",
+    "q29_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         b AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+           FROM w),
+         c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           max(n) AS top_bigram_n,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac,
+           CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio
+         FROM c GROUP BY doc_id""",
+    "q45_tfidf_terms" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         r AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""")
 }

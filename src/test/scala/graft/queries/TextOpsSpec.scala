@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The text-analysis operators beyond their oracle coverage: hand-computed
+  * fixtures for the repetition signals and tf-idf ranking, plus the plan
+  * shapes that make them scale (broadcast df table, no global sort). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals flags a degenerate looping doc and passes a diverse one") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // bigrams: "spam spam" x3
+      (2L, "a b c d"),                    // bigrams: all distinct
+      (3L, "x")                           // single token: no bigrams, dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(out.length == 2, "a doc with < 2 tokens has no bigrams and no row")
+    assert(out(0) == ((1L, 3L, 1L, 3L, 1.0, 1.0 / 3.0)),
+      "the loop doc: one bigram owns all 3 slots")
+    assert(out(1) == ((2L, 3L, 3L, 1L, 1.0 / 3.0, 1.0)),
+      "the diverse doc: every bigram unique")
+  }
+
+  test("tfIdfTopTerms ranks high-tf low-df terms first, ties by term, honors k") {
+    // "stop" appears in every doc (df 3); "rare"/"gem" in one (df 1)
+    val docs = Seq(
+      (1L, "stop stop rare rare gem"),
+      (2L, "stop alpha"),
+      (3L, "stop beta")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+    // doc 1: rare (tf 2, df 1) beats stop (tf 2, df 3); gem (tf 1) third -> cut
+    assert(top.filter(_._1 == 1L).toSeq ==
+      Seq((1L, "rare", 2L, 1L, 1L), (1L, "stop", 2L, 3L, 2L)))
+    // doc 2: alpha (tf 1, df 1) beats stop (tf 1, df 3)
+    assert(top.filter(_._1 == 2L).toSeq ==
+      Seq((2L, "alpha", 1L, 1L, 1L), (2L, "stop", 1L, 3L, 2L)))
+    assert(top.forall(_._5 <= 2L), "k = 2 caps every doc's rows")
+  }
+
+  test("tfIdfTopTerms broadcasts the vocabulary-sized df table — the tf side never sort-merge-joins") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    // toString, not a node walk: AQE wraps the live plan and hides its
+    // children from a naive traversal, but prints the full inner plan
+    val plan = TextOps.tfIdfTopTerms(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
