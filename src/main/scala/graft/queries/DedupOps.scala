@@ -262,13 +262,22 @@ object DedupOps {
     // would otherwise each recompute the full upstream pair-producing
     // pipeline (minhash/simhash/jaccard) inside the first round's job
     val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    // The static edge table is hash-partitioned by src ONCE and cached
+    // that way: every round's propagation join and the init groupBy both
+    // key on src, so the (big, unchanging) edge side never re-shuffles —
+    // only the (smaller) label table moves per round. No distinct: min-
+    // propagation is duplicate-insensitive (min over repeated values), and
+    // every pair producer in this library already emits distinct pairs —
+    // a caller with heavily duplicated pair rows should dedup upstream,
+    // where it's one combinable aggregation, not pay a mirror-side shuffle
+    // on every clean input here.
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
+      .repartition(col("src")).persist()
     // seed with the first propagation hop fused into init: label0 =
-    // min(self, direct neighbors) costs the same single shuffle as a
-    // distinct-ids init but saves one full round on every graph (a clique
-    // converges in the init itself, leaving only the detect round)
+    // min(self, direct neighbors) — edges is already partitioned by src,
+    // so this aggregation is shuffle-free (a clique converges in the init
+    // itself, leaving only the detect round)
     var labels = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
@@ -288,10 +297,17 @@ object DedupOps {
     var ok = false
     try {
       while (changed > 0 && iter < maxIter) {
+        // Two shuffles per round, labels-side only: the neighbor branch
+        // joins labels to the src-partitioned edge cache (labels shuffles,
+        // edges doesn't), the self branch rides for free carrying the old
+        // label, and one groupBy folds both into min(label). min over
+        // {old, neighbors} == least(old, min(neighbors)), and every
+        // doc_id has exactly one self row, so max(old) recovers the old
+        // label for the convergence signal.
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .groupBy(col("dst").as("doc_id"))
-          .agg(min(col("label")).as("nlabel"))
+          .select(col("dst").as("doc_id"), col("label"),
+            lit(null).cast(labels.schema("label").dataType).as("old"))
         // ONE job per round: localCheckpoint(eager) materializes the round
         // AND truncates lineage (a persist would keep stacking the
         // iterative plan — analysis cost grows per round and a ~30-round
@@ -300,9 +316,11 @@ object DedupOps {
         // only ever decrease, so `label < old` counts exactly the moves) —
         // no second join + isEmpty probe, no extra action at all
         val obs = org.apache.spark.sql.Observation()
-        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        val next = labels
+          .select(col("doc_id"), col("label"), col("label").as("old"))
+          .unionByName(viaNeighbors)
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"), max(col("old")).as("old"))
           .observe(obs, count(when(col("label") < col("old"), true)).as("changed"))
           .select(col("doc_id"), col("label"))
           .localCheckpoint(true)
