@@ -142,6 +142,19 @@ object VectorOps {
       exactNearDupInLshBuckets(vecs(s, dir), NearDupThreshold)(s)
     },
 
+    // Centroid training for the IVF path: k rounds of Lloyd's algorithm
+    // (spherical/cosine assignment, the same argmax rule as q36's assign),
+    // with FIXED-POINT centroid accumulation — each element is quantized to
+    // floor(x*1000) and summed as a long, so the update is exact integer
+    // arithmetic: the result is bit-identical under ANY partitioning or
+    // reduction order, which is what makes a 100 TB training run
+    // reproducible (double sums are order-dependent; a shuffle-partition
+    // change would silently move centroids). Output = the final round's
+    // per-(cluster, dim) mean plus the cluster size.
+    "q46_kmeans" -> { (s, dir) =>
+      kmeansCells(vecs(s, dir), KmeansK, KmeansIters)
+    },
+
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
     // `exists` prunes rows and `filter`+`size` counts hits over the
     // array<float> column in place — no explode, so the row count never
@@ -317,6 +330,77 @@ object VectorOps {
       .toDF("vec_a", "vec_b", "cos")
   }
 
+  private val KmeansK = 4
+  private val KmeansIters = 2
+  private val KmeansScale = 1000L
+
+  /** Lloyd's k-means over (vec_id, e, nrm) rows with cosine assignment and
+    * fixed-point centroid updates — the trainer that turns q36's
+    * "first-k-vectors" centroid stand-in into real training.
+    *
+    * Per round: one broadcast of the k centroids (they are k rows by
+    * construction — never a shuffle), an argmax-cosine assignment
+    * (row_number over a per-vector window, ties to the lower centroid id —
+    * exactly q36's rule), then the centroid update as a map-side-combinable
+    * integer aggregation: elements quantize to floor(x·scale) longs, so
+    * partial sums commute exactly and the trained centroids are
+    * bit-identical under any partitioning, task order, or AQE re-plan.
+    * That reproducibility is the point at 100 TB — an IEEE double sum
+    * would make every run (and every engine) drift its centroids; the
+    * quantization error is bounded by 1/scale per element and is part of
+    * the operator's contract, not noise. Zero-norm vectors are excluded
+    * up front (cosine undefined; same nrm > 0 guard as the LSH path).
+    *
+    * Returns the final round's cells: (cluster, dim, value, n_members) —
+    * scalar rows rather than centroid arrays so the result is directly
+    * comparable across engines. [[kmeansCentroids]] folds the same cells
+    * back into (c_id, ce, cn) centroid rows for the IVF search path. */
+  def kmeansCells(n0: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeans needs at least one round, got $iters")
+    val n = n0.filter(col("nrm") > 0)
+    var cent = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    var cells: DataFrame = null
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    for (_ <- 0 until iters) {
+      val assigned = n.join(broadcast(cent))
+        .select(col("vec_id"), col("e"), col("c_id"),
+          cos(col("e"), col("nrm"), col("ce"), col("cn")).as("c_cos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("c_id").as("cluster"))
+      // `e` is a window-output attribute here, so the generator's child is
+      // a plain column — the explode-recomputes-its-child pitfall the
+      // dedup suite documents cannot bite
+      cells = assigned
+        .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(floor(col("x") * KmeansScale).cast("long")).as("qsum"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), col("dim"),
+          (col("qsum").cast("double") /
+            (col("n_members") * KmeansScale).cast("double")).as("value"),
+          col("n_members"))
+      cent = centroidsOf(cells)
+    }
+    cells
+  }
+
+  /** Fold (cluster, dim, value) cells into (c_id, ce array<double>, cn)
+    * centroid rows — k rows, each array rebuilt in dim order. */
+  private def centroidsOf(cells: DataFrame): DataFrame =
+    cells.groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("pv"))
+      .select(col("cluster").as("c_id"),
+        transform(col("pv"), p => p.getField("value")).as("ce"))
+      .withColumn("cn", VectorSim.norm(col("ce")))
+
+  /** Trained centroids in the frame shape q36's IVF search consumes, from
+    * [[kmeansCells]]'s final round. */
+  def kmeansCentroids(n0: DataFrame, k: Int, iters: Int): DataFrame =
+    centroidsOf(kmeansCells(n0, k, iters))
+
   /** Shared vector CTE: double-cast elements + precomputed norm. DuckDB
     * list_zip yields unnamed structs — index with p[1]/p[2]. */
   private val vecCte =
@@ -390,10 +474,57 @@ object VectorOps {
          FROM embeddings
          WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) > 0""",
     "q37_hyperplane_lsh" -> hyperplaneOracle,
+    "q46_kmeans" -> kmeansOracle,
     // same oracle by design: the bucketed exact kernel has the same
     // candidate universe (pairs sharing >= 1 band) and bit-identical
     // cosines (same fold order) as the banded equi-join form
     "q28_lsh_bucketed_exact" -> hyperplaneOracle)
+
+  /** The q46 oracle: [[KmeansIters]] Lloyd rounds unrolled as CTE chains —
+    * each round is an argmax-cosine assignment (mirroring the q36 oracle's
+    * rule) followed by the fixed-point cell update; integer sums make the
+    * per-round results order-independent, so the unrolled SQL and the
+    * distributed loop must agree bit-for-bit. */
+  private lazy val kmeansOracle: String = {
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+           SELECT vec_id, e, cluster FROM (
+             SELECT nz.vec_id, nz.e, c.c_id AS cluster,
+               row_number() OVER (PARTITION BY nz.vec_id
+                 ORDER BY ${cosSql("nz.e", "nz.nrm", "c.ce", "c.cn")} DESC,
+                          c.c_id ASC) AS rn
+             FROM nz CROSS JOIN $cent c) t
+           WHERE rn = 1)"""
+    def cells(assigned: String, out: String) =
+      s"""$out AS (
+           SELECT cluster, s.dim AS dim,
+             CAST(sum(CAST(floor(s.val * $KmeansScale) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) * $KmeansScale AS DOUBLE) AS value,
+             count(*) AS n_members
+           FROM (SELECT cluster,
+                   unnest(list_transform(range(1, len(e) + 1),
+                     i -> {'dim': i - 1, 'val': e[i]})) AS s
+                 FROM $assigned) u
+           GROUP BY cluster, s.dim)"""
+    def rebuild(cellsCte: String, out: String) =
+      s"""$out AS (
+           SELECT c_id, ce,
+             sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b)) AS cn
+           FROM (SELECT cluster AS c_id, list(value ORDER BY dim) AS ce
+                 FROM $cellsCte GROUP BY cluster) t)"""
+    val rounds = (1 to KmeansIters).map { r =>
+      val cent = if (r == 1) "c0" else s"cent${r - 1}"
+      val mid = Seq(assign(cent, s"a$r"), cells(s"a$r", s"m$r"))
+      (if (r < KmeansIters) mid :+ rebuild(s"m$r", s"cent$r") else mid)
+        .mkString(",\n")
+    }.mkString(",\n")
+    s"""$vecCte,
+       nz AS (SELECT vec_id, e, nrm FROM n WHERE nrm > 0),
+       c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nz
+              WHERE vec_id < $KmeansK),
+       $rounds
+       SELECT cluster, dim, value, n_members FROM m$KmeansIters"""
+  }
 
   private lazy val hyperplaneOracle: String = {
       val sigSql = (0 until HyperplaneBits).map { j =>

@@ -84,4 +84,33 @@ class VectorOpsSpec extends SparkSpec {
       sc.removeSparkListener(listener)
     }
   }
+
+  test("kmeans: fixed-point accumulation is partition-invariant, assignment argmax is q36's") {
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorSim.norm(col("e")))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      VectorOps.kmeansCells(df, 4, 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+    val base = cells(n)
+    assert(base.nonEmpty && base.keySet.map(_._1).size > 1,
+      "one cluster swallowed everything — the invariance check would be weak")
+    // the whole point of quantized updates: ANY repartitioning (different
+    // partial-sum groupings, different task order) must yield bit-identical
+    // centroids; a plain double sum fails this on real data
+    assert(cells(n.repartition(7)) == base)
+    assert(cells(n.repartition(1)) == base)
+    // every surviving cluster carries all 64 dims, sizes sum to the corpus
+    val byCluster = base.keySet.groupBy(_._1)
+    byCluster.foreach { case (c, ks) => assert(ks.size == 64, s"cluster $c dims") }
+    val sizes = base.collect { case ((_, 0), (_, sz)) => sz }.sum
+    assert(sizes == n.filter(col("nrm") > 0).count(),
+      "cluster sizes must partition the corpus")
+    // centroid rows fold back consistently: same clusters, 64-dim arrays
+    val cent = VectorOps.kmeansCentroids(n, 4, 2).collect()
+    assert(cent.map(_.getLong(0)).toSet == byCluster.keySet)
+    assert(cent.forall(_.getSeq[Double](1).length == 64))
+  }
 }
