@@ -91,20 +91,14 @@ object VectorOps {
     },
 
     // IVF-bucketed top-k: nearest-centroid assignment (centroids = the
-    // first NumCentroids vectors — a deterministic 'training' pick), then
-    // search only the query's cell.
+    // first NumCentroids vectors — a deterministic 'training' pick; see
+    // q46/kmeansCentroids for the real trainer), then search only the
+    // query's cell.
     "q36_ivf_topk" -> { (s, dir) =>
       val n = vecs(s, dir)
       val cent = n.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id").asc)
-      val assigned = n.join(broadcast(cent))
-        .select(col("vec_id"), col("e"), col("nrm"), col("c_id"),
-          cos(col("e"), col("nrm"), col("ce"), col("cn")).as("c_cos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cluster"))
+      val assigned = assignToCentroids(n, cent)
       val q = assigned.filter(col("vec_id") % QueryMod === 0)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("nrm").as("qn"), col("cluster").as("qcluster"))
@@ -358,22 +352,16 @@ object VectorOps {
   def kmeansCells(n0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeans needs at least one round, got $iters")
     val n = n0.filter(col("nrm") > 0)
-    var cent = n.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    var cells: DataFrame = null
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    for (_ <- 0 until iters) {
-      val assigned = n.join(broadcast(cent))
-        .select(col("vec_id"), col("e"), col("c_id"),
-          cos(col("e"), col("nrm"), col("ce"), col("cn")).as("c_cos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("c_id").as("cluster"))
-      // `e` is a window-output attribute here, so the generator's child is
-      // a plain column — the explode-recomputes-its-child pitfall the
-      // dedup suite documents cannot bite
-      cells = assigned
+    // One round: assign, then fold each cluster's members into quantized
+    // per-dim cells. `e` is a window-output attribute in the assignment,
+    // so the generator's child is a plain column — the explode-recomputes-
+    // its-child pitfall the dedup suite documents cannot bite. The round
+    // result is localCheckpoint'ed (k x dim rows — tiny): without the
+    // materialization, round r's broadcast subtree would re-execute
+    // rounds 1..r-1's full-corpus assignment — O(iters^2) corpus passes —
+    // and stack the iterative plan (the componentsWithRounds pitfall).
+    def round(cent: DataFrame): DataFrame =
+      assignToCentroids(n, cent)
         .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(floor(col("x") * KmeansScale).cast("long")).as("qsum"),
@@ -382,19 +370,44 @@ object VectorOps {
           (col("qsum").cast("double") /
             (col("n_members") * KmeansScale).cast("double")).as("value"),
           col("n_members"))
-      cent = centroidsOf(cells)
-    }
+        .localCheckpoint(true)
+    val init = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    var cells = round(init)
+    for (_ <- 2 to iters) cells = round(centroidsOf(cells))
     cells
   }
 
+  /** The nearest-centroid assignment shared by q36's IVF search and the
+    * k-means trainer (so the two cannot drift): per vector, the
+    * argmax-cosine centroid, ties to the lower centroid id, via a
+    * row_number window over the broadcast centroid set.
+    * Returns (vec_id, e, nrm, cluster). */
+  private def assignToCentroids(n: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    n.join(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id"),
+        cos(col("e"), col("nrm"), col("ce"), col("cn")).as("c_cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cluster"))
+  }
+
   /** Fold (cluster, dim, value) cells into (c_id, ce array<double>, cn)
-    * centroid rows — k rows, each array rebuilt in dim order. */
+    * centroid rows — k rows, each array rebuilt in dim order. A cluster
+    * whose every dimension quantized to zero rebuilds as the zero vector
+    * (cn = 0, cosine undefined) and is dropped — the same nrm > 0 rule the
+    * input vectors get, and without it Spark (null on /0, sorts last in
+    * the argmax desc) and DuckDB (NaN, sorts FIRST) would assign such a
+    * dead centroid differently. */
   private def centroidsOf(cells: DataFrame): DataFrame =
     cells.groupBy(col("cluster"))
       .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("pv"))
       .select(col("cluster").as("c_id"),
         transform(col("pv"), p => p.getField("value")).as("ce"))
       .withColumn("cn", VectorSim.norm(col("ce")))
+      .filter(col("cn") > 0)
 
   /** Trained centroids in the frame shape q36's IVF search consumes, from
     * [[kmeansCells]]'s final round. */
@@ -415,6 +428,20 @@ object VectorOps {
   private def cosSql(ea: String, na: String, eb: String, nb: String): String =
     s"""list_reduce(list_transform(list_zip($ea, $eb), p -> p[1] * p[2]),
           (x, y) -> x + y) / ($na * $nb)"""
+
+  /** Shared assignment CTE — the SQL mirror of [[assignToCentroids]], used
+    * by both the q36 oracle and every unrolled q46 round so the rule can't
+    * drift between them: argmax-cosine centroid per vector of `src`, ties
+    * to the lower c_id. */
+  private def assignSql(src: String, cent: String, out: String): String =
+    s"""$out AS (
+         SELECT vec_id, e, nrm, cluster FROM (
+           SELECT s.vec_id, s.e, s.nrm, c.c_id AS cluster,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY ${cosSql("s.e", "s.nrm", "c.ce", "c.cn")} DESC,
+                        c.c_id ASC) AS rn
+           FROM $src s CROSS JOIN $cent c) t
+         WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
     "q34_cosine_neardup" ->
@@ -442,14 +469,7 @@ object VectorOps {
       s"""$vecCte,
          cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n
                   WHERE vec_id < $NumCentroids),
-         assigned AS (
-           SELECT vec_id, e, nrm, cluster FROM (
-             SELECT n.vec_id, n.e, n.nrm, cent.c_id AS cluster,
-               row_number() OVER (PARTITION BY n.vec_id
-                 ORDER BY ${cosSql("n.e", "n.nrm", "cent.ce", "cent.cn")} DESC,
-                          cent.c_id ASC) AS rn
-             FROM n CROSS JOIN cent) t
-           WHERE rn = 1),
+         ${assignSql("n", "cent", "assigned")},
          q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster AS qcluster
                FROM assigned WHERE vec_id % $QueryMod = 0),
          scored AS (
@@ -486,15 +506,6 @@ object VectorOps {
     * per-round results order-independent, so the unrolled SQL and the
     * distributed loop must agree bit-for-bit. */
   private lazy val kmeansOracle: String = {
-    def assign(cent: String, out: String) =
-      s"""$out AS (
-           SELECT vec_id, e, cluster FROM (
-             SELECT nz.vec_id, nz.e, c.c_id AS cluster,
-               row_number() OVER (PARTITION BY nz.vec_id
-                 ORDER BY ${cosSql("nz.e", "nz.nrm", "c.ce", "c.cn")} DESC,
-                          c.c_id ASC) AS rn
-             FROM nz CROSS JOIN $cent c) t
-           WHERE rn = 1)"""
     def cells(assigned: String, out: String) =
       s"""$out AS (
            SELECT cluster, s.dim AS dim,
@@ -506,15 +517,18 @@ object VectorOps {
                      i -> {'dim': i - 1, 'val': e[i]})) AS s
                  FROM $assigned) u
            GROUP BY cluster, s.dim)"""
+    // WHERE cn > 0: mirror of centroidsOf's dead-centroid drop
     def rebuild(cellsCte: String, out: String) =
       s"""$out AS (
-           SELECT c_id, ce,
-             sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b)) AS cn
-           FROM (SELECT cluster AS c_id, list(value ORDER BY dim) AS ce
-                 FROM $cellsCte GROUP BY cluster) t)"""
+           SELECT c_id, ce, cn FROM (
+             SELECT c_id, ce,
+               sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b)) AS cn
+             FROM (SELECT cluster AS c_id, list(value ORDER BY dim) AS ce
+                   FROM $cellsCte GROUP BY cluster) t0) t
+           WHERE cn > 0)"""
     val rounds = (1 to KmeansIters).map { r =>
       val cent = if (r == 1) "c0" else s"cent${r - 1}"
-      val mid = Seq(assign(cent, s"a$r"), cells(s"a$r", s"m$r"))
+      val mid = Seq(assignSql("nz", cent, s"a$r"), cells(s"a$r", s"m$r"))
       (if (r < KmeansIters) mid :+ rebuild(s"m$r", s"cent$r") else mid)
         .mkString(",\n")
     }.mkString(",\n")
