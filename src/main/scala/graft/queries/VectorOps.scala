@@ -98,19 +98,20 @@ object VectorOps {
       val n = vecs(s, dir)
       val cent = n.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-      val assigned = assignToCentroids(n, cent)
-      val q = assigned.filter(col("vec_id") % QueryMod === 0)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          col("nrm").as("qn"), col("cluster").as("qcluster"))
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(q).join(assigned,
-          col("qcluster") === col("cluster") && col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          cos(col("qe"), col("qn"), col("e"), col("nrm")).as("cos"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= IvfK)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      ivfSearch(assignToCentroids(n, cent), IvfK)
+    },
+
+    // The trained composition: q46's k-means centroids feeding q36's IVF
+    // search — train (fixed-point Lloyd rounds), assign the corpus to the
+    // TRAINED cells, search only the query's cell. The whole ANN pipeline
+    // a 100 TB deployment runs, end-to-end in one plan: training cost is
+    // bounded by iters corpus passes (each round's cells are
+    // localCheckpoint'ed k x dim rows), the search side is identical to
+    // q36's (broadcast queries, cell-local candidates).
+    "q47_ivf_trained" -> { (s, dir) =>
+      val n = vecs(s, dir).filter(col("nrm") > 0)
+      ivfSearch(
+        assignToCentroids(n, kmeansCentroids(n, KmeansK, KmeansIters)), IvfK)
     },
 
     // Embedding-cosine near-dup at scale: random-hyperplane LSH (SimHash
@@ -378,6 +379,26 @@ object VectorOps {
     cells
   }
 
+  /** The cell-local top-k search shared by q36 (static centroid pick) and
+    * q47 (trained centroids): queries = every QueryMod-th vector, searched
+    * only against its own cluster, ranked by (cos desc, vec_id asc). The
+    * query side is broadcast — the assigned fact side never shuffles for
+    * the join. */
+  private def ivfSearch(assigned: DataFrame, k: Int): DataFrame = {
+    val q = assigned.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cluster").as("qcluster"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(q).join(assigned,
+        col("qcluster") === col("cluster") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("qe"), col("qn"), col("e"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** The nearest-centroid assignment shared by q36's IVF search and the
     * k-means trainer (so the two cannot drift): per vector, the
     * argmax-cosine centroid, ties to the lower centroid id, via a
@@ -470,20 +491,12 @@ object VectorOps {
          cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n
                   WHERE vec_id < $NumCentroids),
          ${assignSql("n", "cent", "assigned")},
-         q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster AS qcluster
-               FROM assigned WHERE vec_id % $QueryMod = 0),
-         scored AS (
-           SELECT q.query_id, a.vec_id,
-             ${cosSql("q.qe", "q.qn", "a.e", "a.nrm")} AS cos
-           FROM q JOIN assigned a
-             ON q.qcluster = a.cluster AND q.query_id <> a.vec_id),
-         ranked AS (
-           SELECT query_id, vec_id, cos,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, vec_id ASC) AS rank
-           FROM scored)
-         SELECT query_id, vec_id AS neighbor_id, rank, cos
-         FROM ranked WHERE rank <= $IvfK""",
+         ${ivfSearchSql("assigned")}""",
+    "q47_ivf_trained" ->
+      s"""$kmeansChain,
+         ${rebuildSql(s"m$KmeansIters", "centt")},
+         ${assignSql("nz", "centt", "assigned")},
+         ${ivfSearchSql("assigned")}""",
     // CAST(x AS DOUBLE): Spark promotes the float element to double
     // against the double literal; without the explicit cast DuckDB could
     // compare in FLOAT (its DECIMAL literal sits below FLOAT) and an
@@ -500,45 +513,71 @@ object VectorOps {
     // cosines (same fold order) as the banded equi-join form
     "q28_lsh_bucketed_exact" -> hyperplaneOracle)
 
-  /** The q46 oracle: [[KmeansIters]] Lloyd rounds unrolled as CTE chains —
-    * each round is an argmax-cosine assignment (mirroring the q36 oracle's
-    * rule) followed by the fixed-point cell update; integer sums make the
-    * per-round results order-independent, so the unrolled SQL and the
-    * distributed loop must agree bit-for-bit. */
-  private lazy val kmeansOracle: String = {
-    def cells(assigned: String, out: String) =
-      s"""$out AS (
-           SELECT cluster, s.dim AS dim,
-             CAST(sum(CAST(floor(s.val * $KmeansScale) AS BIGINT)) AS DOUBLE)
-               / CAST(count(*) * $KmeansScale AS DOUBLE) AS value,
-             count(*) AS n_members
-           FROM (SELECT cluster,
-                   unnest(list_transform(range(1, len(e) + 1),
-                     i -> {'dim': i - 1, 'val': e[i]})) AS s
-                 FROM $assigned) u
-           GROUP BY cluster, s.dim)"""
-    // WHERE cn > 0: mirror of centroidsOf's dead-centroid drop
-    def rebuild(cellsCte: String, out: String) =
-      s"""$out AS (
-           SELECT c_id, ce, cn FROM (
-             SELECT c_id, ce,
-               sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b)) AS cn
-             FROM (SELECT cluster AS c_id, list(value ORDER BY dim) AS ce
-                   FROM $cellsCte GROUP BY cluster) t0) t
-           WHERE cn > 0)"""
+  /** One fixed-point cell-update CTE (the SQL mirror of a [[kmeansCells]]
+    * round's aggregation). */
+  private def kmeansCellsSql(assigned: String, out: String): String =
+    s"""$out AS (
+         SELECT cluster, s.dim AS dim,
+           CAST(sum(CAST(floor(s.val * $KmeansScale) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) * $KmeansScale AS DOUBLE) AS value,
+           count(*) AS n_members
+         FROM (SELECT cluster,
+                 unnest(list_transform(range(1, len(e) + 1),
+                   i -> {'dim': i - 1, 'val': e[i]})) AS s
+               FROM $assigned) u
+         GROUP BY cluster, s.dim)"""
+
+  /** Cells -> centroid rows; WHERE cn > 0 mirrors centroidsOf's
+    * dead-centroid drop. */
+  private def rebuildSql(cellsCte: String, out: String): String =
+    s"""$out AS (
+         SELECT c_id, ce, cn FROM (
+           SELECT c_id, ce,
+             sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b)) AS cn
+           FROM (SELECT cluster AS c_id, list(value ORDER BY dim) AS ce
+                 FROM $cellsCte GROUP BY cluster) t0) t
+         WHERE cn > 0)"""
+
+  /** Cell-local top-k search over an assignment CTE — the SQL mirror of
+    * [[ivfSearch]], shared by the q36 and q47 oracles. */
+  private def ivfSearchSql(assigned: String): String =
+    s"""q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster AS qcluster
+           FROM $assigned WHERE vec_id % $QueryMod = 0),
+       scored AS (
+         SELECT q.query_id, a.vec_id,
+           ${cosSql("q.qe", "q.qn", "a.e", "a.nrm")} AS cos
+         FROM q JOIN $assigned a
+           ON q.qcluster = a.cluster AND q.query_id <> a.vec_id),
+       ranked AS (
+         SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id ASC) AS rank
+         FROM scored)
+       SELECT query_id, vec_id AS neighbor_id, rank, cos
+       FROM ranked WHERE rank <= $IvfK"""
+
+  /** The unrolled [[KmeansIters]]-round Lloyd chain (WITH body through the
+    * final round's cells `m<iters>`) — shared by the q46 oracle and q47's
+    * trained-search oracle; integer sums make the per-round results
+    * order-independent, so the unrolled SQL and the distributed loop must
+    * agree bit-for-bit. */
+  private lazy val kmeansChain: String = {
     val rounds = (1 to KmeansIters).map { r =>
       val cent = if (r == 1) "c0" else s"cent${r - 1}"
-      val mid = Seq(assignSql("nz", cent, s"a$r"), cells(s"a$r", s"m$r"))
-      (if (r < KmeansIters) mid :+ rebuild(s"m$r", s"cent$r") else mid)
+      val mid = Seq(assignSql("nz", cent, s"a$r"), kmeansCellsSql(s"a$r", s"m$r"))
+      (if (r < KmeansIters) mid :+ rebuildSql(s"m$r", s"cent$r") else mid)
         .mkString(",\n")
     }.mkString(",\n")
     s"""$vecCte,
        nz AS (SELECT vec_id, e, nrm FROM n WHERE nrm > 0),
        c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nz
               WHERE vec_id < $KmeansK),
-       $rounds
-       SELECT cluster, dim, value, n_members FROM m$KmeansIters"""
+       $rounds"""
   }
+
+  private lazy val kmeansOracle: String =
+    s"""$kmeansChain
+       SELECT cluster, dim, value, n_members FROM m$KmeansIters"""
 
   private lazy val hyperplaneOracle: String = {
       val sigSql = (0 until HyperplaneBits).map { j =>
