@@ -282,15 +282,9 @@ object DedupOps {
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
-    // the physical blocks of a localCheckpoint'ed frame belong to the
-    // UNDERLYING RDD (the Dataset's plan is a LogicalRDD over it);
-    // Dataset.unpersist only clears SQL-cache entries and would free
-    // nothing — rounds must release the real RDD or a deep component
-    // holds every round's full label table in memory simultaneously
-    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
+    // rounds must release the previous round's checkpoint blocks (see
+    // graft.ops.Checkpoints) or a deep component holds every round's full
+    // label table in memory simultaneously
     var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var iter = 0
     var changed = 1L
@@ -330,7 +324,7 @@ object DedupOps {
         // locally-checkpointed RDD discards its data, which is safe
         // exactly because nothing references the previous round anymore)
         prevRdds.foreach(_.unpersist(false))
-        prevRdds = checkpointRdds(next)
+        prevRdds = graft.ops.Checkpoints.rddsOf(next)
         labels = next
         iter += 1
       }

@@ -375,7 +375,14 @@ object VectorOps {
     val init = n.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     var cells = round(init)
-    for (_ <- 2 to iters) cells = round(centroidsOf(cells))
+    for (_ <- 2 to iters) {
+      val next = round(centroidsOf(cells))
+      // the new round is self-contained — release the previous round's
+      // checkpoint blocks (k x dim rows each; it's hygiene, not memory
+      // pressure, but a long-trained model should not leak iters frames)
+      graft.ops.Checkpoints.rddsOf(cells).foreach(_.unpersist(false))
+      cells = next
+    }
     cells
   }
 
