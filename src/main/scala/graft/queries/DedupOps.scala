@@ -176,6 +176,71 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-row MinHash band values: (doc_id, sh, varr) where varr[b] is the
+    * same band value the posting-form pipeline produces (min 4-hex-char
+    * slice of each shingle's md5, two slices concatenated per band) — but
+    * computed in ONE stateless pass per row: `transform` hashes each
+    * shingle once, a single `aggregate` folds the eight running minima,
+    * and the finish lambda assembles the band array in place (so the
+    * aggregate is evaluated once — materializing the struct and reading
+    * 8 fields from it in a collapsed projection would re-run it 8x).
+    * Statelessness is the point: this shape runs on a STREAMING frame,
+    * where the posting-explode + groupBy signature would be a stateful
+    * aggregation. */
+  private[graft] def minhashBandArr(shingles: DataFrame): DataFrame = {
+    val hexMax = "f" * 4
+    val init = struct((0 until NumHashes).map(j => lit(hexMax).as(s"h$j")): _*)
+    val varr = aggregate(
+      transform(col("sh"), x => md5(x)),
+      init,
+      (acc, t) => struct((0 until NumHashes).map(j =>
+        least(acc.getField(s"h$j"), substring(t, 4 * j + 1, 4)).as(s"h$j")): _*),
+      acc => array((0 until NumHashes / BandRows).map(b =>
+        concat((0 until BandRows).map(r =>
+          acc.getField(s"h${b * BandRows + r}")): _*)): _*))
+    shingles.select(col("doc_id"), col("sh"), varr.as("varr"))
+  }
+
+  /** Near-dup GATE: flag documents of `incoming` whose MinHash bands
+    * collide with a document of `corpus` and whose exact Jaccard clears
+    * `threshold` — the pass an LLM pipeline runs on every new crawl batch
+    * against the already-curated corpus.
+    *
+    * Built to run with `incoming` as a STREAMING frame (the batch
+    * semantics are identical): every step on the stream side is stateless
+    * — per-row signatures ([[minhashBandArr]]), a generator explode of the
+    * 4 bands, two stream-static joins (band index, then corpus shingles
+    * for verification) — so the query needs no watermark and holds no
+    * state. A pair colliding in several bands would emit duplicates under
+    * a plain band join (a streaming frame cannot `distinct` statelessly);
+    * instead each pair is emitted only from its FIRST agreeing band
+    * (`array_position` over the zipped band arrays), the canonical-bucket
+    * trick that makes LSH emission exactly-once by construction.
+    *
+    * Scale shape: the corpus index is (b, v) -> (doc_id, varr), built once
+    * and reusable across batches (persist it, or write it as a bucketed
+    * table keyed by (b, v)); per batch the join touches only colliding
+    * band groups, and verification touches only canonical candidates. */
+  def nearDupAgainst(incoming: DataFrame, corpus: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val inc = minhashBandArr(shingledOf(incoming))
+      .select(col("doc_id"), col("sh"), col("varr"),
+        posexplode(col("varr")).as(Seq("b", "v")))
+    val idx = minhashBandArr(shingledOf(corpus))
+      .select(col("doc_id").as("corpus_id"), col("varr").as("cvarr"),
+        posexplode(col("varr")).as(Seq("b", "v")))
+    inc.join(idx, Seq("b", "v"))
+      .filter(array_position(
+        zip_with(col("varr"), col("cvarr"), (u, w) => u === w), lit(true))
+        === col("b") + 1)
+      .select(col("doc_id"), col("corpus_id"), col("sh"))
+      .join(shingledOf(corpus).select(col("doc_id").as("corpus_id"),
+        col("sh").as("csh")), Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        Shingles.jaccard(col("sh"), col("csh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup over a shingle frame — the q32 operator as a
     * DataFrame-in function: per-shingle pseudo-random bits from md5,
     * majority vote per bit, banded self-join (exact for hamming <=
@@ -390,6 +455,16 @@ object DedupOps {
     "q39_dedupe_corpus" -> { (s, dir) =>
       dedupeCorpus(Tables.documents(s, dir), minhashNearDup(shingled(s, dir)))
         .select(col("doc_id"))
+    },
+
+    // The streaming-shaped near-dup gate run in batch: odd doc_ids are the
+    // "incoming batch", even doc_ids the curated corpus; every emitted row
+    // is a canonical-band collision verified by exact Jaccard.
+    "q48_neardup_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      nearDupAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
     })
 
   /** Shared shingle CTE (mirrors `shingled`). */
@@ -433,6 +508,43 @@ object DedupOps {
        JOIN s b ON b.doc_id = c.doc_b
        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= $JaccardThreshold"""
+
+  /** SQL mirror of [[minhashBandArr]]'s finish lambda: the 4-band value
+    * list from a per-doc `hs` (per-shingle md5 list) column. */
+  private val gateVarrSql: String = {
+    def hsel(j: Int) = s"list_min(list_transform(hs, h -> substr(h, ${4 * j + 1}, 4)))"
+    "LIST_VALUE(" + (0 until NumHashes / BandRows)
+      .map(b => (0 until BandRows).map(r => hsel(b * BandRows + r)).mkString(" || "))
+      .mkString(", ") + ")"
+  }
+
+  private def gateBandsSql(src: String, out: String): String =
+    s"""$out AS (${(0 until NumHashes / BandRows)
+      .map(b => s"SELECT doc_id, sh, varr, $b AS b, varr[${b + 1}] AS v FROM $src")
+      .mkString(" UNION ALL ")})"""
+
+  private val gateOracle: String =
+    s"""$shingleCte,
+       incv AS (SELECT doc_id, sh, $gateVarrSql AS varr FROM (
+         SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hs FROM s
+         WHERE doc_id % 2 = 1) t),
+       corv AS (SELECT doc_id, sh, $gateVarrSql AS varr FROM (
+         SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hs FROM s
+         WHERE doc_id % 2 = 0) t),
+       ${gateBandsSql("incv", "bi")},
+       ${gateBandsSql("corv", "bc")},
+       cand AS (
+         SELECT bi.doc_id, bi.sh, bc.doc_id AS corpus_id
+         FROM bi JOIN bc ON bi.b = bc.b AND bi.v = bc.v
+         WHERE list_position(list_transform(list_zip(bi.varr, bc.varr),
+                 p -> p[1] = p[2]), true) = bi.b + 1),
+       scored AS (
+         SELECT c.doc_id, c.corpus_id,
+           CAST(len(list_intersect(c.sh, k.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(c.sh || k.sh)) AS DOUBLE) AS jaccard
+         FROM cand c JOIN corv k ON k.doc_id = c.corpus_id)
+       SELECT doc_id, corpus_id, jaccard FROM scored
+       WHERE jaccard >= $JaccardThreshold"""
 
   private val simScores =
     (0 until SimBits)
@@ -504,5 +616,6 @@ object DedupOps {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / CAST((len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DOUBLE)
-             >= $JaccardThreshold""")
+             >= $JaccardThreshold""",
+    "q48_neardup_gate" -> gateOracle)
 }

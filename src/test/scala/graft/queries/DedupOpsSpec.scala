@@ -67,6 +67,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 9L))
   }
 
+  test("nearDupAgainst == posting-form minhash pairs restricted to cross-side, emitted exactly once") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.documents(spark, dir)
+    val gate = DedupOps.nearDupAgainst(
+        all.filter(col("doc_id") % 2 === 1), all.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // canonical-band emission: one row per pair even when several bands agree
+    assert(gate.length == gate.map(t => (t._1, t._2)).distinct.length,
+      "a pair was emitted from more than one band")
+    // ground truth: the posting-form self-join pipeline's pairs, restricted
+    // to odd-even, reoriented as (incoming, corpus); jaccards must be
+    // bit-equal (same Shingles.jaccard over the same arrays)
+    val exp = DedupOps.minhashNearDup(DedupOps.shingledOf(all))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(gate.nonEmpty, "no cross-side near-dups at sf0.001 — vacuous")
+    assert(gate.toSet == exp)
+  }
+
   test("simhashNearDup refuses a hammingMax beyond the pigeonhole-exact bound") {
     // 32 bits / 8-bit bands -> banded join is exact only for hamming <= 3;
     // a larger bound would silently lose recall, so it must throw instead
