@@ -125,6 +125,28 @@ object TextOps {
           .as("distinct_ratio"))
   }
 
+  /** Deterministic train/val/test splitting (q49) — the reproducible-split
+    * primitive of a training-data pipeline: each document's split is a
+    * pure function of its id (first two hex chars of md5(id) compared
+    * against the cut points), so the assignment is stable across runs,
+    * partitionings, engines, and corpus growth — adding documents never
+    * moves an existing one between splits, which `randomSplit` (seeded
+    * per-partition RNG) cannot promise. Granularity is 1/256 per cut;
+    * boundaries are hex-STRING comparisons, bit-portable to any engine
+    * without hex-to-int casts. Default cuts: 'cc' (204/256 ~ 80% train),
+    * 'e6' (26/256 ~ 10% val), rest test. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainUpper: String = "cc", valUpper: String = "e6"): DataFrame = {
+    require(trainUpper < valUpper,
+      s"cut points must be increasing hex pairs, got '$trainUpper' >= '$valUpper'")
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    docs.select(col(idCol),
+      h.as("bucket"),
+      when(h < trainUpper, "train")
+        .when(h < valUpper, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by
     * (tf desc, df asc, term asc) — the idf ordering without the float: a
     * term with higher tf and lower df ranks first, and the integer tuple
@@ -169,7 +191,10 @@ object TextOps {
     "q29_repetition" -> { (s, dir) => repetitionSignals(Tables.documents(s, dir)) },
 
     // TF-IDF keyword extraction (see tfIdfTopTerms).
-    "q45_tfidf_terms" -> { (s, dir) => tfIdfTopTerms(Tables.documents(s, dir)) })
+    "q45_tfidf_terms" -> { (s, dir) => tfIdfTopTerms(Tables.documents(s, dir)) },
+
+    // Deterministic hash split (see hashSplit).
+    "q49_hash_split" -> { (s, dir) => hashSplit(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -230,6 +255,13 @@ object TextOps {
            CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac,
            CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio
          FROM c GROUP BY doc_id""",
+    "q49_hash_split" ->
+      """SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
     "q45_tfidf_terms" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -45,6 +45,29 @@ class TextOpsSpec extends SparkSpec {
     assert(top.forall(_._5 <= 2L), "k = 2 caps every doc's rows")
   }
 
+  test("hashSplit is a pure function of the id: subset-invariant, partition-invariant, ~80/10/10") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val full = TextOps.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // growing or shrinking the corpus never moves an existing doc between
+    // splits — the property randomSplit's per-partition RNG cannot give
+    val subset = TextOps.hashSplit(docs.filter(col("doc_id") < 500)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(subset.forall { case (id, v) => full(id) == v })
+    assert(TextOps.hashSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap == full)
+    // cut points land within binomial noise of 204/26/26 out of 256
+    val byplit = full.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byplit("train") > 1500 && byplit("train") < 1700, byplit.toString)
+    assert(byplit("val") > 120 && byplit("val") < 300, byplit.toString)
+    assert(byplit("test") > 120 && byplit("test") < 300, byplit.toString)
+    // increasing-cut-point guard
+    intercept[IllegalArgumentException] {
+      TextOps.hashSplit(docs, trainUpper = "e6", valUpper = "cc")
+    }
+  }
+
   test("tfIdfTopTerms broadcasts the vocabulary-sized df table — the tf side never sort-merge-joins") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     // toString, not a node walk: AQE wraps the live plan and hides its
