@@ -147,6 +147,32 @@ object TextOps {
         .otherwise("test").as("split"))
   }
 
+  /** Sequential context-window packing (q50): lay each source's documents
+    * end-to-end in doc_id order and chunk the token stream into
+    * `capacity`-token windows — every doc gets its start offset and the
+    * window (bin) that offset lands in, the bookkeeping a pretraining
+    * pipeline needs to build fixed-length examples deterministically.
+    *
+    * Shape at scale: ONE window pass partitioned by `source` (ROWS frame
+    * cumsum — explicit, so unique-key RANGE semantics can't differ), so
+    * parallelism = number of sources and no global sort exists. A corpus
+    * whose single source dwarfs the rest re-partitions the stream key
+    * (source, shard) upstream — packing is per-stream by definition, so
+    * the key choice IS the parallelism lever. Offsets stay < 2^53 by
+    * construction (token counts), making the floor-divide bin exact in
+    * double on every engine. */
+  def packWindows(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"), size(tokens).as("n_tokens"))
+      .withColumn("offset", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
+        floor(col("offset") / lit(capacity.toDouble)).cast("long").as("bin"))
+  }
+
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by
     * (tf desc, df asc, term asc) — the idf ordering without the float: a
     * term with higher tf and lower df ranks first, and the integer tuple
@@ -194,7 +220,10 @@ object TextOps {
     "q45_tfidf_terms" -> { (s, dir) => tfIdfTopTerms(Tables.documents(s, dir)) },
 
     // Deterministic hash split (see hashSplit).
-    "q49_hash_split" -> { (s, dir) => hashSplit(Tables.documents(s, dir)) })
+    "q49_hash_split" -> { (s, dir) => hashSplit(Tables.documents(s, dir)) },
+
+    // Sequential context-window packing (see packWindows).
+    "q50_pack_windows" -> { (s, dir) => packWindows(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -262,6 +291,19 @@ object TextOps {
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+    "q50_pack_windows" ->
+      """WITH t AS (
+           SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS "offset"
+           FROM t)
+         SELECT doc_id, source, n_tokens, "offset",
+           CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
+         FROM c""",
     "q45_tfidf_terms" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

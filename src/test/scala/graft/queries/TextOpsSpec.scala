@@ -68,6 +68,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("packWindows lays each source's docs end-to-end: contiguous offsets, capacity-sized bins") {
+    val docs = Seq(
+      (1L, "a b c", "s0"),   // 3 tokens, offset 0, bin 0
+      (2L, "d e", "s0"),     // 2 tokens, offset 3, bin 0
+      (3L, "f g h i", "s0"), // 4 tokens, offset 5, bin 1 (capacity 4)
+      (10L, "x y z", "s1")   // separate stream: offset 0 again
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.packWindows(docs, capacity = 4)
+      .orderBy("source", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "s0", 3, 0L, 0L),
+      (2L, "s0", 2, 3L, 0L),
+      (3L, "s0", 4, 5L, 1L),
+      (10L, "s1", 3, 0L, 0L)))
+    // contiguity invariant on real data: within a source, each offset is
+    // the previous doc's offset + n_tokens
+    val real = TextOps.packWindows(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    real.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, _, n, off), (_, _, _, off2)) =>
+        assert(off2 == off + n, "offsets must be contiguous per source")
+      }
+      assert(sorted.head._4 == 0L)
+    }
+    intercept[IllegalArgumentException] { TextOps.packWindows(docs, 0) }
+  }
+
   test("tfIdfTopTerms broadcasts the vocabulary-sized df table — the tf side never sort-merge-joins") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     // toString, not a node walk: AQE wraps the live plan and hides its
