@@ -25,6 +25,12 @@ object TextOps {
 
   private val StopEn = Seq("the", "a")
 
+  // q49/q50 defaults — interpolated into the oracle SQL so the two sides
+  // cannot drift when a default changes
+  private val DefaultTrainUpper = "cc" // 204/256 ~ 80%
+  private val DefaultValUpper = "e6"   // +26/256 ~ 10%
+  private val DefaultCapacity = 2048
+
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
 
@@ -136,7 +142,16 @@ object TextOps {
     * without hex-to-int casts. Default cuts: 'cc' (204/256 ~ 80% train),
     * 'e6' (26/256 ~ 10% val), rest test. */
   def hashSplit(docs: DataFrame, idCol: String = "doc_id",
-      trainUpper: String = "cc", valUpper: String = "e6"): DataFrame = {
+      trainUpper: String = DefaultTrainUpper,
+      valUpper: String = DefaultValUpper): DataFrame = {
+    // md5 buckets are lowercase hex: an uppercase cut like "CC" would pass
+    // the ordering check yet silently skew the split (every 'a'-'f' bucket
+    // compares above it), so malformed cuts must fail loudly
+    val hexPair = "^[0-9a-f]{2}$".r
+    Seq("trainUpper" -> trainUpper, "valUpper" -> valUpper).foreach {
+      case (name, v) => require(hexPair.matches(v),
+        s"$name must be two lowercase hex chars, got '$v'")
+    }
     require(trainUpper < valUpper,
       s"cut points must be increasing hex pairs, got '$trainUpper' >= '$valUpper'")
     val h = substring(md5(col(idCol).cast("string")), 1, 2)
@@ -161,10 +176,15 @@ object TextOps {
     * the key choice IS the parallelism lever. Offsets stay < 2^53 by
     * construction (token counts), making the floor-divide bin exact in
     * double on every engine. */
-  def packWindows(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+  def packWindows(docs: DataFrame, capacity: Int = DefaultCapacity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // n_tokens tiebreak: rows sharing (source, doc_id) would otherwise get
+    // task-order-dependent offsets; with it, order is deterministic except
+    // for FULLY identical rows, whose either order yields the same output
+    // set (the streams they describe are indistinguishable)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("source"), size(tokens).as("n_tokens"))
@@ -285,24 +305,24 @@ object TextOps {
            CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio
          FROM c GROUP BY doc_id""",
     "q49_hash_split" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$DefaultTrainUpper' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$DefaultValUpper' THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
     "q50_pack_windows" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
            FROM documents),
          c AS (
            SELECT doc_id, source, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, n_tokens
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - n_tokens AS BIGINT) AS "offset"
            FROM t)
          SELECT doc_id, source, n_tokens, "offset",
-           CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
+           CAST(floor("offset" / $DefaultCapacity.0) AS BIGINT) AS bin
          FROM c""",
     "q45_tfidf_terms" ->
       """WITH t AS (

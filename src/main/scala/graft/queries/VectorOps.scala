@@ -349,7 +349,14 @@ object VectorOps {
     * Returns the final round's cells: (cluster, dim, value, n_members) —
     * scalar rows rather than centroid arrays so the result is directly
     * comparable across engines. [[kmeansCentroids]] folds the same cells
-    * back into (c_id, ce, cn) centroid rows for the IVF search path. */
+    * back into (c_id, ce, cn) centroid rows for the IVF search path.
+    *
+    * Block ownership: intermediate rounds are released in-loop; the
+    * RETURNED frame is checkpoint-backed and caller-owned — same contract
+    * as [[DedupOps.components]] — so a dropped reference is reaped by the
+    * ContextCleaner, and a long-lived pipeline retraining in one session
+    * can free it eagerly via `graft.ops.Checkpoints.rddsOf(df)
+    * .foreach(_.unpersist(false))`. */
   def kmeansCells(n0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeans needs at least one round, got $iters")
     val n = n0.filter(col("nrm") > 0)
