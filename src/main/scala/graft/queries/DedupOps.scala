@@ -324,23 +324,28 @@ object DedupOps {
     * default budget of 50 covers any plausible corpus (a 50-hop near-dup
     * chain means the threshold, not the algorithm, is wrong). A graph that
     * genuinely exceeds the budget fails loudly rather than returning
-    * silently-unmerged labels; raise `maxIter` (or switch the propagation
-    * to large-star/small-star alternation, which converges in O(log n)
-    * rounds) if that day comes. Only docs that appear in a pair are
-    * returned.
+    * silently-unmerged labels; raise `maxIter`, or set
+    * `pointerJumping = true` to add a label-of-label hop each round —
+    * distance-to-root better-than-halves per round, so rounds drop from
+    * O(diameter) to O(log diameter) at the price of one extra labels
+    * self-join per round (worth it for deep graphs, overhead for the
+    * shallow near-dup clusters this suite produces; DedupVolumeSpec pins
+    * both round counts). Only docs that appear in a pair are returned.
     *
     * Fault-tolerance note: per-round localCheckpoint trades lineage for
     * speed — an executor loss mid-computation fails the job (Spark's
     * documented local-checkpoint caveat) and the caller reruns it; for a
     * multi-hour corpus pass on preemptible nodes, swap in reliable
     * `checkpoint()` with a checkpoint dir — same shape, durable rounds. */
-  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    componentsWithRounds(pairs, maxIter)._1
+  def components(pairs: DataFrame, maxIter: Int = 50,
+      pointerJumping: Boolean = false): DataFrame =
+    componentsWithRounds(pairs, maxIter, pointerJumping)._1
 
   /** [[components]] plus the number of propagation rounds executed —
-    * package-visible so the volume spec can pin rounds = diameter. */
+    * package-visible so the volume spec can pin rounds = diameter (plain)
+    * and ~log2(diameter) (pointer jumping). */
   private[graft] def componentsWithRounds(pairs: DataFrame,
-      maxIter: Int = 50): (DataFrame, Int) = {
+      maxIter: Int = 50, pointerJumping: Boolean = false): (DataFrame, Int) = {
     // stage the pair set before mirroring it: the union's two branches
     // would otherwise each recompute the full upstream pair-producing
     // pipeline (minhash/simhash/jaccard) inside the first round's job
@@ -381,10 +386,20 @@ object DedupOps {
         // {old, neighbors} == least(old, min(neighbors)), and every
         // doc_id has exactly one self row, so max(old) recovers the old
         // label for the convergence signal.
+        val nullOld = lit(null).cast(labels.schema("label").dataType).as("old")
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .select(col("dst").as("doc_id"), col("label"),
-            lit(null).cast(labels.schema("label").dataType).as("old"))
+          .select(col("dst").as("doc_id"), col("label"), nullOld)
+        // pointer jumping: also propose label(label(x)) — label(x) is a
+        // reachable node by induction, so its label is too (transitivity
+        // keeps the invariant); each round the distance to the component
+        // minimum better-than-halves
+        val viaHop =
+          if (!pointerJumping) None
+          else Some(labels.as("l1")
+            .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+            .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"),
+              nullOld))
         // ONE job per round: localCheckpoint(eager) materializes the round
         // AND truncates lineage (a persist would keep stacking the
         // iterative plan — analysis cost grows per round and a ~30-round
@@ -393,9 +408,10 @@ object DedupOps {
         // only ever decrease, so `label < old` counts exactly the moves) —
         // no second join + isEmpty probe, no extra action at all
         val obs = org.apache.spark.sql.Observation()
-        val next = labels
-          .select(col("doc_id"), col("label"), col("label").as("old"))
-          .unionByName(viaNeighbors)
+        val next = viaHop.foldLeft(
+            labels
+              .select(col("doc_id"), col("label"), col("label").as("old"))
+              .unionByName(viaNeighbors))(_ unionByName _)
           .groupBy(col("doc_id"))
           .agg(min(col("label")).as("label"), max(col("old")).as("old"))
           .observe(obs, count(when(col("label") < col("old"), true)).as("changed"))

@@ -31,6 +31,23 @@ class DedupVolumeSpec extends SparkSpec {
     assert(leaked.size <= 3, s"rounds leaked ${leaked.size} persisted RDDs")
   }
 
+  test("pointer jumping turns the 32-chain's rounds from diameter into ~log2(diameter)") {
+    val n = 32
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      DedupOps.componentsWithRounds(pairs, pointerJumping = true)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n + 1)
+    assert(got.values.forall(_ == 0L), "same fixpoint as the plain rounds")
+    // distance to the minimum better-than-halves per round: a 32-hop chain
+    // needs ~log2(32)=5 propagation rounds + the detect round, never the
+    // 32 the plain form takes (exact count left loose — the fused init
+    // hop and the halving interact off-by-one-ishly across shapes)
+    assert(rounds <= 7, s"pointer jumping must converge in O(log d) rounds, got $rounds")
+    assert(rounds >= 3, s"a 32-chain cannot converge in $rounds rounds — test is vacuous")
+  }
+
   test("star at 16x: rounds follow diameter (2 when the min label sits on a leaf), not size") {
     // center 100, leaves 1..64: min label 1 must cross the center — diameter 2
     val pairs = (1L to 64L).map(l => (100L, l)).toDF("doc_a", "doc_b")
