@@ -78,4 +78,35 @@ class PlanSpec extends SparkSpec {
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[g#\\d+L".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("q47: every centroid join broadcasts — the corpus side never sort-merge-joins") {
+    val p = plan("q47_ivf_trained")
+    // trained-centroid assignment + the query-side search join are all
+    // broadcast; a SortMergeJoin would mean a full-corpus shuffle per round
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q50: one window pass partitioned by source, no global sort") {
+    val p = plan("q50_pack_windows")
+    assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined, p)
+    // the only exchange is the hash partitioning by source — a global
+    // range/singleton exchange would mean the packing sorts the corpus
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      "scan must prune to (doc_id, text, source): " + readSchema)
+  }
+
+  test("q48: the gate plans no cartesian and no generator over a computed array") {
+    val p = plan("q48_neardup_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    // the band explode is a literal index array: a Generate whose child
+    // re-evaluates the signature fold per output row would show the
+    // aggregate inside the Generate node
+    val gen = p.linesIterator.filter(_.contains("Generate")).mkString
+    assert(!gen.contains("aggregate"), "generator re-evaluates the signature: " + gen)
+  }
 }
