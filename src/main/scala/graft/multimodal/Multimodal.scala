@@ -45,12 +45,13 @@ object Multimodal {
       features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, bytes: Array[Byte])
 
-  /** The codec boundary. Images take a REAL path: `javax.imageio` ships
-    * with the JDK (PNG/JPEG/BMP/GIF), so decode, feature extraction and
-    * raster resize need no external library. Audio/video stay behind
-    * [[FakeCodec]] — those codecs are not in the JDK, and the deterministic
-    * fake keeps the pipeline around them fully testable; swapping a real
-    * decoder in changes only this object. */
+  /** The codec boundary. Images and PCM audio take REAL paths — both ship
+    * with the JDK (`javax.imageio` for PNG/JPEG/BMP/GIF, `javax.sound
+    * .sampled` for WAV/AIFF/AU PCM) — so decode and feature extraction
+    * need no external library. Video (and compressed audio) stays behind
+    * [[FakeCodec]]: those codecs genuinely are not in the JDK, and the
+    * deterministic fake keeps the pipeline around them fully testable;
+    * swapping a real decoder in changes only this object. */
   object Codec {
     import java.awt.image.BufferedImage
 
@@ -96,12 +97,83 @@ object Multimodal {
         w.toFloat / h.toFloat)
     }
 
+    /** None when the payload is not decodable 16-bit PCM (WAV/AIFF/AU).
+      * Channels are mono-folded; samples normalized to [-1, 1]. */
+    def decodeAudio(bytes: Array[Byte]): Option[(Float, Array[Double])] =
+      scala.util.Try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16, s"not 16-bit PCM: $fmt")
+          val raw = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val be = fmt.isBigEndian
+          val n = raw.length / 2 / ch
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              val lo = raw(off + (if (be) 1 else 0)) & 0xff
+              val hi = raw(off + (if (be) 0 else 1)).toInt
+              acc += ((hi << 8) | lo).toShort / 32768.0
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          (fmt.getSampleRate, out)
+        } finally ais.close()
+      }.toOption
+
+    /** 8-dim audio signature from real samples: RMS per quarter of the
+      * clip (4 — the temporal envelope), peak amplitude, zero-crossing
+      * rate (a crude pitch/noisiness proxy), duration in seconds, and
+      * sample rate normalized to 48 kHz. */
+    def audioFeatures(sampleRate: Float, samples: Array[Double]): Array[Float] = {
+      val n = samples.length
+      val rms = new Array[Double](4)
+      val cnt = new Array[Long](4)
+      var peak = 0.0
+      var crossings = 0L
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        val q = math.min(3, (i.toLong * 4 / math.max(1, n)).toInt)
+        rms(q) += s * s
+        cnt(q) += 1
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && (s >= 0) != (samples(i - 1) >= 0)) crossings += 1
+        i += 1
+      }
+      Array(
+        (if (cnt(0) > 0) math.sqrt(rms(0) / cnt(0)) else 0.0).toFloat,
+        (if (cnt(1) > 0) math.sqrt(rms(1) / cnt(1)) else 0.0).toFloat,
+        (if (cnt(2) > 0) math.sqrt(rms(2) / cnt(2)) else 0.0).toFloat,
+        (if (cnt(3) > 0) math.sqrt(rms(3) / cnt(3)) else 0.0).toFloat,
+        peak.toFloat,
+        (if (n > 1) crossings.toDouble / (n - 1) else 0.0).toFloat,
+        (if (sampleRate > 0) n / sampleRate else 0.0f),
+        sampleRate / 48000.0f)
+    }
+
     /** Kind-routed features: decodable images through the real pixel path,
-      * everything else (audio/video/undecodable) through the fake. */
+      * decodable PCM audio through the real sample path, everything else
+      * (video, compressed/undecodable payloads) through the fake. */
     def features(kind: String, bytes: Array[Byte]): Array[Float] =
-      if (kind == "image") decodeImage(bytes).map(imageFeatures)
-        .getOrElse(FakeCodec.features(bytes))
-      else FakeCodec.features(bytes)
+      kind match {
+        case "image" => decodeImage(bytes).map(imageFeatures)
+          .getOrElse(FakeCodec.features(bytes))
+        case "audio" => decodeAudio(bytes)
+          .map { case (sr, samples) => audioFeatures(sr, samples) }
+          .getOrElse(FakeCodec.features(bytes))
+        case _ => FakeCodec.features(bytes)
+      }
 
     /** Real raster resize: nearest-neighbor (deterministic across JVMs —
       * bilinear kernels may differ), re-encoded as PNG (lossless, in the

@@ -70,6 +70,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map { case (k, v) => k -> v.toSeq } == again)
   }
 
+  private def wav(freq: Double, amp: Double, sr: Int = 8000, n: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * freq * i / sr) * amp * 32767).toInt.toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: features come from samples — envelope, pitch proxy, duration") {
+    val rows = Seq(
+      MediaRow(20L, "audio", wav(440, 0.9), MediaMeta(None, None, Some(8000), None, Some("wav"))),
+      MediaRow(21L, "audio", wav(440, 0.1), MediaMeta(None, None, Some(8000), None, Some("wav"))),
+      MediaRow(22L, "audio", wav(880, 0.9), MediaMeta(None, None, Some(8000), None, Some("wav"))),
+      // not PCM at all -> deterministic byte-fake fallback
+      MediaRow(23L, "audio", Array.tabulate(64)(_.toByte), MediaMeta(None, None, None, None, None)))
+      .toDS()
+    val got = extractFeatures(rows.toDF()).collect().map(f => f.media_id -> f.features).toMap
+    // a 0.9-amplitude sine has RMS ~ 0.9/sqrt(2): the quarter-RMS envelope
+    // must see it, and amplitude must separate loud from quiet
+    assert(got(20L)(0) > 0.5 && got(20L)(3) > 0.5, got(20L).mkString(","))
+    assert(got(21L)(0) < 0.2, "quiet clip must have low RMS")
+    assert(got(20L)(4) > got(21L)(4), "peak separates loud from quiet")
+    // doubling the frequency doubles the zero-crossing rate
+    assert(math.abs(got(22L)(5) / got(20L)(5) - 2.0) < 0.05,
+      s"zcr ratio: ${got(22L)(5)} / ${got(20L)(5)}")
+    assert(math.abs(got(20L)(6) - 1.0f) < 1e-3, "1s clip duration")
+    assert(got(23L).toSeq == FakeCodec.features(rows.collect()
+      .find(_.media_id == 23L).get.bytes).toSeq, "undecodable audio falls back to the fake")
+  }
+
   test("real image resize: output is a decodable PNG at the target geometry, meta updated") {
     val rows = Seq(
       MediaRow(20L, "image", png(8, 6), MediaMeta(Some(8), Some(6), None, None, Some("png")))).toDS()
