@@ -176,21 +176,23 @@ object TextOps {
     * the key choice IS the parallelism lever. Offsets stay < 2^53 by
     * construction (token counts), making the floor-divide bin exact in
     * double on every engine. */
-  def packWindows(docs: DataFrame, capacity: Int = DefaultCapacity): DataFrame = {
+  def packWindows(docs: DataFrame, capacity: Int = DefaultCapacity,
+      streamCols: Seq[String] = Seq("source")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    // n_tokens tiebreak: rows sharing (source, doc_id) would otherwise get
+    require(streamCols.nonEmpty, "packing needs at least one stream key")
+    // n_tokens tiebreak: rows sharing (stream, doc_id) would otherwise get
     // task-order-dependent offsets; with it, order is deterministic except
     // for FULLY identical rows, whose either order yields the same output
     // set (the streams they describe are indistinguishable)
-    val w = Window.partitionBy(col("source"))
+    val w = Window.partitionBy(streamCols.map(col): _*)
       .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col("doc_id"), col("source"), size(tokens).as("n_tokens"))
+      .select(col("doc_id") +: streamCols.map(col) :+ size(tokens).as("n_tokens"): _*)
       .withColumn("offset", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
-        floor(col("offset") / lit(capacity.toDouble)).cast("long").as("bin"))
+      .select(col("doc_id") +: streamCols.map(col) :+ col("n_tokens") :+ col("offset") :+
+        floor(col("offset") / lit(capacity.toDouble)).cast("long").as("bin"): _*)
   }
 
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by

@@ -1,0 +1,55 @@
+package graft.corpus
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.DedupOps
+
+/** CorpusMain end-to-end on real testdata: the published layout, the
+  * consistency between the corpus and its audit trail, and rerun
+  * idempotence through the warehouse swap protocol. */
+class CorpusMainSpec extends SparkSpec {
+
+  private val input = "/root/testdata/sf0.001"
+
+  test("publishes a split-partitioned corpus + pair audit; rerun is idempotent") {
+    val out = Files.createTempDirectory("corpus_main").toString
+    CorpusMain.runWith(spark, input, out)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val pairs = spark.read.parquet(s"$out/near_dup_pairs")
+    val docs = spark.read.parquet(s"$input/documents.parquet")
+
+    // the corpus is exactly dedupeCorpus's survivor set
+    val expectedIds = DedupOps.dedupeCorpus(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expectedIds)
+    assert(pairs.count() > 0, "sf0.001 has near-dups — audit must be non-empty")
+
+    // physical layout: hive-style split partitions, train present
+    val splits = new java.io.File(s"$out/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("split=")).toSet
+    assert(splits.contains("split=train"), splits.toString)
+
+    // offsets restart inside every (split, source) stream
+    corpus.select("split", "source", "doc_id", "n_tokens", "offset")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .foreach { case (key, rows) =>
+        val sorted = rows.sortBy(_.getLong(2))
+        assert(sorted.head.getLong(4) == 0L, s"stream $key must start at 0")
+        sorted.zip(sorted.tail).foreach { case (a, b) =>
+          assert(b.getLong(4) == a.getLong(4) + a.getInt(3), s"gap in $key")
+        }
+      }
+
+    // rerun: per-partition swap replaces, never appends (count captured
+    // BEFORE the rerun — the swap retires the files the first read listed)
+    val firstCount = corpus.count()
+    CorpusMain.runWith(spark, input, out)
+    val again = spark.read.parquet(s"$out/corpus")
+    assert(again.count() == firstCount, "rerun must not duplicate rows")
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet == gotIds)
+  }
+}
