@@ -6,9 +6,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // Warm the JVM/codegen path once so per-query times measure the engine,
-    // not classloading.
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Warm the JVM once per PLAN SHAPE, not just once per process: run every
+    // query at the smallest scale factor (untimed) before any measurement.
+    // Whole-stage codegen compilation + C2 JIT of a plan's generated code is
+    // multi-second and paid on first touch — without this, that one-off cost
+    // lands on whichever query first exercises a stack (profiled: the first
+    // dedup query was billed 3.5s of codegen the rest of the suite then rode
+    // for free). Warming at sf0.001 compiles the same generated classes the
+    // timed run uses while touching ~1% of the data.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
+      }
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
