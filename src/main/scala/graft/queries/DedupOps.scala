@@ -135,20 +135,11 @@ object DedupOps {
     * HOFs: one md5 per (doc, shingle) posting, then eight 16-bit
     * min-slices as a map-side-combinable aggregate (the HOF form inlines
     * the md5-per-shingle array into each array_min projection — no CSE
-    * across lambda bodies; profiled ~30% slower). Bands join on one hashed
-    * (band, value) long: a collision can only ADD a candidate, which the
-    * exact verification keeps only if its true Jaccard clears the
-    * threshold.
-    *
-    * Oracle-parity caveat (deliberate): the DuckDB oracle bands on raw
-    * (b, v) equality while this joins on xxhash64(b, v), so a 64-bit
-    * collision between two bands that co-occur could admit a candidate the
-    * oracle never sees — and if that pair ALSO cleared the exact-Jaccard
-    * threshold, the outputs would diverge. Probability ~2^-64 per
-    * co-occurring band pair (the standard shingle-hashing tradeoff, and
-    * the same one ngramJaccard's hashed posting keys make); a caller
-    * needing parity by construction joins on the raw (b, v) pair at ~30%
-    * more join wall-clock. */
+    * across lambda bodies; profiled ~30% slower). Bands join on the raw
+    * (band, value) pair — NOT a hash of it — so the candidate set matches
+    * the oracle's banding by construction, not probabilistically: the band
+    * table is 4 rows/doc (tiny next to the posting join upstream), so
+    * hashing the key buys nothing measurable while costing parity. */
   def minhashNearDup(shingles: DataFrame,
       threshold: Double = JaccardThreshold): DataFrame = {
     val post = shingles.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -163,9 +154,10 @@ object DedupOps {
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), xxhash64(col("band.b"), col("band.v")).as("bv"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
