@@ -146,6 +146,75 @@ object Warehouse {
   private def oldFor(target: Path): Path =
     new Path(target.getParent, s".${target.getName}.old")
 
+  /** Clustered (sorted) layout: range-partition `df` into `numFiles`
+    * disjoint key ranges on `clusterCols` and sort rows within each — the
+    * layout transform behind data-skipping scans. Parquet keeps min/max
+    * stats per row group; with disjoint sorted ranges a point or range
+    * predicate matches a handful of row groups and the reader skips the
+    * rest of the table without touching it (LayoutSpec measures the effect
+    * on records actually read). This is the B-tree-index analog for
+    * immutable columnar storage — at 100 TB it's the difference between a
+    * full-table scan and reading one file — and it COMPOSES with the
+    * write-audit-publish sinks: `replaceDir(clustered(df, keys, n), dir)`
+    * publishes a sorted table crash-safely, because clustering is a plan
+    * property of the frame, not of the writer.
+    *
+    * Returns the re-laid-out frame; [[writeClustered]] is the write-through
+    * convenience. `numFiles` is a layout decision (total bytes / desired
+    * file size); range boundaries come from Spark's reservoir sample of the
+    * keys, so skew in `clusterCols` yields near-equal file sizes anyway. */
+  def clustered(df: DataFrame, clusterCols: Seq[String], numFiles: Int): DataFrame = {
+    require(clusterCols.nonEmpty, "clustered layout needs at least one key")
+    df.repartitionByRange(numFiles, clusterCols.map(df.col): _*)
+      .sortWithinPartitions(clusterCols.map(df.col): _*)
+  }
+
+  def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String],
+      numFiles: Int): Unit =
+    clustered(df, clusterCols, numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Compact a directory table's small files in place, crash-safely:
+    * every leaf directory (the table itself, or each `k=v` partition leaf)
+    * whose file count exceeds ceil(bytes / targetFileBytes) is rewritten to
+    * that many files and swapped in via the same rename-aside publish as
+    * [[replaceDir]] — a crash mid-compaction strands at most a hidden
+    * sibling that the next run (or any entry point calling [[recover]])
+    * heals, and readers never see a partial leaf.
+    *
+    * Small files are the silent scale killer of long-lived ingest tables:
+    * a per-game/per-batch append pattern yields thousands of KB-sized
+    * files per partition, and at 100 TB the scan becomes metadata-bound
+    * (footer reads, task scheduling) rather than data-bound. Compaction is
+    * per-leaf, so it parallelizes across partitions and touches only
+    * leaves that are actually fragmented; data, schema, and partition
+    * layout are unchanged (LayoutSpec pins all three). Returns the number
+    * of leaves rewritten. */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    def walk(p: Path): Int = {
+      val kids = fs.listStatus(p).filter(st => visible(st.getPath.getName))
+      val parts = kids.filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (parts.nonEmpty) parts.map(st => walk(st.getPath)).sum
+      else {
+        val files = kids.filter(_.isFile)
+        val want = math.max(1L,
+          (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        if (files.length > want) {
+          // the staged read sees the CURRENT leaf (replaceDir's contract),
+          // so this is read-compact-swap with no copy of the table held
+          replaceDir(spark.read.parquet(p.toString).coalesce(want), p.toString)
+          1
+        } else 0
+      }
+    }
+    walk(target)
+  }
+
   /** S8 database bootstrap (reference: database/db_init.py:7-20,
     * create_database_if_not_exists): the catalog analog — idempotent
     * CREATE DATABASE, optionally pinned to a warehouse root directory so

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Physical-layout operators: clustered (sorted) writes actually produce
+  * disjoint per-file key ranges and actually cut the rows a selective scan
+  * reads; compaction collapses fragmented leaves without changing data,
+  * schema, or partition layout.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_layout").toString
+
+  /** Rows with ids deliberately shuffled so an unsorted write spreads every
+    * key range across every file. */
+  private def shuffled(n: Int) =
+    spark.range(n.toLong)
+      .select(col("id"), md5(col("id").cast("string")).as("payload"))
+      .orderBy(col("payload")) // decorrelate storage order from id order
+
+  /** Total records read from storage while running `f` — row-group pruning
+    * shows up here: skipped groups are never materialized as records. */
+  private def recordsRead(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(500) } // listener bus is async — give it a beat
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  test("clustered: per-file id ranges are disjoint and files sorted within") {
+    val dir = s"${tmp()}/t"
+    Warehouse.writeClustered(shuffled(20000), dir, Seq("id"), numFiles = 8)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length == 8, s"expected 8 files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((fa, _, hiA), (fb, loB, _)) =>
+        assert(hiA < loB, s"overlapping ranges between $fa and $fb")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
+  test("clustered scan reads a fraction of the records an unsorted scan does") {
+    val root = tmp()
+    val df = shuffled(200000)
+    df.repartition(8).write.parquet(s"$root/unsorted")
+    Warehouse.writeClustered(df, s"$root/clustered", Seq("id"), numFiles = 8)
+    def hits(dir: String): Long = {
+      var matches = 0L
+      val read = recordsRead {
+        matches = spark.read.parquet(dir)
+          .filter(col("id").between(100000, 100999)).count()
+      }
+      assert(matches == 1000, s"$dir: wrong filter result")
+      read
+    }
+    val unsorted = hits(s"$root/unsorted")
+    val sorted = hits(s"$root/clustered")
+    // every unsorted file's min/max straddles the range -> all groups read;
+    // the clustered table satisfies it from one file's groups
+    assert(unsorted >= 200000 / 2, s"unsorted read only $unsorted — probe broken?")
+    assert(sorted * 4 <= unsorted,
+      s"clustered layout did not prune: read $sorted vs unsorted $unsorted")
+  }
+
+  test("clustered composes with replaceDir: crash-safe publish of a sorted table") {
+    val dir = s"${tmp()}/t"
+    Warehouse.replaceDir(Warehouse.clustered(shuffled(5000), Seq("id"), 4), dir)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hiA), (_, loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+  }
+
+  test("compact: collapses a fragmented flat table, content and schema intact") {
+    val dir = s"${tmp()}/t"
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("v"))
+    df.repartition(32).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(files.length == 32)
+    val before = spark.read.parquet(dir)
+    val schemaBefore = before.schema
+    val sumBefore = before.agg(sum(col("id")), sum(col("v"))).first()
+    assert(Warehouse.compact(spark, dir) == 1, "one leaf rewritten")
+    assert(files.length < 32, s"still ${files.length} files")
+    val after = spark.read.parquet(dir)
+    assert(after.schema == schemaBefore)
+    assert(after.agg(sum(col("id")), sum(col("v"))).first() == sumBefore)
+    assert(after.count() == 10000)
+    // already-compact leaves are left untouched: idempotent, zero rewrites
+    assert(Warehouse.compact(spark, dir) == 0)
+  }
+
+  test("compact: partitioned table is compacted per leaf, layout preserved") {
+    val dir = s"${tmp()}/t"
+    spark.range(6000)
+      .select(col("id"), (col("id") % 3).cast("string").as("p"))
+      .repartition(8) // 8 files in each of the 3 partition leaves
+      .write.partitionBy("p").parquet(dir)
+    def leafFiles(p: String) = new java.io.File(s"$dir/p=$p").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(leafFiles("0").length == 8)
+    assert(Warehouse.compact(spark, dir) == 3, "all three leaves rewritten")
+    Seq("0", "1", "2").foreach(p =>
+      assert(leafFiles(p).length == 1, s"leaf p=$p not compacted"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 6000)
+    assert(after.groupBy(col("p")).count().as[(String, Long)].collect().toMap
+      == Map("0" -> 2000L, "1" -> 2000L, "2" -> 2000L))
+    // partition column still derived from the directory layout
+    assert(after.filter(col("p") === "1").count() == 2000)
+  }
+
+  test("compact heals an interrupted swap before rewriting (recover-first)") {
+    val root = tmp()
+    val dir = s"$root/t"
+    spark.range(100).toDF("id").repartition(4).write.parquet(dir)
+    // simulate a crash that left the table stranded in the .old sibling
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(s"$root/.t.old"))
+    assert(Warehouse.compact(spark, dir) == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+}
