@@ -432,6 +432,31 @@ object DedupOps {
     }
   }
 
+  /** Benchmark decontamination (q51): for every corpus document, count how
+    * many of its distinct word-n-gram shingles also appear in a benchmark
+    * (eval-set) document — the overlap report a training pipeline uses to
+    * drop or flag contaminated examples before training. Output rows are
+    * the CONTAMINATED docs only (n_hits >= 1); a caller drops them with an
+    * anti-join or thresholds on `n_hits`.
+    *
+    * Shape at scale: eval sets are small by definition (thousands of docs
+    * against a multi-billion-doc corpus), so the distinct benchmark shingle
+    * set is broadcast and the corpus side never shuffles — the whole pass
+    * is a map-side semi-join plus a per-doc partial-aggregated count. A
+    * benchmark too large to broadcast degrades gracefully to a shuffled
+    * equi-join on the shingle, same semantics. */
+  def contamination(corpusShingles: DataFrame,
+      benchShingles: DataFrame): DataFrame = {
+    val post = corpusShingles.select(col("doc_id"), explode(col("sh")).as("g"))
+    val benchSet = benchShingles.select(explode(col("sh")).as("g")).distinct()
+    post.join(broadcast(benchSet), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** q51's deterministic benchmark membership: doc_id divisible by 97. */
+  private val BenchMod = 97
+
   /** The full corpus-dedup operator: given documents and near-dup pairs
     * (from minhashNearDup / simhashNearDup / ngramJaccard), keep one
     * canonical document per component — the min doc_id, like the exact
@@ -481,6 +506,16 @@ object DedupOps {
     "q39_dedupe_corpus" -> { (s, dir) =>
       dedupeCorpus(Tables.documents(s, dir), minhashNearDup(shingled(s, dir)))
         .select(col("doc_id"))
+    },
+
+    // Benchmark decontamination: docs with doc_id % 97 == 0 play the eval
+    // set; every other doc is scored by how many of its distinct shingles
+    // appear anywhere in that set (broadcast semi-join shape).
+    "q51_decontaminate" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      contamination(
+        sh.filter(col("doc_id") % BenchMod =!= 0),
+        sh.filter(col("doc_id") % BenchMod === 0))
     },
 
     // The streaming-shaped near-dup gate run in batch: odd doc_ids are the
@@ -643,5 +678,14 @@ object DedupOps {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / CAST((len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DOUBLE)
              >= $JaccardThreshold""",
-    "q48_neardup_gate" -> gateOracle)
+    "q48_neardup_gate" -> gateOracle,
+    "q51_decontaminate" ->
+      s"""$shingleCte,
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BenchMod = 0),
+         post AS (
+           SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchMod <> 0)
+         SELECT p.doc_id, count(*) AS n_hits
+         FROM post p JOIN bench b ON p.g = b.g
+         GROUP BY p.doc_id""")
 }

@@ -147,9 +147,8 @@ object TextOps {
     // md5 buckets are lowercase hex: an uppercase cut like "CC" would pass
     // the ordering check yet silently skew the split (every 'a'-'f' bucket
     // compares above it), so malformed cuts must fail loudly
-    val hexPair = "^[0-9a-f]{2}$".r
     Seq("trainUpper" -> trainUpper, "valUpper" -> valUpper).foreach {
-      case (name, v) => require(hexPair.matches(v),
+      case (name, v) => require(HexPair.matches(v),
         s"$name must be two lowercase hex chars, got '$v'")
     }
     require(trainUpper < valUpper,
@@ -193,6 +192,54 @@ object TextOps {
       .withColumn("offset", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
       .select(col("doc_id") +: streamCols.map(col) :+ col("n_tokens") :+ col("offset") :+
         floor(col("offset") / lit(capacity.toDouble)).cast("long").as("bin"): _*)
+  }
+
+  // q52 defaults — a named subset of sources with explicit keep rates, the
+  // rest on the default; interpolated into the oracle SQL like q49's cuts
+  private val DefaultMixRates = Seq(
+    "src0" -> "ff", // 256/256: keep everything
+    "src1" -> "7f", // 128/256 ~ 50%
+    "src2" -> "33", //  52/256 ~ 20%
+    "src3" -> "0c") //  13/256 ~ 5%
+  private val DefaultMixOther = "bf" // 192/256 = 75%
+
+  private val HexPair = "^[0-9a-f]{2}$".r
+
+  /** Deterministic corpus mixing (q52) — domain reweighting, the sampling
+    * pass that turns a raw crawl into a training mixture (keep all of a
+    * high-quality source, 5% of a noisy one). Membership is a pure
+    * function of doc_id: a doc is kept iff hex chars 3-4 of md5(doc_id)
+    * compare <= its source's rate cut, so the sample is stable across
+    * runs, partitionings, and corpus growth, and keep-fraction =
+    * (cut + 1)/256 at 1/256 granularity ('ff' keeps everything). Chars
+    * 3-4 — NOT 1-2, which [[hashSplit]] consumes — so mixing and
+    * splitting are independent coordinates of the same digest: sampling
+    * does not skew the train/val/test proportions within a source.
+    *
+    * Shape at scale: the rate table is one row per source — broadcast by
+    * construction — so the pass is a map-side join + filter; nothing
+    * shuffles, nothing is collected. Sources absent from `rates` take
+    * `defaultRate`. */
+  def mixCorpus(docs: DataFrame,
+      rates: Seq[(String, String)] = DefaultMixRates,
+      defaultRate: String = DefaultMixOther,
+      sourceCol: String = "source"): DataFrame = {
+    (rates.map { case (src, cut) => s"rates($src)" -> cut } :+
+      ("defaultRate" -> defaultRate)).foreach { case (name, v) =>
+      require(HexPair.matches(v),
+        s"$name must be two lowercase hex chars, got '$v'")
+    }
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate sources in rates: ${rates.map(_._1).mkString(",")}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateTbl = rates.toDF(sourceCol, "keep_below")
+    docs
+      .join(broadcast(rateTbl), Seq(sourceCol), "left")
+      .select(col("doc_id"), col(sourceCol),
+        substring(md5(col("doc_id").cast("string")), 3, 2).as("mix_bucket"),
+        coalesce(col("keep_below"), lit(defaultRate)).as("keep_below"))
+      .filter(col("mix_bucket") <= col("keep_below"))
   }
 
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by
@@ -245,7 +292,10 @@ object TextOps {
     "q49_hash_split" -> { (s, dir) => hashSplit(Tables.documents(s, dir)) },
 
     // Sequential context-window packing (see packWindows).
-    "q50_pack_windows" -> { (s, dir) => packWindows(Tables.documents(s, dir)) })
+    "q50_pack_windows" -> { (s, dir) => packWindows(Tables.documents(s, dir)) },
+
+    // Deterministic corpus mixing (see mixCorpus).
+    "q52_corpus_mix" -> { (s, dir) => mixCorpus(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -336,5 +386,17 @@ object TextOps {
              row_number() OVER (PARTITION BY tf.doc_id
                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
            FROM tf JOIN df USING (term))
-         SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""")
+         SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""",
+    "q52_corpus_mix" -> {
+      val cases = DefaultMixRates
+        .map { case (src, cut) => s"WHEN source = '$src' THEN '$cut'" }
+        .mkString(" ")
+      s"""WITH r AS (
+           SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS mix_bucket,
+             CASE $cases ELSE '$DefaultMixOther' END AS keep_below
+           FROM documents)
+         SELECT doc_id, source, mix_bucket, keep_below
+         FROM r WHERE mix_bucket <= keep_below"""
+    })
 }

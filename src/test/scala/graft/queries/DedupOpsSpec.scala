@@ -89,6 +89,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(gate.toSet == exp)
   }
 
+  test("contamination counts exactly the corpus shingles present in the bench set") {
+    // bench doc: shingles {a b c, b c d, c d e}; corpus doc 10 shares 2 of
+    // its 3 shingles, doc 11 shares none, doc 12 shares all of its 1
+    val bench = Seq((97L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c d x"),   // shingles: {a b c, b c d, c d x} -> 2 hits
+      (11L, "p q r s"),     // disjoint -> no row
+      (12L, "b c d")        // single shingle, shared -> 1 hit
+    ).toDF("doc_id", "text")
+    val hits = DedupOps.contamination(
+        DedupOps.shingledOf(corpus), DedupOps.shingledOf(bench))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(10L -> 2L, 12L -> 1L),
+      "only contaminated docs appear, with exact shared-shingle counts")
+  }
+
+  test("contamination broadcasts the bench shingle set — the corpus side never shuffles for the join") {
+    val bench = Seq((97L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "a b c d x")).toDF("doc_id", "text")
+    val plan = DedupOps.contamination(
+        DedupOps.shingledOf(corpus), DedupOps.shingledOf(bench))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan)
+  }
+
   test("simhashNearDup refuses a hammingMax beyond the pigeonhole-exact bound") {
     // 32 bits / 8-bit bands -> banded join is exact only for hamming <= 3;
     // a larger bound would silently lose recall, so it must throw instead

@@ -107,4 +107,64 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("mixCorpus: membership is the documented pure function of (doc_id, source rate)") {
+    val docs = (0L until 512L).map(i => (i, s"src${i % 4}", "w"))
+      .toDF("doc_id", "source", "text")
+    val rates = Seq("src0" -> "ff", "src1" -> "7f", "src2" -> "00")
+    val kept = TextOps.mixCorpus(docs, rates, defaultRate = "0f")
+      .select("doc_id").as[Long].collect().toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 512L).filter { i =>
+      val cut = Map(0 -> "ff", 1 -> "7f", 2 -> "00").getOrElse((i % 4).toInt, "0f")
+      md5hex(i.toString).substring(2, 4) <= cut
+    }.toSet
+    assert(kept == expected)
+    // 'ff' keeps every doc of the source; unlisted src3 rides the default
+    assert((0L until 512L).filter(_ % 4 == 0).forall(kept))
+    assert(kept.exists(_ % 4 == 3) || expected.forall(_ % 4 != 3))
+  }
+
+  test("mixCorpus is stable under corpus growth and independent of hashSplit's coordinate") {
+    val small = (0L until 128L).map(i => (i, s"src${i % 2}", "w"))
+      .toDF("doc_id", "source", "text")
+    val grown = (0L until 256L).map(i => (i, s"src${i % 2}", "w"))
+      .toDF("doc_id", "source", "text")
+    val rates = Seq("src0" -> "7f", "src1" -> "33")
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      TextOps.mixCorpus(df, rates).select("doc_id").as[Long].collect().toSet
+    val (a, b) = (keep(small), keep(grown))
+    assert(b.filter(_ < 128L) == a, "growing the corpus never resamples old docs")
+    // mixing reads md5 chars 3-4, splitting chars 1-2: within the kept set
+    // every split must still appear (the coordinates are independent)
+    val splits = TextOps.hashSplit(grown).join(
+        TextOps.mixCorpus(grown, rates).select("doc_id"), "doc_id")
+      .select("split").as[String].collect().toSet
+    assert(splits == Set("train", "val", "test"))
+  }
+
+  test("mixCorpus rejects malformed rate cuts and duplicate sources") {
+    val docs = Seq((1L, "src0", "w")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.mixCorpus(docs, Seq("src0" -> "FF"))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.mixCorpus(docs, Seq("src0" -> "f"))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.mixCorpus(docs, Seq("src0" -> "aa", "src0" -> "bb"))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.mixCorpus(docs, Seq("src0" -> "aa"), defaultRate = "zz")
+    }
+  }
+
+  test("mixCorpus broadcasts the rate table — the corpus side never shuffles") {
+    val docs = Seq((1L, "src0", "w"), (2L, "src1", "w"))
+      .toDF("doc_id", "source", "text")
+    val plan = TextOps.mixCorpus(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
