@@ -1,27 +1,35 @@
 package graft.corpus
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{DedupOps, TextOps}
 import graft.sources.Warehouse
 
 /** The LLM-data-pipeline capstone as a runnable entry point, shaped like
-  * the six reference-script mains: read a documents table, near-dup-dedupe
-  * it, split it deterministically, pack each split's token streams, and
-  * publish idempotently through the same write-audit-publish warehouse
-  * protocol the NBA pipeline uses.
+  * the six reference-script mains: read a documents table, optionally mix
+  * (domain-reweight) and decontaminate it against a benchmark set,
+  * near-dup-dedupe it, split it deterministically, pack each split's token
+  * streams, and publish idempotently through the same write-audit-publish
+  * warehouse protocol the NBA pipeline uses.
   *
   * Outputs under `--output`:
-  *   - `corpus/` — the deduped corpus with split/pack bookkeeping columns,
-  *     partitioned by `split` (so a trainer reads `split=train` only —
-  *     partition pruning is the point of the layout), published via
-  *     per-partition swap (a rerun replaces, never duplicates);
+  *   - `corpus/` — the mixed, decontaminated, deduped corpus with
+  *     split/pack bookkeeping columns, partitioned by `split` (so a
+  *     trainer reads `split=train` only — partition pruning is the point
+  *     of the layout), published via per-partition swap (a rerun
+  *     replaces, never duplicates);
   *   - `near_dup_pairs/` — the audit trail: every verified pair that
-  *     caused a drop, published via directory swap.
+  *     caused a drop, published via directory swap;
+  *   - `contaminated/` (with `--bench`) — every dropped doc with its
+  *     shared-shingle count, published BEFORE the corpus so the drop
+  *     evidence survives a mid-run crash.
   *
-  * Every stage is one of the oracle-checked operators (q31, q39, q49,
-  * q50) — this main only composes and publishes them.
+  * Every stage is one of the oracle-checked operators (q52, q51, q31,
+  * q39, q49, q50) — this main only composes and publishes them. Stage
+  * order is cheapest-reduction-first: mixing is a hash filter (no data
+  * examined), decontamination touches shingles once, dedup pays the
+  * banded self-join only over what survives both.
   */
 object CorpusMain {
 
@@ -29,25 +37,58 @@ object CorpusMain {
     val args = argv.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    val bad = args.keySet -- Set("input", "output", "capacity")
+    val bad = args.keySet --
+      Set("input", "output", "capacity", "bench", "mix", "mix-default")
     if (argv.length % 2 != 0 || bad.nonEmpty ||
         !args.contains("input") || !args.contains("output")) {
       System.err.println(
-        "usage: graft.corpus.CorpusMain --input <dir> --output <dir> [--capacity N]")
+        "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
+          "[--capacity N] [--bench <parquet>] " +
+          "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
       sys.exit(2)
     }
+    val rates = args.get("mix").map(_.split(',').toSeq.map { kv =>
+      kv.split(':') match {
+        case Array(s, c) => s -> c
+        case _ => System.err.println(s"bad --mix entry '$kv' (want source:cut)")
+          sys.exit(2)
+      }
+    })
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
-      args.get("capacity").map(_.toInt))
+      args.get("capacity").map(_.toInt), args.get("bench"),
+      rates, args.get("mix-default"))
     finally spark.stop()
   }
 
   /** The job body on a caller-owned session (testable; main owns its own). */
   def runWith(spark: SparkSession, input: String, output: String,
-      capacity: Option[Int] = None): Unit = {
-    val docs = spark.read.parquet(s"$input/documents.parquet")
-    val sh = DedupOps.shingledOf(docs).persist()
+      capacity: Option[Int] = None, bench: Option[String] = None,
+      mixRates: Option[Seq[(String, String)]] = None,
+      mixDefault: Option[String] = None): Unit = {
+    val raw = spark.read.parquet(s"$input/documents.parquet")
+    // mixing first: membership is a pure hash of doc_id, so it reads
+    // nothing and every later stage pays only for the kept fraction
+    val mixed = mixRates.fold(raw) { r =>
+      val kept = mixDefault.fold(TextOps.mixCorpus(raw, r))(
+        d => TextOps.mixCorpus(raw, r, d))
+      raw.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    val shAll = DedupOps.shingledOf(mixed).persist()
     try {
+      // decontamination, audited BEFORE the drop is applied: reading the
+      // published audit back both avoids recomputing the overlap and makes
+      // the corpus provably consistent with the evidence on disk
+      val (docs, sh): (DataFrame, DataFrame) = bench match {
+        case Some(b) =>
+          val hits = DedupOps.contamination(
+            shAll, DedupOps.shingledOf(spark.read.parquet(b)))
+          Warehouse.replaceDir(hits, s"$output/contaminated")
+          val drop = spark.read.parquet(s"$output/contaminated").select("doc_id")
+          (mixed.join(drop, Seq("doc_id"), "left_anti"),
+            shAll.join(drop, Seq("doc_id"), "left_anti"))
+        case None => (mixed, shAll)
+      }
       val pairs = DedupOps.minhashNearDup(sh).persist()
       try {
         // audit first: if the run dies after this publish, the pair
@@ -65,6 +106,6 @@ object CorpusMain {
         Warehouse.overwritePartitions(
           withSplit.join(packed, "doc_id"), s"$output/corpus", Seq("split"))
       } finally { pairs.unpersist(); () }
-    } finally { sh.unpersist(); () }
+    } finally { shAll.unpersist(); () }
   }
 }

@@ -52,4 +52,37 @@ class CorpusMainSpec extends SparkSpec {
     assert(again.count() == firstCount, "rerun must not duplicate rows")
     assert(again.select("doc_id").collect().map(_.getLong(0)).toSet == gotIds)
   }
+
+  test("mix + decontaminate stages: audited drops, corpus excludes both") {
+    val out = Files.createTempDirectory("corpus_main_full").toString
+    val docs = spark.read.parquet(s"$input/documents.parquet")
+
+    // bench = verbatim copies of three input docs under foreign ids, so
+    // contamination is certain for exactly those three (plus any doc
+    // sharing a shingle with them)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    bench.write.mode("overwrite").parquet(s"$out/bench")
+
+    val rates = Seq("src0" -> "7f", "src1" -> "33")
+    CorpusMain.runWith(spark, input, out,
+      bench = Some(s"$out/bench"), mixRates = Some(rates))
+
+    val corpusIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = spark.read.parquet(s"$out/contaminated")
+    val dropIds = contaminated.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the three copied docs are in the mix or not, but every one of them
+    // that survived mixing must be flagged (it shares ALL its shingles)
+    val mixedIds = graft.queries.TextOps.mixCorpus(docs, rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Seq(0L, 1L, 2L).filter(mixedIds).foreach(id =>
+      assert(dropIds.contains(id), s"verbatim bench copy $id not flagged"))
+    assert(contaminated.select("n_hits").collect().forall(_.getLong(0) >= 1))
+
+    // the published corpus honors both stages
+    assert(corpusIds.intersect(dropIds).isEmpty, "contaminated doc published")
+    assert(corpusIds.subsetOf(mixedIds), "doc outside the mixture published")
+  }
 }
