@@ -174,6 +174,73 @@ object Warehouse {
     clustered(df, clusterCols, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
+  /** Z-order layout: cluster on an interleaved-bit curve over SEVERAL
+    * numeric keys, so selective predicates on ANY of them skip files/row
+    * groups — the multi-column generalization of [[clustered]], which
+    * serves only its leading key. Each key is scaled to `bits` bits
+    * against its observed min/max (one scalar stats pass — the same
+    * pre-pass OPTIMIZE-style layout jobs run), the bits are interleaved
+    * (bit k of key j lands at position k*n + j), and rows are
+    * range-partitioned + sorted on the resulting z-value, giving each
+    * file a near-square tile of key space: a point/range filter on one
+    * key reads ~numFiles^((n-1)/n) tiles instead of every file, at the
+    * cost that no single key gets [[clustered]]'s perfect 1-tile locality
+    * — the standard trade, measured in LayoutSpec both ways.
+    *
+    * Nulls bin to 0 (they cluster with the minimum — min/max ignore
+    * nulls, and a null key can't be range-pruned anyway); a constant key
+    * contributes nothing (min == max -> bin 0). `bits` * n must fit a
+    * long; 16 bits/key covers 4 keys and a 65536-way split of each. File
+    * boundaries come from the range exchange's reservoir sample, so tile
+    * alignment follows
+    * `spark.sql.execution.rangeExchange.sampleSizePerPartition` — a layout
+    * job should raise it (the default 100 leaves files straddling tiles,
+    * which costs pruning, never correctness). */
+  def zordered(df: DataFrame, clusterCols: Seq[String], numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = clusterCols.length
+    require(n >= 2, "zorder needs >= 2 keys; use clustered() for one")
+    require(bits >= 1 && bits * n <= 63, s"bits*keys must fit a long, got $bits*$n")
+    clusterCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorder key $c must be numeric, got ${df.schema(c).dataType}")
+    }
+    // one scalar stats job: min/max per key (skew-robust enough for a
+    // layout decision; a skewed key still bins monotonically)
+    val stats = df.agg(
+      expr(s"min(${clusterCols.head})"),
+      (clusterCols.tail.map(c => expr(s"min($c)")) ++
+        clusterCols.map(c => expr(s"max($c)"))): _*).head()
+    val maxBin = (1L << bits) - 1
+    val binCols = clusterCols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (Option(stats.get(j)).map(_.toString.toDouble),
+        Option(stats.get(n + j)).map(_.toString.toDouble))
+      (lo, hi) match {
+        case (Some(l), Some(h)) if h > l =>
+          // scale to [0, maxBin]; nulls -> 0
+          coalesce(floor((col(c).cast("double") - lit(l)) / lit(h - l) * maxBin)
+            .cast("long"), lit(0L))
+        case _ => lit(0L) // constant or all-null key: contributes nothing
+      }
+    }
+    val z = (0 until bits).flatMap { k =>
+      binCols.zipWithIndex.map { case (b, j) =>
+        // bit k of key j -> position k*n + j
+        shiftleft(shiftright(b, k).bitwiseAND(1L), k * n + j)
+      }
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  def writeZordered(df: DataFrame, dir: String, clusterCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit =
+    zordered(df, clusterCols, numFiles, bits)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
   /** Compact a directory table's small files in place, crash-safely:
     * every leaf directory (the table itself, or each `k=v` partition leaf)
     * whose file count exceeds ceil(bytes / targetFileBytes) is rewritten to

@@ -89,6 +89,64 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorder: a filter on EITHER key prunes; single-key clustering serves only its own") {
+    val root = tmp()
+    // 256x256 grid, row order decorrelated from both keys
+    val grid = spark.range(256L * 256L)
+      .select((col("id") % 256).as("x"), expr("id div 256").as("y"),
+        md5(col("id").cast("string")).as("payload"))
+      .orderBy(col("payload"))
+    Warehouse.writeClustered(grid, s"$root/by_x", Seq("x"), numFiles = 16)
+    // bits=8: the 256-value keys bin densely (bin == key), so the 16
+    // equal-population z-ranges are exactly the 16 64x64 tiles — provided
+    // the range sampler sees enough rows to place boundaries on the tile
+    // edges (default 100 samples/partition leaves files straddling tiles;
+    // a production layout job raises it the same way)
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "8192")
+    try Warehouse.writeZordered(grid, s"$root/zorder", Seq("x", "y"),
+      numFiles = 16, bits = 8)
+    finally prevSample.fold(spark.conf.unset(sampleKey))(spark.conf.set(sampleKey, _))
+    def readFor(dir: String, k: String): Long = {
+      var matches = 0L
+      val read = recordsRead {
+        matches = spark.read.parquet(s"$root/$dir")
+          .filter(col(k).between(100, 115)).count()
+      }
+      assert(matches == 16L * 256L, s"$dir/$k: wrong filter result")
+      read
+    }
+    val zy = readFor("zorder", "y")
+    val xy = readFor("by_x", "y")
+    // x-clustered files are vertical stripes: every one straddles any y
+    // band, so nothing prunes; z-order tiles let the band skip most files
+    assert(xy >= 256L * 256L / 2, s"by_x read only $xy for a y filter — probe broken?")
+    assert(zy * 2 <= xy, s"zorder did not prune on y: read $zy vs $xy")
+    // the trade: on its own key, perfect single-key clustering reads less
+    // than z-order's square tiles
+    val zx = readFor("zorder", "x")
+    val xx = readFor("by_x", "x")
+    assert(xx <= zx, s"single-key clustering lost its own key: $xx vs $zx")
+    assert(zx * 2 <= 256L * 256L, s"zorder did not prune on x either: $zx")
+  }
+
+  test("zorder: nulls and constant keys degrade gracefully, data intact") {
+    val df = spark.range(1000)
+      .select(col("id").as("x"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("y"),
+        lit(7).as("c"))
+    val out = Warehouse.zordered(df, Seq("x", "y", "c"), numFiles = 4, bits = 8)
+    assert(out.count() == 1000)
+    assert(out.columns.toSeq == Seq("x", "y", "c"), "no helper column leaks")
+    intercept[IllegalArgumentException] {
+      Warehouse.zordered(df, Seq("x"), 4) // one key -> use clustered()
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.zordered(df.withColumn("s", lit("a")), Seq("x", "s"), 4)
+    }
+  }
+
   test("compact: collapses a fragmented flat table, content and schema intact") {
     val dir = s"${tmp()}/t"
     val df = spark.range(10000).select(col("id"), (col("id") % 7).as("v"))
