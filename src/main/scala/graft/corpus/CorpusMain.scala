@@ -61,18 +61,25 @@ object CorpusMain {
     finally spark.stop()
   }
 
-  /** The job body on a caller-owned session (testable; main owns its own). */
+  /** The job body on a caller-owned session (testable; main owns its own).
+    *
+    * Mixing semantics: `mixRates` names per-source keep cuts; sources NOT
+    * named are kept in full unless `mixDefault` lowers them. `mixDefault`
+    * alone is a flat global sample. Neither -> no mixing stage at all. */
   def runWith(spark: SparkSession, input: String, output: String,
       capacity: Option[Int] = None, bench: Option[String] = None,
       mixRates: Option[Seq[(String, String)]] = None,
       mixDefault: Option[String] = None): Unit = {
     val raw = spark.read.parquet(s"$input/documents.parquet")
-    // mixing first: membership is a pure hash of doc_id, so it reads
-    // nothing and every later stage pays only for the kept fraction
-    val mixed = mixRates.fold(raw) { r =>
-      val kept = mixDefault.fold(TextOps.mixCorpus(raw, r))(
-        d => TextOps.mixCorpus(raw, r, d))
-      raw.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    // mixing first: membership is a pure hash of (doc_id, rate table), so
+    // mixFilter is a broadcast join + filter — no shuffle, nothing read
+    // beyond the scan every later stage pays only for the kept fraction of.
+    // Unlisted sources default to 'ff' (keep all): sampling a source the
+    // caller never named would silently lose training data.
+    val mixed = (mixRates, mixDefault) match {
+      case (Some(r), d) => TextOps.mixFilter(raw, r, d.getOrElse("ff"))
+      case (None, Some(d)) => TextOps.mixFilter(raw, Seq.empty, d)
+      case (None, None) => raw
     }
     val shAll = DedupOps.shingledOf(mixed).persist()
     try {
@@ -87,7 +94,13 @@ object CorpusMain {
           val drop = spark.read.parquet(s"$output/contaminated").select("doc_id")
           (mixed.join(drop, Seq("doc_id"), "left_anti"),
             shAll.join(drop, Seq("doc_id"), "left_anti"))
-        case None => (mixed, shAll)
+        case None =>
+          // a bench-less rerun must not leave a previous run's audit
+          // describing drops this corpus did not apply
+          val stale = new org.apache.hadoop.fs.Path(s"$output/contaminated")
+          val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(stale, true)
+          (mixed, shAll)
       }
       val pairs = DedupOps.minhashNearDup(sh).persist()
       try {

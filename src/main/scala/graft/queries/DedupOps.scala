@@ -440,16 +440,18 @@ object DedupOps {
     * anti-join or thresholds on `n_hits`.
     *
     * Shape at scale: eval sets are small by definition (thousands of docs
-    * against a multi-billion-doc corpus), so the distinct benchmark shingle
-    * set is broadcast and the corpus side never shuffles — the whole pass
-    * is a map-side semi-join plus a per-doc partial-aggregated count. A
-    * benchmark too large to broadcast degrades gracefully to a shuffled
-    * equi-join on the shingle, same semantics. */
-  def contamination(corpusShingles: DataFrame,
-      benchShingles: DataFrame): DataFrame = {
+    * against a multi-billion-doc corpus), so by default the distinct
+    * benchmark shingle set is broadcast and the corpus side never shuffles
+    * — the whole pass is a map-side semi-join plus a per-doc
+    * partial-aggregated count. The hint is a hard promise (Spark refuses
+    * broadcasts past its 8 GB limit rather than falling back), so a caller
+    * with a benchmark too large to broadcast passes
+    * `broadcastBench = false` for a shuffled equi-join, same semantics. */
+  def contamination(corpusShingles: DataFrame, benchShingles: DataFrame,
+      broadcastBench: Boolean = true): DataFrame = {
     val post = corpusShingles.select(col("doc_id"), explode(col("sh")).as("g"))
     val benchSet = benchShingles.select(explode(col("sh")).as("g")).distinct()
-    post.join(broadcast(benchSet), Seq("g"))
+    post.join(if (broadcastBench) broadcast(benchSet) else benchSet, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

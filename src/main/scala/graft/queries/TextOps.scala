@@ -223,7 +223,26 @@ object TextOps {
   def mixCorpus(docs: DataFrame,
       rates: Seq[(String, String)] = DefaultMixRates,
       defaultRate: String = DefaultMixOther,
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source"): DataFrame =
+    withMixColumns(docs, rates, defaultRate, sourceCol)
+      .filter(col("mix_bucket") <= col("keep_below"))
+      .select(col("doc_id"), col(sourceCol), col("mix_bucket"), col("keep_below"))
+
+  /** [[mixCorpus]] as an in-place filter: the KEPT rows of `docs` with
+    * every original column intact — the entry a pipeline composes with
+    * (joining full rows back against mixCorpus's id projection would
+    * shuffle the whole corpus twice on doc_id; this is a broadcast join on
+    * the rate table plus a filter, zero shuffles). */
+  def mixFilter(docs: DataFrame,
+      rates: Seq[(String, String)] = DefaultMixRates,
+      defaultRate: String = DefaultMixOther,
+      sourceCol: String = "source"): DataFrame =
+    withMixColumns(docs, rates, defaultRate, sourceCol)
+      .filter(col("mix_bucket") <= col("keep_below"))
+      .select(docs.columns.map(col).toSeq: _*)
+
+  private def withMixColumns(docs: DataFrame, rates: Seq[(String, String)],
+      defaultRate: String, sourceCol: String): DataFrame = {
     (rates.map { case (src, cut) => s"rates($src)" -> cut } :+
       ("defaultRate" -> defaultRate)).foreach { case (name, v) =>
       require(HexPair.matches(v),
@@ -231,15 +250,21 @@ object TextOps {
     }
     require(rates.map(_._1).distinct.size == rates.size,
       s"duplicate sources in rates: ${rates.map(_._1).mkString(",")}")
+    Seq("mix_bucket", "keep_below").foreach(c =>
+      require(!docs.columns.contains(c), s"docs already has a '$c' column"))
     val spark = docs.sparkSession
     import spark.implicits._
-    val rateTbl = rates.toDF(sourceCol, "keep_below")
-    docs
-      .join(broadcast(rateTbl), Seq(sourceCol), "left")
-      .select(col("doc_id"), col(sourceCol),
-        substring(md5(col("doc_id").cast("string")), 3, 2).as("mix_bucket"),
-        coalesce(col("keep_below"), lit(defaultRate)).as("keep_below"))
-      .filter(col("mix_bucket") <= col("keep_below"))
+    val rateTbl = rates.toDF(sourceCol, "rate_cut")
+    // empty rates = a flat global sample at defaultRate: skip the join
+    // (an empty broadcast side would turn an inner look-up into nothing,
+    // and a left join against zero rows is pure overhead)
+    val withCut =
+      if (rates.isEmpty) docs.withColumn("rate_cut", lit(null).cast("string"))
+      else docs.join(broadcast(rateTbl), Seq(sourceCol), "left")
+    withCut
+      .withColumn("mix_bucket", substring(md5(col("doc_id").cast("string")), 3, 2))
+      .withColumn("keep_below", coalesce(col("rate_cut"), lit(defaultRate)))
+      .drop("rate_cut")
   }
 
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by

@@ -206,6 +206,8 @@ object Warehouse {
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"zorder key $c must be numeric, got ${df.schema(c).dataType}")
     }
+    require(!df.columns.contains("__z"),
+      "the frame already has a '__z' column — rename it before zordering")
     // one scalar stats job: min/max per key (skew-robust enough for a
     // layout decision; a skewed key still bins monotonically)
     val stats = df.agg(

@@ -74,8 +74,9 @@ class CorpusMainSpec extends SparkSpec {
     val dropIds = contaminated.select("doc_id").collect().map(_.getLong(0)).toSet
 
     // the three copied docs are in the mix or not, but every one of them
-    // that survived mixing must be flagged (it shares ALL its shingles)
-    val mixedIds = graft.queries.TextOps.mixCorpus(docs, rates)
+    // that survived mixing must be flagged (it shares ALL its shingles);
+    // runWith keeps unlisted sources in full, so recompute with 'ff'
+    val mixedIds = graft.queries.TextOps.mixCorpus(docs, rates, "ff")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     Seq(0L, 1L, 2L).filter(mixedIds).foreach(id =>
       assert(dropIds.contains(id), s"verbatim bench copy $id not flagged"))

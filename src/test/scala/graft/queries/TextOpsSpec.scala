@@ -160,6 +160,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixFilter keeps full rows, matches mixCorpus membership, plans no shuffle") {
+    val docs = (0L until 256L).map(i => (i, s"src${i % 3}", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Seq("src0" -> "7f")
+    val full = TextOps.mixFilter(docs, rates, defaultRate = "33")
+    assert(full.columns.toSeq == docs.columns.toSeq, "original columns, original order")
+    assert(full.select("doc_id").as[Long].collect().toSet ==
+      TextOps.mixCorpus(docs, rates, "33").select("doc_id").as[Long].collect().toSet)
+    val plan = full.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // empty rates = flat global sample at the default rate: no join at all
+    val flat = TextOps.mixFilter(docs, Seq.empty, "7f")
+    assert(!flat.queryExecution.executedPlan.toString.contains("Join"))
+    assert(flat.count() ==
+      TextOps.mixCorpus(docs, Seq.empty, "7f").count())
+  }
+
   test("mixCorpus broadcasts the rate table — the corpus side never shuffles") {
     val docs = Seq((1L, "src0", "w"), (2L, "src1", "w"))
       .toDF("doc_id", "source", "text")

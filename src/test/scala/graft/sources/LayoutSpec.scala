@@ -32,8 +32,17 @@ class LayoutSpec extends SparkSpec {
           acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
     }
     spark.sparkContext.addSparkListener(l)
-    try { f; Thread.sleep(500) } // listener bus is async — give it a beat
-    finally spark.sparkContext.removeSparkListener(l)
+    try {
+      f
+      // the listener bus is async: wait until the count stops moving
+      // (bounded), not a fixed beat a loaded box can outlast
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var prev = -1L
+      while (prev != acc.get() && System.nanoTime() < deadline) {
+        prev = acc.get()
+        Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
     acc.get()
   }
 
