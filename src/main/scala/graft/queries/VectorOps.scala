@@ -137,6 +137,19 @@ object VectorOps {
       exactNearDupInLshBuckets(vecs(s, dir), NearDupThreshold)(s)
     },
 
+    // Embedding-space corpus dedup: the q34 pair set collapsed into
+    // connected components — the vector-side capstone mirroring q38's
+    // text-side one, composed from the SAME oracle-tested pieces (exact
+    // cosine pairs -> DedupOps.components min-label propagation). At
+    // production scale the pair producer swaps to the LSH/IVF-bucketed
+    // kernel; the component collapse is identical.
+    "q53_embed_dedup" -> { (s, dir) =>
+      val pairs = exactNearDup(vecs(s, dir), NearDupThreshold, allPairsBlocks(s))(s)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      DedupOps.components(pairs)
+        .select(col("doc_id").as("vec_id"), col("label"))
+    },
+
     // Centroid training for the IVF path: k rounds of Lloyd's algorithm
     // (spherical/cosine assignment, the same argmax rule as q36's assign),
     // with FIXED-POINT centroid accumulation — each element is quantized to
@@ -485,6 +498,22 @@ object VectorOps {
            ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold""",
+    "q53_embed_dedup" ->
+      s"""${vecCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         pairs AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS doc_id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS doc_id, r.label AS label
+           FROM reach r JOIN edges e ON e.src = r.doc_id)
+         SELECT doc_id AS vec_id, min(label) AS label FROM reach GROUP BY doc_id""",
     "q35_ann_topk" ->
       s"""$vecCte,
          q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
