@@ -116,8 +116,15 @@ object CorpusMain {
           .map(c => TextOps.packWindows(withSplit, c, Seq("split", "source")))
           .getOrElse(TextOps.packWindows(withSplit, streamCols = Seq("split", "source")))
           .select("doc_id", "n_tokens", "offset", "bin")
-        Warehouse.overwritePartitions(
+        val published = Warehouse.overwritePartitions(
           withSplit.join(packed, "doc_id"), s"$output/corpus", Seq("split"))
+        // an empty corpus is always a configuration bug (mix rates or a
+        // benchmark that swallowed everything) — and an empty overwrite
+        // leaves NO trace on disk, so failing loudly here is the only
+        // signal the caller gets
+        require(published > 0,
+          "corpus pipeline produced zero documents — check --mix rates " +
+            "and --bench overlap (every doc was filtered, dropped, or deduped)")
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }
   }

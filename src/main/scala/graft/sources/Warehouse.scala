@@ -107,9 +107,15 @@ object Warehouse {
     * as replaceDir (stage may read the target; publish is one rename per
     * affected partition). This is the idempotent write a non-delta pipeline
     * rerun needs: recomputing a season replaces that season's partitions
-    * instead of appending duplicates. */
+    * instead of appending duplicates.
+    *
+    * Returns the number of partition leaves published. Zero means the
+    * stage was EMPTY and the target was not touched at all — correct for
+    * an incremental overwrite, but a caller for whom an empty result is a
+    * bug (a corpus pipeline whose filters ate everything) must check the
+    * count, because no marker of the empty run lands on disk. */
   def overwritePartitions(df: DataFrame, dir: String,
-      partitionCols: Seq[String] = PartitionCols): Unit = {
+      partitionCols: Seq[String] = PartitionCols): Int = {
     val target = new Path(dir)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     // heal interrupted swaps FIRST: `df` may read the target (a merge
@@ -127,15 +133,17 @@ object Warehouse {
     // compare decoded URI paths: listStatus returns scheme-qualified Paths
     // while `staging` may be scheme-less, so raw toString prefixes differ
     val stagingUriPath = fs.makeQualified(staging).toUri.getPath
-    leaves(staging, partitionCols.length).foreach { leaf =>
+    val swapped = leaves(staging, partitionCols.length).map { leaf =>
       val rel = leaf.toUri.getPath.stripPrefix(stagingUriPath).stripPrefix("/")
       require(rel.nonEmpty && !rel.startsWith("/"), s"bad partition leaf $leaf")
       val dst = new Path(target, rel)
       fs.mkdirs(dst.getParent)
       recoverDir(fs, dst)
       swap(fs, leaf, dst) // per-partition rename-aside: no delete-then-rename window
-    }
+      1
+    }.sum
     fs.delete(staging, true)
+    swapped
   }
 
   private def stagingFor(target: Path): Path =

@@ -86,4 +86,18 @@ class CorpusMainSpec extends SparkSpec {
     assert(corpusIds.intersect(dropIds).isEmpty, "contaminated doc published")
     assert(corpusIds.subsetOf(mixedIds), "doc outside the mixture published")
   }
+
+  test("a pipeline whose stages eat every document fails loudly, not silently") {
+    val out = Files.createTempDirectory("corpus_main_empty").toString
+    // bench = the input itself: every doc is fully contaminated
+    spark.read.parquet(s"$input/documents.parquet")
+      .write.mode("overwrite").parquet(s"$out/bench")
+    val e = intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, bench = Some(s"$out/bench"))
+    }
+    assert(e.getMessage.contains("zero documents"), e.getMessage)
+    // the audits still published (evidence-first); only the corpus is absent
+    assert(spark.read.parquet(s"$out/contaminated").count() > 0)
+    assert(!new java.io.File(s"$out/corpus").exists())
+  }
 }
