@@ -21,9 +21,11 @@ import graft.sources.Warehouse
   *     replaces, never duplicates);
   *   - `near_dup_pairs/` — the audit trail: every verified pair that
   *     caused a drop, published via directory swap;
-  *   - `contaminated/` (with `--bench`) — every dropped doc with its
-  *     shared-shingle count, published BEFORE the corpus so the drop
-  *     evidence survives a mid-run crash.
+  *   - `contaminated/` (with `--bench`) — every doc overlapping the
+  *     benchmark at all, with its shared-shingle count, published BEFORE
+  *     the corpus so the evidence survives a mid-run crash; only docs at
+  *     or above `--min-hits` (default 1) are actually dropped, so
+  *     near-misses stay visible and a lower threshold needs no recompute.
   *
   * Every stage is one of the oracle-checked operators (q52, q51, q31,
   * q39, q49, q50) — this main only composes and publishes them. Stage
@@ -38,12 +40,12 @@ object CorpusMain {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
     val bad = args.keySet --
-      Set("input", "output", "capacity", "bench", "mix", "mix-default")
+      Set("input", "output", "capacity", "bench", "min-hits", "mix", "mix-default")
     if (argv.length % 2 != 0 || bad.nonEmpty ||
         !args.contains("input") || !args.contains("output")) {
       System.err.println(
         "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
-          "[--capacity N] [--bench <parquet>] " +
+          "[--capacity N] [--bench <parquet>] [--min-hits N] " +
           "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
       sys.exit(2)
     }
@@ -57,7 +59,8 @@ object CorpusMain {
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       args.get("capacity").map(_.toInt), args.get("bench"),
-      rates, args.get("mix-default"))
+      rates, args.get("mix-default"),
+      args.get("min-hits").map(_.toLong).getOrElse(1L))
     finally spark.stop()
   }
 
@@ -69,7 +72,9 @@ object CorpusMain {
   def runWith(spark: SparkSession, input: String, output: String,
       capacity: Option[Int] = None, bench: Option[String] = None,
       mixRates: Option[Seq[(String, String)]] = None,
-      mixDefault: Option[String] = None): Unit = {
+      mixDefault: Option[String] = None,
+      minHits: Long = 1L): Unit = {
+    require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     val raw = spark.read.parquet(s"$input/documents.parquet")
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
@@ -88,10 +93,14 @@ object CorpusMain {
       // the corpus provably consistent with the evidence on disk
       val (docs, sh): (DataFrame, DataFrame) = bench match {
         case Some(b) =>
+          // the audit keeps EVERY overlapping doc with its count; only the
+          // drop applies the threshold, so lowering --min-hits later needs
+          // no recompute and the near-misses stay visible
           val hits = DedupOps.contamination(
             shAll, DedupOps.shingledOf(spark.read.parquet(b)))
           Warehouse.replaceDir(hits, s"$output/contaminated")
-          val drop = spark.read.parquet(s"$output/contaminated").select("doc_id")
+          val drop = spark.read.parquet(s"$output/contaminated")
+            .filter(col("n_hits") >= minHits).select("doc_id")
           (mixed.join(drop, Seq("doc_id"), "left_anti"),
             shAll.join(drop, Seq("doc_id"), "left_anti"))
         case None =>

@@ -87,6 +87,32 @@ class CorpusMainSpec extends SparkSpec {
     assert(corpusIds.subsetOf(mixedIds), "doc outside the mixture published")
   }
 
+  test("--min-hits thresholds the drop but not the audit") {
+    val out = Files.createTempDirectory("corpus_main_thresh").toString
+    val docs = spark.read.parquet(s"$input/documents.parquet")
+    val bench = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    bench.write.mode("overwrite").parquet(s"$out/bench")
+    // a threshold above any verbatim copy's own shingle count: nothing drops
+    val huge = 1000000L
+    CorpusMain.runWith(spark, input, out, bench = Some(s"$out/bench"),
+      minHits = huge)
+    val contaminated = spark.read.parquet(s"$out/contaminated")
+    assert(contaminated.count() > 0, "audit must still record every overlap")
+    assert(contaminated.filter(col("n_hits") >= huge).count() == 0)
+    val corpusIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // with nothing above threshold, the corpus equals the bench-less run's
+    val plain = Files.createTempDirectory("corpus_main_plain").toString
+    CorpusMain.runWith(spark, input, plain)
+    val plainIds = spark.read.parquet(s"$plain/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == plainIds)
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, minHits = 0L)
+    }
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated
