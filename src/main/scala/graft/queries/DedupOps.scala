@@ -432,6 +432,83 @@ object DedupOps {
     }
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the published deep-graph alternative to [[components]]'
+    * min-label propagation. Each large-star links every neighbor LARGER
+    * than a node to the minimum of its neighborhood; each small-star links
+    * the node and its smaller neighbors there; alternation provably
+    * converges to one star per component, rooted at the component minimum,
+    * in O(log^2 n) rounds (≈ log n in practice) REGARDLESS of diameter.
+    *
+    * When to prefer which: [[components]] keeps the edge set static
+    * (partitioned + cached once; only the small label table moves) and
+    * needs diameter rounds of ONE job each — unbeatable for near-dup
+    * cliques (diameter 1-2). This rewrites the edge set every round (a
+    * distinct + two aggregations + an exact convergence probe, ~3 jobs a
+    * cycle) but the round count ignores diameter and the edge set SHRINKS
+    * toward one edge per node — the right trade for chained similarity
+    * graphs (the q53 cosine graph measured diameter 16) and for any graph
+    * whose diameter is unknown upfront. Returns (doc_id, label) for every
+    * doc appearing in a pair — identical output to [[components]]
+    * (DedupVolumeSpec pins equality on clique, chain, and braided
+    * graphs). */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    componentsStarWithRounds(pairs, maxIter)._1
+
+  /** [[componentsStar]] plus the number of large+small cycles executed. */
+  private[graft] def componentsStarWithRounds(pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical undirected edges: lo < hi, distinct (self-pairs dropped)
+    var edges = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    var prevRdds = graft.ops.Checkpoints.rddsOf(edges)
+    var iter = 0
+    var done = false
+    try {
+      while (!done && iter < maxIter) {
+        // large-star: m(u) = min(u, N(u)); every v in N(u) with v > u
+        // relinks to m(u). m < v always holds, so (m, v) is canonical.
+        val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+          .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+        val mL = sym.groupBy(col("u")).agg(min(col("v")).as("nm"))
+          .select(col("u"), least(col("u"), col("nm")).as("m"))
+        val large = sym.filter(col("v") > col("u"))
+          .join(mL, "u")
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .filter(col("lo") =!= col("hi")).distinct()
+        // small-star keyed at the larger endpoint: m = min of the smaller
+        // neighbors (always < hi); the node and its other small neighbors
+        // relink to m
+        val mS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        val next = large.join(mS, "hi")
+          .filter(col("lo") =!= col("m"))
+          .select(col("m").as("lo"), col("lo").as("hi"))
+          .unionByName(mS.select(col("m").as("lo"), col("hi")))
+          .distinct()
+          .localCheckpoint(true)
+        // exact convergence: same count and no edge outside the old set
+        done = next.count() == edges.count() &&
+          next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+        prevRdds.foreach(_.unpersist(false))
+        prevRdds = graft.ops.Checkpoints.rddsOf(next)
+        edges = next
+        iter += 1
+      }
+      require(done, s"componentsStar did not converge within $maxIter cycles")
+      edges.select(col("hi").as("doc_id"), col("lo").as("label"))
+        .unionByName(
+          edges.select(col("lo").as("doc_id"), col("lo").as("label")).distinct())
+        .distinct() -> iter
+    } catch { case t: Throwable =>
+      prevRdds.foreach(_.unpersist(false))
+      throw t
+    }
+  }
+
   /** Benchmark decontamination (q51): for every corpus document, count how
     * many of its distinct word-n-gram shingles also appear in a benchmark
     * (eval-set) document — the overlap report a training pipeline uses to

@@ -143,14 +143,17 @@ object VectorOps {
     // cosine pairs -> DedupOps.components min-label propagation). At
     // production scale the pair producer swaps to the LSH/IVF-bucketed
     // kernel; the component collapse is identical. Unlike text near-dups
-    // (tight cliques, diameter 1-2), cosine similarity CHAINS — a is near
-    // b is near c without a near c — so the pair graph here measured
-    // diameter 16 at sf0.1: pointer jumping turns those 16 label-
-    // propagation rounds into ~5 (profiled 6.5s -> ~2s on the rounds).
+    // (tight cliques, diameter 1-2, where label propagation's static-edge
+    // one-job rounds win), cosine similarity CHAINS — a is near b is near
+    // c without a near c — and this graph measured diameter 16 at sf0.1:
+    // the large-star/small-star alternation collapses it in 6 cycles
+    // regardless of diameter (profiled: 16 label-prop rounds / 12 with
+    // pointer jumping / 6 star cycles), the right strategy when diameter
+    // is unknown or deep.
     "q53_embed_dedup" -> { (s, dir) =>
       val pairs = exactNearDup(vecs(s, dir), NearDupThreshold, allPairsBlocks(s))(s)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      DedupOps.components(pairs, pointerJumping = true)
+      DedupOps.componentsStar(pairs)
         .select(col("doc_id").as("vec_id"), col("label"))
     },
 

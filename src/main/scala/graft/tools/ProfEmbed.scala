@@ -26,6 +26,9 @@ object ProfEmbed {
     val (labels2, rounds2) = time("components + pointer jumping")(
       DedupOps.componentsWithRounds(pairs, pointerJumping = true))
     println(s"[prof] ${labels2.count()} docs, $rounds2 rounds (jumping)")
+    val (labels3, cycles) = time("componentsStar")(
+      DedupOps.componentsStarWithRounds(pairs))
+    println(s"[prof] ${labels3.count()} docs, $cycles cycles (star)")
     val q53 = graft.SparkEntry.queries("q53_embed_dedup")
     time("q53 full (cold-ish)")(noop(q53(s, dir)))
     time("q53 full (warm)")(noop(q53(s, dir)))

@@ -58,6 +58,33 @@ class DedupVolumeSpec extends SparkSpec {
     assert(rounds == 2, s"star must converge by diameter (init hop + 1) + detect, got $rounds")
   }
 
+  test("componentsStar == components on clique, chain, and braided graphs; cycles ~ log") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    // clique 0..5, 64-chain, and a braid: two chains cross-linked with the
+    // global min entering from one end (the shape that slowed pointer
+    // jumping on the cosine graph)
+    val clique = (for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val chain = (0 until 64).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val braid = ((0 until 32).map(i => (i * 2L + 2, i * 2L + 4)) ++   // evens
+      (0 until 32).map(i => (i * 2L + 3, i * 2L + 5)) ++              // odds
+      Seq((0L, 66L), (66L, 67L), (2L, 3L))                            // cross + min tail
+      ).toDF("doc_a", "doc_b")
+    for ((g, name) <- Seq((clique, "clique"), (chain, "chain"), (braid, "braid"))) {
+      // maxIter raised for label-prop: the 64-chain's diameter exceeds the
+      // default 50-round budget — the exact failure mode star sidesteps
+      val plain = labelsOf(DedupOps.components(g, maxIter = 100))
+      val (star, cycles) = DedupOps.componentsStarWithRounds(g)
+      assert(labelsOf(star) == plain, s"$name: star and label-prop disagree")
+      assert(cycles <= 8, s"$name: star took $cycles cycles — O(log) promise broken")
+    }
+    // the 64-chain specifically: label-prop needs 64 rounds, star ~6 cycles
+    val (_, chainCycles) = DedupOps.componentsStarWithRounds(chain)
+    assert(chainCycles <= 8, s"64-chain took $chainCycles star cycles")
+  }
+
   test("one action per round: only the fused materialize+converge count runs (no isEmpty probe)") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
