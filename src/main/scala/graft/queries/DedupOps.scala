@@ -466,6 +466,7 @@ object DedupOps {
       .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(true)
     var prevRdds = graft.ops.Checkpoints.rddsOf(edges)
+    var edgeCount = edges.count()
     var iter = 0
     var done = false
     try {
@@ -491,17 +492,20 @@ object DedupOps {
           .distinct()
           .localCheckpoint(true)
         // exact convergence: same count and no edge outside the old set
-        done = next.count() == edges.count() &&
+        // (the old count is carried from last cycle — no recount job)
+        val nextCount = next.count()
+        done = nextCount == edgeCount &&
           next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
         prevRdds.foreach(_.unpersist(false))
         prevRdds = graft.ops.Checkpoints.rddsOf(next)
         edges = next
+        edgeCount = nextCount
         iter += 1
       }
       require(done, s"componentsStar did not converge within $maxIter cycles")
       edges.select(col("hi").as("doc_id"), col("lo").as("label"))
         .unionByName(
-          edges.select(col("lo").as("doc_id"), col("lo").as("label")).distinct())
+          edges.select(col("lo").as("doc_id"), col("lo").as("label")))
         .distinct() -> iter
     } catch { case t: Throwable =>
       prevRdds.foreach(_.unpersist(false))

@@ -133,17 +133,17 @@ object Warehouse {
     // compare decoded URI paths: listStatus returns scheme-qualified Paths
     // while `staging` may be scheme-less, so raw toString prefixes differ
     val stagingUriPath = fs.makeQualified(staging).toUri.getPath
-    val swapped = leaves(staging, partitionCols.length).map { leaf =>
+    val staged = leaves(staging, partitionCols.length)
+    staged.foreach { leaf =>
       val rel = leaf.toUri.getPath.stripPrefix(stagingUriPath).stripPrefix("/")
       require(rel.nonEmpty && !rel.startsWith("/"), s"bad partition leaf $leaf")
       val dst = new Path(target, rel)
       fs.mkdirs(dst.getParent)
       recoverDir(fs, dst)
       swap(fs, leaf, dst) // per-partition rename-aside: no delete-then-rename window
-      1
-    }.sum
+    }
     fs.delete(staging, true)
-    swapped
+    staged.length
   }
 
   private def stagingFor(target: Path): Path =

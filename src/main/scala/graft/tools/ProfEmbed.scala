@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.Sessions
-import graft.queries.{DedupOps, VectorOps}
+import graft.queries.DedupOps
 
 /** Stage timing for q53 (embedding corpus dedup): kernel vs components. */
 object ProfEmbed {
