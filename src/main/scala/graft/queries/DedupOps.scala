@@ -451,8 +451,10 @@ object DedupOps {
     * graphs (the q53 cosine graph measured diameter 16) and for any graph
     * whose diameter is unknown upfront. Returns (doc_id, label) for every
     * doc appearing in a pair — identical output to [[components]]
-    * (DedupVolumeSpec pins equality on clique, chain, and braided
-    * graphs). */
+    * (DedupVolumeSpec pins equality on clique, chain, and braided graphs),
+    * except that a degenerate SELF-pair (doc_a == doc_b, which no producer
+    * in this library emits) is dropped here and labeled with itself
+    * there. */
   def componentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     componentsStarWithRounds(pairs, maxIter)._1
 
