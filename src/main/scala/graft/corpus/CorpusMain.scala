@@ -75,6 +75,10 @@ object CorpusMain {
       mixDefault: Option[String] = None,
       minHits: Long = 1L): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
+    // a threshold without a benchmark would be silently meaningless — the
+    // same class of configuration bug the empty-corpus guard fails on
+    require(minHits == 1L || bench.nonEmpty,
+      s"min-hits=$minHits was given without a benchmark (--bench) to threshold")
     val raw = spark.read.parquet(s"$input/documents.parquet")
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
@@ -117,16 +121,18 @@ object CorpusMain {
         // evidence is on disk and a rerun recomputes the same corpus
         Warehouse.replaceDir(pairs, s"$output/near_dup_pairs")
         val deduped = DedupOps.dedupeCorpus(docs, pairs)
-        val split = TextOps.hashSplit(deduped).select("doc_id", "split")
-        val withSplit = deduped.join(split, "doc_id")
+        // split and pack IN PLACE: both are per-row/window columns, so
+        // appending them costs zero joins — only the pack window itself
+        // shuffles, once, on the stream key
+        val withSplit = deduped
+          .withColumn("split", TextOps.splitColumn(col("doc_id")))
         // pack per (split, source): a training stream never crosses a
         // split boundary, so offsets must restart inside each split
         val packed = capacity
-          .map(c => TextOps.packWindows(withSplit, c, Seq("split", "source")))
-          .getOrElse(TextOps.packWindows(withSplit, streamCols = Seq("split", "source")))
-          .select("doc_id", "n_tokens", "offset", "bin")
+          .map(c => TextOps.packWindowsAll(withSplit, c, Seq("split", "source")))
+          .getOrElse(TextOps.packWindowsAll(withSplit, streamCols = Seq("split", "source")))
         val published = Warehouse.overwritePartitions(
-          withSplit.join(packed, "doc_id"), s"$output/corpus", Seq("split"))
+          packed, s"$output/corpus", Seq("split"))
         // an empty corpus is always a configuration bug (mix rates or a
         // benchmark that swallowed everything) — and an empty overwrite
         // leaves NO trace on disk, so failing loudly here is the only

@@ -143,7 +143,19 @@ object TextOps {
     * 'e6' (26/256 ~ 10% val), rest test. */
   def hashSplit(docs: DataFrame, idCol: String = "doc_id",
       trainUpper: String = DefaultTrainUpper,
-      valUpper: String = DefaultValUpper): DataFrame = {
+      valUpper: String = DefaultValUpper): DataFrame =
+    docs.select(col(idCol),
+      substring(md5(col(idCol).cast("string")), 1, 2).as("bucket"),
+      splitColumn(col(idCol), trainUpper, valUpper).as("split"))
+
+  /** The split assignment as a bare Column — the in-place form a pipeline
+    * composes with (`withColumn("split", splitColumn(col("doc_id")))`):
+    * joining [[hashSplit]]'s id projection back onto full rows would
+    * shuffle the whole corpus twice on the id for a value that is a pure
+    * per-row function of it. */
+  def splitColumn(id: Column,
+      trainUpper: String = DefaultTrainUpper,
+      valUpper: String = DefaultValUpper): Column = {
     // md5 buckets are lowercase hex: an uppercase cut like "CC" would pass
     // the ordering check yet silently skew the split (every 'a'-'f' bucket
     // compares above it), so malformed cuts must fail loudly
@@ -153,12 +165,8 @@ object TextOps {
     }
     require(trainUpper < valUpper,
       s"cut points must be increasing hex pairs, got '$trainUpper' >= '$valUpper'")
-    val h = substring(md5(col(idCol).cast("string")), 1, 2)
-    docs.select(col(idCol),
-      h.as("bucket"),
-      when(h < trainUpper, "train")
-        .when(h < valUpper, "val")
-        .otherwise("test").as("split"))
+    val h = substring(md5(id.cast("string")), 1, 2)
+    when(h < trainUpper, "train").when(h < valUpper, "val").otherwise("test")
   }
 
   /** Sequential context-window packing (q50): lay each source's documents
@@ -176,7 +184,25 @@ object TextOps {
     * construction (token counts), making the floor-divide bin exact in
     * double on every engine. */
   def packWindows(docs: DataFrame, capacity: Int = DefaultCapacity,
+      streamCols: Seq[String] = Seq("source")): DataFrame =
+    packColumns(
+      docs.select(col("doc_id") +: streamCols.map(col) :+ size(tokens).as("n_tokens"): _*),
+      capacity, streamCols)
+
+  /** [[packWindows]] with every input column retained — the in-place form
+    * a pipeline publishes from: joining the packed projection back onto
+    * full rows would shuffle the corpus twice on doc_id for columns the
+    * window pass can append directly. */
+  def packWindowsAll(docs: DataFrame, capacity: Int = DefaultCapacity,
       streamCols: Seq[String] = Seq("source")): DataFrame = {
+    Seq("n_tokens", "offset", "bin").foreach(c =>
+      require(!docs.columns.contains(c), s"docs already has a '$c' column"))
+    packColumns(docs.withColumn("n_tokens", size(tokens)), capacity, streamCols)
+  }
+
+  /** Offset + bin over a frame that already carries `n_tokens`. */
+  private def packColumns(df: DataFrame, capacity: Int,
+      streamCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(streamCols.nonEmpty, "packing needs at least one stream key")
@@ -187,11 +213,9 @@ object TextOps {
     val w = Window.partitionBy(streamCols.map(col): _*)
       .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id") +: streamCols.map(col) :+ size(tokens).as("n_tokens"): _*)
+    df
       .withColumn("offset", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
-      .select(col("doc_id") +: streamCols.map(col) :+ col("n_tokens") :+ col("offset") :+
-        floor(col("offset") / lit(capacity.toDouble)).cast("long").as("bin"): _*)
+      .withColumn("bin", floor(col("offset") / lit(capacity.toDouble)).cast("long"))
   }
 
   // q52 defaults — a named subset of sources with explicit keep rates, the

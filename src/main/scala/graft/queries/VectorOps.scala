@@ -139,10 +139,10 @@ object VectorOps {
 
     // Embedding-space corpus dedup: the q34 pair set collapsed into
     // connected components — the vector-side capstone mirroring q38's
-    // text-side one, composed from the SAME oracle-tested pieces (exact
-    // cosine pairs -> DedupOps.components min-label propagation). At
-    // production scale the pair producer swaps to the LSH/IVF-bucketed
-    // kernel; the component collapse is identical. Unlike text near-dups
+    // text-side one, composed from oracle-tested pieces (exact cosine
+    // pairs -> DedupOps.componentsStar). At production scale the pair
+    // producer swaps to the LSH/IVF-bucketed kernel; the component
+    // collapse is identical. Unlike text near-dups
     // (tight cliques, diameter 1-2, where label propagation's static-edge
     // one-job rounds win), cosine similarity CHAINS — a is near b is near
     // c without a near c — and this graph measured diameter 16 at sf0.1:

@@ -111,6 +111,10 @@ class CorpusMainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusMain.runWith(spark, input, out, minHits = 0L)
     }
+    // a threshold with no benchmark to apply it to is a config bug
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, minHits = 5L)
+    }
   }
 
   test("a pipeline whose stages eat every document fails loudly, not silently") {
