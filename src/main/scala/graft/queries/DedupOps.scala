@@ -545,9 +545,14 @@ object DedupOps {
   /** The full corpus-dedup operator: given documents and near-dup pairs
     * (from minhashNearDup / simhashNearDup / ngramJaccard), keep one
     * canonical document per component — the min doc_id, like the exact
-    * pass's min(doc_id) canonical — and every untouched document. */
-  def dedupeCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val drop = components(pairs)
+    * pass's min(doc_id) canonical — and every untouched document.
+    * `star = true` collapses via [[componentsStar]] instead of min-label
+    * propagation — same survivors; pick it for chained pair graphs
+    * (embedding similarity) or unknown diameter. */
+  def dedupeCorpus(docs: DataFrame, pairs: DataFrame,
+      star: Boolean = false): DataFrame = {
+    val labels = if (star) componentsStar(pairs) else components(pairs)
+    val drop = labels
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")

@@ -266,9 +266,16 @@ object Warehouse {
     * per-leaf, so it parallelizes across partitions and touches only
     * leaves that are actually fragmented; data, schema, and partition
     * layout are unchanged (LayoutSpec pins all three). Returns the number
-    * of leaves rewritten. */
+    * of leaves rewritten.
+    *
+    * `clusterCols`: a plain rewrite concatenates files (coalesce), which
+    * DESTROYS a [[clustered]] table's disjoint key ranges — a compacted
+    * clustered table would silently stop pruning. Passing the table's
+    * cluster keys re-clusters each rewritten leaf instead, so compaction
+    * and data-skipping layout compose. */
   def compact(spark: SparkSession, dir: String,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20,
+      clusterCols: Seq[String] = Nil): Int = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir)
@@ -284,7 +291,11 @@ object Warehouse {
         if (files.length > want) {
           // the staged read sees the CURRENT leaf (replaceDir's contract),
           // so this is read-compact-swap with no copy of the table held
-          replaceDir(spark.read.parquet(p.toString).coalesce(want), p.toString)
+          val leaf = spark.read.parquet(p.toString)
+          val rewritten =
+            if (clusterCols.nonEmpty) clustered(leaf, clusterCols, want)
+            else leaf.coalesce(want)
+          replaceDir(rewritten, p.toString)
           1
         } else 0
       }

@@ -80,9 +80,23 @@ class DedupVolumeSpec extends SparkSpec {
       assert(labelsOf(star) == plain, s"$name: star and label-prop disagree")
       assert(cycles <= 8, s"$name: star took $cycles cycles — O(log) promise broken")
     }
-    // the 64-chain specifically: label-prop needs 64 rounds, star ~6 cycles
+    // the 64-chain specifically: label-prop needs 64 rounds, star ~6 cycles,
+    // and every cycle must release the previous cycle's checkpoint blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (_, chainCycles) = DedupOps.componentsStarWithRounds(chain)
     assert(chainCycles <= 8, s"64-chain took $chainCycles star cycles")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3, s"star cycles leaked ${leaked.size} persisted RDDs")
+    // dedupeCorpus(star = true) keeps exactly the survivors label-prop
+    // keeps (a 24-chain: inside label-prop's default round budget)
+    val short = (0 until 24).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val docs = (0L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    assert(
+      DedupOps.dedupeCorpus(docs, short, star = true)
+        .select("doc_id").as[Long].collect().toSet ==
+      DedupOps.dedupeCorpus(docs, short)
+        .select("doc_id").as[Long].collect().toSet)
   }
 
   test("one action per round: only the fused materialize+converge count runs (no isEmpty probe)") {

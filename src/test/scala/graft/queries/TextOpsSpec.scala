@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** The text-analysis operators beyond their oracle coverage: hand-computed
@@ -175,6 +176,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!flat.queryExecution.executedPlan.toString.contains("Join"))
     assert(flat.count() ==
       TextOps.mixCorpus(docs, Seq.empty, "7f").count())
+  }
+
+  test("the publish composition (split + pack in place) plans exactly one exchange") {
+    val docs = (0L until 64L).map(i => (i, s"src${i % 2}", s"text $i words here"))
+      .toDF("doc_id", "source", "text")
+    val withSplit = docs.withColumn("split", TextOps.splitColumn(col("doc_id")))
+    val packed = TextOps.packWindowsAll(withSplit, 64, Seq("split", "source"))
+    // one Exchange: the pack window's partition-by. The old join-back shape
+    // added two more corpus-sized hash exchanges on doc_id.
+    val plan = packed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (pack window), got $exchanges:\n$plan")
+    // every input column survives, bookkeeping appended
+    assert(packed.columns.toSeq ==
+      docs.columns.toSeq ++ Seq("split", "n_tokens", "offset", "bin"))
+    // and the values agree with the q50-shaped projection
+    val viaProjection = TextOps.packWindows(withSplit, 64, Seq("split", "source"))
+      .select("doc_id", "offset", "bin").as[(Long, Long, Long)].collect().toSet
+    assert(packed.select("doc_id", "offset", "bin")
+      .as[(Long, Long, Long)].collect().toSet == viaProjection)
   }
 
   test("mixCorpus broadcasts the rate table — the corpus side never shuffles") {

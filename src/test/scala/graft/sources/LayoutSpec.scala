@@ -196,6 +196,32 @@ class LayoutSpec extends SparkSpec {
     assert(after.filter(col("p") === "1").count() == 2000)
   }
 
+  test("compact(clusterCols) preserves disjoint key ranges; plain compact doesn't") {
+    val root = tmp()
+    def fragmented(dir: String): Unit = {
+      // 8 clustered files, then fragment the SAME data into 32 small files
+      val df = shuffled(20000)
+      df.repartition(32).write.parquet(dir)
+    }
+    def ranges(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    fragmented(s"$root/plain")
+    fragmented(s"$root/reclustered")
+    assert(Warehouse.compact(spark, s"$root/plain") == 1)
+    assert(Warehouse.compact(spark, s"$root/reclustered",
+      targetFileBytes = 64 * 1024, clusterCols = Seq("id")) == 1)
+    // re-clustered leaves: multiple files, disjoint sorted ranges
+    val rc = ranges(s"$root/reclustered")
+    assert(rc.length > 1, "target size should yield several files")
+    rc.sliding(2).foreach {
+      case Array((_, _, hiA), (_, loB, _)) =>
+        assert(hiA < loB, "re-clustered compaction lost range disjointness")
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$root/reclustered").count() == 20000)
+  }
+
   test("compact heals an interrupted swap before rewriting (recover-first)") {
     val root = tmp()
     val dir = s"$root/t"
