@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // second GC stalls under cached shingle tables + shuffle buffers (visible
   // as one-off 2-4x per-query outliers). The harness box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Warming all 50+ whole-stage-codegen'd plans in one JVM overflows the
+  // default ~240 MB JIT code cache; once full, HotSpot stops compiling and
+  // expression-heavy queries run partly interpreted (observed: 2.6-15x
+  // regressions on unchanged queries after the warm-every-plan change).
+  // 512m holds the full suite; flushing evicts cold generated classes
+  // instead of disabling the compiler if it ever fills anyway.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

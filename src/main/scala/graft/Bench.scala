@@ -14,13 +14,52 @@ object Bench {
     // dedup query was billed 3.5s of codegen the rest of the suite then rode
     // for free). Warming at sf0.001 compiles the same generated classes the
     // timed run uses while touching ~1% of the data.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm dir derives from the timed dir (sibling sf0.001 under the same
+    // parent, overridable via SPARK_GRAFT_WARM_DIR) — a hardcoded path made
+    // every warmup silently fail on any box without /root/testdata, which
+    // re-billed the first timed query for multi-second codegen. If no small
+    // sibling exists, warm on the timed dir itself (slower warmup, still
+    // correct) and say so once, loudly.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath
+      else {
+        System.err.println(
+          s"[bench] WARN: no sf0.001 sibling of $sfDir; warming on the timed dir itself")
+        sfDir
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
       }
     }
+    // Forensics for JIT health: warming 50+ codegen'd plans can exhaust the
+    // JVM code cache (raised to 512m in build.sbt); if it still fills,
+    // HotSpot silently stops compiling and every later query runs partly
+    // interpreted. Surface the high-water mark so a regression is
+    // attributable from bench stderr alone.
+    def codeCacheReport(label: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .foreach { p =>
+          val u = p.getUsage
+          System.err.println(
+            f"[bench] $label ${p.getName}: used=${u.getUsed / 1e6}%.0fMB max=${u.getMax / 1e6}%.0fMB")
+        }
+    }
+    codeCacheReport("post-warmup")
+    // Per-query accounting note: the dedup family (q31/q32/q33/q38/q39/q48/
+    // q51) each rebuild the staged shingle table inside their timed window
+    // because run() clears all caches between queries. That is deliberate —
+    // every query is billed its own full cost, none rides another's cache —
+    // but it means the suite total counts the ~same staging stage several
+    // times; cross-round trends on those queries move together when staging
+    // cost moves. The machine-readable "staged" list below marks them.
+    val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash", "q33_ngram_jaccard",
+      "q38_components", "q39_dedupe_corpus", "q48_neardup_gate", "q51_decontaminate")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -68,12 +107,14 @@ object Bench {
     // safe — each shingled() call swaps the previous cache for a fresh one,
     // so at most one table's blocks are ever held, and this frees the last)
     queries.DedupOps.release()
+    codeCacheReport("post-run")
     val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map(js(_)).mkString("[", ",", "]")
     val flakyJson = flaky.map(js(_)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":${js(sfDir)}}""")
+    val stagedJson = stagedQueries.map(js(_)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"staged":$stagedJson,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

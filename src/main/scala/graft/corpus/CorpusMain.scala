@@ -3,7 +3,8 @@ package graft.corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupOps, TextOps}
+import graft.ops.VectorSim
+import graft.queries.{DedupOps, TextOps, VectorOps}
 import graft.sources.Warehouse
 
 /** The LLM-data-pipeline capstone as a runnable entry point, shaped like
@@ -40,13 +41,16 @@ object CorpusMain {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
     val bad = args.keySet --
-      Set("input", "output", "capacity", "bench", "min-hits", "mix", "mix-default")
+      Set("input", "output", "capacity", "bench", "min-hits", "mix",
+        "mix-default", "embeddings", "cos-threshold", "broadcast-bench")
     if (argv.length % 2 != 0 || bad.nonEmpty ||
         !args.contains("input") || !args.contains("output")) {
       System.err.println(
         "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
           "[--capacity N] [--bench <parquet>] [--min-hits N] " +
-          "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
+          "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
+          "[--embeddings <parquet>] [--cos-threshold D] " +
+          "[--broadcast-bench true|false]")
       sys.exit(2)
     }
     val rates = args.get("mix").map(_.split(',').toSeq.map { kv =>
@@ -60,7 +64,10 @@ object CorpusMain {
     try runWith(spark, args("input"), args("output"),
       args.get("capacity").map(_.toInt), args.get("bench"),
       rates, args.get("mix-default"),
-      args.get("min-hits").map(_.toLong).getOrElse(1L))
+      args.get("min-hits").map(_.toLong).getOrElse(1L),
+      args.get("embeddings"),
+      args.get("cos-threshold").map(_.toDouble).getOrElse(0.4),
+      args.get("broadcast-bench").forall(_.toBoolean))
     finally spark.stop()
   }
 
@@ -73,7 +80,10 @@ object CorpusMain {
       capacity: Option[Int] = None, bench: Option[String] = None,
       mixRates: Option[Seq[(String, String)]] = None,
       mixDefault: Option[String] = None,
-      minHits: Long = 1L): Unit = {
+      minHits: Long = 1L,
+      embeddings: Option[String] = None,
+      cosThreshold: Double = 0.4,
+      broadcastBench: Boolean = true): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
@@ -100,8 +110,11 @@ object CorpusMain {
           // the audit keeps EVERY overlapping doc with its count; only the
           // drop applies the threshold, so lowering --min-hits later needs
           // no recompute and the near-misses stay visible
+          // broadcastBench is a hard promise (Spark refuses, not falls
+          // back, past its broadcast limit) — `--broadcast-bench false`
+          // is the escape hatch for a benchmark too large to broadcast
           val hits = DedupOps.contamination(
-            shAll, DedupOps.shingledOf(spark.read.parquet(b)))
+            shAll, DedupOps.shingledOf(spark.read.parquet(b)), broadcastBench)
           Warehouse.replaceDir(hits, s"$output/contaminated")
           val drop = spark.read.parquet(s"$output/contaminated")
             .filter(col("n_hits") >= minHits).select("doc_id")
@@ -120,7 +133,44 @@ object CorpusMain {
         // audit first: if the run dies after this publish, the pair
         // evidence is on disk and a rerun recomputes the same corpus
         Warehouse.replaceDir(pairs, s"$output/near_dup_pairs")
-        val deduped = DedupOps.dedupeCorpus(docs, pairs)
+        val textDeduped = DedupOps.dedupeCorpus(docs, pairs)
+        // vector pass AFTER the text pass, over its survivors only: the
+        // double-dedup a production corpus run actually does. The pair
+        // producer is the LSH-bucketed kernel (banded equi-join, never
+        // all-pairs — the scale path; the exact kernel stays a
+        // verification tool), and the collapse is large-star/small-star:
+        // cosine similarity CHAINS (a~b~c without a~c), so diameter is
+        // unknown and star cycles converge in O(log d) regardless.
+        val deduped = embeddings match {
+          case Some(embPath) =>
+            val n = spark.read.parquet(embPath)
+              .select(col("vec_id").as("doc_id"),
+                VectorSim.toDouble(col("embedding")).as("e"))
+              .withColumn("nrm", VectorSim.norm(col("e")))
+              // only survivors' vectors matter: a pair whose side is
+              // already text-deduped away must not drop a survivor, and
+              // filtering BEFORE the banded join shrinks its input
+              .join(textDeduped.select("doc_id"), Seq("doc_id"), "left_semi")
+              .select(col("doc_id").as("vec_id"), col("e"), col("nrm"))
+            val vpairs = VectorOps.lshNearDup(n, cosThreshold)
+              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+                col("cos"))
+              .persist()
+            try {
+              // same evidence-first protocol as the text pairs: the audit
+              // lands before any drop it justifies
+              Warehouse.replaceDir(vpairs, s"$output/embed_dup_pairs")
+              DedupOps.dedupeCorpus(textDeduped,
+                vpairs.select("doc_a", "doc_b"), star = true)
+            } finally { vpairs.unpersist(); () }
+          case None =>
+            // an embeddings-less rerun must not leave a previous run's
+            // vector audit describing drops this corpus did not apply
+            val stale = new org.apache.hadoop.fs.Path(s"$output/embed_dup_pairs")
+            val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(stale, true)
+            textDeduped
+        }
         // split and pack IN PLACE: both are per-row/window columns, so
         // appending them costs zero joins — only the pack window itself
         // shuffles, once, on the stream key

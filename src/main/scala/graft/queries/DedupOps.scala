@@ -445,8 +445,9 @@ object DedupOps {
     * (partitioned + cached once; only the small label table moves) and
     * needs diameter rounds of ONE job each — unbeatable for near-dup
     * cliques (diameter 1-2). This rewrites the edge set every round (a
-    * distinct + two aggregations + an exact convergence probe, ~3 jobs a
-    * cycle) but the round count ignores diameter and the edge set SHRINKS
+    * distinct + two aggregations, still ONE job per cycle: the exact
+    * convergence test is an Observation riding the checkpoint job)
+    * but the round count ignores diameter and the edge set SHRINKS
     * toward one edge per node — the right trade for chained similarity
     * graphs (the q53 cosine graph measured diameter 16) and for any graph
     * whose diameter is unknown upfront. Returns (doc_id, label) for every
@@ -461,14 +462,17 @@ object DedupOps {
   /** [[componentsStar]] plus the number of large+small cycles executed. */
   private[graft] def componentsStarWithRounds(pairs: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
-    // canonical undirected edges: lo < hi, distinct (self-pairs dropped)
+    // canonical undirected edges: lo < hi, distinct (self-pairs dropped);
+    // the size rides the checkpoint job as an Observation — no count job
+    val obs0 = org.apache.spark.sql.Observation()
     var edges = pairs.select(
         least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
     var prevRdds = graft.ops.Checkpoints.rddsOf(edges)
-    var edgeCount = edges.count()
+    var edgeCount = obs0.get("n").asInstanceOf[Long]
     var iter = 0
     var done = false
     try {
@@ -487,17 +491,27 @@ object DedupOps {
         // neighbors (always < hi); the node and its other small neighbors
         // relink to m
         val mS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        // ONE job per cycle: the convergence test rides the checkpoint job
+        // as an Observation instead of a count + left_anti probe pair of
+        // follow-up actions. A left join against the OLD edge set (cached
+        // checkpoint blocks, shrinking every cycle) marks survivors;
+        // `fresh == 0` (next ⊆ edges) plus `n == edgeCount` (both sides
+        // distinct) is exact set equality — same criterion as before, two
+        // fewer job launches per cycle, which is what dominates the
+        // many-short-rounds regime at cluster scale.
+        val obs = org.apache.spark.sql.Observation()
         val next = large.join(mS, "hi")
           .filter(col("lo") =!= col("m"))
           .select(col("m").as("lo"), col("lo").as("hi"))
           .unionByName(mS.select(col("m").as("lo"), col("hi")))
           .distinct()
+          .join(edges.withColumn("__seen", lit(1)), Seq("lo", "hi"), "left")
+          .observe(obs, count(lit(1)).as("n"),
+            count(when(col("__seen").isNull, true)).as("fresh"))
+          .select(col("lo"), col("hi"))
           .localCheckpoint(true)
-        // exact convergence: same count and no edge outside the old set
-        // (the old count is carried from last cycle — no recount job)
-        val nextCount = next.count()
-        done = nextCount == edgeCount &&
-          next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+        val nextCount = obs.get("n").asInstanceOf[Long]
+        done = obs.get("fresh").asInstanceOf[Long] == 0L && nextCount == edgeCount
         prevRdds.foreach(_.unpersist(false))
         prevRdds = graft.ops.Checkpoints.rddsOf(next)
         edges = next

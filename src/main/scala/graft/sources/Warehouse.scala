@@ -198,18 +198,22 @@ object Warehouse {
     * Nulls bin to 0 (they cluster with the minimum — min/max ignore
     * nulls, and a null key can't be range-pruned anyway); a constant key
     * contributes nothing (min == max -> bin 0). `bits` * n must fit a
-    * long; 16 bits/key covers 4 keys and a 65536-way split of each. File
-    * boundaries come from the range exchange's reservoir sample, so tile
+    * long's 63 non-sign bits (bit 63 would flip z-value ordering for
+    * rows landing in the top half), so 16 bits/key covers up to 3 keys;
+    * the default `bits = 0` auto-sizes to min(16, 63/n) — 4 keys get 15
+    * bits each — while an explicit over-wide `bits` still fails loudly.
+    * File boundaries come from the range exchange's reservoir sample, so tile
     * alignment follows
     * `spark.sql.execution.rangeExchange.sampleSizePerPartition` — a layout
     * job should raise it (the default 100 leaves files straddling tiles,
     * which costs pruning, never correctness). */
   def zordered(df: DataFrame, clusterCols: Seq[String], numFiles: Int,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions._
     val n = clusterCols.length
     require(n >= 2, "zorder needs >= 2 keys; use clustered() for one")
-    require(bits >= 1 && bits * n <= 63, s"bits*keys must fit a long, got $bits*$n")
+    val b = if (bits == 0) math.min(16, 63 / n) else bits
+    require(b >= 1 && b * n <= 63, s"bits*keys must fit a long, got $b*$n")
     clusterCols.foreach { c =>
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"zorder key $c must be numeric, got ${df.schema(c).dataType}")
@@ -222,7 +226,7 @@ object Warehouse {
       expr(s"min(${clusterCols.head})"),
       (clusterCols.tail.map(c => expr(s"min($c)")) ++
         clusterCols.map(c => expr(s"max($c)"))): _*).head()
-    val maxBin = (1L << bits) - 1
+    val maxBin = (1L << b) - 1
     val binCols = clusterCols.zipWithIndex.map { case (c, j) =>
       val (lo, hi) = (Option(stats.get(j)).map(_.toString.toDouble),
         Option(stats.get(n + j)).map(_.toString.toDouble))
@@ -234,10 +238,10 @@ object Warehouse {
         case _ => lit(0L) // constant or all-null key: contributes nothing
       }
     }
-    val z = (0 until bits).flatMap { k =>
-      binCols.zipWithIndex.map { case (b, j) =>
+    val z = (0 until b).flatMap { k =>
+      binCols.zipWithIndex.map { case (bin, j) =>
         // bit k of key j -> position k*n + j
-        shiftleft(shiftright(b, k).bitwiseAND(1L), k * n + j)
+        shiftleft(shiftright(bin, k).bitwiseAND(1L), k * n + j)
       }
     }.reduce(_ + _)
     df.withColumn("__z", z)
@@ -247,7 +251,7 @@ object Warehouse {
   }
 
   def writeZordered(df: DataFrame, dir: String, clusterCols: Seq[String],
-      numFiles: Int, bits: Int = 16): Unit =
+      numFiles: Int, bits: Int = 0): Unit =
     zordered(df, clusterCols, numFiles, bits)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
@@ -262,11 +266,18 @@ object Warehouse {
     * Small files are the silent scale killer of long-lived ingest tables:
     * a per-game/per-batch append pattern yields thousands of KB-sized
     * files per partition, and at 100 TB the scan becomes metadata-bound
-    * (footer reads, task scheduling) rather than data-bound. Compaction is
-    * per-leaf, so it parallelizes across partitions and touches only
-    * leaves that are actually fragmented; data, schema, and partition
-    * layout are unchanged (LayoutSpec pins all three). Returns the number
-    * of leaves rewritten.
+    * (footer reads, task scheduling) rather than data-bound. Compaction
+    * touches only leaves that are actually fragmented and runs the
+    * per-leaf rewrite jobs CONCURRENTLY (`maxConcurrentLeaves` submitter
+    * threads; Spark schedules concurrent jobs natively), because a leaf's
+    * rewrite is small by construction — a few hundred MB — and running
+    * 100k of them one at a time from the driver would make compaction
+    * wall-clock = leaves x per-job latency. Every leaf still swaps in
+    * crash-safely on its own; a failed leaf does not stop the others, and
+    * the first failure is rethrown after all submitted leaves settle (the
+    * healed/unhealed split is then per-leaf on disk, same as a crash).
+    * Data, schema, and partition layout are unchanged (LayoutSpec pins all
+    * three). Returns the number of leaves rewritten.
     *
     * `clusterCols`: a plain rewrite concatenates files (coalesce), which
     * DESTROYS a [[clustered]] table's disjoint key ranges — a compacted
@@ -275,32 +286,59 @@ object Warehouse {
     * and data-skipping layout compose. */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20,
-      clusterCols: Seq[String] = Nil): Int = {
+      clusterCols: Seq[String] = Nil,
+      maxConcurrentLeaves: Int = 8): Int = {
+    require(maxConcurrentLeaves >= 1, s"need >= 1 submitter, got $maxConcurrentLeaves")
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir)
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    def walk(p: Path): Int = {
+    // metadata pass first (serial — pure listing): find fragmented leaves
+    def fragmented(p: Path): Seq[(Path, Int)] = {
       val kids = fs.listStatus(p).filter(st => visible(st.getPath.getName))
       val parts = kids.filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      if (parts.nonEmpty) parts.map(st => walk(st.getPath)).sum
+      if (parts.nonEmpty) parts.toSeq.flatMap(st => fragmented(st.getPath))
       else {
         val files = kids.filter(_.isFile)
         val want = math.max(1L,
           (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
-        if (files.length > want) {
-          // the staged read sees the CURRENT leaf (replaceDir's contract),
-          // so this is read-compact-swap with no copy of the table held
-          val leaf = spark.read.parquet(p.toString)
-          val rewritten =
-            if (clusterCols.nonEmpty) clustered(leaf, clusterCols, want)
-            else leaf.coalesce(want)
-          replaceDir(rewritten, p.toString)
-          1
-        } else 0
+        if (files.length > want) Seq(p -> want) else Nil
       }
     }
-    walk(target)
+    def rewrite(p: Path, want: Int): Unit = {
+      // the staged read sees the CURRENT leaf (replaceDir's contract),
+      // so this is read-compact-swap with no copy of the table held
+      val leaf = spark.read.parquet(p.toString)
+      val rewritten =
+        if (clusterCols.nonEmpty) clustered(leaf, clusterCols, want)
+        else leaf.coalesce(want)
+      replaceDir(rewritten, p.toString)
+    }
+    val frag = fragmented(target)
+    if (frag.size <= 1) { frag.foreach { case (p, w) => rewrite(p, w) }; frag.size }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrentLeaves, frag.size))
+      try {
+        val done = frag.map { case (p, w) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            // attribute each leaf's jobs for listeners / the Spark UI
+            def call(): Unit = {
+              spark.sparkContext.setLocalProperty("graft.compact.leaf", p.toString)
+              try rewrite(p, w)
+              finally spark.sparkContext.setLocalProperty("graft.compact.leaf", null)
+            }
+          })
+        }
+        // drain ALL futures before rethrowing: a failed leaf must not
+        // abandon in-flight swaps half-submitted
+        val failures = done.flatMap(f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+        failures.headOption.foreach(throw _)
+        frag.size
+      } finally pool.shutdown()
+    }
   }
 
   /** S8 database bootstrap (reference: database/db_init.py:7-20,

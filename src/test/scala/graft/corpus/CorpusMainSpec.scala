@@ -117,6 +117,47 @@ class CorpusMainSpec extends SparkSpec {
     }
   }
 
+  test("--embeddings drops vector near-dups that survived text dedup, with audit") {
+    val out = Files.createTempDirectory("corpus_main_embed").toString
+    // text-only run first: learn the text-dedup survivor set
+    CorpusMain.runWith(spark, input, out)
+    val survivors = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.length >= 2)
+    val (a, b) = (survivors(0), survivors(1))
+
+    // embeddings for the first ten survivors only (docs without a vector
+    // are untouched by the pass — partial coverage is the production
+    // case): distinct one-hot 64-dim vectors (pairwise cosine 0), except
+    // a and b share one vector (cosine 1) — a vector-dup pair text dedup
+    // could not catch
+    val rows = survivors.take(10).zipWithIndex.map { case (id, i) =>
+      val slot = if (id == b) 0 else i
+      (id, Array.tabulate(64)(d => if (d == slot) 1.0f else 0.0f))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$out/emb")
+
+    CorpusMain.runWith(spark, input, out, embeddings = Some(s"$out/emb"))
+    val gotIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds.contains(a), "canonical (min id) side must survive")
+    assert(!gotIds.contains(b), s"vector dup $b of $a must be dropped")
+    assert(gotIds + b == survivors.toSet, "only the vector dup drops")
+
+    // the vector audit records the pair that justified the drop
+    val audit = spark.read.parquet(s"$out/embed_dup_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audit == Set((a, b)), audit.toString)
+
+    // an embeddings-less rerun retires the now-unjustified vector audit
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/embed_dup_pairs").exists())
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == survivors.toSet)
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated

@@ -99,6 +99,47 @@ class DedupVolumeSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("componentsStar: one action per cycle — the convergence test rides the checkpoint job") {
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            "star-probe" == js.properties.getProperty("spark.jobGroup.id"))
+          seen.add(js.stageInfos.lastOption.map(_.name).getOrElse("?"))
+    }
+    sc.addSparkListener(listener)
+    sc.setJobGroup("star-probe", "componentsStar action probe", false)
+    try {
+      val chain = (0 until 16).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+      val (labels, cycles) = DedupOps.componentsStarWithRounds(chain)
+      labels.collect()
+      Thread.sleep(1000) // listener bus is async
+      val actions = seen.asScala.map(_.takeWhile(_ != ':')).toSeq
+      // the only in-function DRIVER actions are the eager localCheckpoints
+      // (the canonical edge set's size and each cycle's set-equality test
+      // both ride those jobs as Observations): a `count at DedupOps` /
+      // `isEmpty at DedupOps` here means the probe-pair-per-cycle shape is
+      // back. AQE's async subjobs (withThreadLocalCaptured) belong to
+      // those same actions, and the spec's own collect is the one other
+      // legitimate action.
+      val allowed = Set("localCheckpoint at DedupOps.scala",
+        "collect at DedupVolumeSpec.scala",
+        "$anonfun$withThreadLocalCaptured$2 at CompletableFuture.java")
+      val extra = actions.toSet -- allowed
+      assert(extra.isEmpty, s"unexpected actions: $extra")
+      // and at most one named action per cycle (plus the init checkpoint):
+      // a second driver action per cycle would surface here
+      val checkpoints = actions.count(_ == "localCheckpoint at DedupOps.scala")
+      assert(checkpoints <= cycles + 1,
+        s"more checkpoint actions ($checkpoints) than 1 init + $cycles cycles")
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
   test("one action per round: only the fused materialize+converge count runs (no isEmpty probe)") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext

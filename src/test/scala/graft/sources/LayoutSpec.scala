@@ -156,6 +156,17 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorder: default bits auto-sizes to the 63-bit budget; explicit overflow throws") {
+    val df = spark.range(1000).select(col("id").as("a"), (col("id") * 2).as("b"),
+      (col("id") % 7).as("c"), (col("id") % 11).as("d"))
+    // 4 keys at the old fixed 16 bits/key would need 64 bits (the sign
+    // bit); the auto default drops to 15/key and just works
+    assert(Warehouse.zordered(df, Seq("a", "b", "c", "d"), 4).count() == 1000)
+    intercept[IllegalArgumentException] {
+      Warehouse.zordered(df, Seq("a", "b", "c", "d"), 4, bits = 16)
+    }
+  }
+
   test("compact: collapses a fragmented flat table, content and schema intact") {
     val dir = s"${tmp()}/t"
     val df = spark.range(10000).select(col("id"), (col("id") % 7).as("v"))
@@ -220,6 +231,43 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
     assert(spark.read.parquet(s"$root/reclustered").count() == 20000)
+  }
+
+  test("compact runs leaf rewrites concurrently (listener-observed overlap)") {
+    val dir = s"${tmp()}/t"
+    spark.range(60000)
+      .select(col("id"), (col("id") % 6).cast("string").as("p"))
+      .repartition(16) // 16 files in each of the 6 leaves
+      .write.partitionBy("p").parquet(dir)
+    // track, per job, which compact leaf submitted it (compact tags each
+    // submitter thread via the graft.compact.leaf local property); the
+    // listener bus delivers start/end in submission order, so observing
+    // two DISTINCT leaves active at once proves the rewrites overlapped
+    val lock = new Object
+    val active = scala.collection.mutable.Map.empty[Int, String]
+    @volatile var maxDistinctActive = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        Option(js.properties).flatMap(p => Option(p.getProperty("graft.compact.leaf")))
+          .foreach { leaf => lock.synchronized {
+            active(js.jobId) = leaf
+            maxDistinctActive = math.max(maxDistinctActive, active.values.toSet.size)
+          }}
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        lock.synchronized { active.remove(je.jobId); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Warehouse.compact(spark, dir) == 6)
+      // listener delivery is async: give the bus a moment to drain
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (maxDistinctActive < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(maxDistinctActive >= 2,
+        s"leaf rewrites never overlapped (max distinct active = $maxDistinctActive)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 60000)
+    assert(after.select(countDistinct(col("p"))).first().getLong(0) == 6)
   }
 
   test("compact heals an interrupted swap before rewriting (recover-first)") {
