@@ -1,0 +1,107 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.{DedupOps, TextOps}
+import graft.sources.Warehouse
+
+/** The corpus-ingest gate as a running stream: every arriving crawl batch
+  * is mixed (domain-reweighted), gated against the already-curated static
+  * corpus (near-dup drop via the q48 MinHash-band gate), stamped with its
+  * deterministic split, and appended — the always-on front door whose
+  * offline twin is [[CorpusMain]].
+  *
+  * Shape: `foreachBatch`, the Spark-native way to run an ingest pipeline
+  * whose per-document logic is pure batch semantics. Each micro-batch is
+  * curated by the SAME oracle-checked operators the batch pipeline uses
+  * (q52 mixFilter -> q48 gate -> q49 splitColumn — composition, zero
+  * forked logic, so stream and batch curation cannot drift), then
+  * published under `batch=<id>/` via the crash-safe directory swap:
+  * a replayed micro-batch (failure before the checkpoint commit)
+  * REPLACES its own directory instead of appending duplicates, which is
+  * what turns the sink's at-least-once replay into exactly-once output.
+  * The corpus-side band index is built and persisted ONCE (outside the
+  * per-batch path) and every batch joins against those cached blocks —
+  * at scale this is the (b, v)-keyed bucketed table the q48 notes
+  * prescribe.
+  *
+  * Statelessness of the in-plan gate (no watermark, no state store) is
+  * pinned by StreamOpsSpec; this main adds the end-to-end composition +
+  * exactly-once publish, pinned by CorpusStreamMainSpec.
+  */
+object CorpusStreamMain {
+
+  /** One micro-batch's curation — pure batch logic, shared verbatim with
+    * the spec's batch-equality oracle. `corpusSh` is the shingled static
+    * corpus (persist it; it is read once per batch otherwise). */
+  def curateBatch(batch: DataFrame, corpusSh: DataFrame,
+      mixRates: Seq[(String, String)] = Seq.empty,
+      mixDefault: String = "ff"): DataFrame = {
+    val mixed =
+      if (mixRates.isEmpty && mixDefault == "ff") batch
+      else TextOps.mixFilter(batch, mixRates, mixDefault)
+    // the gate emits verified (doc, corpus_doc) pairs; a doc matching
+    // SEVERAL corpus docs must still drop exactly once, so the anti-join
+    // keys on the distinct flagged ids
+    val flagged = DedupOps
+      .nearDupAgainstShingled(DedupOps.shingledOf(mixed), corpusSh)
+      .select(col("doc_id")).distinct()
+    mixed.join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("split", TextOps.splitColumn(col("doc_id")))
+  }
+
+  /** Idempotent per-batch publish: `batch=<id>` is swapped whole, so a
+    * replay of the same micro-batch id replaces its own output. */
+  def publishBatch(curated: DataFrame, output: String, batchId: Long): Unit =
+    Warehouse.replaceDir(curated, s"$output/batch=$batchId")
+
+  /** Wire a (streaming) crawl frame through the gate and start the query.
+    * Caller owns the corpus shingle persist lifecycle. */
+  def start(incoming: DataFrame, corpusSh: DataFrame, output: String,
+      checkpoint: String, mixRates: Seq[(String, String)] = Seq.empty,
+      mixDefault: String = "ff"): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        publishBatch(curateBatch(b, corpusSh, mixRates, mixDefault), output, id)
+      }
+      .start()
+
+  def main(argv: Array[String]): Unit = {
+    val args = argv.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val bad = args.keySet --
+      Set("input", "corpus", "output", "checkpoint", "mix", "mix-default")
+    if (argv.length % 2 != 0 || bad.nonEmpty || !args.contains("input") ||
+        !args.contains("corpus") || !args.contains("output") ||
+        !args.contains("checkpoint")) {
+      System.err.println(
+        "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
+          "--corpus <parquet> --output <dir> --checkpoint <dir> " +
+          "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
+      sys.exit(2)
+    }
+    val rates = args.get("mix").map(_.split(',').toSeq.map { kv =>
+      kv.split(':') match {
+        case Array(s, c) => s -> c
+        case _ => System.err.println(s"bad --mix entry '$kv' (want source:cut)")
+          sys.exit(2)
+      }
+    }).getOrElse(Seq.empty)
+    val spark = graft.Sessions.local("graft-corpus-stream")
+    try {
+      val corpus = spark.read.parquet(args("corpus"))
+      val corpusSh = DedupOps.shingledOf(corpus).persist()
+      // the file source delivers each new parquet file dropped into
+      // --input as (part of) a micro-batch, schema-locked to the corpus
+      val incoming = spark.readStream
+        .schema(corpus.schema).parquet(args("input"))
+      val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
+        rates, args.getOrElse("mix-default", "ff"))
+      q.awaitTermination()
+    } finally spark.stop()
+  }
+}

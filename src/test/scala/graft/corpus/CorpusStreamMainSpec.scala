@@ -1,0 +1,91 @@
+package graft.corpus
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.DedupOps
+
+/** The streaming corpus front door end-to-end: two micro-batches through
+  * mix -> near-dup gate -> split -> idempotent per-batch publish, equal to
+  * the batch curation of the same rows, with replay-safe output. */
+class CorpusStreamMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusRows = Seq(
+    (1000L, "src0", "alpha beta gamma delta epsilon zeta eta theta"),
+    (1001L, "src0", "one two three four five six seven eight"))
+
+  test("two micro-batches: gate drops corpus dups, split stamped, output == batch curation") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream_gate").toString
+    val ckpt = Files.createTempDirectory("stream_gate_ckpt").toString
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text")).persist()
+    val incoming = Seq(
+      // batch 1: one dup of corpus 1000, one clean doc
+      (1L, "src0", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "src0", "completely fresh words nothing like the corpus here"),
+      // batch 2: one dup of corpus 1001, one clean doc
+      (3L, "src1", "one two three four five six seven eight"),
+      (4L, "src1", "another clean document with its own novel content"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStreamMain.start(
+      in.toDF().toDF("doc_id", "source", "text"), corpusSh, out, ckpt)
+    try {
+      in.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      in.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    corpusSh.unpersist()
+
+    // per-batch directories exist (the idempotence unit is the batch dir)
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(batchDirs.length == 2, batchDirs.mkString(","))
+
+    // the union of published batches == batch curation of all rows: dups
+    // of the corpus dropped exactly once, clean docs kept with their split
+    val got = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect().toSet
+    val batchOracle = CorpusStreamMain.curateBatch(
+        incoming.toDF("doc_id", "source", "text"), DedupOps.shingledOf(
+          corpusRows.toDF("doc_id", "source", "text")))
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == batchOracle, "stream and batch curation must agree")
+    assert(got.map(_._1) == Set(2L, 4L), s"dups 1 and 3 must be gated out: $got")
+    assert(got.forall(r => Set("train", "val", "test")(r._3)))
+  }
+
+  test("publishBatch replay replaces its own batch dir (exactly-once under retry)") {
+    val out = Files.createTempDirectory("stream_gate_replay").toString
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text"))
+    val rows = Seq((7L, "src0", "a perfectly clean novel document body"))
+      .toDF("doc_id", "source", "text")
+    val curated = CorpusStreamMain.curateBatch(rows, corpusSh)
+    CorpusStreamMain.publishBatch(curated, out, 0L)
+    // sink replay after a crash-before-checkpoint re-delivers the batch
+    CorpusStreamMain.publishBatch(curated, out, 0L)
+    val got = spark.read.parquet(s"$out/batch=0")
+    assert(got.count() == 1, "replay must replace, not append")
+    assert(got.select("doc_id").first().getLong(0) == 7L)
+  }
+
+  test("mix rates apply per batch before the gate (unlisted sources kept)") {
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text"))
+    val rows = (0L until 64L)
+      .map(i => (i, if (i % 2 == 0) "srcA" else "srcB", s"unique row body number $i with more words"))
+      .toDF("doc_id", "source", "text")
+    val curated = CorpusStreamMain.curateBatch(rows, corpusSh,
+      mixRates = Seq("srcA" -> "33"))
+    val bySrc = curated.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("srcB", 0L) == 32L, "unlisted source sampled")
+    assert(bySrc.getOrElse("srcA", 0L) < 32L, "listed source not sampled")
+  }
+}
