@@ -270,6 +270,28 @@ class LayoutSpec extends SparkSpec {
     assert(after.select(countDistinct(col("p"))).first().getLong(0) == 6)
   }
 
+  test("compact: a failing leaf doesn't stop the others; first failure rethrown") {
+    val dir = s"${tmp()}/t"
+    spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("p"))
+      .repartition(8)
+      .write.partitionBy("p").parquet(dir)
+    // poison ONE leaf: a file with the parquet extension but garbage bytes
+    // makes that leaf's read job fail while the siblings stay valid
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/p=1/part-junk.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    def leafFiles(p: String) = new java.io.File(s"$dir/p=$p").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    intercept[Throwable] { Warehouse.compact(spark, dir) }
+    // the healthy leaves were still rewritten (drain-then-rethrow), and
+    // the poisoned leaf kept its original files (its swap never ran)
+    assert(leafFiles("0").length == 1, "healthy leaf p=0 not compacted")
+    assert(leafFiles("2").length == 1, "healthy leaf p=2 not compacted")
+    assert(leafFiles("1").length == 9, "failed leaf must be left as-is")
+    assert(spark.read.parquet(s"$dir/p=0").count() == 1000)
+  }
+
   test("compact heals an interrupted swap before rewriting (recover-first)") {
     val root = tmp()
     val dir = s"$root/t"
