@@ -60,6 +60,36 @@ class CorpusStreamMainSpec extends SparkSpec {
     assert(got.forall(r => Set("train", "val", "test")(r._3)))
   }
 
+  test("file-source restart resumes from the checkpoint: old files not reprocessed") {
+    val root = Files.createTempDirectory("stream_gate_restart").toString
+    val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text")).persist()
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+    def restartAndDrain(): Unit = {
+      val q = CorpusStreamMain.start(
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+          .parquet(inDir), corpusSh, out, ckpt)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      drop("crawl0", Seq((10L, "src0", "first crawl delivers this clean document")))
+      restartAndDrain()
+      drop("crawl1", Seq((11L, "src0", "second crawl delivers another clean one")))
+      restartAndDrain()
+      // the restarted query processed ONLY the new file (the checkpoint
+      // remembers crawl0), so doc 10 appears exactly once across all
+      // published batch dirs — exactly-once across restarts, end to end
+      val got = spark.read.parquet(s"$out/batch=*")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got.sorted == Seq(10L, 11L), s"expected each doc once, got $got")
+    } finally { corpusSh.unpersist(); () }
+  }
+
   test("publishBatch replay replaces its own batch dir (exactly-once under retry)") {
     val out = Files.createTempDirectory("stream_gate_replay").toString
     val corpusSh = DedupOps.shingledOf(
