@@ -60,6 +60,12 @@ object Bench {
     // cost moves. The machine-readable "staged" list below marks them.
     val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash", "q33_ngram_jaccard",
       "q38_components", "q39_dedupe_corpus", "q48_neardup_gate", "q51_decontaminate")
+    // fail loudly if this list drifts from the registry (a renamed query
+    // would otherwise mislabel the machine-readable "staged" array)
+    stagedQueries.filterNot(SparkEntry.queries.contains) match {
+      case Nil => ()
+      case missing => sys.error(s"staged list names unknown queries: $missing")
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

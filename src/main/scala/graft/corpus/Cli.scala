@@ -1,0 +1,35 @@
+package graft.corpus
+
+/** The tiny shared CLI surface of the corpus mains: `--key value` pairs
+  * with a closed flag set, and the `src:cut,src:cut` mix-rate grammar —
+  * one parser, so a grammar fix cannot land in one main and miss the
+  * other. Exits (2) with `usage` on any malformed input, matching the
+  * reference scripts' argparse behavior. */
+private[corpus] object Cli {
+
+  /** Parse `argv` as `--key value` pairs. Exits with `usage` when argv is
+    * odd, a flag is outside `allowed`, or a `required` flag is absent. */
+  def parseArgs(argv: Array[String], allowed: Set[String],
+      required: Set[String], usage: String): Map[String, String] = {
+    val args = argv.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    if (argv.length % 2 != 0 || (args.keySet -- allowed).nonEmpty ||
+        !required.subsetOf(args.keySet)) {
+      System.err.println(usage)
+      sys.exit(2)
+    }
+    args
+  }
+
+  /** Parse the `src0:ff,src1:7f` mix-rate list. */
+  def parseMix(spec: String): Seq[(String, String)] =
+    spec.split(',').toSeq.map { kv =>
+      kv.split(':') match {
+        case Array(s, c) => s -> c
+        case _ =>
+          System.err.println(s"bad --mix entry '$kv' (want source:cut)")
+          sys.exit(2)
+      }
+    }
+}

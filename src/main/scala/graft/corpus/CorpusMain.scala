@@ -37,29 +37,24 @@ import graft.sources.Warehouse
 object CorpusMain {
 
   def main(argv: Array[String]): Unit = {
-    val args = argv.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
-    val bad = args.keySet --
-      Set("input", "output", "capacity", "bench", "min-hits", "mix",
-        "mix-default", "embeddings", "cos-threshold", "broadcast-bench")
-    if (argv.length % 2 != 0 || bad.nonEmpty ||
-        !args.contains("input") || !args.contains("output")) {
-      System.err.println(
-        "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
-          "[--capacity N] [--bench <parquet>] [--min-hits N] " +
-          "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
-          "[--embeddings <parquet>] [--cos-threshold D] " +
-          "[--broadcast-bench true|false]")
-      sys.exit(2)
-    }
-    val rates = args.get("mix").map(_.split(',').toSeq.map { kv =>
-      kv.split(':') match {
-        case Array(s, c) => s -> c
-        case _ => System.err.println(s"bad --mix entry '$kv' (want source:cut)")
-          sys.exit(2)
+    val args = Cli.parseArgs(argv,
+      allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
+        "mix-default", "embeddings", "cos-threshold", "broadcast-bench"),
+      required = Set("input", "output"),
+      usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
+        "[--capacity N] [--bench <parquet>] [--min-hits N] " +
+        "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
+        "[--embeddings <parquet>] [--cos-threshold D] " +
+        "[--broadcast-bench true|false]")
+    // a tuning flag whose master stage is absent is always a config bug —
+    // the same fail-loudly rule runWith applies to min-hits-without-bench
+    for (orphan <- Seq("cos-threshold" -> "embeddings", "broadcast-bench" -> "bench"))
+      if (args.contains(orphan._1) && !args.contains(orphan._2)) {
+        System.err.println(
+          s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
+        sys.exit(2)
       }
-    })
+    val rates = args.get("mix").map(Cli.parseMix)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       args.get("capacity").map(_.toInt), args.get("bench"),

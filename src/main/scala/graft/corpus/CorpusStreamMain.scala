@@ -69,36 +69,33 @@ object CorpusStreamMain {
       }
       .start()
 
+  /** Bookkeeping columns the BATCH pipeline appends on publish — never
+    * part of a crawl delivery, so they must not leak into the ingest
+    * schema when `--corpus` points at CorpusMain's own published output
+    * (the intended pairing): locking the stream to the full published
+    * schema would materialize them as always-null columns that read as
+    * real pack/split metadata downstream. */
+  private val PublishBookkeeping = Set("n_tokens", "offset", "bin", "bucket", "split")
+
   def main(argv: Array[String]): Unit = {
-    val args = argv.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
-    val bad = args.keySet --
-      Set("input", "corpus", "output", "checkpoint", "mix", "mix-default")
-    if (argv.length % 2 != 0 || bad.nonEmpty || !args.contains("input") ||
-        !args.contains("corpus") || !args.contains("output") ||
-        !args.contains("checkpoint")) {
-      System.err.println(
-        "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
-          "--corpus <parquet> --output <dir> --checkpoint <dir> " +
-          "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
-      sys.exit(2)
-    }
-    val rates = args.get("mix").map(_.split(',').toSeq.map { kv =>
-      kv.split(':') match {
-        case Array(s, c) => s -> c
-        case _ => System.err.println(s"bad --mix entry '$kv' (want source:cut)")
-          sys.exit(2)
-      }
-    }).getOrElse(Seq.empty)
+    val args = Cli.parseArgs(argv,
+      allowed = Set("input", "corpus", "output", "checkpoint", "mix", "mix-default"),
+      required = Set("input", "corpus", "output", "checkpoint"),
+      usage = "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
+        "--corpus <parquet> --output <dir> --checkpoint <dir> " +
+        "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
+    val rates = args.get("mix").map(Cli.parseMix).getOrElse(Seq.empty)
     val spark = graft.Sessions.local("graft-corpus-stream")
     try {
       val corpus = spark.read.parquet(args("corpus"))
       val corpusSh = DedupOps.shingledOf(corpus).persist()
       // the file source delivers each new parquet file dropped into
-      // --input as (part of) a micro-batch, schema-locked to the corpus
+      // --input as (part of) a micro-batch; its schema is the corpus's
+      // CONTENT columns (the crawl shape), not the published bookkeeping
+      val ingestSchema = org.apache.spark.sql.types.StructType(
+        corpus.schema.filterNot(f => PublishBookkeeping(f.name)))
       val incoming = spark.readStream
-        .schema(corpus.schema).parquet(args("input"))
+        .schema(ingestSchema).parquet(args("input"))
       val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
         rates, args.getOrElse("mix-default", "ff"))
       q.awaitTermination()

@@ -315,7 +315,7 @@ object Warehouse {
       replaceDir(rewritten, p.toString)
     }
     val frag = fragmented(target)
-    if (frag.size <= 1) { frag.foreach { case (p, w) => rewrite(p, w) }; frag.size }
+    if (frag.isEmpty) 0
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(maxConcurrentLeaves, frag.size))
@@ -331,11 +331,22 @@ object Warehouse {
           })
         }
         // drain ALL futures before rethrowing: a failed leaf must not
-        // abandon in-flight swaps half-submitted
+        // abandon in-flight swaps half-submitted. An interrupt while
+        // blocked is treated as that future's failure and the drain
+        // CONTINUES (catching it clears the flag, so later gets still
+        // block normally); the flag is re-asserted before rethrowing so
+        // the caller sees the cancellation.
         val failures = done.flatMap(f =>
           try { f.get(); None }
-          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
-        failures.headOption.foreach(throw _)
+          catch {
+            case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+            case e: InterruptedException => Some(e)
+          })
+        failures.headOption.foreach { first =>
+          if (failures.exists(_.isInstanceOf[InterruptedException]))
+            Thread.currentThread().interrupt()
+          throw first
+        }
         frag.size
       } finally pool.shutdown()
     }
