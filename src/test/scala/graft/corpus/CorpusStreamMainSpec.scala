@@ -105,6 +105,32 @@ class CorpusStreamMainSpec extends SparkSpec {
     assert(got.select("doc_id").first().getLong(0) == 7L)
   }
 
+  test("curation is batching-transparent: any chop of the crawl yields the same union") {
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text"))
+    val rows = (0L until 12L).map { i =>
+      val text = if (i % 4 == 0) corpusRows(0)._3 // a corpus dup
+        else s"novel content body number $i with several distinct words"
+      (i, s"src${i % 2}", text)
+    }
+    def curate(batch: Seq[(Long, String, String)]) =
+      CorpusStreamMain.curateBatch(
+          batch.toDF("doc_id", "source", "text"), corpusSh,
+          mixRates = Seq("src1" -> "7f"))
+        .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val whole = curate(rows)
+    // three chops: halves, alternating rows, one row per batch — every
+    // per-document stage (mix, gate, split) must ignore batch boundaries
+    val chops = Seq(
+      Seq(rows.take(6), rows.drop(6)),
+      Seq(rows.zipWithIndex.filter(_._2 % 2 == 0).map(_._1),
+        rows.zipWithIndex.filter(_._2 % 2 == 1).map(_._1)),
+      rows.map(Seq(_)))
+    for (chop <- chops)
+      assert(chop.map(curate).reduce(_ ++ _) == whole,
+        s"curation changed under a ${chop.length}-batch chop")
+  }
+
   test("mix rates apply per batch before the gate (unlisted sources kept)") {
     val corpusSh = DedupOps.shingledOf(
       corpusRows.toDF("doc_id", "source", "text"))
