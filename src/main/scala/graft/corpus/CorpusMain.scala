@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.VectorSim
 import graft.queries.{DedupOps, TextOps, VectorOps}
-import graft.sources.Warehouse
+import graft.sources.{Jsonl, Warehouse}
 
 /** The LLM-data-pipeline capstone as a runnable entry point, shaped like
   * the six reference-script mains: read a documents table, optionally mix
@@ -39,13 +39,14 @@ object CorpusMain {
   def main(argv: Array[String]): Unit = {
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
-        "mix-default", "embeddings", "cos-threshold", "broadcast-bench"),
+        "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
+        "format"),
       required = Set("input", "output"),
       usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
         "[--capacity N] [--bench <parquet>] [--min-hits N] " +
         "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
         "[--embeddings <parquet>] [--cos-threshold D] " +
-        "[--broadcast-bench true|false]")
+        "[--broadcast-bench true|false] [--format parquet|jsonl]")
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings", "broadcast-bench" -> "bench"))
@@ -62,9 +63,22 @@ object CorpusMain {
       args.get("min-hits").map(_.toLong).getOrElse(1L),
       args.get("embeddings"),
       args.get("cos-threshold").map(_.toDouble).getOrElse(0.4),
-      args.get("broadcast-bench").forall(_.toBoolean))
+      args.get("broadcast-bench").forall(_.toBoolean),
+      args.getOrElse("format", "parquet"))
     finally spark.stop()
   }
+
+  /** The locked crawl-dump shape for `--format jsonl`: exactly the columns
+    * the pipeline consumes (mix keys on source, dedup/pack on text,
+    * split on doc_id) — inference over a large dump would cost a full
+    * extra pass and let schema drift merge silently. */
+  private val JsonlDocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
 
   /** The job body on a caller-owned session (testable; main owns its own).
     *
@@ -78,13 +92,41 @@ object CorpusMain {
       minHits: Long = 1L,
       embeddings: Option[String] = None,
       cosThreshold: Double = 0.4,
-      broadcastBench: Boolean = true): Unit = {
+      broadcastBench: Boolean = true,
+      format: String = "parquet"): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
     require(minHits == 1L || bench.nonEmpty,
       s"min-hits=$minHits was given without a benchmark (--bench) to threshold")
-    val raw = spark.read.parquet(s"$input/documents.parquet")
+    require(format == "parquet" || format == "jsonl",
+      s"format must be parquet or jsonl, got '$format'")
+    val quarantinePath = new org.apache.hadoop.fs.Path(s"$output/quarantine")
+    val (raw, jsonlRelease): (DataFrame, Option[() => Unit]) = format match {
+      case "jsonl" =>
+        // a crawl dump's malformed lines are quarantined as first-class
+        // evidence (per-item isolation), published BEFORE any pipeline
+        // stage so they survive a mid-run crash like the other audits
+        val (good, bad, rel) =
+          Jsonl.read(spark, s"$input/documents.jsonl", JsonlDocSchema)
+        Warehouse.replaceDir(bad, s"$output/quarantine")
+        (good, Some(rel))
+      case _ =>
+        // a parquet rerun must not leave a previous jsonl run's quarantine
+        val fs = quarantinePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(quarantinePath, true)
+        (spark.read.parquet(s"$input/documents.parquet"), None)
+    }
+    try runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
+      minHits, embeddings, cosThreshold, broadcastBench)
+    finally jsonlRelease.foreach(_.apply())
+  }
+
+  private def runStages(spark: SparkSession, raw: DataFrame, output: String,
+      capacity: Option[Int], bench: Option[String],
+      mixRates: Option[Seq[(String, String)]], mixDefault: Option[String],
+      minHits: Long, embeddings: Option[String], cosThreshold: Double,
+      broadcastBench: Boolean): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.

@@ -158,6 +158,26 @@ class CorpusMainSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet == survivors.toSet)
   }
 
+  test("--format jsonl: crawl dump consumed end-to-end, malformed lines quarantined") {
+    val root = Files.createTempDirectory("corpus_main_jsonl").toString
+    val (in, out) = (s"$root/in", s"$root/out")
+    new java.io.File(s"$in/documents.jsonl").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in/documents.jsonl/dump.jsonl"),
+      java.util.List.of(
+        """{"doc_id": 1, "source": "src0", "text": "one clean document body with several words"}""",
+        """this line is not json""",
+        """{"doc_id": 2, "source": "src1", "text": "a second clean document body quite distinct"}"""))
+    CorpusMain.runWith(spark, in, out, format = "jsonl")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val q = spark.read.parquet(s"$out/quarantine").collect()
+    assert(q.length == 1 && q.head.getString(0).contains("not json"))
+    // a parquet rerun retires the stale quarantine evidence
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/quarantine").exists())
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated
