@@ -35,20 +35,35 @@ object CorpusStreamMain {
 
   /** One micro-batch's curation — pure batch logic, shared verbatim with
     * the spec's batch-equality oracle. `corpusSh` is the shingled static
-    * corpus (persist it; it is read once per batch otherwise). */
+    * corpus (persist it; it is read once per batch otherwise); `benchSh`
+    * is the optional shingled benchmark set — docs overlapping it at or
+    * above `minHits` shingles are dropped on arrival (the same q51
+    * decontamination the batch pipeline applies offline; eval sets are
+    * small, so the stage is the broadcast semi-join contamination's
+    * scaladoc prescribes and the batch side never shuffles for it). */
   def curateBatch(batch: DataFrame, corpusSh: DataFrame,
       mixRates: Seq[(String, String)] = Seq.empty,
-      mixDefault: String = "ff"): DataFrame = {
+      mixDefault: String = "ff",
+      benchSh: Option[DataFrame] = None,
+      minHits: Long = 1L): DataFrame = {
     val mixed =
       if (mixRates.isEmpty && mixDefault == "ff") batch
       else TextOps.mixFilter(batch, mixRates, mixDefault)
+    val mixedSh = DedupOps.shingledOf(mixed)
+    val decontaminated = benchSh match {
+      case Some(b) =>
+        val hot = DedupOps.contamination(mixedSh, b)
+          .filter(col("n_hits") >= minHits).select("doc_id")
+        mixed.join(hot, Seq("doc_id"), "left_anti")
+      case None => mixed
+    }
     // the gate emits verified (doc, corpus_doc) pairs; a doc matching
     // SEVERAL corpus docs must still drop exactly once, so the anti-join
     // keys on the distinct flagged ids
     val flagged = DedupOps
-      .nearDupAgainstShingled(DedupOps.shingledOf(mixed), corpusSh)
+      .nearDupAgainstShingled(DedupOps.shingledOf(decontaminated), corpusSh)
       .select(col("doc_id")).distinct()
-    mixed.join(flagged, Seq("doc_id"), "left_anti")
+    decontaminated.join(flagged, Seq("doc_id"), "left_anti")
       .withColumn("split", TextOps.splitColumn(col("doc_id")))
   }
 
@@ -58,14 +73,17 @@ object CorpusStreamMain {
     Warehouse.replaceDir(curated, s"$output/batch=$batchId")
 
   /** Wire a (streaming) crawl frame through the gate and start the query.
-    * Caller owns the corpus shingle persist lifecycle. */
+    * Caller owns the corpus/bench shingle persist lifecycles. */
   def start(incoming: DataFrame, corpusSh: DataFrame, output: String,
       checkpoint: String, mixRates: Seq[(String, String)] = Seq.empty,
-      mixDefault: String = "ff"): StreamingQuery =
+      mixDefault: String = "ff", benchSh: Option[DataFrame] = None,
+      minHits: Long = 1L): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        publishBatch(curateBatch(b, corpusSh, mixRates, mixDefault), output, id)
+        publishBatch(
+          curateBatch(b, corpusSh, mixRates, mixDefault, benchSh, minHits),
+          output, id)
       }
       .start()
 
@@ -79,16 +97,27 @@ object CorpusStreamMain {
 
   def main(argv: Array[String]): Unit = {
     val args = Cli.parseArgs(argv,
-      allowed = Set("input", "corpus", "output", "checkpoint", "mix", "mix-default"),
+      allowed = Set("input", "corpus", "output", "checkpoint", "mix",
+        "mix-default", "bench", "min-hits"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
         "--corpus <parquet> --output <dir> --checkpoint <dir> " +
-        "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>]")
+        "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
+        "[--bench <parquet>] [--min-hits N]")
+    // same orphan-flag rule as CorpusMain: a threshold without its stage
+    // would be silently ignored
+    if (args.contains("min-hits") && !args.contains("bench")) {
+      System.err.println(
+        "--min-hits was given without --bench: it would be silently ignored")
+      sys.exit(2)
+    }
     val rates = args.get("mix").map(Cli.parseMix).getOrElse(Seq.empty)
     val spark = graft.Sessions.local("graft-corpus-stream")
     try {
       val corpus = spark.read.parquet(args("corpus"))
       val corpusSh = DedupOps.shingledOf(corpus).persist()
+      val benchSh = args.get("bench").map(b =>
+        DedupOps.shingledOf(spark.read.parquet(b)).persist())
       // the file source delivers each new parquet file dropped into
       // --input as (part of) a micro-batch; its schema is the corpus's
       // CONTENT columns (the crawl shape), not the published bookkeeping
@@ -97,7 +126,8 @@ object CorpusStreamMain {
       val incoming = spark.readStream
         .schema(ingestSchema).parquet(args("input"))
       val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
-        rates, args.getOrElse("mix-default", "ff"))
+        rates, args.getOrElse("mix-default", "ff"), benchSh,
+        args.get("min-hits").map(_.toLong).getOrElse(1L))
       q.awaitTermination()
     } finally spark.stop()
   }

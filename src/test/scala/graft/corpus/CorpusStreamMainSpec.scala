@@ -131,6 +131,28 @@ class CorpusStreamMainSpec extends SparkSpec {
         s"curation changed under a ${chop.length}-batch chop")
   }
 
+  test("a benchmark set decontaminates each batch before the gate") {
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text"))
+    val benchText = "held out evaluation prompt nobody may train on ever"
+    val benchSh = DedupOps.shingledOf(
+      Seq((9000L, benchText)).toDF("doc_id", "text"))
+    val rows = Seq(
+      (20L, "src0", benchText),                                   // verbatim bench copy
+      (21L, "src0", "an unrelated clean document body right here"),
+      (22L, "src0", corpusRows(0)._3))                            // corpus dup
+      .toDF("doc_id", "source", "text")
+    val kept = CorpusStreamMain.curateBatch(rows, corpusSh,
+        benchSh = Some(benchSh))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L),
+      s"bench copy (20) and corpus dup (22) must both drop, got $kept")
+    // without the bench set, only the corpus dup drops
+    val noBench = CorpusStreamMain.curateBatch(rows, corpusSh)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noBench == Set(20L, 21L))
+  }
+
   test("mix rates apply per batch before the gate (unlisted sources kept)") {
     val corpusSh = DedupOps.shingledOf(
       corpusRows.toDF("doc_id", "source", "text"))
