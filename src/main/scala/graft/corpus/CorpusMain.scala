@@ -102,24 +102,24 @@ object CorpusMain {
     require(format == "parquet" || format == "jsonl",
       s"format must be parquet or jsonl, got '$format'")
     val quarantinePath = new org.apache.hadoop.fs.Path(s"$output/quarantine")
-    val (raw, jsonlRelease): (DataFrame, Option[() => Unit]) = format match {
+    val raw = format match {
       case "jsonl" =>
-        // a crawl dump's malformed lines are quarantined as first-class
-        // evidence (per-item isolation), published BEFORE any pipeline
-        // stage so they survive a mid-run crash like the other audits
-        val (good, bad, rel) =
+        // a crawl dump's broken lines (malformed OR null-required-field)
+        // are quarantined as first-class evidence (per-item isolation),
+        // published BEFORE any pipeline stage so they survive a mid-run
+        // crash like the other audits
+        val (good, bad) =
           Jsonl.read(spark, s"$input/documents.jsonl", JsonlDocSchema)
         Warehouse.replaceDir(bad, s"$output/quarantine")
-        (good, Some(rel))
+        good
       case _ =>
         // a parquet rerun must not leave a previous jsonl run's quarantine
         val fs = quarantinePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(quarantinePath, true)
-        (spark.read.parquet(s"$input/documents.parquet"), None)
+        spark.read.parquet(s"$input/documents.parquet")
     }
-    try runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
+    runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench)
-    finally jsonlRelease.foreach(_.apply())
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,

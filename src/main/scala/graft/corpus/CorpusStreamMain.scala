@@ -35,33 +35,44 @@ object CorpusStreamMain {
 
   /** One micro-batch's curation — pure batch logic, shared verbatim with
     * the spec's batch-equality oracle. `corpusSh` is the shingled static
-    * corpus (persist it; it is read once per batch otherwise); `benchSh`
-    * is the optional shingled benchmark set — docs overlapping it at or
-    * above `minHits` shingles are dropped on arrival (the same q51
-    * decontamination the batch pipeline applies offline; eval sets are
-    * small, so the stage is the broadcast semi-join contamination's
-    * scaladoc prescribes and the batch side never shuffles for it). */
+    * corpus (persist it; it is read once per batch otherwise); `benchSet`
+    * is the optional prebuilt [[DedupOps.benchShingleSet]] — docs
+    * overlapping it at or above `minHits` shingles are dropped on arrival
+    * (the same q51 decontamination the batch pipeline applies offline;
+    * eval sets are small, so the stage is the broadcast semi-join
+    * contamination's scaladoc prescribes — `broadcastBench = false` is
+    * the hard-promise escape hatch for a set past the broadcast limit). */
   def curateBatch(batch: DataFrame, corpusSh: DataFrame,
       mixRates: Seq[(String, String)] = Seq.empty,
       mixDefault: String = "ff",
-      benchSh: Option[DataFrame] = None,
-      minHits: Long = 1L): DataFrame = {
+      benchSet: Option[DataFrame] = None,
+      minHits: Long = 1L,
+      broadcastBench: Boolean = true): DataFrame = {
+    // same guards as the batch twin (CorpusMain.runWith): a threshold
+    // without its stage must fail loudly, programmatically too
+    require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
+    require(minHits == 1L || benchSet.nonEmpty,
+      s"minHits=$minHits was given without a benchSet to threshold")
     val mixed =
       if (mixRates.isEmpty && mixDefault == "ff") batch
       else TextOps.mixFilter(batch, mixRates, mixDefault)
     val mixedSh = DedupOps.shingledOf(mixed)
-    val decontaminated = benchSh match {
+    // decontamination drops ids from BOTH frames via the same anti-join,
+    // so the gate reuses the one shingle pass instead of re-shingling the
+    // survivors (the hot stage of the always-on path)
+    val (decontaminated, decontaminatedSh) = benchSet match {
       case Some(b) =>
-        val hot = DedupOps.contamination(mixedSh, b)
+        val hot = DedupOps.contaminationAgainstSet(mixedSh, b, broadcastBench)
           .filter(col("n_hits") >= minHits).select("doc_id")
-        mixed.join(hot, Seq("doc_id"), "left_anti")
-      case None => mixed
+        (mixed.join(hot, Seq("doc_id"), "left_anti"),
+          mixedSh.join(hot, Seq("doc_id"), "left_anti"))
+      case None => (mixed, mixedSh)
     }
     // the gate emits verified (doc, corpus_doc) pairs; a doc matching
     // SEVERAL corpus docs must still drop exactly once, so the anti-join
     // keys on the distinct flagged ids
     val flagged = DedupOps
-      .nearDupAgainstShingled(DedupOps.shingledOf(decontaminated), corpusSh)
+      .nearDupAgainstShingled(decontaminatedSh, corpusSh)
       .select(col("doc_id")).distinct()
     decontaminated.join(flagged, Seq("doc_id"), "left_anti")
       .withColumn("split", TextOps.splitColumn(col("doc_id")))
@@ -76,13 +87,14 @@ object CorpusStreamMain {
     * Caller owns the corpus/bench shingle persist lifecycles. */
   def start(incoming: DataFrame, corpusSh: DataFrame, output: String,
       checkpoint: String, mixRates: Seq[(String, String)] = Seq.empty,
-      mixDefault: String = "ff", benchSh: Option[DataFrame] = None,
-      minHits: Long = 1L): StreamingQuery =
+      mixDefault: String = "ff", benchSet: Option[DataFrame] = None,
+      minHits: Long = 1L, broadcastBench: Boolean = true): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         publishBatch(
-          curateBatch(b, corpusSh, mixRates, mixDefault, benchSh, minHits),
+          curateBatch(b, corpusSh, mixRates, mixDefault, benchSet, minHits,
+            broadcastBench),
           output, id)
       }
       .start()
@@ -98,26 +110,30 @@ object CorpusStreamMain {
   def main(argv: Array[String]): Unit = {
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
-        "mix-default", "bench", "min-hits"),
+        "mix-default", "bench", "min-hits", "broadcast-bench"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
         "--corpus <parquet> --output <dir> --checkpoint <dir> " +
         "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
-        "[--bench <parquet>] [--min-hits N]")
-    // same orphan-flag rule as CorpusMain: a threshold without its stage
+        "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false]")
+    // same orphan-flag rule as CorpusMain: a flag without its stage
     // would be silently ignored
-    if (args.contains("min-hits") && !args.contains("bench")) {
-      System.err.println(
-        "--min-hits was given without --bench: it would be silently ignored")
-      sys.exit(2)
-    }
+    for (orphan <- Seq("min-hits", "broadcast-bench"))
+      if (args.contains(orphan) && !args.contains("bench")) {
+        System.err.println(
+          s"--$orphan was given without --bench: it would be silently ignored")
+        sys.exit(2)
+      }
     val rates = args.get("mix").map(Cli.parseMix).getOrElse(Seq.empty)
     val spark = graft.Sessions.local("graft-corpus-stream")
     try {
       val corpus = spark.read.parquet(args("corpus"))
       val corpusSh = DedupOps.shingledOf(corpus).persist()
-      val benchSh = args.get("bench").map(b =>
-        DedupOps.shingledOf(spark.read.parquet(b)).persist())
+      // the DISTINCT exploded shingle set is what contamination joins on:
+      // persist that, so each micro-batch reuses the built set instead of
+      // re-paying explode + distinct (+ the broadcast build) forever
+      val benchSet = args.get("bench").map(b => DedupOps.benchShingleSet(
+        DedupOps.shingledOf(spark.read.parquet(b))).persist())
       // the file source delivers each new parquet file dropped into
       // --input as (part of) a micro-batch; its schema is the corpus's
       // CONTENT columns (the crawl shape), not the published bookkeeping
@@ -126,8 +142,9 @@ object CorpusStreamMain {
       val incoming = spark.readStream
         .schema(ingestSchema).parquet(args("input"))
       val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
-        rates, args.getOrElse("mix-default", "ff"), benchSh,
-        args.get("min-hits").map(_.toLong).getOrElse(1L))
+        rates, args.getOrElse("mix-default", "ff"), benchSet,
+        args.get("min-hits").map(_.toLong).getOrElse(1L),
+        args.get("broadcast-bench").forall(_.toBoolean))
       q.awaitTermination()
     } finally spark.stop()
   }

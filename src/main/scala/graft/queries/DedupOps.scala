@@ -545,9 +545,22 @@ object DedupOps {
     * with a benchmark too large to broadcast passes
     * `broadcastBench = false` for a shuffled equi-join, same semantics. */
   def contamination(corpusShingles: DataFrame, benchShingles: DataFrame,
+      broadcastBench: Boolean = true): DataFrame =
+    contaminationAgainstSet(corpusShingles,
+      benchShingleSet(benchShingles), broadcastBench)
+
+  /** The distinct exploded shingle set of a benchmark frame — the value
+    * [[contamination]] actually joins on. A caller running the check
+    * repeatedly (the streaming gate: once per micro-batch, forever)
+    * builds this ONCE and persists it, instead of re-paying the
+    * explode + distinct + broadcast-build on every call. */
+  def benchShingleSet(benchShingles: DataFrame): DataFrame =
+    benchShingles.select(explode(col("sh")).as("g")).distinct()
+
+  /** [[contamination]] against a prebuilt [[benchShingleSet]]. */
+  def contaminationAgainstSet(corpusShingles: DataFrame, benchSet: DataFrame,
       broadcastBench: Boolean = true): DataFrame = {
     val post = corpusShingles.select(col("doc_id"), explode(col("sh")).as("g"))
-    val benchSet = benchShingles.select(explode(col("sh")).as("g")).distinct()
     post.join(if (broadcastBench) broadcast(benchSet) else benchSet, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -7,42 +7,54 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 /** JSON-lines source/sink for document corpora — the wire format crawl
   * dumps actually arrive in. Reads are SCHEMA-LOCKED (inference over a
   * 100 TB dump would be a full extra pass, and a schema drift would merge
-  * silently) and carry a QUARANTINE channel: a malformed line becomes a
-  * (line, file) row instead of killing the job or silently vanishing —
-  * the same per-item failure isolation the NBA ingest applies to bad
-  * payloads (T4; reference quarantines per-game failures the same way,
-  * see nba/Lineups).
+  * silently) and carry a QUARANTINE channel: a line that is malformed OR
+  * parses with a null in a required column becomes a (line, file) row
+  * instead of killing the job, silently vanishing, or — worse —
+  * publishing: a null-text document is invisible to every shingle-based
+  * gate (dedup, decontamination) yet would still land in the corpus, so
+  * null-required rows MUST be quarantined, not passed through. Same
+  * per-item isolation the NBA ingest applies to bad payloads (T4).
   *
-  * Scale shape: one pass over the input. Spark refuses to filter on the
-  * corrupt-record column of an un-materialized JSON scan (the parser
-  * would have to run twice and could disagree with itself), so the parsed
-  * frame is persisted once and both channels — clean rows and quarantine
-  * — split from those cached blocks. The caller unpersists via the
-  * returned handle after publishing both sides. */
+  * Scale shape: the dump is scanned as TEXT and parsed in-plan with
+  * `from_json`, so each channel is a streaming pass over the raw lines —
+  * no cache of the parsed dump (the naive two-channel split via the
+  * reader's corrupt-record column requires persisting the whole input,
+  * which is exactly what a 100 TB read cannot do). The raw line rides
+  * alongside the parse, which is what lets quarantine publish the
+  * offending text verbatim. */
 object Jsonl {
 
   private val Corrupt = "_graft_corrupt"
 
-  /** Clean rows + quarantine + a release handle for the shared one-pass
-    * cache. `schema` is the EXPECTED document schema (no corrupt column —
-    * it is managed here). */
-  def read(spark: SparkSession, path: String, schema: StructType):
-      (DataFrame, DataFrame, () => Unit) = {
+  /** Clean rows + quarantine. `schema` is the EXPECTED document schema;
+    * columns in `requiredNonNull` (default: every schema column) send a
+    * row to quarantine when null — a valid-JSON line missing its text is
+    * as unusable as a malformed one, and more dangerous. */
+  def read(spark: SparkSession, path: String, schema: StructType,
+      requiredNonNull: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(Corrupt),
       s"schema must not declare the internal '$Corrupt' column")
-    val parsed = spark.read
-      .schema(StructType(schema.fields :+
-        StructField(Corrupt, StringType, nullable = true)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Corrupt)
-      .json(path)
+    val required = requiredNonNull.getOrElse(schema.fieldNames.toSeq)
+    require(required.forall(schema.fieldNames.contains),
+      s"requiredNonNull names unknown columns: " +
+        required.filterNot(schema.fieldNames.contains).mkString(", "))
+    // malformed lines surface through the corrupt column INSIDE the
+    // parsed struct (from_json in PERMISSIVE mode), so parse state and
+    // raw line coexist per row with no second read and no cache
+    val parseSchema = StructType(schema.fields :+
+      StructField(Corrupt, StringType, nullable = true))
+    val parsed = spark.read.textFile(path).toDF("_line")
       .withColumn("_file", input_file_name())
-      .persist()
-    val good = parsed.filter(col(Corrupt).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    val quarantine = parsed.filter(col(Corrupt).isNotNull)
-      .select(col(Corrupt).as("line"), col("_file").as("file"))
-    (good, quarantine, () => { parsed.unpersist(); () })
+      .withColumn("_j", from_json(col("_line"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)))
+    val broken = col("_j").isNull || col(s"_j.$Corrupt").isNotNull ||
+      required.map(c => col(s"_j.$c").isNull).reduceOption(_ || _)
+        .getOrElse(lit(false))
+    val good = parsed.filter(!broken)
+      .select(schema.fieldNames.map(c => col(s"_j.$c").as(c)).toSeq: _*)
+    val quarantine = parsed.filter(broken)
+      .select(col("_line").as("line"), col("_file").as("file"))
+    (good, quarantine)
   }
 
   /** Write a frame as JSONL (one object per line, the exchange format

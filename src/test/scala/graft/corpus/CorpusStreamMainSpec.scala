@@ -135,15 +135,15 @@ class CorpusStreamMainSpec extends SparkSpec {
     val corpusSh = DedupOps.shingledOf(
       corpusRows.toDF("doc_id", "source", "text"))
     val benchText = "held out evaluation prompt nobody may train on ever"
-    val benchSh = DedupOps.shingledOf(
-      Seq((9000L, benchText)).toDF("doc_id", "text"))
+    val benchSet = DedupOps.benchShingleSet(DedupOps.shingledOf(
+      Seq((9000L, benchText)).toDF("doc_id", "text")))
     val rows = Seq(
       (20L, "src0", benchText),                                   // verbatim bench copy
       (21L, "src0", "an unrelated clean document body right here"),
       (22L, "src0", corpusRows(0)._3))                            // corpus dup
       .toDF("doc_id", "source", "text")
     val kept = CorpusStreamMain.curateBatch(rows, corpusSh,
-        benchSh = Some(benchSh))
+        benchSet = Some(benchSet))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(21L),
       s"bench copy (20) and corpus dup (22) must both drop, got $kept")
@@ -151,6 +151,15 @@ class CorpusStreamMainSpec extends SparkSpec {
     val noBench = CorpusStreamMain.curateBatch(rows, corpusSh)
       .select("doc_id").as[Long].collect().toSet
     assert(noBench == Set(20L, 21L))
+    // guard parity with the batch twin: a threshold without its stage
+    // fails loudly programmatically, not only at the CLI
+    intercept[IllegalArgumentException] {
+      CorpusStreamMain.curateBatch(rows, corpusSh, minHits = 5L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStreamMain.curateBatch(rows, corpusSh,
+        benchSet = Some(benchSet), minHits = 0L)
+    }
   }
 
   test("mix rates apply per batch before the gate (unlisted sources kept)") {

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.SparkSpec
 
-/** JSONL source/sink: schema-locked parse, malformed-line quarantine
-  * (per-item isolation, not job death), and a lossless round trip. */
+/** JSONL source/sink: schema-locked parse, malformed-line AND
+  * null-required-field quarantine (per-item isolation, not job death or
+  * silent publish), and a lossless round trip. */
 class JsonlSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,24 +16,39 @@ class JsonlSpec extends SparkSpec {
     StructField("source", StringType),
     StructField("text", StringType)))
 
-  test("clean lines parse; malformed lines land in quarantine with their file") {
+  test("clean lines parse; malformed and null-field lines land in quarantine") {
     val dir = Files.createTempDirectory("jsonl").toString
     Files.write(Paths.get(s"$dir/crawl.jsonl"), java.util.List.of(
       """{"doc_id": 1, "source": "src0", "text": "a clean document"}""",
       """not json at all {{{""",
       """{"doc_id": 2, "source": "src1", "text": "another clean one"}""",
-      """{"doc_id": "NaN-ish", "source": 7}"""))
-    val (good, quarantine, release) = Jsonl.read(spark, dir, schema)
-    try {
-      val docs = good.as[(Long, String, String)].collect().sortBy(_._1)
-      assert(docs.map(_._1).toSeq == Seq(1L, 2L))
-      assert(docs.head._3 == "a clean document")
-      val bad = quarantine.collect()
-      assert(bad.length == 2, "both malformed lines quarantined")
-      assert(bad.forall(_.getString(1).contains("crawl.jsonl")),
-        "quarantine must name the offending file")
-      assert(bad.exists(_.getString(0).contains("not json at all")))
-    } finally release()
+      """{"doc_id": 3, "source": "src0"}""",
+      """{"doc_id": null, "source": "src1", "text": "null key"}"""))
+    val (good, quarantine) = Jsonl.read(spark, dir, schema)
+    val docs = good.as[(Long, String, String)].collect().sortBy(_._1)
+    assert(docs.map(_._1).toSeq == Seq(1L, 2L))
+    assert(docs.head._3 == "a clean document")
+    // a valid-JSON line with a null required field is as unusable as a
+    // malformed one: null text is invisible to every shingle-based gate
+    // but would still publish — it must quarantine, not pass
+    val bad = quarantine.collect()
+    assert(bad.length == 3, s"expected 3 quarantined lines, got ${bad.toSeq}")
+    assert(bad.forall(_.getString(1).contains("crawl.jsonl")),
+      "quarantine must name the offending file")
+    assert(bad.exists(_.getString(0).contains("not json at all")))
+    assert(bad.exists(_.getString(0).contains(""""doc_id": 3""")))
+  }
+
+  test("requiredNonNull relaxes per column; unknown columns rejected loudly") {
+    val dir = Files.createTempDirectory("jsonl_opt").toString
+    Files.write(Paths.get(s"$dir/crawl.jsonl"), java.util.List.of(
+      """{"doc_id": 1, "text": "source-less line kept when source is optional"}"""))
+    val (good, quarantine) =
+      Jsonl.read(spark, dir, schema, Some(Seq("doc_id", "text")))
+    assert(good.count() == 1 && quarantine.isEmpty)
+    intercept[IllegalArgumentException] {
+      Jsonl.read(spark, dir, schema, Some(Seq("nope")))
+    }
   }
 
   test("write -> read round trip is lossless under the locked schema") {
@@ -41,12 +57,10 @@ class JsonlSpec extends SparkSpec {
       (10L, "src0", "first body"), (11L, "src1", "second body"))
       .toDF("doc_id", "source", "text")
     Jsonl.write(docs, s"$dir/out")
-    val (back, quarantine, release) = Jsonl.read(spark, s"$dir/out", schema)
-    try {
-      assert(back.as[(Long, String, String)].collect().toSet ==
-        Set((10L, "src0", "first body"), (11L, "src1", "second body")))
-      assert(quarantine.isEmpty)
-    } finally release()
+    val (back, quarantine) = Jsonl.read(spark, s"$dir/out", schema)
+    assert(back.as[(Long, String, String)].collect().toSet ==
+      Set((10L, "src0", "first body"), (11L, "src1", "second body")))
+    assert(quarantine.isEmpty)
   }
 
   test("a schema declaring the internal corrupt column is rejected loudly") {
