@@ -8,11 +8,14 @@ import graft.queries.{DedupOps, TextOps, VectorOps}
 import graft.sources.{Jsonl, Warehouse}
 
 /** The LLM-data-pipeline capstone as a runnable entry point, shaped like
-  * the six reference-script mains: read a documents table, optionally mix
-  * (domain-reweight) and decontaminate it against a benchmark set,
-  * near-dup-dedupe it, split it deterministically, pack each split's token
-  * streams, and publish idempotently through the same write-audit-publish
-  * warehouse protocol the NBA pipeline uses.
+  * the six reference-script mains: read a documents table (parquet, or a
+  * raw JSONL crawl dump with malformed-line quarantine via
+  * `--format jsonl`), optionally mix (domain-reweight) and decontaminate
+  * it against a benchmark set, near-dup-dedupe it by text — and by
+  * embedding cosine too when `--embeddings` points at a vectors table —
+  * split it deterministically, pack each split's token streams, and
+  * publish idempotently through the same write-audit-publish warehouse
+  * protocol the NBA pipeline uses.
   *
   * Outputs under `--output`:
   *   - `corpus/` — the mixed, decontaminated, deduped corpus with
