@@ -35,6 +35,11 @@ object Sessions {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // zstd over the snappy default: at warehouse scale the corpus is
+      // write-once read-many, and zstd's ~30% smaller files cut every
+      // future scan's IO for a one-time write cost — the standard choice
+      // for a 100 TB parquet estate (readers decode either transparently)
+      .config("spark.sql.parquet.compression.codec", "zstd")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects outright; read it as Long nanos and convert in the
       // loader (Tables.events) — Spark timestamps are micros anyway.
