@@ -162,6 +162,24 @@ class CorpusStreamMainSpec extends SparkSpec {
     }
   }
 
+  test("the per-batch plan broadcasts the bench set and plans no cartesian") {
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text"))
+    val benchSet = DedupOps.benchShingleSet(DedupOps.shingledOf(
+      Seq((9000L, "held out evaluation prompt text here")).toDF("doc_id", "text")))
+    val rows = Seq((30L, "src0", "a document body to curate and publish"))
+      .toDF("doc_id", "source", "text")
+    val plan = CorpusStreamMain.curateBatch(rows, corpusSh,
+        benchSet = Some(benchSet))
+      .queryExecution.executedPlan.toString
+    // this plan runs once per micro-batch forever: the bench overlap must
+    // stay a broadcast join (the corpus-side rows never shuffle for it)
+    // and nothing may degrade to a cartesian product
+    assert(plan.contains("BroadcastHashJoin"), "bench join must broadcast")
+    assert(!plan.contains("CartesianProduct"), "cartesian in the gate plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "degenerate join in the gate plan")
+  }
+
   test("mix rates apply per batch before the gate (unlisted sources kept)") {
     val corpusSh = DedupOps.shingledOf(
       corpusRows.toDF("doc_id", "source", "text"))
