@@ -14,6 +14,10 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** [[plan]] under [[noAutoBroadcast]]: only explicit `broadcast()`
+    * hints produce broadcasts — the thing broadcast-presence pins guard. */
+  private def planHintOnly(q: String): String = noAutoBroadcast(plan(q))
+
   test("q02: filter and projection reach the parquet scan") {
     val p = plan("q02_project_filter")
     assert(p.contains("PushedFilters: ["), p)
@@ -24,7 +28,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q07: all three dimension joins broadcast; the fact side never shuffles for them") {
-    val p = plan("q07_broadcast_dims")
+    val p = planHintOnly("q07_broadcast_dims")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -53,7 +57,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q35: query side broadcasts; the big side is never exchanged for the join") {
-    val p = plan("q35_ann_topk")
+    val p = planHintOnly("q35_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
@@ -80,7 +84,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q47: every centroid join broadcasts — the corpus side never sort-merge-joins") {
-    val p = plan("q47_ivf_trained")
+    val p = planHintOnly("q47_ivf_trained")
     // trained-centroid assignment + the query-side search join are all
     // broadcast; a SortMergeJoin would mean a full-corpus shuffle per round
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)

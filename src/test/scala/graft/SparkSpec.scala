@@ -14,6 +14,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * text varies by execution path. */
   protected def messages(t: Throwable): Seq[String] =
     if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+
+  /** Run `body` with auto-broadcast disabled. Test fixtures are all far
+    * below the session's 64 MB threshold, so EVERY equi-join broadcasts
+    * and a broadcast-PRESENCE plan assertion is vacuous — it cannot catch
+    * a dropped explicit `broadcast()` hint, which is the regression such
+    * pins exist for. With the threshold at -1, only the hint broadcasts. */
+  protected def noAutoBroadcast[A](body: => A): A = {
+    val t = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(t)
+    try { spark.conf.set(t, "-1"); body } finally spark.conf.set(t, saved)
+  }
 }
 
 object SparkSpec {

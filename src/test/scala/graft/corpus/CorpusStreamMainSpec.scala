@@ -169,17 +169,12 @@ class CorpusStreamMainSpec extends SparkSpec {
       Seq((9000L, "held out evaluation prompt text here")).toDF("doc_id", "text")))
     val rows = Seq((30L, "src0", "a document body to curate and publish"))
       .toDF("doc_id", "source", "text")
-    // auto-broadcast OFF while planning: tiny test relations would
-    // otherwise broadcast EVERY equi-join, making the assertion vacuous —
-    // with the threshold at -1 a BroadcastHashJoin can only come from the
+    // noAutoBroadcast: a BroadcastHashJoin can then only come from the
     // explicit broadcast(benchSet) hint this test exists to pin
-    val threshold = "spark.sql.autoBroadcastJoinThreshold"
-    val saved = spark.conf.get(threshold)
-    val plan = try {
-      spark.conf.set(threshold, "-1")
+    val plan = noAutoBroadcast {
       CorpusStreamMain.curateBatch(rows, corpusSh, benchSet = Some(benchSet))
         .queryExecution.executedPlan.toString
-    } finally spark.conf.set(threshold, saved)
+    }
     // this plan runs once per micro-batch forever: the bench overlap must
     // stay a broadcast join (the corpus-side rows never shuffle for it)
     // and nothing may degrade to a cartesian product

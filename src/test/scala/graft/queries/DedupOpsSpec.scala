@@ -108,9 +108,11 @@ class DedupOpsSpec extends SparkSpec {
   test("contamination broadcasts the bench shingle set — the corpus side never shuffles for the join") {
     val bench = Seq((97L, "a b c d e")).toDF("doc_id", "text")
     val corpus = Seq((10L, "a b c d x")).toDF("doc_id", "text")
-    val plan = DedupOps.contamination(
-        DedupOps.shingledOf(corpus), DedupOps.shingledOf(bench))
-      .queryExecution.executedPlan.toString
+    val plan = noAutoBroadcast {
+      DedupOps.contamination(
+          DedupOps.shingledOf(corpus), DedupOps.shingledOf(bench))
+        .queryExecution.executedPlan.toString
+    }
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       plan)
   }

@@ -103,8 +103,12 @@ class TextOpsSpec extends SparkSpec {
   test("tfIdfTopTerms broadcasts the vocabulary-sized df table — the tf side never sort-merge-joins") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     // toString, not a node walk: AQE wraps the live plan and hides its
-    // children from a naive traversal, but prints the full inner plan
-    val plan = TextOps.tfIdfTopTerms(docs).queryExecution.executedPlan.toString
+    // children from a naive traversal, but prints the full inner plan.
+    // Auto-broadcast OFF while planning: tiny fixtures would broadcast
+    // every join anyway, and this pin exists to catch a dropped hint.
+    val plan = noAutoBroadcast {
+      TextOps.tfIdfTopTerms(docs).queryExecution.executedPlan.toString
+    }
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
@@ -201,7 +205,9 @@ class TextOpsSpec extends SparkSpec {
   test("mixCorpus broadcasts the rate table — the corpus side never shuffles") {
     val docs = Seq((1L, "src0", "w"), (2L, "src1", "w"))
       .toDF("doc_id", "source", "text")
-    val plan = TextOps.mixCorpus(docs).queryExecution.executedPlan.toString
+    val plan = noAutoBroadcast {
+      TextOps.mixCorpus(docs).queryExecution.executedPlan.toString
+    }
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
