@@ -43,13 +43,14 @@ object CorpusMain {
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
-        "format"),
+        "format", "export-jsonl"),
       required = Set("input", "output"),
       usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
         "[--capacity N] [--bench <parquet>] [--min-hits N] " +
         "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
         "[--embeddings <parquet>] [--cos-threshold D] " +
-        "[--broadcast-bench true|false] [--format parquet|jsonl]")
+        "[--broadcast-bench true|false] [--format parquet|jsonl] " +
+        "[--export-jsonl true|false]")
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings", "broadcast-bench" -> "bench"))
@@ -67,7 +68,8 @@ object CorpusMain {
       args.get("embeddings"),
       args.get("cos-threshold").map(_.toDouble).getOrElse(0.4),
       args.get("broadcast-bench").forall(_.toBoolean),
-      args.getOrElse("format", "parquet"))
+      args.getOrElse("format", "parquet"),
+      args.get("export-jsonl").exists(_.toBoolean))
     finally spark.stop()
   }
 
@@ -96,7 +98,8 @@ object CorpusMain {
       embeddings: Option[String] = None,
       cosThreshold: Double = 0.4,
       broadcastBench: Boolean = true,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet",
+      exportJsonl: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
@@ -122,14 +125,14 @@ object CorpusMain {
         spark.read.parquet(s"$input/documents.parquet")
     }
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
-      minHits, embeddings, cosThreshold, broadcastBench)
+      minHits, embeddings, cosThreshold, broadcastBench, exportJsonl)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
       capacity: Option[Int], bench: Option[String],
       mixRates: Option[Seq[(String, String)]], mixDefault: Option[String],
       minHits: Long, embeddings: Option[String], cosThreshold: Double,
-      broadcastBench: Boolean): Unit = {
+      broadcastBench: Boolean, exportJsonl: Boolean): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -230,6 +233,20 @@ object CorpusMain {
         require(published > 0,
           "corpus pipeline produced zero documents — check --mix rates " +
             "and --bench overlap (every doc was filtered, dropped, or deduped)")
+        // optional JSONL mirror of the published corpus — the exchange
+        // format tokenizer/trainer tooling consumes — derived from the
+        // PUBLISHED parquet (so it can never diverge from it), swapped in
+        // whole via the same crash-safe protocol
+        val jsonlPath = new org.apache.hadoop.fs.Path(s"$output/corpus_jsonl")
+        if (exportJsonl)
+          Warehouse.replaceDirWith(spark, jsonlPath.toString)(staging =>
+            spark.read.parquet(s"$output/corpus")
+              .write.partitionBy("split").json(staging))
+        else {
+          // an export-less rerun must not leave a stale mirror behind
+          val fs = jsonlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(jsonlPath, true)
+        }
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }
   }

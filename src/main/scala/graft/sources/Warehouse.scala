@@ -39,13 +39,22 @@ object Warehouse {
     * hidden `.old` sibling, not the table: `recoverDir` (called on entry)
     * rolls an interrupted swap forward or back on the next run. Renames are
     * per-directory metadata ops, so publish is O(1) regardless of size. */
-  def replaceDir(df: DataFrame, dir: String): Unit = {
+  def replaceDir(df: DataFrame, dir: String): Unit =
+    replaceDirWith(df.sparkSession, dir)(staging =>
+      df.write.mode(SaveMode.Overwrite).parquet(staging))
+
+  /** [[replaceDir]]'s swap protocol with a caller-supplied staged write —
+    * the crash-safe publish for ANY format (a JSONL export, a CSV drop):
+    * `write` receives the hidden staging path, and the swap only runs if
+    * it returns, so readers never see a partial or absent target. */
+  def replaceDirWith(spark: SparkSession, dir: String)(
+      write: String => Unit): Unit = {
     val target = new Path(dir)
-    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, target)
     val staging = stagingFor(target)
     fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    write(staging.toString)
     swap(fs, staging, target)
   }
 

@@ -178,6 +178,24 @@ class CorpusMainSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/quarantine").exists())
   }
 
+  test("--export-jsonl mirrors the published corpus; export-less rerun retires it") {
+    val out = Files.createTempDirectory("corpus_main_export").toString
+    CorpusMain.runWith(spark, input, out, exportJsonl = true)
+    val parquetIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the mirror is derived from the PUBLISHED parquet: same docs, same
+    // splits, readable as plain JSON lines partitioned by split
+    val jsonl = spark.read.schema(
+        spark.read.parquet(s"$out/corpus").schema)
+      .json(s"$out/corpus_jsonl")
+    assert(jsonl.select("doc_id").collect().map(_.getLong(0)).toSet == parquetIds)
+    assert(new java.io.File(s"$out/corpus_jsonl").listFiles()
+      .exists(_.getName.startsWith("split=")), "mirror must keep split partitions")
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/corpus_jsonl").exists(),
+      "export-less rerun must retire the stale mirror")
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated
