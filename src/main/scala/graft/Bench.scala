@@ -3,8 +3,26 @@ package graft
 import graft.tools.Jsons.{str => js}
 
 object Bench {
+  // Per-query accounting note: the dedup family each rebuild the staged
+  // shingle table inside their timed window because run() clears all
+  // caches between queries. That is deliberate — every query is billed
+  // its own full cost, none rides another's cache — but it means the
+  // suite total counts the ~same staging stage several times; cross-round
+  // trends on those queries move together when staging cost moves. The
+  // machine-readable "staged" list in the output JSON marks them.
+  private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
+    "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
+    "q48_neardup_gate", "q51_decontaminate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // fail loudly BEFORE the multi-minute warmup if the staged list drifts
+    // from the registry (a renamed query would otherwise mislabel the
+    // machine-readable "staged" array) — a pure lookup, instant
+    stagedQueries.filterNot(SparkEntry.queries.contains) match {
+      case Nil => ()
+      case missing => sys.error(s"staged list names unknown queries: $missing")
+    }
     val spark = Sessions.local("graft-bench")
     // Warm the JVM once per PLAN SHAPE, not just once per process: run every
     // query at the smallest scale factor (untimed) before any measurement.
@@ -51,21 +69,6 @@ object Bench {
         }
     }
     codeCacheReport("post-warmup")
-    // Per-query accounting note: the dedup family (q31/q32/q33/q38/q39/q48/
-    // q51) each rebuild the staged shingle table inside their timed window
-    // because run() clears all caches between queries. That is deliberate —
-    // every query is billed its own full cost, none rides another's cache —
-    // but it means the suite total counts the ~same staging stage several
-    // times; cross-round trends on those queries move together when staging
-    // cost moves. The machine-readable "staged" list below marks them.
-    val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash", "q33_ngram_jaccard",
-      "q38_components", "q39_dedupe_corpus", "q48_neardup_gate", "q51_decontaminate")
-    // fail loudly if this list drifts from the registry (a renamed query
-    // would otherwise mislabel the machine-readable "staged" array)
-    stagedQueries.filterNot(SparkEntry.queries.contains) match {
-      case Nil => ()
-      case missing => sys.error(s"staged list names unknown queries: $missing")
-    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val flaky = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -8,13 +8,21 @@ package graft.corpus
 private[corpus] object Cli {
 
   /** Parse `argv` as `--key value` pairs. Exits with `usage` when argv is
-    * odd, a flag is outside `allowed`, or a `required` flag is absent. */
+    * odd, any key position lacks the `--` prefix (a dropped pair would
+    * silently disable the stage the user asked for), a flag repeats
+    * (silent last-wins hides a typo), a flag is outside `allowed`, or a
+    * `required` flag is absent. */
   def parseArgs(argv: Array[String], allowed: Set[String],
       required: Set[String], usage: String): Map[String, String] = {
-    val args = argv.sliding(2, 2).collect {
+    val pairs = argv.grouped(2).toSeq
+    val keys = pairs.collect { case Array(k, _) => k }
+    val args = pairs.collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    if (argv.length % 2 != 0 || (args.keySet -- allowed).nonEmpty ||
+    if (argv.length % 2 != 0 ||
+        keys.exists(!_.startsWith("--")) ||
+        keys.distinct.length != keys.length ||
+        (args.keySet -- allowed).nonEmpty ||
         !required.subsetOf(args.keySet)) {
       System.err.println(usage)
       sys.exit(2)

@@ -107,7 +107,6 @@ object CorpusMain {
       s"min-hits=$minHits was given without a benchmark (--bench) to threshold")
     require(format == "parquet" || format == "jsonl",
       s"format must be parquet or jsonl, got '$format'")
-    val quarantinePath = new org.apache.hadoop.fs.Path(s"$output/quarantine")
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
@@ -119,20 +118,19 @@ object CorpusMain {
         Warehouse.replaceDir(bad, s"$output/quarantine")
         good
       case _ =>
-        // a parquet rerun must not leave a previous jsonl run's quarantine
-        val fs = quarantinePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(quarantinePath, true)
         spark.read.parquet(s"$input/documents.parquet")
     }
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
-      minHits, embeddings, cosThreshold, broadcastBench, exportJsonl)
+      minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
+      retireQuarantine = format != "jsonl")
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
       capacity: Option[Int], bench: Option[String],
       mixRates: Option[Seq[(String, String)]], mixDefault: Option[String],
       minHits: Long, embeddings: Option[String], cosThreshold: Double,
-      broadcastBench: Boolean, exportJsonl: Boolean): Unit = {
+      broadcastBench: Boolean, exportJsonl: Boolean,
+      retireQuarantine: Boolean): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -164,11 +162,8 @@ object CorpusMain {
           (mixed.join(drop, Seq("doc_id"), "left_anti"),
             shAll.join(drop, Seq("doc_id"), "left_anti"))
         case None =>
-          // a bench-less rerun must not leave a previous run's audit
-          // describing drops this corpus did not apply
-          val stale = new org.apache.hadoop.fs.Path(s"$output/contaminated")
-          val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(stale, true)
+          // (the stale `contaminated` audit, if any, is retired AFTER the
+          // new corpus publishes — see the post-publish block)
           (mixed, shAll)
       }
       val pairs = DedupOps.minhashNearDup(sh).persist()
@@ -207,11 +202,7 @@ object CorpusMain {
                 vpairs.select("doc_a", "doc_b"), star = true)
             } finally { vpairs.unpersist(); () }
           case None =>
-            // an embeddings-less rerun must not leave a previous run's
-            // vector audit describing drops this corpus did not apply
-            val stale = new org.apache.hadoop.fs.Path(s"$output/embed_dup_pairs")
-            val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.delete(stale, true)
+            // (the stale vector audit, if any, is retired post-publish)
             textDeduped
         }
         // split and pack IN PLACE: both are per-row/window columns, so
@@ -237,16 +228,20 @@ object CorpusMain {
         // format tokenizer/trainer tooling consumes — derived from the
         // PUBLISHED parquet (so it can never diverge from it), swapped in
         // whole via the same crash-safe protocol
-        val jsonlPath = new org.apache.hadoop.fs.Path(s"$output/corpus_jsonl")
         if (exportJsonl)
-          Warehouse.replaceDirWith(spark, jsonlPath.toString)(staging =>
+          Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
             spark.read.parquet(s"$output/corpus")
               .write.partitionBy("split").json(staging))
-        else {
-          // an export-less rerun must not leave a stale mirror behind
-          val fs = jsonlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(jsonlPath, true)
-        }
+        // stale artifacts from previous runs with OTHER flags are retired
+        // only now, after the new corpus is live: a run that fails earlier
+        // must leave the previous corpus's evidence intact, because the
+        // audits on disk describe the corpus that is still on disk.
+        // retireDir also clears the swap protocol's hidden .old siblings,
+        // which recover() would otherwise resurrect.
+        if (retireQuarantine) Warehouse.retireDir(spark, s"$output/quarantine")
+        if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
+        if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
+        if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }
   }

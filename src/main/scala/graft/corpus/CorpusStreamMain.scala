@@ -47,7 +47,8 @@ object CorpusStreamMain {
       mixDefault: String = "ff",
       benchSet: Option[DataFrame] = None,
       minHits: Long = 1L,
-      broadcastBench: Boolean = true): DataFrame = {
+      broadcastBench: Boolean = true,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
     // same guards as the batch twin (CorpusMain.runWith): a threshold
     // without its stage must fail loudly, programmatically too
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
@@ -70,9 +71,13 @@ object CorpusStreamMain {
     }
     // the gate emits verified (doc, corpus_doc) pairs; a doc matching
     // SEVERAL corpus docs must still drop exactly once, so the anti-join
-    // keys on the distinct flagged ids
+    // keys on the distinct flagged ids. The corpus band index — the
+    // 8-hash signature fold over the ENTIRE corpus — is the dominant
+    // repeated cost of an always-on gate, so a caller passes the prebuilt
+    // persisted one; the default rebuilds it (small/batch use).
     val flagged = DedupOps
-      .nearDupAgainstShingled(decontaminatedSh, corpusSh)
+      .nearDupAgainstIndex(decontaminatedSh,
+        corpusIndex.getOrElse(DedupOps.corpusBandIndex(corpusSh)), corpusSh)
       .select(col("doc_id")).distinct()
     decontaminated.join(flagged, Seq("doc_id"), "left_anti")
       .withColumn("split", TextOps.splitColumn(col("doc_id")))
@@ -88,13 +93,14 @@ object CorpusStreamMain {
   def start(incoming: DataFrame, corpusSh: DataFrame, output: String,
       checkpoint: String, mixRates: Seq[(String, String)] = Seq.empty,
       mixDefault: String = "ff", benchSet: Option[DataFrame] = None,
-      minHits: Long = 1L, broadcastBench: Boolean = true): StreamingQuery =
+      minHits: Long = 1L, broadcastBench: Boolean = true,
+      corpusIndex: Option[DataFrame] = None): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         publishBatch(
           curateBatch(b, corpusSh, mixRates, mixDefault, benchSet, minHits,
-            broadcastBench),
+            broadcastBench, corpusIndex),
           output, id)
       }
       .start()
@@ -129,6 +135,11 @@ object CorpusStreamMain {
     try {
       val corpus = spark.read.parquet(args("corpus"))
       val corpusSh = DedupOps.shingledOf(corpus).persist()
+      // the corpus band index is the gate's probe side and the dominant
+      // per-batch cost if rebuilt: build it once, persist it, and every
+      // micro-batch joins against the cached blocks (the scaladoc's
+      // "built and persisted ONCE" promise, made real)
+      val corpusIdx = DedupOps.corpusBandIndex(corpusSh).persist()
       // the DISTINCT exploded shingle set is what contamination joins on:
       // persist that, so each micro-batch reuses the built set instead of
       // re-paying explode + distinct (+ the broadcast build) forever
@@ -136,15 +147,21 @@ object CorpusStreamMain {
         DedupOps.shingledOf(spark.read.parquet(b))).persist())
       // the file source delivers each new parquet file dropped into
       // --input as (part of) a micro-batch; its schema is the corpus's
-      // CONTENT columns (the crawl shape), not the published bookkeeping
+      // CONTENT columns (the crawl shape), not the published bookkeeping.
+      // recursiveFileLookup: a crawl delivery is usually a DIRECTORY (the
+      // only thing a Spark writer can produce) — without it, every
+      // directory-shaped delivery would be silently invisible forever
       val ingestSchema = org.apache.spark.sql.types.StructType(
         corpus.schema.filterNot(f => PublishBookkeeping(f.name)))
       val incoming = spark.readStream
-        .schema(ingestSchema).parquet(args("input"))
+        .schema(ingestSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(args("input"))
       val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
         rates, args.getOrElse("mix-default", "ff"), benchSet,
         args.get("min-hits").map(_.toLong).getOrElse(1L),
-        args.get("broadcast-bench").forall(_.toBoolean))
+        args.get("broadcast-bench").forall(_.toBoolean),
+        corpusIndex = Some(corpusIdx))
       q.awaitTermination()
     } finally spark.stop()
   }

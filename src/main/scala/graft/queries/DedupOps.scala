@@ -228,18 +228,35 @@ object DedupOps {
     * (the generator-child pitfall; measured 0.9s -> 4.7s on the incoming
     * side alone at sf0.1). */
   def nearDupAgainstShingled(incoming: DataFrame, corpus: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold): DataFrame =
+    nearDupAgainstIndex(incoming, corpusBandIndex(corpus), corpus, threshold)
+
+  /** The (b, v)-keyed corpus band index the gate probes — built from the
+    * shingled corpus ONCE and reused across calls: an always-on gate
+    * (a micro-batch stream, a per-crawl cron) persists this and the
+    * shingle frame, instead of re-running the 8-hash signature fold over
+    * the whole corpus on every batch. At rest this is the bucketed table
+    * keyed by (b, v) the q48 notes prescribe. */
+  def corpusBandIndex(corpus: DataFrame): DataFrame = {
+    val bandIdx =
+      explode(typedlit((0 until NumHashes / BandRows).toList)).as("b")
+    minhashBandArr(corpus)
+      .select(col("doc_id").as("corpus_id"), col("varr").as("cvarr"), bandIdx)
+      .select(col("corpus_id"), col("cvarr"), col("b"),
+        element_at(col("cvarr"), col("b") + 1).as("v"))
+  }
+
+  /** [[nearDupAgainstShingled]] against a prebuilt [[corpusBandIndex]];
+    * `corpus` is still needed for the exact-Jaccard verification join. */
+  def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+      corpus: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
     val bandIdx =
       explode(typedlit((0 until NumHashes / BandRows).toList)).as("b")
     val inc = minhashBandArr(incoming)
       .select(col("doc_id"), col("sh"), col("varr"), bandIdx)
       .select(col("doc_id"), col("sh"), col("varr"), col("b"),
         element_at(col("varr"), col("b") + 1).as("v"))
-    val idx = minhashBandArr(corpus)
-      .select(col("doc_id").as("corpus_id"), col("varr").as("cvarr"), bandIdx)
-      .select(col("corpus_id"), col("cvarr"), col("b"),
-        element_at(col("cvarr"), col("b") + 1).as("v"))
-    inc.join(idx, Seq("b", "v"))
+    inc.join(index, Seq("b", "v"))
       .filter(array_position(
         zip_with(col("varr"), col("cvarr"), (u, w) => u === w), lit(true))
         === col("b") + 1)

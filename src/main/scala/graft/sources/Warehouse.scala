@@ -155,6 +155,19 @@ object Warehouse {
     staged.length
   }
 
+  /** Remove a published artifact AND the swap protocol's hidden siblings
+    * (`.name.old`, `.name.staging`): deleting only the visible directory
+    * leaves a crashed swap's `.old` behind, which a later [[recover]]
+    * walk would faithfully resurrect as live data. */
+  def retireDir(spark: SparkSession, dir: String): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldFor(target), true)
+    fs.delete(stagingFor(target), true)
+    fs.delete(target, true)
+    ()
+  }
+
   private def stagingFor(target: Path): Path =
     new Path(target.getParent, s".${target.getName}.staging")
 
@@ -343,8 +356,10 @@ object Warehouse {
         // abandon in-flight swaps half-submitted. An interrupt while
         // blocked is treated as that future's failure and the drain
         // CONTINUES (catching it clears the flag, so later gets still
-        // block normally); the flag is re-asserted before rethrowing so
-        // the caller sees the cancellation.
+        // block normally); before rethrowing a cancellation the pool is
+        // stopped HARD and awaited — returning while an interrupted
+        // leaf's swap is still mid-flight would let the caller race it
+        // (a recover() or spark.stop() against a half-renamed leaf).
         val failures = done.flatMap(f =>
           try { f.get(); None }
           catch {
@@ -352,8 +367,11 @@ object Warehouse {
             case e: InterruptedException => Some(e)
           })
         failures.headOption.foreach { first =>
-          if (failures.exists(_.isInstanceOf[InterruptedException]))
+          if (failures.exists(_.isInstanceOf[InterruptedException])) {
+            pool.shutdownNow()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
             Thread.currentThread().interrupt()
+          }
           throw first
         }
         frag.size

@@ -196,6 +196,31 @@ class CorpusMainSpec extends SparkSpec {
       "export-less rerun must retire the stale mirror")
   }
 
+  test("a FAILED rerun leaves the previous run's audits intact (evidence-first)") {
+    val root = Files.createTempDirectory("corpus_main_evidence").toString
+    val (in, out) = (s"$root/in", s"$root/out")
+    new java.io.File(s"$in/documents.jsonl").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in/documents.jsonl/dump.jsonl"),
+      java.util.List.of(
+        """{"doc_id": 1, "source": "src0", "text": "one clean document body with several words"}""",
+        """broken line"""))
+    CorpusMain.runWith(spark, in, out, format = "jsonl")
+    assert(spark.read.parquet(s"$out/quarantine").count() == 1)
+    // rerun in parquet mode against a NONEXISTENT input: the run fails
+    // before publishing — the corpus on disk is still run 1's, so run
+    // 1's quarantine evidence must survive (stale-audit retirement only
+    // happens after a successful publish)
+    intercept[Throwable] {
+      CorpusMain.runWith(spark, s"$root/nonexistent", out)
+    }
+    assert(spark.read.parquet(s"$out/quarantine").count() == 1,
+      "failed rerun must not destroy the evidence for the live corpus")
+    // a SUCCESSFUL parquet rerun does retire it
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/quarantine").exists())
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated

@@ -162,6 +162,25 @@ class CorpusStreamMainSpec extends SparkSpec {
     }
   }
 
+  test("a prebuilt persisted corpus band index curates identically to the default") {
+    val corpusSh = DedupOps.shingledOf(
+      corpusRows.toDF("doc_id", "source", "text"))
+    val rows = Seq(
+      (40L, "src0", corpusRows(1)._3),                            // corpus dup
+      (41L, "src0", "completely novel content for this document"))
+      .toDF("doc_id", "source", "text")
+    val idx = DedupOps.corpusBandIndex(corpusSh).persist()
+    try {
+      val withIdx = CorpusStreamMain.curateBatch(rows, corpusSh,
+          corpusIndex = Some(idx))
+        .select("doc_id", "split").as[(Long, String)].collect().toSet
+      val default = CorpusStreamMain.curateBatch(rows, corpusSh)
+        .select("doc_id", "split").as[(Long, String)].collect().toSet
+      assert(withIdx == default, "prebuilt index must not change the gate")
+      assert(withIdx.map(_._1) == Set(41L))
+    } finally { idx.unpersist(); () }
+  }
+
   test("the per-batch plan broadcasts the bench set and plans no cartesian") {
     val corpusSh = DedupOps.shingledOf(
       corpusRows.toDF("doc_id", "source", "text"))
