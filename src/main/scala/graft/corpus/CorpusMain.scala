@@ -224,6 +224,18 @@ object CorpusMain {
         require(published > 0,
           "corpus pipeline produced zero documents — check --mix rates " +
             "and --bench overlap (every doc was filtered, dropped, or deduped)")
+        // stale artifacts from previous runs with OTHER flags are retired
+        // IMMEDIATELY after the new corpus is live — before the optional
+        // export, whose failure must not leave the new corpus described
+        // by the old run's audits. A run that fails earlier leaves the
+        // previous corpus's evidence intact, because the audits on disk
+        // describe the corpus that is still on disk. retireDir also
+        // clears the swap protocol's hidden .old siblings, which
+        // recover() would otherwise resurrect.
+        if (retireQuarantine) Warehouse.retireDir(spark, s"$output/quarantine")
+        if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
+        if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
+        if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
         // optional JSONL mirror of the published corpus — the exchange
         // format tokenizer/trainer tooling consumes — derived from the
         // PUBLISHED parquet (so it can never diverge from it), swapped in
@@ -232,16 +244,6 @@ object CorpusMain {
           Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
             spark.read.parquet(s"$output/corpus")
               .write.partitionBy("split").json(staging))
-        // stale artifacts from previous runs with OTHER flags are retired
-        // only now, after the new corpus is live: a run that fails earlier
-        // must leave the previous corpus's evidence intact, because the
-        // audits on disk describe the corpus that is still on disk.
-        // retireDir also clears the swap protocol's hidden .old siblings,
-        // which recover() would otherwise resurrect.
-        if (retireQuarantine) Warehouse.retireDir(spark, s"$output/quarantine")
-        if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
-        if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
-        if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }
   }

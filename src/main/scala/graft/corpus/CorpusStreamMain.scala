@@ -116,12 +116,13 @@ object CorpusStreamMain {
   def main(argv: Array[String]): Unit = {
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
-        "mix-default", "bench", "min-hits", "broadcast-bench"),
+        "mix-default", "bench", "min-hits", "broadcast-bench", "recursive"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
         "--corpus <parquet> --output <dir> --checkpoint <dir> " +
         "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
-        "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false]")
+        "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
+        "[--recursive true|false]")
     // same orphan-flag rule as CorpusMain: a flag without its stage
     // would be silently ignored
     for (orphan <- Seq("min-hits", "broadcast-bench"))
@@ -148,14 +149,21 @@ object CorpusStreamMain {
       // the file source delivers each new parquet file dropped into
       // --input as (part of) a micro-batch; its schema is the corpus's
       // CONTENT columns (the crawl shape), not the published bookkeeping.
-      // recursiveFileLookup: a crawl delivery is usually a DIRECTORY (the
-      // only thing a Spark writer can produce) — without it, every
-      // directory-shaped delivery would be silently invisible forever
+      // --recursive (default true): a crawl delivery is usually a
+      // DIRECTORY (the only thing a Spark writer can produce), and
+      // without recursive lookup every directory-shaped delivery is
+      // silently invisible forever. The trade: recursive lookup disables
+      // partition-DIRECTORY inference, so a producer who encodes a column
+      // in `key=value/` directory names (write.partitionBy) must pass
+      // `--recursive false` and deliver at the top level — otherwise that
+      // column arrives null. Flat-file and plain-subdirectory deliveries
+      // (columns stored IN the files) want the default.
+      val recursive = args.get("recursive").forall(_.toBoolean)
       val ingestSchema = org.apache.spark.sql.types.StructType(
         corpus.schema.filterNot(f => PublishBookkeeping(f.name)))
       val incoming = spark.readStream
         .schema(ingestSchema)
-        .option("recursiveFileLookup", "true")
+        .option("recursiveFileLookup", recursive.toString)
         .parquet(args("input"))
       val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
         rates, args.getOrElse("mix-default", "ff"), benchSet,

@@ -231,27 +231,27 @@ object DedupOps {
       threshold: Double = JaccardThreshold): DataFrame =
     nearDupAgainstIndex(incoming, corpusBandIndex(corpus), corpus, threshold)
 
+  /** The band-number generator both sides of the gate join explode on —
+    * one definition, so the two sides cannot band differently. */
+  private def bandIdx =
+    explode(typedlit((0 until NumHashes / BandRows).toList)).as("b")
+
   /** The (b, v)-keyed corpus band index the gate probes — built from the
     * shingled corpus ONCE and reused across calls: an always-on gate
     * (a micro-batch stream, a per-crawl cron) persists this and the
     * shingle frame, instead of re-running the 8-hash signature fold over
     * the whole corpus on every batch. At rest this is the bucketed table
     * keyed by (b, v) the q48 notes prescribe. */
-  def corpusBandIndex(corpus: DataFrame): DataFrame = {
-    val bandIdx =
-      explode(typedlit((0 until NumHashes / BandRows).toList)).as("b")
+  def corpusBandIndex(corpus: DataFrame): DataFrame =
     minhashBandArr(corpus)
       .select(col("doc_id").as("corpus_id"), col("varr").as("cvarr"), bandIdx)
       .select(col("corpus_id"), col("cvarr"), col("b"),
         element_at(col("cvarr"), col("b") + 1).as("v"))
-  }
 
   /** [[nearDupAgainstShingled]] against a prebuilt [[corpusBandIndex]];
     * `corpus` is still needed for the exact-Jaccard verification join. */
   def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
       corpus: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val bandIdx =
-      explode(typedlit((0 until NumHashes / BandRows).toList)).as("b")
     val inc = minhashBandArr(incoming)
       .select(col("doc_id"), col("sh"), col("varr"), bandIdx)
       .select(col("doc_id"), col("sh"), col("varr"), col("b"),

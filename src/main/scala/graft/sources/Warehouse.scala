@@ -369,8 +369,25 @@ object Warehouse {
         failures.headOption.foreach { first =>
           if (failures.exists(_.isInstanceOf[InterruptedException])) {
             pool.shutdownNow()
-            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            // a second interrupt mid-wait must not skip the wait, and a
+            // worker wedged in non-interruptible I/O must not let us
+            // return with its swap still in flight — keep waiting to the
+            // deadline through repeated interrupts, then fail LOUDLY
+            // rather than hand the caller a silent race
+            val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+            var terminated = false
+            while (!terminated && System.nanoTime() < deadline)
+              try terminated = pool.awaitTermination(
+                math.max(1, (deadline - System.nanoTime()) / 1000000),
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+              catch { case _: InterruptedException => () }
             Thread.currentThread().interrupt()
+            if (!terminated)
+              throw new java.io.IOException(
+                "compact was cancelled but a leaf rewrite did not stop " +
+                  "within 10 minutes — its swap may still be in flight; " +
+                  "do not run recover() on this table until it settles",
+                first)
           }
           throw first
         }
