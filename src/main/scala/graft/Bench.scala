@@ -112,10 +112,10 @@ object Bench {
         name -> -1.0 // sentinel: failed queries carry no timing (NaN isn't JSON)
       }
     }
-    // release the staged shingle cache (q31-q33/q38 stage it; best-of-2 is
-    // safe — each shingled() call swaps the previous cache for a fresh one,
-    // so at most one table's blocks are ever held, and this frees the last)
-    queries.DedupOps.release()
+    // release the staged shingle cache the last query left behind (the
+    // dedup family's staged table lives in the SQL cache; run() clears it
+    // between queries, this frees the final query's entry)
+    spark.catalog.clearCache()
     codeCacheReport("post-run")
     val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")

@@ -27,7 +27,9 @@ object Verify {
         rm(new java.io.File(s"$outDir/$name"))
       }
     }
-    queries.DedupOps.release()
+    // drop the dedup family's shared staged-shingle cache entry (one per
+    // dir — CacheManager dedupes same-plan persists across the queries)
+    spark.catalog.clearCache()
     import graft.tools.Jsons.{str => q}
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

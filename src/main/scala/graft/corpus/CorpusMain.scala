@@ -40,17 +40,18 @@ import graft.sources.{Jsonl, Warehouse}
 object CorpusMain {
 
   def main(argv: Array[String]): Unit = {
+    val usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
+      "[--capacity N] [--bench <parquet>] [--min-hits N] " +
+      "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
+      "[--embeddings <parquet>] [--cos-threshold D] " +
+      "[--broadcast-bench true|false] [--format parquet|jsonl] " +
+      "[--export-jsonl true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl"),
       required = Set("input", "output"),
-      usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
-        "[--capacity N] [--bench <parquet>] [--min-hits N] " +
-        "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
-        "[--embeddings <parquet>] [--cos-threshold D] " +
-        "[--broadcast-bench true|false] [--format parquet|jsonl] " +
-        "[--export-jsonl true|false]")
+      usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings", "broadcast-bench" -> "bench"))
@@ -60,16 +61,24 @@ object CorpusMain {
         sys.exit(2)
       }
     val rates = args.get("mix").map(Cli.parseMix)
+    // convert every typed value BEFORE the session spins up: a malformed
+    // value is a usage error and must exit 2 with the usage line, not a
+    // stack trace after multi-second JVM startup
+    val capacity = Cli.toInt(args, "capacity", usage)
+    val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
+    val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
+    val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
+    val exportJsonl = Cli.toBoolean(args, "export-jsonl", usage).getOrElse(false)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
-      args.get("capacity").map(_.toInt), args.get("bench"),
+      capacity, args.get("bench"),
       rates, args.get("mix-default"),
-      args.get("min-hits").map(_.toLong).getOrElse(1L),
+      minHits,
       args.get("embeddings"),
-      args.get("cos-threshold").map(_.toDouble).getOrElse(0.4),
-      args.get("broadcast-bench").forall(_.toBoolean),
+      cosThreshold,
+      broadcastBench,
       args.getOrElse("format", "parquet"),
-      args.get("export-jsonl").exists(_.toBoolean))
+      exportJsonl)
     finally spark.stop()
   }
 
@@ -110,19 +119,23 @@ object CorpusMain {
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
-        // are quarantined as first-class evidence (per-item isolation),
-        // published BEFORE any pipeline stage so they survive a mid-run
-        // crash like the other audits
+        // are quarantined as first-class evidence (per-item isolation) —
+        // STAGED here, while the dump is read exactly once up front, but
+        // swapped live only after the new corpus publishes: the previous
+        // corpus must never sit on disk described by the NEW run's
+        // quarantine (the audits-describe-the-live-corpus invariant the
+        // post-publish block maintains for every other audit)
         val (good, bad) =
           Jsonl.read(spark, s"$input/documents.jsonl", JsonlDocSchema)
-        Warehouse.replaceDir(bad, s"$output/quarantine")
+        Warehouse.stageDirWith(spark, s"$output/quarantine")(staging =>
+          bad.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging))
         good
       case _ =>
         spark.read.parquet(s"$input/documents.parquet")
     }
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
-      retireQuarantine = format != "jsonl")
+      quarantineStaged = format == "jsonl")
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -130,7 +143,7 @@ object CorpusMain {
       mixRates: Option[Seq[(String, String)]], mixDefault: Option[String],
       minHits: Long, embeddings: Option[String], cosThreshold: Double,
       broadcastBench: Boolean, exportJsonl: Boolean,
-      retireQuarantine: Boolean): Unit = {
+      quarantineStaged: Boolean): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -231,8 +244,11 @@ object CorpusMain {
         // previous corpus's evidence intact, because the audits on disk
         // describe the corpus that is still on disk. retireDir also
         // clears the swap protocol's hidden .old siblings, which
-        // recover() would otherwise resurrect.
-        if (retireQuarantine) Warehouse.retireDir(spark, s"$output/quarantine")
+        // recover() would otherwise resurrect. The jsonl quarantine obeys
+        // the same invariant from the other side: staged before the
+        // pipeline, swapped live only now that the corpus it describes is.
+        if (quarantineStaged) Warehouse.publishStaged(spark, s"$output/quarantine")
+        else Warehouse.retireDir(spark, s"$output/quarantine")
         if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
         if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")

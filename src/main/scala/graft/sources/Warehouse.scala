@@ -49,12 +49,39 @@ object Warehouse {
     * it returns, so readers never see a partial or absent target. */
   def replaceDirWith(spark: SparkSession, dir: String)(
       write: String => Unit): Unit = {
+    stageDirWith(spark, dir)(write)
+    publishStaged(spark, dir)
+  }
+
+  /** The staging half of [[replaceDirWith]], without the swap: heal any
+    * interrupted swap, clear stale staging, run `write` against the hidden
+    * staging path — and leave the live `dir` untouched. [[publishStaged]]
+    * performs the swap later. The two-phase form exists for an artifact
+    * whose EVIDENCE must be computed early but whose publish must follow
+    * another table's swap: CorpusMain's jsonl quarantine is staged before
+    * the pipeline runs (one pass over the dump, while the input still
+    * exists exactly as read) but published only after the new corpus is
+    * live, so a mid-pipeline crash never leaves the still-live OLD corpus
+    * described by the NEW run's quarantine. */
+  def stageDirWith(spark: SparkSession, dir: String)(
+      write: String => Unit): Unit = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, target)
     val staging = stagingFor(target)
     fs.delete(staging, true)
     write(staging.toString)
+  }
+
+  /** Swap a [[stageDirWith]]-staged directory live. Refuses when nothing
+    * is staged — publishing "whatever happens to be there" would turn a
+    * forgotten staging step into a silently missing table. */
+  def publishStaged(spark: SparkSession, dir: String): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingFor(target)
+    require(fs.exists(staging),
+      s"no staged data for $dir — run stageDirWith before publishStaged")
     swap(fs, staging, target)
   }
 
@@ -222,19 +249,21 @@ object Warehouse {
     * contributes nothing (min == max -> bin 0). `bits` * n must fit a
     * long's 63 non-sign bits (bit 63 would flip z-value ordering for
     * rows landing in the top half), so 16 bits/key covers up to 3 keys;
-    * the default `bits = 0` auto-sizes to min(16, 63/n) — 4 keys get 15
-    * bits each — while an explicit over-wide `bits` still fails loudly.
+    * the default `bits = None` auto-sizes to min(16, 63/n) — 4 keys get
+    * 15 bits each — while ANY explicit width outside [1, 63/n] fails
+    * loudly (an Option, not an in-band 0 sentinel, so a passed 0 is
+    * rejected rather than silently auto-sized).
     * File boundaries come from the range exchange's reservoir sample, so tile
     * alignment follows
     * `spark.sql.execution.rangeExchange.sampleSizePerPartition` — a layout
     * job should raise it (the default 100 leaves files straddling tiles,
     * which costs pruning, never correctness). */
   def zordered(df: DataFrame, clusterCols: Seq[String], numFiles: Int,
-      bits: Int = 0): DataFrame = {
+      bits: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val n = clusterCols.length
     require(n >= 2, "zorder needs >= 2 keys; use clustered() for one")
-    val b = if (bits == 0) math.min(16, 63 / n) else bits
+    val b = bits.getOrElse(math.min(16, 63 / n))
     require(b >= 1 && b * n <= 63, s"bits*keys must fit a long, got $b*$n")
     clusterCols.foreach { c =>
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -273,7 +302,7 @@ object Warehouse {
   }
 
   def writeZordered(df: DataFrame, dir: String, clusterCols: Seq[String],
-      numFiles: Int, bits: Int = 0): Unit =
+      numFiles: Int, bits: Option[Int] = None): Unit =
     zordered(df, clusterCols, numFiles, bits)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 

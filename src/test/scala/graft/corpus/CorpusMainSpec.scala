@@ -221,6 +221,46 @@ class CorpusMainSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/quarantine").exists())
   }
 
+  test("a jsonl rerun failing mid-pipeline leaves the previous quarantine live") {
+    val root = Files.createTempDirectory("corpus_main_jsonl_stage").toString
+    val (in, out) = (s"$root/in", s"$root/out")
+    new java.io.File(s"$in/documents.jsonl").mkdirs()
+    def dump(lines: String*): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in/documents.jsonl/dump.jsonl"),
+      java.util.Arrays.asList(lines: _*))
+    dump(
+      """{"doc_id": 1, "source": "src0", "text": "one clean document body with several words"}""",
+      """first broken line""")
+    CorpusMain.runWith(spark, in, out, format = "jsonl")
+    val corpusIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$out/quarantine").count() == 1)
+    // run 2 over an ALL-BROKEN dump dies mid-pipeline (zero clean docs ->
+    // the empty-corpus guard fires) AFTER the quarantine evidence is
+    // computed: the new quarantine must stay STAGED, never published,
+    // because the corpus it describes never landed — the live corpus is
+    // still run 1's, so its audits must be too
+    dump("""second broken line""", """third broken line""")
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, in, out, format = "jsonl")
+    }
+    assert(spark.read.parquet(s"$out/quarantine").count() == 1,
+      "failed jsonl rerun must not swap its quarantine over the live one")
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == corpusIds,
+      "failed rerun must not touch the corpus")
+    // run 3 succeeds: its quarantine (2 lines) swaps live with the corpus.
+    // doc 2 hashes to the SAME split partition as doc 1 (both train), so
+    // the per-partition overwrite replaces run 1's data outright
+    dump(
+      """{"doc_id": 2, "source": "src0", "text": "a replacement clean document body here"}""",
+      """second broken line""", """third broken line""")
+    CorpusMain.runWith(spark, in, out, format = "jsonl")
+    assert(spark.read.parquet(s"$out/quarantine").count() == 2)
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated

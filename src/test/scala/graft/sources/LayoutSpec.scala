@@ -115,7 +115,7 @@ class LayoutSpec extends SparkSpec {
     val prevSample = spark.conf.getOption(sampleKey)
     spark.conf.set(sampleKey, "8192")
     try Warehouse.writeZordered(grid, s"$root/zorder", Seq("x", "y"),
-      numFiles = 16, bits = 8)
+      numFiles = 16, bits = Some(8))
     finally prevSample.fold(spark.conf.unset(sampleKey))(spark.conf.set(sampleKey, _))
     def readFor(dir: String, k: String): Long = {
       var matches = 0L
@@ -145,7 +145,7 @@ class LayoutSpec extends SparkSpec {
       .select(col("id").as("x"),
         when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("y"),
         lit(7).as("c"))
-    val out = Warehouse.zordered(df, Seq("x", "y", "c"), numFiles = 4, bits = 8)
+    val out = Warehouse.zordered(df, Seq("x", "y", "c"), numFiles = 4, bits = Some(8))
     assert(out.count() == 1000)
     assert(out.columns.toSeq == Seq("x", "y", "c"), "no helper column leaks")
     intercept[IllegalArgumentException] {
@@ -163,7 +163,12 @@ class LayoutSpec extends SparkSpec {
     // bit); the auto default drops to 15/key and just works
     assert(Warehouse.zordered(df, Seq("a", "b", "c", "d"), 4).count() == 1000)
     intercept[IllegalArgumentException] {
-      Warehouse.zordered(df, Seq("a", "b", "c", "d"), 4, bits = 16)
+      Warehouse.zordered(df, Seq("a", "b", "c", "d"), 4, bits = Some(16))
+    }
+    // an explicit 0 is a caller bug, not a request to auto-size: the old
+    // in-band `bits = 0` sentinel silently auto-sized it
+    intercept[IllegalArgumentException] {
+      Warehouse.zordered(df, Seq("a", "b"), 4, bits = Some(0))
     }
   }
 
