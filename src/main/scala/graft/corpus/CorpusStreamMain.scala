@@ -4,28 +4,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.ops.VectorSim
 import graft.queries.{DedupOps, TextOps}
-import graft.sources.Warehouse
+import graft.sources.{Jsonl, Warehouse}
 
 /** The corpus-ingest gate as a running stream: every arriving crawl batch
-  * is mixed (domain-reweighted), gated against the already-curated static
-  * corpus (near-dup drop via the q48 MinHash-band gate), stamped with its
-  * deterministic split, and appended — the always-on front door whose
-  * offline twin is [[CorpusMain]].
+  * is mixed (domain-reweighted), gated against everything already curated
+  * — the static corpus AND every doc this stream previously accepted
+  * ([[GateState]]) — self-deduped within the batch, optionally gated in
+  * embedding space too, stamped with its deterministic split, and
+  * appended — the always-on front door whose offline twin is
+  * [[CorpusMain]].
   *
   * Shape: `foreachBatch`, the Spark-native way to run an ingest pipeline
   * whose per-document logic is pure batch semantics. Each micro-batch is
   * curated by the SAME oracle-checked operators the batch pipeline uses
-  * (q52 mixFilter -> q48 gate -> q49 splitColumn — composition, zero
-  * forked logic, so stream and batch curation cannot drift), then
-  * published under `batch=<id>/` via the crash-safe directory swap:
-  * a replayed micro-batch (failure before the checkpoint commit)
-  * REPLACES its own directory instead of appending duplicates, which is
-  * what turns the sink's at-least-once replay into exactly-once output.
-  * The corpus-side band index is built and persisted ONCE (outside the
-  * per-batch path) and every batch joins against those cached blocks —
-  * at scale this is the (b, v)-keyed bucketed table the q48 notes
-  * prescribe.
+  * (q52 mixFilter -> q51 decontamination -> q48 gate -> q31+q38
+  * intra-batch dedup -> q49 splitColumn — composition, zero forked
+  * logic, so stream and batch curation cannot drift), then published
+  * under `batch=<id>/` via the crash-safe directory swap: a replayed
+  * micro-batch (failure before the checkpoint commit) REPLACES its own
+  * directory instead of appending duplicates, which is what turns the
+  * sink's at-least-once replay into exactly-once output.
+  *
+  * Duplicate coverage — the three ways a near-dup can arrive, and where
+  * each is caught:
+  *   1. vs the curated corpus: the band-index gate (stream-static probe
+  *      against [[GateState]]'s base index);
+  *   2. vs a doc accepted in an EARLIER batch: the same probe — accepted
+  *      batches are folded into the index per batch ([[GateState.absorb]]);
+  *   3. vs a doc in the SAME batch (burst duplicates): the intra-batch
+  *      pair pass + components collapse inside [[curateBatch]].
+  * Canonical choice is arrival-order across batches (what is published
+  * cannot be unpublished) and min-doc_id within a batch — the batch twin,
+  * which sees the whole crawl at once, uses min-doc_id throughout.
   *
   * Statelessness of the in-plan gate (no watermark, no state store) is
   * pinned by StreamOpsSpec; this main adds the end-to-end composition +
@@ -34,14 +46,24 @@ import graft.sources.Warehouse
 object CorpusStreamMain {
 
   /** One micro-batch's curation — pure batch logic, shared verbatim with
-    * the spec's batch-equality oracle. `corpusSh` is the shingled static
-    * corpus (persist it; it is read once per batch otherwise); `benchSet`
-    * is the optional prebuilt [[DedupOps.benchShingleSet]] — docs
-    * overlapping it at or above `minHits` shingles are dropped on arrival
-    * (the same q51 decontamination the batch pipeline applies offline;
-    * eval sets are small, so the stage is the broadcast semi-join
-    * contamination's scaladoc prescribes — `broadcastBench = false` is
-    * the hard-promise escape hatch for a set past the broadcast limit). */
+    * the spec's batch-equality oracle. `corpusSh` is the shingled curated
+    * side (verification join); `corpusIndex` is the prebuilt band index
+    * to probe (the default rebuilds it from `corpusSh` — small/batch
+    * use); `benchSet` is the optional prebuilt
+    * [[DedupOps.benchShingleSet]] — docs overlapping it at or above
+    * `minHits` shingles are dropped on arrival (the same q51
+    * decontamination the batch pipeline applies offline; eval sets are
+    * small, so the stage is the broadcast semi-join contamination's
+    * scaladoc prescribes — `broadcastBench = false` is the hard-promise
+    * escape hatch for a set past the broadcast limit).
+    *
+    * After the corpus gate, the batch is deduped against ITSELF: the
+    * q31 pair pass over the survivors + the components collapse
+    * ([[DedupOps.dedupeCorpus]]), so two near-identical docs arriving
+    * together admit exactly one — the corpus index knows neither, so no
+    * corpus-side probe can catch them. Batch pairs are few, so the pass
+    * adds a handful of small jobs per batch, not a shuffle of anything
+    * corpus-sized. */
   def curateBatch(batch: DataFrame, corpusSh: DataFrame,
       mixRates: Seq[(String, String)] = Seq.empty,
       mixDefault: String = "ff",
@@ -79,7 +101,13 @@ object CorpusStreamMain {
       .nearDupAgainstIndex(decontaminatedSh,
         corpusIndex.getOrElse(DedupOps.corpusBandIndex(corpusSh)), corpusSh)
       .select(col("doc_id")).distinct()
-    decontaminated.join(flagged, Seq("doc_id"), "left_anti")
+    val survived = decontaminated.join(flagged, Seq("doc_id"), "left_anti")
+    val survivedSh = decontaminatedSh.join(flagged, Seq("doc_id"), "left_anti")
+    // intra-batch self-dedup: same pair producer + same collapse as the
+    // batch twin's corpus-wide pass, restricted to this batch
+    val pairs = DedupOps.minhashNearDup(survivedSh)
+      .select(col("doc_a"), col("doc_b"))
+    DedupOps.dedupeCorpus(survived, pairs)
       .withColumn("split", TextOps.splitColumn(col("doc_id")))
   }
 
@@ -89,21 +117,48 @@ object CorpusStreamMain {
     Warehouse.replaceDir(curated, s"$output/batch=$batchId")
 
   /** Wire a (streaming) crawl frame through the gate and start the query.
-    * Caller owns the corpus/bench shingle persist lifecycles. */
-  def start(incoming: DataFrame, corpusSh: DataFrame, output: String,
+    * `decode` turns a raw micro-batch into document rows (the jsonl path:
+    * channel split + per-batch quarantine publish); identity for an
+    * already-document-shaped stream. Per batch: decode -> curate against
+    * `state` (text gate + intra-batch dedup + optional vector gate) ->
+    * publish -> fold the published docs back into `state` so the NEXT
+    * batch is gated against them. */
+  def start(incoming: DataFrame, state: GateState, output: String,
       checkpoint: String, mixRates: Seq[(String, String)] = Seq.empty,
       mixDefault: String = "ff", benchSet: Option[DataFrame] = None,
       minHits: Long = 1L, broadcastBench: Boolean = true,
-      corpusIndex: Option[DataFrame] = None): StreamingQuery =
+      decode: Option[(DataFrame, Long) => DataFrame] = None): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        publishBatch(
-          curateBatch(b, corpusSh, mixRates, mixDefault, benchSet, minHits,
-            broadcastBench, corpusIndex),
-          output, id)
+        val docs = decode.fold(b)(d => d(b, id))
+        val ids = docs.select("doc_id")
+        val curated = state.vectorGate(
+          curateBatch(docs, state.corpusSh, mixRates, mixDefault, benchSet,
+            minHits, broadcastBench, corpusIndex = Some(state.probeIdx(ids))),
+          ids)
+        publishBatch(curated, output, id)
+        // absorb from the PUBLISHED directory — the on-disk truth, which
+        // also severs lineage back to the stream source
+        state.absorb(id, b.sparkSession.read
+          .parquet(s"$output/batch=$id").select("doc_id", "text"))
       }
       .start()
+
+  /** The jsonl `decode` step for [[start]]: split one micro-batch of raw
+    * (`_line`, `_file`) rows into clean document rows and quarantine
+    * ([[Jsonl.channels]] — same parse, same rules as the batch read), and
+    * publish the batch's broken lines to their own
+    * `quarantine/batch=<id>` dir via the same crash-safe swap the corpus
+    * uses — so quarantine is exactly-once under replay just like the
+    * corpus. */
+  def jsonlDecode(output: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, Long) => DataFrame =
+    (b: DataFrame, id: Long) => {
+      val (good, bad) = Jsonl.channels(b, schema)
+      Warehouse.replaceDir(bad, s"$output/quarantine/batch=$id")
+      good
+    }
 
   /** Bookkeeping columns the BATCH pipeline appends on publish — never
     * part of a crawl delivery, so they must not leak into the ingest
@@ -114,62 +169,97 @@ object CorpusStreamMain {
   private val PublishBookkeeping = Set("n_tokens", "offset", "bin", "bucket", "split")
 
   def main(argv: Array[String]): Unit = {
+    val usage = "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
+      "--corpus <parquet> --output <dir> --checkpoint <dir> " +
+      "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
+      "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
+      "[--recursive true|false] [--format parquet|jsonl] " +
+      "[--embeddings <parquet>] [--cos-threshold D]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
-        "mix-default", "bench", "min-hits", "broadcast-bench", "recursive"),
+        "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
+        "format", "embeddings", "cos-threshold"),
       required = Set("input", "corpus", "output", "checkpoint"),
-      usage = "usage: graft.corpus.CorpusStreamMain --input <stream-dir> " +
-        "--corpus <parquet> --output <dir> --checkpoint <dir> " +
-        "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
-        "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
-        "[--recursive true|false]")
+      usage = usage)
     // same orphan-flag rule as CorpusMain: a flag without its stage
     // would be silently ignored
-    for (orphan <- Seq("min-hits", "broadcast-bench"))
-      if (args.contains(orphan) && !args.contains("bench")) {
+    for (orphan <- Seq("min-hits" -> "bench", "broadcast-bench" -> "bench",
+        "cos-threshold" -> "embeddings"))
+      if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
-          s"--$orphan was given without --bench: it would be silently ignored")
+          s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
         sys.exit(2)
       }
     val rates = args.get("mix").map(Cli.parseMix).getOrElse(Seq.empty)
+    // typed conversions before the session spins up (usage errors exit 2
+    // with the usage line, not a stack trace)
+    val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
+    val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
+    // --recursive (default true): a crawl delivery is usually a
+    // DIRECTORY (the only thing a Spark writer can produce), and
+    // without recursive lookup every directory-shaped delivery is
+    // silently invisible forever. The trade: recursive lookup disables
+    // partition-DIRECTORY inference, so a producer who encodes a column
+    // in `key=value/` directory names (write.partitionBy) must pass
+    // `--recursive false` and deliver at the top level — otherwise that
+    // column arrives null. Flat-file and plain-subdirectory deliveries
+    // (columns stored IN the files) want the default.
+    val recursive = Cli.toBoolean(args, "recursive", usage).getOrElse(true)
+    val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
+    val format = args.getOrElse("format", "parquet")
+    if (format != "parquet" && format != "jsonl") {
+      System.err.println(s"bad --format value '$format' (want parquet|jsonl)")
+      System.err.println(usage)
+      sys.exit(2)
+    }
+    val output = args("output")
     val spark = graft.Sessions.local("graft-corpus-stream")
     try {
       val corpus = spark.read.parquet(args("corpus"))
-      val corpusSh = DedupOps.shingledOf(corpus).persist()
-      // the corpus band index is the gate's probe side and the dominant
-      // per-batch cost if rebuilt: build it once, persist it, and every
-      // micro-batch joins against the cached blocks (the scaladoc's
-      // "built and persisted ONCE" promise, made real)
-      val corpusIdx = DedupOps.corpusBandIndex(corpusSh).persist()
+      // --embeddings enables the vector-space gate: the same (vec_id ->
+      // embedding) table CorpusMain's vector pass reads, prepped the same
+      // way; incoming and corpus docs are both looked up in it by id
+      val vectors = args.get("embeddings").map { p =>
+        (spark.read.parquet(p)
+          .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorSim.norm(col("e"))),
+          cosThreshold)
+      }
+      // heal interrupted swaps, then fold previously published batches
+      // into the gate state (restart rebuild — see GateState.resume)
+      val state = GateState.resume(spark, corpus, output, vectors)
       // the DISTINCT exploded shingle set is what contamination joins on:
       // persist that, so each micro-batch reuses the built set instead of
       // re-paying explode + distinct (+ the broadcast build) forever
       val benchSet = args.get("bench").map(b => DedupOps.benchShingleSet(
         DedupOps.shingledOf(spark.read.parquet(b))).persist())
-      // the file source delivers each new parquet file dropped into
-      // --input as (part of) a micro-batch; its schema is the corpus's
-      // CONTENT columns (the crawl shape), not the published bookkeeping.
-      // --recursive (default true): a crawl delivery is usually a
-      // DIRECTORY (the only thing a Spark writer can produce), and
-      // without recursive lookup every directory-shaped delivery is
-      // silently invisible forever. The trade: recursive lookup disables
-      // partition-DIRECTORY inference, so a producer who encodes a column
-      // in `key=value/` directory names (write.partitionBy) must pass
-      // `--recursive false` and deliver at the top level — otherwise that
-      // column arrives null. Flat-file and plain-subdirectory deliveries
-      // (columns stored IN the files) want the default.
-      val recursive = args.get("recursive").forall(_.toBoolean)
+      // ingest schema = the corpus's CONTENT columns (the crawl shape),
+      // never the published bookkeeping — for jsonl it is also the locked
+      // from_json schema (inference over a stream is impossible anyway)
       val ingestSchema = org.apache.spark.sql.types.StructType(
         corpus.schema.filterNot(f => PublishBookkeeping(f.name)))
-      val incoming = spark.readStream
-        .schema(ingestSchema)
-        .option("recursiveFileLookup", recursive.toString)
-        .parquet(args("input"))
-      val q = start(incoming, corpusSh, args("output"), args("checkpoint"),
-        rates, args.getOrElse("mix-default", "ff"), benchSet,
-        args.get("min-hits").map(_.toLong).getOrElse(1L),
-        args.get("broadcast-bench").forall(_.toBoolean),
-        corpusIndex = Some(corpusIdx))
+      val (incoming, decode) = format match {
+        case "jsonl" =>
+          // the dump is scanned as TEXT and split per micro-batch inside
+          // foreachBatch (jsonlDecode) — lines stream in raw, the channel
+          // split happens per batch
+          val lines = spark.readStream
+            .option("recursiveFileLookup", recursive.toString)
+            .text(args("input"))
+            .select(col("value").as("_line"))
+            .withColumn("_file", input_file_name())
+          (lines, Some(jsonlDecode(output, ingestSchema)))
+        case _ =>
+          // the file source delivers each new parquet file dropped into
+          // --input as (part of) a micro-batch
+          (spark.readStream
+            .schema(ingestSchema)
+            .option("recursiveFileLookup", recursive.toString)
+            .parquet(args("input")), None)
+      }
+      val q = start(incoming, state, output, args("checkpoint"),
+        rates, args.getOrElse("mix-default", "ff"), benchSet, minHits,
+        broadcastBench, decode)
       q.awaitTermination()
     } finally spark.stop()
   }

@@ -280,6 +280,41 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** The (b, v)-keyed hyperplane band index of a CURATED corpus's vectors
+    * — the prebuilt probe side of the vector-space ingest gate, the exact
+    * analog of [[graft.queries.DedupOps.corpusBandIndex]] on the text
+    * side: an always-on gate builds this once from the corpus (and folds
+    * each accepted batch's rows in), instead of re-hashing every corpus
+    * vector per micro-batch. Zero-norm vectors are excluded here (they
+    * have no cosine to anything; see [[lshNearDup]]'s NaN note). */
+  def vectorBandIndex(corpus: DataFrame): DataFrame =
+    lshBands(corpus.filter(col("nrm") > 0))
+      .select(col("vec_id").as("corpus_id"), col("b"), col("v"))
+
+  /** Vector near-dup GATE against a prebuilt [[vectorBandIndex]]: flag
+    * vectors of `incoming` whose hyperplane bands collide with a corpus
+    * vector and whose exact cosine clears `threshold` — the vector-space
+    * twin of the text gate's
+    * [[graft.queries.DedupOps.nearDupAgainstIndex]], for the ingest pass
+    * that drops a paraphrased (text-novel but embedding-duplicate)
+    * document on arrival. `corpus` supplies (vec_id, e, nrm) rows for the
+    * exact-cosine verification of candidates; both joins are equi-joins
+    * (band probe, then id lookup), so the plan is bucketed end-to-end —
+    * never all-pairs. */
+  def lshNearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+      corpus: DataFrame, threshold: Double): DataFrame = {
+    val inc = incoming.filter(col("nrm") > 0)
+    val cand = lshBands(inc).join(index, Seq("b", "v"))
+      .select(col("vec_id"), col("corpus_id")).distinct()
+    cand
+      .join(inc.select(col("vec_id"), col("e").as("ie"), col("nrm").as("inrm")), "vec_id")
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("e").as("ce"),
+        col("nrm").as("cnrm")), "corpus_id")
+      .select(col("vec_id"), col("corpus_id"),
+        cos(col("ie"), col("inrm"), col("ce"), col("cnrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-vector (vec_id, band index b, band value v) rows for the
     * hyperplane-LSH signature — shared by the banded equi-join
     * ([[lshNearDup]]) and the within-bucket exact kernel

@@ -32,19 +32,30 @@ object Jsonl {
     * as unusable as a malformed one, and more dangerous. */
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredNonNull: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains(Corrupt),
-      s"schema must not declare the internal '$Corrupt' column")
+    // validate the contract BEFORE touching the filesystem: a bad schema
+    // must fail as the config error it is, not as a path error
+    validate(schema, requiredNonNull)
+    channels(spark.read.textFile(path).toDF("_line")
+      .withColumn("_file", input_file_name()), schema, requiredNonNull)
+  }
+
+  /** The channel split behind [[read]], over an already-loaded frame of
+    * raw lines — (`_line`: the raw text, `_file`: its source file). The
+    * separate entry exists for STREAMING ingest: a crawl stream reads
+    * lines with `readStream.text` and splits each micro-batch into
+    * clean/quarantine inside `foreachBatch`, with the same parse, the
+    * same quarantine rules, and the same no-cache two-pass shape as the
+    * batch read — one definition, so the two paths cannot drift. */
+  def channels(lines: DataFrame, schema: StructType,
+      requiredNonNull: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
+    validate(schema, requiredNonNull)
     val required = requiredNonNull.getOrElse(schema.fieldNames.toSeq)
-    require(required.forall(schema.fieldNames.contains),
-      s"requiredNonNull names unknown columns: " +
-        required.filterNot(schema.fieldNames.contains).mkString(", "))
     // malformed lines surface through the corrupt column INSIDE the
     // parsed struct (from_json in PERMISSIVE mode), so parse state and
     // raw line coexist per row with no second read and no cache
     val parseSchema = StructType(schema.fields :+
       StructField(Corrupt, StringType, nullable = true))
-    val parsed = spark.read.textFile(path).toDF("_line")
-      .withColumn("_file", input_file_name())
+    val parsed = lines
       .withColumn("_j", from_json(col("_line"), parseSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)))
     val broken = col("_j").isNull || col(s"_j.$Corrupt").isNotNull ||
@@ -55,6 +66,16 @@ object Jsonl {
     val quarantine = parsed.filter(broken)
       .select(col("_line").as("line"), col("_file").as("file"))
     (good, quarantine)
+  }
+
+  private def validate(schema: StructType,
+      requiredNonNull: Option[Seq[String]]): Unit = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema must not declare the internal '$Corrupt' column")
+    val required = requiredNonNull.getOrElse(schema.fieldNames.toSeq)
+    require(required.forall(schema.fieldNames.contains),
+      s"requiredNonNull names unknown columns: " +
+        required.filterNot(schema.fieldNames.contains).mkString(", "))
   }
 
   /** Write a frame as JSONL (one object per line, the exchange format

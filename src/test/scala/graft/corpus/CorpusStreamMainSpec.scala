@@ -1,14 +1,17 @@
 package graft.corpus
 
 import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.ops.VectorSim
 import graft.queries.DedupOps
 
-/** The streaming corpus front door end-to-end: two micro-batches through
-  * mix -> near-dup gate -> split -> idempotent per-batch publish, equal to
-  * the batch curation of the same rows, with replay-safe output. */
+/** The streaming corpus front door end-to-end: micro-batches through
+  * mix -> near-dup gate (vs corpus AND vs everything already accepted)
+  * -> intra-batch dedup -> split -> idempotent per-batch publish, equal
+  * to the batch curation of the same rows, with replay-safe output. */
 class CorpusStreamMainSpec extends SparkSpec {
   import spark.implicits._
 
@@ -16,12 +19,13 @@ class CorpusStreamMainSpec extends SparkSpec {
     (1000L, "src0", "alpha beta gamma delta epsilon zeta eta theta"),
     (1001L, "src0", "one two three four five six seven eight"))
 
+  private def corpusDf = corpusRows.toDF("doc_id", "source", "text")
+
   test("two micro-batches: gate drops corpus dups, split stamped, output == batch curation") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("stream_gate").toString
     val ckpt = Files.createTempDirectory("stream_gate_ckpt").toString
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text")).persist()
+    val state = GateState.build(corpusDf)
     val incoming = Seq(
       // batch 1: one dup of corpus 1000, one clean doc
       (1L, "src0", "alpha beta gamma delta epsilon zeta eta theta"),
@@ -31,14 +35,13 @@ class CorpusStreamMainSpec extends SparkSpec {
       (4L, "src1", "another clean document with its own novel content"))
     val in = MemoryStream[(Long, String, String)]
     val q = CorpusStreamMain.start(
-      in.toDF().toDF("doc_id", "source", "text"), corpusSh, out, ckpt)
+      in.toDF().toDF("doc_id", "source", "text"), state, out, ckpt)
     try {
       in.addData(incoming.take(2): _*)
       q.processAllAvailable()
       in.addData(incoming.drop(2): _*)
       q.processAllAvailable()
     } finally q.stop()
-    corpusSh.unpersist()
 
     // per-batch directories exist (the idempotence unit is the batch dir)
     val batchDirs = new java.io.File(out).listFiles()
@@ -51,8 +54,7 @@ class CorpusStreamMainSpec extends SparkSpec {
       .select("doc_id", "source", "split")
       .as[(Long, String, String)].collect().toSet
     val batchOracle = CorpusStreamMain.curateBatch(
-        incoming.toDF("doc_id", "source", "text"), DedupOps.shingledOf(
-          corpusRows.toDF("doc_id", "source", "text")))
+        incoming.toDF("doc_id", "source", "text"), DedupOps.shingledOf(corpusDf))
       .select("doc_id", "source", "split")
       .as[(Long, String, String)].collect().toSet
     assert(got == batchOracle, "stream and batch curation must agree")
@@ -60,40 +62,107 @@ class CorpusStreamMainSpec extends SparkSpec {
     assert(got.forall(r => Set("train", "val", "test")(r._3)))
   }
 
-  test("file-source restart resumes from the checkpoint: old files not reprocessed") {
+  test("same-batch and cross-batch near-dups among NEW docs are caught") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream_gate_newdup").toString
+    val ckpt = Files.createTempDirectory("stream_gate_newdup_ckpt").toString
+    val state = GateState.build(corpusDf)
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStreamMain.start(
+      in.toDF().toDF("doc_id", "source", "text"), state, out, ckpt)
+    try {
+      // batch 1: docs 100 and 101 are near-dups of EACH OTHER (neither is
+      // in the corpus — the corpus index cannot catch them), 102 is clean
+      in.addData(
+        (100L, "src0", "the quick brown fox jumps over the lazy dog today"),
+        (101L, "src0", "the quick brown fox jumps over the lazy dog today"),
+        (102L, "src0", "an entirely different document about something else"))
+      q.processAllAvailable()
+      // batch 2: doc 200 near-duplicates doc 100 — accepted in an EARLIER
+      // batch, never part of the static corpus; 201 is clean
+      in.addData(
+        (200L, "src1", "the quick brown fox jumps over the lazy dog today"),
+        (201L, "src1", "yet another novel body of words unlike all others"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val b1 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b1 == Set(100L, 102L),
+      s"same-batch near-dups must admit exactly one (the min id): $b1")
+    val b2 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b2 == Set(201L),
+      s"a dup of a doc accepted in an earlier batch must drop: $b2")
+  }
+
+  test("file-source restart resumes from checkpoint AND re-arms the gate with published docs") {
     val root = Files.createTempDirectory("stream_gate_restart").toString
     val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     new java.io.File(inDir).mkdirs()
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text")).persist()
     val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
     def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
       rows.toDF("doc_id", "source", "text").coalesce(1)
         .write.mode("overwrite").parquet(s"$inDir/$name")
     def restartAndDrain(): Unit = {
+      // each restart rebuilds the state from the corpus + every batch dir
+      // published so far — exactly what the main does (GateState.resume)
+      val state = GateState.resume(spark, corpusDf, out)
       val q = CorpusStreamMain.start(
         spark.readStream.schema(schema).option("recursiveFileLookup", "true")
-          .parquet(inDir), corpusSh, out, ckpt)
+          .parquet(inDir), state, out, ckpt)
       try { q.processAllAvailable() } finally q.stop()
     }
-    try {
-      drop("crawl0", Seq((10L, "src0", "first crawl delivers this clean document")))
-      restartAndDrain()
-      drop("crawl1", Seq((11L, "src0", "second crawl delivers another clean one")))
-      restartAndDrain()
-      // the restarted query processed ONLY the new file (the checkpoint
-      // remembers crawl0), so doc 10 appears exactly once across all
-      // published batch dirs — exactly-once across restarts, end to end
-      val got = spark.read.parquet(s"$out/batch=*")
-        .select("doc_id").as[Long].collect().toSeq
-      assert(got.sorted == Seq(10L, 11L), s"expected each doc once, got $got")
-    } finally { corpusSh.unpersist(); () }
+    drop("crawl0", Seq((10L, "src0", "first crawl delivers this clean document")))
+    restartAndDrain()
+    drop("crawl1", Seq(
+      // near-dup of doc 10 — published by the PREVIOUS incarnation: the
+      // rebuilt state must know it, or restarts silently forget the gate
+      (11L, "src0", "first crawl delivers this clean document"),
+      (12L, "src0", "second crawl delivers another clean one")))
+    restartAndDrain()
+    // the restarted query processed ONLY the new file (the checkpoint
+    // remembers crawl0) and still gated 11 against the published 10
+    val got = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.sorted == Seq(10L, 12L), s"expected 10 and 12 exactly once, got $got")
+  }
+
+  test("a replayed batch curates identically and never double-folds (exactly-once)") {
+    val out = Files.createTempDirectory("stream_gate_replay").toString
+    val state = GateState.build(corpusDf)
+    val batch = Seq(
+      (50L, "src0", "a perfectly clean novel document body right here"),
+      (51L, "src0", "a perfectly clean novel document body right here"))
+      .toDF("doc_id", "source", "text")
+    val ids = batch.select("doc_id")
+    def curate() = CorpusStreamMain.curateBatch(batch, state.corpusSh,
+      corpusIndex = Some(state.probeIdx(ids)))
+    val first = curate()
+    CorpusStreamMain.publishBatch(first, out, 0L)
+    state.absorb(0L, spark.read.parquet(s"$out/batch=0").select("doc_id", "text"))
+    // crash-before-checkpoint replay: the SAME batch runs again against a
+    // state that already absorbed its survivors. The probe exclusion must
+    // keep doc 50 from flagging itself, and the batch-id guard must keep
+    // the accumulator from folding twice.
+    val replay = curate()
+    CorpusStreamMain.publishBatch(replay, out, 0L)
+    state.absorb(0L, spark.read.parquet(s"$out/batch=0").select("doc_id", "text"))
+    val got = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(50L), s"replay must republish the identical batch: $got")
+    // and the state still gates a later batch against 50
+    val later = Seq((60L, "src1", "a perfectly clean novel document body right here"))
+      .toDF("doc_id", "source", "text")
+    val laterIds = later.select("doc_id")
+    val kept = CorpusStreamMain.curateBatch(later, state.corpusSh,
+        corpusIndex = Some(state.probeIdx(laterIds)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.isEmpty, s"doc 60 dups the absorbed doc 50, must drop: $kept")
   }
 
   test("publishBatch replay replaces its own batch dir (exactly-once under retry)") {
-    val out = Files.createTempDirectory("stream_gate_replay").toString
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text"))
+    val out = Files.createTempDirectory("stream_gate_publish").toString
+    val corpusSh = DedupOps.shingledOf(corpusDf)
     val rows = Seq((7L, "src0", "a perfectly clean novel document body"))
       .toDF("doc_id", "source", "text")
     val curated = CorpusStreamMain.curateBatch(rows, corpusSh)
@@ -106,8 +175,7 @@ class CorpusStreamMainSpec extends SparkSpec {
   }
 
   test("curation is batching-transparent: any chop of the crawl yields the same union") {
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text"))
+    val corpusSh = DedupOps.shingledOf(corpusDf)
     val rows = (0L until 12L).map { i =>
       val text = if (i % 4 == 0) corpusRows(0)._3 // a corpus dup
         else s"novel content body number $i with several distinct words"
@@ -121,6 +189,9 @@ class CorpusStreamMainSpec extends SparkSpec {
     val whole = curate(rows)
     // three chops: halves, alternating rows, one row per batch — every
     // per-document stage (mix, gate, split) must ignore batch boundaries
+    // (intra-batch near-dups would NOT be chop-invariant without the
+    // cross-batch feedback the full stream adds; these rows' only
+    // near-dups are corpus dups, caught identically under any chop)
     val chops = Seq(
       Seq(rows.take(6), rows.drop(6)),
       Seq(rows.zipWithIndex.filter(_._2 % 2 == 0).map(_._1),
@@ -132,8 +203,7 @@ class CorpusStreamMainSpec extends SparkSpec {
   }
 
   test("a benchmark set decontaminates each batch before the gate") {
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text"))
+    val corpusSh = DedupOps.shingledOf(corpusDf)
     val benchText = "held out evaluation prompt nobody may train on ever"
     val benchSet = DedupOps.benchShingleSet(DedupOps.shingledOf(
       Seq((9000L, benchText)).toDF("doc_id", "text")))
@@ -163,8 +233,7 @@ class CorpusStreamMainSpec extends SparkSpec {
   }
 
   test("a prebuilt persisted corpus band index curates identically to the default") {
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text"))
+    val corpusSh = DedupOps.shingledOf(corpusDf)
     val rows = Seq(
       (40L, "src0", corpusRows(1)._3),                            // corpus dup
       (41L, "src0", "completely novel content for this document"))
@@ -182,8 +251,7 @@ class CorpusStreamMainSpec extends SparkSpec {
   }
 
   test("the per-batch plan broadcasts the bench set and plans no cartesian") {
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text"))
+    val corpusSh = DedupOps.shingledOf(corpusDf)
     val benchSet = DedupOps.benchShingleSet(DedupOps.shingledOf(
       Seq((9000L, "held out evaluation prompt text here")).toDF("doc_id", "text")))
     val rows = Seq((30L, "src0", "a document body to curate and publish"))
@@ -203,8 +271,7 @@ class CorpusStreamMainSpec extends SparkSpec {
   }
 
   test("mix rates apply per batch before the gate (unlisted sources kept)") {
-    val corpusSh = DedupOps.shingledOf(
-      corpusRows.toDF("doc_id", "source", "text"))
+    val corpusSh = DedupOps.shingledOf(corpusDf)
     val rows = (0L until 64L)
       .map(i => (i, if (i % 2 == 0) "srcA" else "srcB", s"unique row body number $i with more words"))
       .toDF("doc_id", "source", "text")
@@ -214,5 +281,103 @@ class CorpusStreamMainSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(bySrc.getOrElse("srcB", 0L) == 32L, "unlisted source sampled")
     assert(bySrc.getOrElse("srcA", 0L) < 32L, "listed source not sampled")
+  }
+
+  // ---- vector-space gate (--embeddings) --------------------------------
+
+  /** (vec_id, e, nrm) rows — same prep the main applies to the table. */
+  private def vecsOf(rows: Seq[(Long, Seq[Double])]): DataFrame =
+    rows.toDF("vec_id", "e")
+      .select(col("vec_id"), col("e"), VectorSim.norm(col("e")).as("nrm"))
+
+  test("vector gate: a text-novel but embedding-duplicate doc is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream_gate_vec").toString
+    val ckpt = Files.createTempDirectory("stream_gate_vec_ckpt").toString
+    // corpus doc 1000's vector; incoming 70 is colinear with it (cos = 1,
+    // identical hyperplane signature — LSH recall is certain), 71 is
+    // orthogonal, 72/73 are colinear with EACH OTHER only (intra-batch
+    // vector dups), and 74 (batch 2) is colinear with the ACCEPTED 71
+    val vecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0),
+      70L -> Seq(2.0, 0.0, 0.0, 0.0),
+      71L -> Seq(0.0, 1.0, 0.0, 0.0),
+      72L -> Seq(0.0, 0.0, 3.0, 0.0),
+      73L -> Seq(0.0, 0.0, 5.0, 0.0),
+      74L -> Seq(0.0, 4.0, 0.0, 0.0)))
+    val state = GateState.build(corpusDf, vectors = Some((vecs, 0.9)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStreamMain.start(
+      in.toDF().toDF("doc_id", "source", "text"), state, out, ckpt)
+    try {
+      in.addData(
+        (70L, "src0", "totally novel words that shingle-match nothing at all"),
+        (71L, "src0", "some other completely unrelated document body here"),
+        (72L, "src0", "a third document body with its own unique wording"),
+        (73L, "src0", "a fourth document body phrased entirely differently"))
+      q.processAllAvailable()
+      in.addData(
+        (74L, "src1", "a fifth document body sharing no phrasing with any"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val b1 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b1 == Set(71L, 72L),
+      s"70 dups corpus 1000 in vector space; 73 dups 72 intra-batch: $b1")
+    val b2 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b2 == Set.empty[Long],
+      s"74 dups the vector of 71, accepted in an earlier batch: $b2")
+  }
+
+  test("vector gate: docs without a vector pass; plan stays equi-join only") {
+    val vecs = vecsOf(Seq(1000L -> Seq(1.0, 0.0, 0.0, 0.0)))
+    val state = GateState.build(corpusDf, vectors = Some((vecs, 0.9)))
+    val rows = Seq((80L, "src0", "a clean novel doc with no embedding row"))
+      .toDF("doc_id", "source", "text")
+    val ids = rows.select("doc_id")
+    val (kept, plan) = noAutoBroadcast {
+      val gated = state.vectorGate(
+        CorpusStreamMain.curateBatch(rows, state.corpusSh,
+          corpusIndex = Some(state.probeIdx(ids))), ids)
+      (gated.select("doc_id").as[Long].collect().toSet,
+        gated.queryExecution.executedPlan.toString)
+    }
+    assert(kept == Set(80L), "an embedding-less doc has nothing to compare")
+    assert(!plan.contains("CartesianProduct"), "cartesian in the vector gate")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "degenerate join in the vector gate")
+  }
+
+  // ---- jsonl streaming ingest (--format jsonl) -------------------------
+
+  test("jsonl stream: malformed lines quarantine per batch, clean docs curate") {
+    val root = Files.createTempDirectory("stream_gate_jsonl").toString
+    val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/crawl0.jsonl"),
+      java.util.List.of(
+        """{"doc_id": 90, "source": "src0", "text": "a clean crawl delivered document body"}""",
+        """{"doc_id": 91, "source": "src0", "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
+        """this is not json at all""",
+        """{"doc_id": 92, "source": "src0"}"""))
+    val state = GateState.build(corpusDf)
+    val lines = spark.readStream
+      .option("recursiveFileLookup", "true").text(inDir)
+      .select(col("value").as("_line"))
+      .withColumn("_file", input_file_name())
+    val q = CorpusStreamMain.start(lines, state, out, ckpt,
+      decode = Some(CorpusStreamMain.jsonlDecode(out, schema)))
+    try q.processAllAvailable() finally q.stop()
+    // 90 curated; 91 is a corpus dup (gated); the not-json line AND the
+    // null-text line land in the batch's quarantine, never the corpus
+    val got = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(90L), s"expected only the clean novel doc: $got")
+    val quarantined = spark.read.parquet(s"$out/quarantine/batch=0")
+      .select("line").as[String].collect().toSet
+    assert(quarantined == Set("""this is not json at all""",
+      """{"doc_id": 92, "source": "src0"}"""), quarantined.toString)
   }
 }
