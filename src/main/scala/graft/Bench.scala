@@ -10,6 +10,11 @@ object Bench {
   // suite total counts the ~same staging stage several times; cross-round
   // trends on those queries move together when staging cost moves. The
   // machine-readable "staged" list in the output JSON marks them.
+  // Known jitter: q07 carries THREE broadcast builds in its timed window
+  // (driver-side hash-relation construction is scheduler-sensitive);
+  // adjudicated across rounds at 0.95-1.26s on unchanged code with
+  // back-to-back runs 0.2s apart — treat <= ~1.3s as harness noise, not
+  // a plan regression (the plan itself is PlanSpec-pinned).
   private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
     "q48_neardup_gate", "q51_decontaminate")

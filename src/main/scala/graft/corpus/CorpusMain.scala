@@ -45,11 +45,11 @@ object CorpusMain {
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--embeddings <parquet>] [--cos-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
-      "[--export-jsonl true|false]"
+      "[--export-jsonl true|false] [--publish-index <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
-        "format", "export-jsonl"),
+        "format", "export-jsonl", "publish-index"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -78,7 +78,8 @@ object CorpusMain {
       cosThreshold,
       broadcastBench,
       args.getOrElse("format", "parquet"),
-      exportJsonl)
+      exportJsonl,
+      args.get("publish-index"))
     finally spark.stop()
   }
 
@@ -108,7 +109,8 @@ object CorpusMain {
       cosThreshold: Double = 0.4,
       broadcastBench: Boolean = true,
       format: String = "parquet",
-      exportJsonl: Boolean = false): Unit = {
+      exportJsonl: Boolean = false,
+      publishIndex: Option[String] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
@@ -135,7 +137,7 @@ object CorpusMain {
     }
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
-      quarantineStaged = format == "jsonl")
+      quarantineStaged = format == "jsonl", publishIndex)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -143,7 +145,8 @@ object CorpusMain {
       mixRates: Option[Seq[(String, String)]], mixDefault: Option[String],
       minHits: Long, embeddings: Option[String], cosThreshold: Double,
       broadcastBench: Boolean, exportJsonl: Boolean,
-      quarantineStaged: Boolean): Unit = {
+      quarantineStaged: Boolean,
+      publishIndex: Option[String] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -260,6 +263,17 @@ object CorpusMain {
           Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
             spark.read.parquet(s"$output/corpus")
               .write.partitionBy("split").json(staging))
+        // optional at-rest gate index: the (b, v)-bucketed band-index
+        // table the STREAMING twin loads via --index-table — derived from
+        // the PUBLISHED parquet (so it can never diverge from the corpus
+        // it describes, same rule as the jsonl mirror). saveAsTable
+        // overwrite is drop-and-recreate, not a swap: the only reader is
+        // a gate at STARTUP, and a failed write is healed by rerunning —
+        // never by serving a half-written index mid-stream.
+        publishIndex.foreach { table =>
+          DedupOps.writeCorpusBandIndex(
+            DedupOps.shingledOf(spark.read.parquet(s"$output/corpus")), table)
+        }
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }
   }

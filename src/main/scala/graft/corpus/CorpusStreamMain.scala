@@ -174,11 +174,11 @@ object CorpusStreamMain {
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
       "[--recursive true|false] [--format parquet|jsonl] " +
-      "[--embeddings <parquet>] [--cos-threshold D]"
+      "[--embeddings <parquet>] [--cos-threshold D] [--index-table <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
-        "format", "embeddings", "cos-threshold"),
+        "format", "embeddings", "cos-threshold", "index-table"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = usage)
     // same orphan-flag rule as CorpusMain: a flag without its stage
@@ -225,9 +225,14 @@ object CorpusStreamMain {
           .withColumn("nrm", VectorSim.norm(col("e"))),
           cosThreshold)
       }
+      // --index-table: the corpus band index AT REST (the (b, v)-bucketed
+      // catalog table DedupOps.writeCorpusBandIndex wrote) — skips the
+      // startup fold over the corpus and keeps the per-batch probe join
+      // exchange-free on the index side
+      val baseIndex = args.get("index-table").map(spark.table)
       // heal interrupted swaps, then fold previously published batches
       // into the gate state (restart rebuild — see GateState.resume)
-      val state = GateState.resume(spark, corpus, output, vectors)
+      val state = GateState.resume(spark, corpus, output, vectors, baseIndex)
       // the DISTINCT exploded shingle set is what contamination joins on:
       // persist that, so each micro-batch reuses the built set instead of
       // re-paying explode + distinct (+ the broadcast build) forever

@@ -152,9 +152,18 @@ object GateState {
   def build(corpus: DataFrame,
       published: Option[DataFrame] = None,
       absorbedBatchIds: Set[Long] = Set.empty,
-      vectors: Option[(DataFrame, Double)] = None): GateState = {
+      vectors: Option[(DataFrame, Double)] = None,
+      baseIndex: Option[DataFrame] = None): GateState = {
     val baseSh = DedupOps.shingledOf(corpus).localCheckpoint(true)
-    val baseIdx = DedupOps.corpusBandIndex(baseSh).localCheckpoint(true)
+    // `baseIndex`: the corpus band index AT REST — the (b, v)-bucketed
+    // table [[DedupOps.writeCorpusBandIndex]] wrote. Passing it skips the
+    // startup 8-hash fold over the corpus AND keeps the probe join
+    // exchange-free on the index side (checkpointing would destroy the
+    // bucketed layout, so the at-rest frame is used as-is). The absorbed
+    // accumulator still unions in per batch; at rest, absorbed deltas are
+    // compacted back into the table whenever the corpus republishes.
+    val baseIdx = baseIndex.getOrElse(
+      DedupOps.corpusBandIndex(baseSh).localCheckpoint(true))
     val seed = published.getOrElse(corpus.limit(0))
     val absSh = DedupOps.shingledOf(seed).localCheckpoint(true)
     val absIdx = DedupOps.corpusBandIndex(absSh).localCheckpoint(true)
@@ -184,7 +193,8 @@ object GateState {
     * semantics cannot drift between them. */
   def resume(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       output: String,
-      vectors: Option[(DataFrame, Double)] = None): GateState = {
+      vectors: Option[(DataFrame, Double)] = None,
+      baseIndex: Option[DataFrame] = None): GateState = {
     graft.sources.Warehouse.recover(spark, output)
     val batchDirs = Option(new java.io.File(output).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
@@ -193,6 +203,7 @@ object GateState {
       else Some(spark.read.parquet(batchDirs.map(_.getPath): _*)
         .select("doc_id", "text"))
     build(corpus, published,
-      batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet, vectors)
+      batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet, vectors,
+      baseIndex)
   }
 }

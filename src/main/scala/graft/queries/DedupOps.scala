@@ -236,6 +236,19 @@ object DedupOps {
       .select(col("corpus_id"), col("cvarr"), col("b"),
         element_at(col("cvarr"), col("b") + 1).as("v"))
 
+  /** [[corpusBandIndex]] AT REST: the (b, v)-bucketed catalog table the
+    * index's scaladoc prescribes. Bucketed and sorted on the probe key,
+    * so the gate's band join plans with NO exchange on the index side —
+    * the index never reshuffles per batch, only the (tiny) incoming
+    * side does — and a restarting gate loads the table instead of
+    * re-running the 8-hash fold over the whole corpus. Rebuild (or
+    * compact absorbed deltas back in) whenever the curated corpus
+    * itself is republished. */
+  def writeCorpusBandIndex(corpusShingles: DataFrame, table: String,
+      numBuckets: Int = 32): Unit =
+    graft.sources.Warehouse.writeBucketedBy(
+      corpusBandIndex(corpusShingles), table, Seq("b", "v"), numBuckets)
+
   /** [[nearDupAgainstShingled]] against a prebuilt [[corpusBandIndex]];
     * `corpus` is still needed for the exact-Jaccard verification join. */
   def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,

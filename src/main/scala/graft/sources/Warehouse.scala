@@ -448,9 +448,21 @@ object Warehouse {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int = 32): Unit =
+    writeBucketedBy(df, table, Seq(bucketCol), numBuckets)
+
+  /** [[writeBucketed]] on a COMPOSITE key — the layout for an index whose
+    * probe joins on several columns at once (the ingest gate's band
+    * index, keyed (b, v)): bucketed and sorted on the full key, a probe
+    * join against it plans with no exchange on the index side, which is
+    * what makes an always-on gate's per-batch cost independent of index
+    * size. */
+  def writeBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int = 32): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

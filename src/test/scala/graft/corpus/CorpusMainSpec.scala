@@ -261,6 +261,29 @@ class CorpusMainSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("--publish-index writes the at-rest gate index the streaming twin loads") {
+    val out = Files.createTempDirectory("corpus_main_index").toString
+    CorpusMain.runWith(spark, input, out, publishIndex = Some("corpus_gate_idx"))
+    try {
+      val corpus = spark.read.parquet(s"$out/corpus")
+      val idx = spark.table("corpus_gate_idx")
+      // 4 band rows per indexed doc, ids exactly the published corpus's
+      // (docs under 3 tokens shingle to nothing and are unindexable)
+      val indexable = DedupOps.shingledOf(corpus).count()
+      assert(idx.count() == 4 * indexable, s"${idx.count()} vs 4*$indexable")
+      // and the table actually gates: a verbatim copy of a published doc
+      // is flagged when probed through the at-rest index
+      val text = corpus.filter(size(split(col("text"), " ")) >= 3)
+        .select("text").first().getString(0)
+      import spark.implicits._
+      val incoming = Seq((999999L, text)).toDF("doc_id", "text")
+      val flagged = DedupOps.nearDupAgainstIndex(
+          DedupOps.shingledOf(incoming), idx, DedupOps.shingledOf(corpus))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(999999L), s"the at-rest index must catch the copy: $flagged")
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_gate_idx")
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated

@@ -283,6 +283,41 @@ class CorpusStreamMainSpec extends SparkSpec {
     assert(bySrc.getOrElse("srcA", 0L) < 32L, "listed source not sampled")
   }
 
+  test("the at-rest bucketed band index probes with NO index-side exchange and curates identically") {
+    val corpusSh = DedupOps.shingledOf(corpusDf)
+    DedupOps.writeCorpusBandIndex(corpusSh, "gate_band_idx", numBuckets = 8)
+    try {
+      val atRest = spark.table("gate_band_idx")
+      val rows = Seq(
+        (45L, "src0", corpusRows(0)._3),                          // corpus dup
+        (46L, "src0", "entirely novel content in this document body"))
+        .toDF("doc_id", "source", "text")
+      // under the default config a tiny batch simply BROADCASTS against
+      // the index (zero exchanges — also correct); the bucketed layout is
+      // for the batch too large to broadcast, so pin THAT plan: with
+      // auto-broadcast off, the probe sort-merge-joins and only the
+      // incoming side may shuffle on (b, v) — a second (b, v) exchange
+      // would mean the index reshuffles per batch, defeating the layout.
+      // Other exchanges (verification join on corpus_id) are fine.
+      val plan = noAutoBroadcast {
+        DedupOps.nearDupAgainstIndex(DedupOps.shingledOf(rows), atRest, corpusSh)
+          .queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("gate_band_idx"), "the at-rest index must be scanned")
+      val bandExchanges = "Exchange hashpartitioning\\(b#\\d+L?, v#\\d+".r
+        .findAllIn(plan).length
+      assert(bandExchanges == 1,
+        s"exactly the incoming side shuffles on (b, v), got $bandExchanges:\n$plan")
+      // and the gate behaves identically to the in-memory index
+      val viaTable = CorpusStreamMain.curateBatch(rows, corpusSh,
+          corpusIndex = Some(atRest))
+        .select("doc_id").as[Long].collect().toSet
+      val viaDefault = CorpusStreamMain.curateBatch(rows, corpusSh)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaTable == viaDefault && viaTable == Set(46L), viaTable.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS gate_band_idx")
+  }
+
   // ---- vector-space gate (--embeddings) --------------------------------
 
   /** (vec_id, e, nrm) rows — same prep the main applies to the table. */
