@@ -170,6 +170,21 @@ object VectorOps {
       kmeansCells(vecs(s, dir), KmeansK, KmeansIters)
     },
 
+    // The vector-space ingest gate run in batch (the embedding twin of
+    // q48's text gate): odd vec_ids play the incoming crawl batch, even
+    // vec_ids the curated corpus; incoming vectors probe the corpus's
+    // prebuilt hyperplane band index and every candidate is verified by
+    // exact cosine — the stream-static pass CorpusStreamMain runs per
+    // micro-batch under --embeddings. Candidates (and therefore output)
+    // match the oracle's banding by construction, like q37.
+    "q54_vector_gate" -> { (s, dir) =>
+      val n = vecs(s, dir)
+      val incoming = n.filter(col("vec_id") % 2 === 1)
+      val corpus = n.filter(col("vec_id") % 2 === 0)
+      lshNearDupAgainstIndex(incoming, vectorBandIndex(corpus), corpus,
+        NearDupThreshold)
+    },
+
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
     // `exists` prunes rows and `filter`+`size` counts hits over the
     // array<float> column in place — no explode, so the row count never
@@ -596,7 +611,8 @@ object VectorOps {
     // same oracle by design: the bucketed exact kernel has the same
     // candidate universe (pairs sharing >= 1 band) and bit-identical
     // cosines (same fold order) as the banded equi-join form
-    "q28_lsh_bucketed_exact" -> hyperplaneOracle)
+    "q28_lsh_bucketed_exact" -> hyperplaneOracle,
+    "q54_vector_gate" -> vectorGateOracle)
 
   /** One fixed-point cell-update CTE (the SQL mirror of a [[kmeansCells]]
     * round's aggregation). */
@@ -664,28 +680,55 @@ object VectorOps {
     s"""$kmeansChain
        SELECT cluster, dim, value, n_members FROM m$KmeansIters"""
 
-  private lazy val hyperplaneOracle: String = {
-      val sigSql = (0 until HyperplaneBits).map { j =>
-        val signs = "LIST_VALUE(" +
-          hyperplaneSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString(",") + ")"
-        s"""(CASE WHEN list_reduce(list_transform(list_zip(e, $signs),
-              p -> p[1] * p[2]), (a, b) -> a + b) > 0 THEN ${1 << j} ELSE 0 END)"""
-      }.mkString(" + ")
-      val bandsSql = (0 until HyperplaneBits / HyperplaneBandBits).map { b =>
-        s"SELECT vec_id, $b AS b, (sig // ${1 << (HyperplaneBandBits * b)}) % ${1 << HyperplaneBandBits} AS bv FROM sg"
-      }.mkString(" UNION ALL ")
-      s"""$vecCte,
-         sg AS (SELECT vec_id, e, nrm, $sigSql AS sig FROM n WHERE nrm > 0),
-         bands AS ($bandsSql),
-         cand AS (
-           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-           FROM bands x JOIN bands y
-             ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id)
-         SELECT c.vec_a, c.vec_b,
-           ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
-         FROM cand c
-         JOIN n a ON a.vec_id = c.vec_a
-         JOIN n b ON b.vec_id = c.vec_b
-         WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold"""
-  }
+  /** SQL mirror of the 16-bit hyperplane signature ([[lshBands]]'s sig
+    * column) over a vector column `e` — same md5-derived signs, so the
+    * two engines band identically. */
+  private lazy val hyperplaneSigSql: String =
+    (0 until HyperplaneBits).map { j =>
+      val signs = "LIST_VALUE(" +
+        hyperplaneSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString(",") + ")"
+      s"""(CASE WHEN list_reduce(list_transform(list_zip(e, $signs),
+            p -> p[1] * p[2]), (a, b) -> a + b) > 0 THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  /** The 4-band explode of `sg`'s signature (SQL mirror of [[lshBands]]). */
+  private lazy val hyperplaneBandsSql: String =
+    (0 until HyperplaneBits / HyperplaneBandBits).map { b =>
+      s"SELECT vec_id, $b AS b, (sig // ${1 << (HyperplaneBandBits * b)}) % ${1 << HyperplaneBandBits} AS bv FROM sg"
+    }.mkString(" UNION ALL ")
+
+  private lazy val hyperplaneOracle: String =
+    s"""$vecCte,
+       sg AS (SELECT vec_id, e, nrm, $hyperplaneSigSql AS sig FROM n WHERE nrm > 0),
+       bands AS ($hyperplaneBandsSql),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id)
+       SELECT c.vec_a, c.vec_b,
+         ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
+       FROM cand c
+       JOIN n a ON a.vec_id = c.vec_a
+       JOIN n b ON b.vec_id = c.vec_b
+       WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold"""
+
+  /** The q54 oracle: the same signature/banding as q37's, split odd
+    * (incoming) vs even (corpus) — candidates are cross-side band
+    * collisions, verified by exact cosine, exactly
+    * [[lshNearDupAgainstIndex]] over [[vectorBandIndex]]. */
+  private lazy val vectorGateOracle: String =
+    s"""$vecCte,
+       sg AS (SELECT vec_id, e, nrm, $hyperplaneSigSql AS sig FROM n WHERE nrm > 0),
+       bands AS ($hyperplaneBandsSql),
+       cand AS (
+         SELECT DISTINCT x.vec_id, y.vec_id AS corpus_id
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bv = y.bv
+         WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0)
+       SELECT c.vec_id, c.corpus_id,
+         ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
+       FROM cand c
+       JOIN n a ON a.vec_id = c.vec_id
+       JOIN n b ON b.vec_id = c.corpus_id
+       WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold"""
 }
