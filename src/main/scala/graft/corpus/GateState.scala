@@ -168,6 +168,11 @@ object GateState {
     val absSh = DedupOps.shingledOf(seed).localCheckpoint(true)
     val absIdx = DedupOps.corpusBandIndex(absSh).localCheckpoint(true)
     val vecSide = vectors.map { case (vecsRaw, threshold) =>
+      // persisted because every batch scans it twice (incoming lookup +
+      // candidate verification). At corpus scale persisting the WHOLE
+      // vectors table is the wrong trade — store it bucketed by vec_id
+      // instead (Warehouse.writeBucketedBy) so both per-batch joins probe
+      // the at-rest layout, the same move corpusBandIndex makes at rest.
       val vecs = vecsRaw.persist()
       val baseVecIdx = VectorOps.vectorBandIndex(vecs.join(
           corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
