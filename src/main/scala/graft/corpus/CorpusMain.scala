@@ -45,16 +45,18 @@ object CorpusMain {
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--embeddings <parquet>] [--cos-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
-      "[--export-jsonl true|false] [--publish-index <table>]"
+      "[--export-jsonl true|false] [--publish-index <table>] " +
+      "[--publish-vector-index <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
-        "format", "export-jsonl", "publish-index"),
+        "format", "export-jsonl", "publish-index", "publish-vector-index"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
-    for (orphan <- Seq("cos-threshold" -> "embeddings", "broadcast-bench" -> "bench"))
+    for (orphan <- Seq("cos-threshold" -> "embeddings",
+        "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -79,7 +81,8 @@ object CorpusMain {
       broadcastBench,
       args.getOrElse("format", "parquet"),
       exportJsonl,
-      args.get("publish-index"))
+      args.get("publish-index"),
+      args.get("publish-vector-index"))
     finally spark.stop()
   }
 
@@ -110,7 +113,8 @@ object CorpusMain {
       broadcastBench: Boolean = true,
       format: String = "parquet",
       exportJsonl: Boolean = false,
-      publishIndex: Option[String] = None): Unit = {
+      publishIndex: Option[String] = None,
+      publishVectorIndex: Option[String] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
@@ -118,6 +122,10 @@ object CorpusMain {
       s"min-hits=$minHits was given without a benchmark (--bench) to threshold")
     require(format == "parquet" || format == "jsonl",
       s"format must be parquet or jsonl, got '$format'")
+    // a vector index needs the vectors: same silently-ignored-flag bug
+    // class as min-hits-without-bench
+    require(publishVectorIndex.isEmpty || embeddings.nonEmpty,
+      "publish-vector-index was given without embeddings to index")
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
@@ -137,7 +145,7 @@ object CorpusMain {
     }
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
-      quarantineStaged = format == "jsonl", publishIndex)
+      quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -146,7 +154,8 @@ object CorpusMain {
       minHits: Long, embeddings: Option[String], cosThreshold: Double,
       broadcastBench: Boolean, exportJsonl: Boolean,
       quarantineStaged: Boolean,
-      publishIndex: Option[String] = None): Unit = {
+      publishIndex: Option[String] = None,
+      publishVectorIndex: Option[String] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -273,6 +282,18 @@ object CorpusMain {
         publishIndex.foreach { table =>
           DedupOps.writeCorpusBandIndex(
             DedupOps.shingledOf(spark.read.parquet(s"$output/corpus")), table)
+        }
+        // the vector-space twin: hyperplane band index over the PUBLISHED
+        // survivors' embeddings — what the streaming twin loads via
+        // --vector-index-table, same derive-from-published rule as above
+        publishVectorIndex.foreach { table =>
+          val survivors = spark.read.parquet(s"$output/corpus")
+            .select(col("doc_id").as("vec_id"))
+          VectorOps.writeVectorBandIndex(
+            spark.read.parquet(embeddings.get)
+              .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+              .withColumn("nrm", VectorSim.norm(col("e")))
+              .join(survivors, Seq("vec_id"), "left_semi"), table)
         }
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }

@@ -174,17 +174,19 @@ object CorpusStreamMain {
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
       "[--recursive true|false] [--format parquet|jsonl] " +
-      "[--embeddings <parquet>] [--cos-threshold D] [--index-table <table>]"
+      "[--embeddings <parquet>] [--cos-threshold D] [--index-table <table>] " +
+      "[--vector-index-table <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
-        "format", "embeddings", "cos-threshold", "index-table"),
+        "format", "embeddings", "cos-threshold", "index-table",
+        "vector-index-table"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = usage)
     // same orphan-flag rule as CorpusMain: a flag without its stage
     // would be silently ignored
     for (orphan <- Seq("min-hits" -> "bench", "broadcast-bench" -> "bench",
-        "cos-threshold" -> "embeddings"))
+        "cos-threshold" -> "embeddings", "vector-index-table" -> "embeddings"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -230,9 +232,15 @@ object CorpusStreamMain {
       // startup fold over the corpus and keeps the per-batch probe join
       // exchange-free on the index side
       val baseIndex = args.get("index-table").map(spark.table)
+      // --vector-index-table: the same move on the vector side — the
+      // (b, v)-bucketed table VectorOps.writeVectorBandIndex wrote
+      // (CorpusMain --publish-vector-index), skipping the startup
+      // hyperplane fold over the corpus's vectors
+      val baseVecIndex = args.get("vector-index-table").map(spark.table)
       // heal interrupted swaps, then fold previously published batches
       // into the gate state (restart rebuild — see GateState.resume)
-      val state = GateState.resume(spark, corpus, output, vectors, baseIndex)
+      val state = GateState.resume(spark, corpus, output, vectors, baseIndex,
+        baseVecIndex)
       // the DISTINCT exploded shingle set is what contamination joins on:
       // persist that, so each micro-batch reuses the built set instead of
       // re-paying explode + distinct (+ the broadcast build) forever

@@ -153,7 +153,12 @@ object GateState {
       published: Option[DataFrame] = None,
       absorbedBatchIds: Set[Long] = Set.empty,
       vectors: Option[(DataFrame, Double)] = None,
-      baseIndex: Option[DataFrame] = None): GateState = {
+      baseIndex: Option[DataFrame] = None,
+      baseVecIndex: Option[DataFrame] = None): GateState = {
+    // a prebuilt vector index with no vector side would be silently
+    // ignored — the same config bug the mains' orphan-flag rule catches
+    require(baseVecIndex.isEmpty || vectors.nonEmpty,
+      "baseVecIndex was given without vectors: it would be silently ignored")
     val baseSh = DedupOps.shingledOf(corpus).localCheckpoint(true)
     // `baseIndex`: the corpus band index AT REST — the (b, v)-bucketed
     // table [[DedupOps.writeCorpusBandIndex]] wrote. Passing it skips the
@@ -174,9 +179,16 @@ object GateState {
       // instead (Warehouse.writeBucketedBy) so both per-batch joins probe
       // the at-rest layout, the same move corpusBandIndex makes at rest.
       val vecs = vecsRaw.persist()
-      val baseVecIdx = VectorOps.vectorBandIndex(vecs.join(
-          corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
-        .localCheckpoint(true)
+      // `baseVecIndex`: the vector band index AT REST — the (b, v)-bucketed
+      // table [[VectorOps.writeVectorBandIndex]] wrote. Same contract as
+      // `baseIndex` on the text side: skips the startup hyperplane fold
+      // over the corpus's vectors AND keeps the per-batch band probe
+      // exchange-free on the index side (used as-is — checkpointing would
+      // destroy the bucketed layout).
+      val baseVecIdx = baseVecIndex.getOrElse(
+        VectorOps.vectorBandIndex(vecs.join(
+            corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
+          .localCheckpoint(true))
       (vecs, threshold, baseVecIdx)
     }
     val absVecIdx = vecSide.map { case (vecs, _, _) =>
@@ -199,7 +211,8 @@ object GateState {
   def resume(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       output: String,
       vectors: Option[(DataFrame, Double)] = None,
-      baseIndex: Option[DataFrame] = None): GateState = {
+      baseIndex: Option[DataFrame] = None,
+      baseVecIndex: Option[DataFrame] = None): GateState = {
     graft.sources.Warehouse.recover(spark, output)
     val batchDirs = Option(new java.io.File(output).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
@@ -209,6 +222,6 @@ object GateState {
         .select("doc_id", "text"))
     build(corpus, published,
       batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet, vectors,
-      baseIndex)
+      baseIndex, baseVecIndex)
   }
 }

@@ -306,6 +306,19 @@ object VectorOps {
     lshBands(corpus.filter(col("nrm") > 0))
       .select(col("vec_id").as("corpus_id"), col("b"), col("v"))
 
+  /** [[vectorBandIndex]] AT REST: the (b, v)-bucketed catalog table — the
+    * vector-space twin of [[graft.queries.DedupOps.writeCorpusBandIndex]].
+    * Bucketed and sorted on the probe key, so the gate's band join plans
+    * with NO exchange on the index side — the index never reshuffles per
+    * batch, only the (tiny) incoming side does — and a restarting gate
+    * loads the table instead of re-hashing every curated vector at
+    * startup. `vectors` is the CURATED corpus's (vec_id, e, nrm) rows;
+    * rebuild whenever the corpus itself republishes. */
+  def writeVectorBandIndex(vectors: DataFrame, table: String,
+      numBuckets: Int = 32): Unit =
+    graft.sources.Warehouse.writeBucketedBy(
+      vectorBandIndex(vectors), table, Seq("b", "v"), numBuckets)
+
   /** Vector near-dup GATE against a prebuilt [[vectorBandIndex]]: flag
     * vectors of `incoming` whose hyperplane bands collide with a corpus
     * vector and whose exact cosine clears `threshold` — the vector-space

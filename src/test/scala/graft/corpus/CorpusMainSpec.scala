@@ -284,6 +284,55 @@ class CorpusMainSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_gate_idx")
   }
 
+  test("--publish-vector-index writes the at-rest vector index the streaming twin loads") {
+    import spark.implicits._
+    import graft.ops.VectorSim
+    import graft.queries.VectorOps
+    val out = Files.createTempDirectory("corpus_main_vec_index").toString
+    // text-only run first: learn the survivor set, then give the first
+    // eight survivors distinct one-hot vectors (no vector dups — this
+    // test is about the published index, not the drop)
+    CorpusMain.runWith(spark, input, out)
+    val survivors = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val withVecs = survivors.take(8).toSet
+    survivors.take(8).zipWithIndex.map { case (id, i) =>
+      (id, Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f))
+    }.toSeq.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$out/emb")
+    CorpusMain.runWith(spark, input, out, embeddings = Some(s"$out/emb"),
+      publishVectorIndex = Some("corpus_vec_gate_idx"))
+    try {
+      val idx = spark.table("corpus_vec_gate_idx")
+      // the table IS vectorBandIndex over (published ∩ vectors), materialized
+      val prepped = spark.read.parquet(s"$out/emb")
+        .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", VectorSim.norm(col("e")))
+        .join(spark.read.parquet(s"$out/corpus")
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val expected = VectorOps.vectorBandIndex(prepped)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val got = idx.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == expected && got.map(_._1) == withVecs,
+        s"index ids ${got.map(_._1)} vs published-with-vectors $withVecs")
+      // and the table actually gates: a vector colinear with an indexed
+      // one is flagged when probed through the at-rest index
+      val incoming = Seq(
+        (999999L, Array.tabulate(64)(d => if (d == 0) 2.0f else 0.0f)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", VectorSim.norm(col("e")))
+      val flagged = VectorOps.lshNearDupAgainstIndex(incoming, idx, prepped, 0.9)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(999999L), s"the at-rest index must catch the copy: $flagged")
+      // API twin of the CLI orphan rule: an index without vectors is loud
+      intercept[IllegalArgumentException] {
+        CorpusMain.runWith(spark, input, out,
+          publishVectorIndex = Some("corpus_vec_gate_idx"))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_vec_gate_idx")
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated

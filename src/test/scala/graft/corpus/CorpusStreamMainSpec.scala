@@ -384,6 +384,61 @@ class CorpusStreamMainSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "degenerate join in the vector gate")
   }
 
+  test("the at-rest bucketed vector band index gates identically with NO index-side exchange") {
+    import graft.queries.VectorOps
+    // the curated corpus's vectors, written as the (b, v)-bucketed table
+    // CorpusMain --publish-vector-index produces
+    val corpusVecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0)))
+    VectorOps.writeVectorBandIndex(corpusVecs, "gate_vec_band_idx", numBuckets = 8)
+    try {
+      val atRest = spark.table("gate_vec_band_idx")
+      // 75 is colinear with corpus 1000 (vector dup, certain LSH recall);
+      // 76 is orthogonal to everything
+      val vecs = vecsOf(Seq(
+        1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+        1001L -> Seq(0.0, 0.0, 0.0, 1.0),
+        75L -> Seq(3.0, 0.0, 0.0, 0.0),
+        76L -> Seq(0.0, 0.0, 7.0, 0.0)))
+      val rows = Seq(
+        (75L, "src0", "totally novel words that shingle-match nothing at all"),
+        (76L, "src0", "some other completely unrelated document body here"))
+        .toDF("doc_id", "source", "text")
+      val ids = rows.select("doc_id")
+      def keptWith(state: GateState) = state.vectorGate(
+          CorpusStreamMain.curateBatch(rows, state.corpusSh,
+            corpusIndex = Some(state.probeIdx(ids))), ids)
+        .select("doc_id").as[Long].collect().toSet
+      val viaTable = GateState.build(corpusDf, vectors = Some((vecs, 0.9)),
+        baseVecIndex = Some(atRest))
+      val viaDefault = GateState.build(corpusDf, vectors = Some((vecs, 0.9)))
+      assert(keptWith(viaTable) == Set(76L),
+        "75 dups corpus 1000 in vector space through the at-rest index")
+      assert(keptWith(viaDefault) == Set(76L),
+        "at-rest and in-memory index must gate identically")
+      // same plan discipline as the text index: with auto-broadcast off
+      // the band probe sort-merge-joins and only the incoming side may
+      // shuffle on (b, v) — a second (b, v) exchange would mean the index
+      // reshuffles per batch, defeating the bucketed layout
+      val plan = noAutoBroadcast {
+        VectorOps.lshNearDupAgainstIndex(
+            vecs.filter(col("vec_id") >= 75L), atRest, vecs, 0.9)
+          .queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("gate_vec_band_idx"), "the at-rest index must be scanned")
+      val bandExchanges = "Exchange hashpartitioning\\(b#\\d+, v#\\d+".r
+        .findAllIn(plan).length
+      assert(bandExchanges == 1,
+        s"exactly the incoming side shuffles on (b, v), got $bandExchanges:\n$plan")
+      // a prebuilt vector index with no vector side is a config bug and
+      // fails loudly (the API twin of the main's orphan-flag rule)
+      intercept[IllegalArgumentException] {
+        GateState.build(corpusDf, baseVecIndex = Some(atRest))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS gate_vec_band_idx")
+  }
+
   // ---- jsonl streaming ingest (--format jsonl) -------------------------
 
   test("jsonl stream: malformed lines quarantine per batch, clean docs curate") {
