@@ -46,17 +46,19 @@ object CorpusMain {
       "[--embeddings <parquet>] [--cos-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
       "[--export-jsonl true|false] [--publish-index <table>] " +
-      "[--publish-vector-index <table>]"
+      "[--publish-vector-index <table>] [--publish-vectors <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
-        "format", "export-jsonl", "publish-index", "publish-vector-index"),
+        "format", "export-jsonl", "publish-index", "publish-vector-index",
+        "publish-vectors"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings",
-        "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings"))
+        "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings",
+        "publish-vectors" -> "embeddings"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -82,7 +84,8 @@ object CorpusMain {
       args.getOrElse("format", "parquet"),
       exportJsonl,
       args.get("publish-index"),
-      args.get("publish-vector-index"))
+      args.get("publish-vector-index"),
+      args.get("publish-vectors"))
     finally spark.stop()
   }
 
@@ -114,7 +117,8 @@ object CorpusMain {
       format: String = "parquet",
       exportJsonl: Boolean = false,
       publishIndex: Option[String] = None,
-      publishVectorIndex: Option[String] = None): Unit = {
+      publishVectorIndex: Option[String] = None,
+      publishVectors: Option[String] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
@@ -126,6 +130,8 @@ object CorpusMain {
     // class as min-hits-without-bench
     require(publishVectorIndex.isEmpty || embeddings.nonEmpty,
       "publish-vector-index was given without embeddings to index")
+    require(publishVectors.isEmpty || embeddings.nonEmpty,
+      "publish-vectors was given without embeddings to publish")
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
@@ -145,7 +151,8 @@ object CorpusMain {
     }
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
-      quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex)
+      quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
+      publishVectors)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -155,7 +162,8 @@ object CorpusMain {
       broadcastBench: Boolean, exportJsonl: Boolean,
       quarantineStaged: Boolean,
       publishIndex: Option[String] = None,
-      publishVectorIndex: Option[String] = None): Unit = {
+      publishVectorIndex: Option[String] = None,
+      publishVectors: Option[String] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -283,17 +291,21 @@ object CorpusMain {
           DedupOps.writeCorpusBandIndex(
             DedupOps.shingledOf(spark.read.parquet(s"$output/corpus")), table)
         }
-        // the vector-space twin: hyperplane band index over the PUBLISHED
-        // survivors' embeddings — what the streaming twin loads via
-        // --vector-index-table, same derive-from-published rule as above
-        publishVectorIndex.foreach { table =>
-          val survivors = spark.read.parquet(s"$output/corpus")
-            .select(col("doc_id").as("vec_id"))
-          VectorOps.writeVectorBandIndex(
-            spark.read.parquet(embeddings.get)
-              .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
-              .withColumn("nrm", VectorSim.norm(col("e")))
-              .join(survivors, Seq("vec_id"), "left_semi"), table)
+        // the vector-space twins: over the PUBLISHED survivors' prepped
+        // (vec_id, e, nrm) rows — what the streaming twin loads via
+        // --vector-index-table / --vectors-table, same
+        // derive-from-published rule as above. publish-vectors buckets by
+        // vec_id so the gate's verification join never reshuffles the
+        // vectors side — and never has to persist the whole table either
+        // (GateState persistVectors = false).
+        if (publishVectorIndex.nonEmpty || publishVectors.nonEmpty) {
+          val prepped = spark.read.parquet(embeddings.get)
+            .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+            .withColumn("nrm", VectorSim.norm(col("e")))
+            .join(spark.read.parquet(s"$output/corpus")
+              .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          publishVectorIndex.foreach(VectorOps.writeVectorBandIndex(prepped, _))
+          publishVectors.foreach(Warehouse.writeBucketed(prepped, _, "vec_id"))
         }
       } finally { pairs.unpersist(); () }
     } finally { shAll.unpersist(); () }

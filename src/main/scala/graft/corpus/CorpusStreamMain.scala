@@ -174,19 +174,32 @@ object CorpusStreamMain {
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
       "[--recursive true|false] [--format parquet|jsonl] " +
-      "[--embeddings <parquet>] [--cos-threshold D] [--index-table <table>] " +
-      "[--vector-index-table <table>]"
+      "[--embeddings <parquet> | --vectors-table <table>] [--cos-threshold D] " +
+      "[--index-table <table>] [--vector-index-table <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "index-table",
-        "vector-index-table"),
+        "vector-index-table", "vectors-table"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = usage)
     // same orphan-flag rule as CorpusMain: a flag without its stage
-    // would be silently ignored
-    for (orphan <- Seq("min-hits" -> "bench", "broadcast-bench" -> "bench",
-        "cos-threshold" -> "embeddings", "vector-index-table" -> "embeddings"))
+    // would be silently ignored. The vector stage has two sources
+    // (raw parquet to prep and persist, or the prepped at-rest table) —
+    // exactly one may be given.
+    if (args.contains("embeddings") && args.contains("vectors-table")) {
+      System.err.println(
+        "--embeddings and --vectors-table both name the vector side: pass one")
+      sys.exit(2)
+    }
+    val hasVectorSide = args.contains("embeddings") || args.contains("vectors-table")
+    for (orphan <- Seq("cos-threshold", "vector-index-table"))
+      if (args.contains(orphan) && !hasVectorSide) {
+        System.err.println(
+          s"--$orphan was given without --embeddings/--vectors-table: it would be silently ignored")
+        sys.exit(2)
+      }
+    for (orphan <- Seq("min-hits" -> "bench", "broadcast-bench" -> "bench"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -220,13 +233,18 @@ object CorpusStreamMain {
       val corpus = spark.read.parquet(args("corpus"))
       // --embeddings enables the vector-space gate: the same (vec_id ->
       // embedding) table CorpusMain's vector pass reads, prepped the same
-      // way; incoming and corpus docs are both looked up in it by id
+      // way; incoming and corpus docs are both looked up in it by id.
+      // --vectors-table is the at-scale alternative: the ALREADY-prepped
+      // (vec_id, e, nrm) table CorpusMain --publish-vectors bucketed by
+      // vec_id — read as-is and NOT persisted (the bucketed layout, not
+      // executor memory, is what keeps the per-batch joins cheap).
       val vectors = args.get("embeddings").map { p =>
         (spark.read.parquet(p)
           .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
           .withColumn("nrm", VectorSim.norm(col("e"))),
           cosThreshold)
-      }
+      }.orElse(args.get("vectors-table").map(t => (spark.table(t), cosThreshold)))
+      val persistVectors = !args.contains("vectors-table")
       // --index-table: the corpus band index AT REST (the (b, v)-bucketed
       // catalog table DedupOps.writeCorpusBandIndex wrote) — skips the
       // startup fold over the corpus and keeps the per-batch probe join
@@ -240,7 +258,7 @@ object CorpusStreamMain {
       // heal interrupted swaps, then fold previously published batches
       // into the gate state (restart rebuild — see GateState.resume)
       val state = GateState.resume(spark, corpus, output, vectors, baseIndex,
-        baseVecIndex)
+        baseVecIndex, persistVectors)
       // the DISTINCT exploded shingle set is what contamination joins on:
       // persist that, so each micro-batch reuses the built set instead of
       // re-paying explode + distinct (+ the broadcast build) forever

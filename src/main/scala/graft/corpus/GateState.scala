@@ -154,7 +154,8 @@ object GateState {
       absorbedBatchIds: Set[Long] = Set.empty,
       vectors: Option[(DataFrame, Double)] = None,
       baseIndex: Option[DataFrame] = None,
-      baseVecIndex: Option[DataFrame] = None): GateState = {
+      baseVecIndex: Option[DataFrame] = None,
+      persistVectors: Boolean = true): GateState = {
     // a prebuilt vector index with no vector side would be silently
     // ignored — the same config bug the mains' orphan-flag rule catches
     require(baseVecIndex.isEmpty || vectors.nonEmpty,
@@ -175,10 +176,12 @@ object GateState {
     val vecSide = vectors.map { case (vecsRaw, threshold) =>
       // persisted because every batch scans it twice (incoming lookup +
       // candidate verification). At corpus scale persisting the WHOLE
-      // vectors table is the wrong trade — store it bucketed by vec_id
-      // instead (Warehouse.writeBucketedBy) so both per-batch joins probe
-      // the at-rest layout, the same move corpusBandIndex makes at rest.
-      val vecs = vecsRaw.persist()
+      // vectors table is the wrong trade — pass `persistVectors = false`
+      // with the vec_id-bucketed at-rest table instead
+      // (CorpusMain --publish-vectors / stream --vectors-table): both
+      // per-batch joins then probe the at-rest layout, the same move
+      // corpusBandIndex makes at rest.
+      val vecs = if (persistVectors) vecsRaw.persist() else vecsRaw
       // `baseVecIndex`: the vector band index AT REST — the (b, v)-bucketed
       // table [[VectorOps.writeVectorBandIndex]] wrote. Same contract as
       // `baseIndex` on the text side: skips the startup hyperplane fold
@@ -212,7 +215,8 @@ object GateState {
       output: String,
       vectors: Option[(DataFrame, Double)] = None,
       baseIndex: Option[DataFrame] = None,
-      baseVecIndex: Option[DataFrame] = None): GateState = {
+      baseVecIndex: Option[DataFrame] = None,
+      persistVectors: Boolean = true): GateState = {
     graft.sources.Warehouse.recover(spark, output)
     val batchDirs = Option(new java.io.File(output).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
@@ -222,6 +226,6 @@ object GateState {
         .select("doc_id", "text"))
     build(corpus, published,
       batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet, vectors,
-      baseIndex, baseVecIndex)
+      baseIndex, baseVecIndex, persistVectors)
   }
 }

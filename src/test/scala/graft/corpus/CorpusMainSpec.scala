@@ -301,7 +301,8 @@ class CorpusMainSpec extends SparkSpec {
     }.toSeq.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$out/emb")
     CorpusMain.runWith(spark, input, out, embeddings = Some(s"$out/emb"),
-      publishVectorIndex = Some("corpus_vec_gate_idx"))
+      publishVectorIndex = Some("corpus_vec_gate_idx"),
+      publishVectors = Some("corpus_vecs_at_rest"))
     try {
       val idx = spark.table("corpus_vec_gate_idx")
       // the table IS vectorBandIndex over (published ∩ vectors), materialized
@@ -325,12 +326,29 @@ class CorpusMainSpec extends SparkSpec {
       val flagged = VectorOps.lshNearDupAgainstIndex(incoming, idx, prepped, 0.9)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(flagged == Set(999999L), s"the at-rest index must catch the copy: $flagged")
+      // --publish-vectors: the prepped (vec_id, e, nrm) rows themselves,
+      // bucketed by vec_id — what the stream's --vectors-table loads
+      // instead of prepping + persisting the raw embeddings
+      val atRestVecs = spark.table("corpus_vecs_at_rest")
+      assert(atRestVecs.columns.toSeq == Seq("vec_id", "e", "nrm"))
+      val gotVecs = atRestVecs.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSet
+      val expVecs = prepped.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSet
+      assert(gotVecs == expVecs, "at-rest vectors must equal the prepped survivors")
       // API twin of the CLI orphan rule: an index without vectors is loud
       intercept[IllegalArgumentException] {
         CorpusMain.runWith(spark, input, out,
           publishVectorIndex = Some("corpus_vec_gate_idx"))
       }
-    } finally spark.sql("DROP TABLE IF EXISTS corpus_vec_gate_idx")
+      intercept[IllegalArgumentException] {
+        CorpusMain.runWith(spark, input, out,
+          publishVectors = Some("corpus_vecs_at_rest"))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS corpus_vec_gate_idx")
+      spark.sql("DROP TABLE IF EXISTS corpus_vecs_at_rest")
+    }
   }
 
   test("a pipeline whose stages eat every document fails loudly, not silently") {

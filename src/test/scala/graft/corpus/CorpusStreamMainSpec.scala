@@ -436,6 +436,18 @@ class CorpusStreamMainSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         GateState.build(corpusDf, baseVecIndex = Some(atRest))
       }
+      // and the vectors themselves at rest: the vec_id-bucketed table
+      // (CorpusMain --publish-vectors), read as-is, NOT persisted — the
+      // 100 TB shape where executor memory never holds the vectors table
+      graft.sources.Warehouse.writeBucketed(vecs, "gate_vecs_at_rest",
+        "vec_id", numBuckets = 8)
+      try {
+        val viaAtRestVecs = GateState.build(corpusDf,
+          vectors = Some((spark.table("gate_vecs_at_rest"), 0.9)),
+          baseVecIndex = Some(atRest), persistVectors = false)
+        assert(keptWith(viaAtRestVecs) == Set(76L),
+          "the fully at-rest vector side must gate identically")
+      } finally spark.sql("DROP TABLE IF EXISTS gate_vecs_at_rest")
     } finally spark.sql("DROP TABLE IF EXISTS gate_vec_band_idx")
   }
 
