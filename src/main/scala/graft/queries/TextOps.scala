@@ -30,6 +30,7 @@ object TextOps {
   private val DefaultTrainUpper = "cc" // 204/256 ~ 80%
   private val DefaultValUpper = "e6"   // +26/256 ~ 10%
   private val DefaultCapacity = 2048
+  private val DefaultQuota = 10        // q55 per-domain cap
 
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
@@ -58,8 +59,46 @@ object TextOps {
       nTok.as("n_tokens"),
       stopRatio.as("stop_ratio"),
       meanTokLen.as("mean_tok_len"),
-      ((lit(1.0) - stopRatio) * lit(0.5) + when(meanTokLen >= 3.0 && meanTokLen <= 6.0, 0.5).otherwise(0.0))
-        .as("quality"))
+      qualityExpr.as("quality"))
+  }
+
+  /** The q41 weighted-quality scalar as one Column — shared by
+    * [[qualityScore]] and [[domainQuota]] so a quota cut can never rank by
+    * a different quality than the scoring pass reports. */
+  private def qualityExpr: Column = {
+    val toks = tokens
+    val nTok = size(toks)
+    val stopRatio = hitCount(toks, StopEn).cast("double") / nTok.cast("double")
+    val meanTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast("double") / nTok.cast("double")
+    (lit(1.0) - stopRatio) * lit(0.5) +
+      when(meanTokLen >= 3.0 && meanTokLen <= 6.0, 0.5).otherwise(0.0)
+  }
+
+  /** Per-domain quota (q55): cap every source at its `k` best-quality
+    * documents — the per-domain ceiling every web-scale corpus recipe
+    * applies so one crawl-heavy domain cannot dominate the mix (mixing
+    * reweights a source's RATE; the quota bounds its absolute share).
+    * Ranking is (quality DESC, doc_id ASC): the unique-id tiebreak makes
+    * the cut deterministic under any partitioning.
+    *
+    * Shape at scale: quality is computed per row in the same pass (no
+    * join back to a scored table), then ONE window partitioned by the
+    * quota key — the only shuffle is the hash exchange on `source`, and
+    * each domain's sort is local to its partition. Domains are many and
+    * individually small next to the corpus, so there is no global sort
+    * and no skew beyond a genuinely degenerate single-domain crawl (for
+    * which the lever is pre-aggregating a per-domain quality histogram
+    * and cutting by threshold instead of rank). */
+  def domainQuota(docs: DataFrame, k: Int = DefaultQuota): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"quota must be >= 1, got $k")
+    docs
+      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Language id (q42) by n-gram/stopword heuristic: score per candidate
@@ -344,7 +383,10 @@ object TextOps {
     "q50_pack_windows" -> { (s, dir) => packWindows(Tables.documents(s, dir)) },
 
     // Deterministic corpus mixing (see mixCorpus).
-    "q52_corpus_mix" -> { (s, dir) => mixCorpus(Tables.documents(s, dir)) })
+    "q52_corpus_mix" -> { (s, dir) => mixCorpus(Tables.documents(s, dir)) },
+
+    // Per-domain quota (see domainQuota).
+    "q55_domain_quota" -> { (s, dir) => domainQuota(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -447,5 +489,29 @@ object TextOps {
            FROM documents)
          SELECT doc_id, source, mix_bucket, keep_below
          FROM r WHERE mix_bucket <= keep_below"""
-    })
+    },
+    "q55_domain_quota" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS stop_hits,
+             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+               (acc, v) -> acc + v) AS tot_tok_len
+           FROM t),
+         q AS (
+           SELECT doc_id, source,
+             (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+               + (CASE WHEN CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                        AND CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 6.0
+                       THEN 0.5 ELSE 0.0 END) AS quality
+           FROM m),
+         r AS (
+           SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS rk
+           FROM q)
+         SELECT doc_id, source, quality, rk FROM r WHERE rk <= $DefaultQuota""")
 }

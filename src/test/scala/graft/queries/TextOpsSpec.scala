@@ -46,6 +46,29 @@ class TextOpsSpec extends SparkSpec {
     assert(top.forall(_._5 <= 2L), "k = 2 caps every doc's rows")
   }
 
+  test("domainQuota keeps the k best-quality docs per source, ties by id, one source-exchange") {
+    // quality = (1 - stop_ratio) * 0.5 + (mean_tok_len in [3,6] ? 0.5 : 0)
+    val docs = Seq(
+      (1L, "srcA", "the a the a"),            // all stopwords, short tokens: 0.0
+      (2L, "srcA", "data query value word"),  // no stops, mean len 4.5: 1.0
+      (3L, "srcA", "data query the word"),    // 1/4 stops, mean len 4: 0.875
+      (5L, "srcA", "word data query value"),  // same tokens as 2: 1.0 (tie)
+      (4L, "srcB", "the the the the"))        // 0.0, but srcB's best anyway
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.domainQuota(docs, k = 2)
+      .select("doc_id", "source", "rk").as[(Long, String, Long)]
+      .collect().toSet
+    // srcA: the two quality-1.0 docs win, id breaks the tie; 3 and 1 cut.
+    // srcB: its only doc survives — the quota is per source.
+    assert(out == Set((2L, "srcA", 1L), (5L, "srcA", 2L), (4L, "srcB", 1L)),
+      out.toString)
+    // scale shape: ONE hash exchange on the quota key, never a global sort
+    val plan = TextOps.domainQuota(docs, 2).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), "global sort in a quota cut")
+    intercept[IllegalArgumentException] { TextOps.domainQuota(docs, 0) }
+  }
+
   test("hashSplit is a pure function of the id: subset-invariant, partition-invariant, ~80/10/10") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
