@@ -29,19 +29,24 @@ import graft.sources.{Jsonl, Warehouse}
   *     benchmark at all, with its shared-shingle count, published BEFORE
   *     the corpus so the evidence survives a mid-run crash; only docs at
   *     or above `--min-hits` (default 1) are actually dropped, so
-  *     near-misses stay visible and a lower threshold needs no recompute.
+  *     near-misses stay visible and a lower threshold needs no recompute;
+  *   - `domain_quota/` (with `--quota N`) — the kept (doc_id, source,
+  *     quality, rk) rows of the per-domain cap, the evidence the corpus's
+  *     membership is then read back from.
   *
   * Every stage is one of the oracle-checked operators (q52, q51, q31,
-  * q39, q49, q50) — this main only composes and publishes them. Stage
-  * order is cheapest-reduction-first: mixing is a hash filter (no data
-  * examined), decontamination touches shingles once, dedup pays the
-  * banded self-join only over what survives both.
+  * q39, q55, q49, q50) — this main only composes and publishes them.
+  * Stage order is cheapest-reduction-first: mixing is a hash filter (no
+  * data examined), decontamination touches shingles once, dedup pays the
+  * banded self-join only over what survives both, and the quota cut
+  * ranks only dedup survivors (a pre-dedup cut would under-fill every
+  * domain that had duplicates).
   */
 object CorpusMain {
 
   def main(argv: Array[String]): Unit = {
     val usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
-      "[--capacity N] [--bench <parquet>] [--min-hits N] " +
+      "[--capacity N] [--bench <parquet>] [--min-hits N] [--quota N] " +
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--embeddings <parquet>] [--cos-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
@@ -51,7 +56,7 @@ object CorpusMain {
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
-        "publish-vectors"),
+        "publish-vectors", "quota"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -69,6 +74,7 @@ object CorpusMain {
     // value is a usage error and must exit 2 with the usage line, not a
     // stack trace after multi-second JVM startup
     val capacity = Cli.toInt(args, "capacity", usage)
+    val quota = Cli.toInt(args, "quota", usage)
     val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
@@ -85,7 +91,8 @@ object CorpusMain {
       exportJsonl,
       args.get("publish-index"),
       args.get("publish-vector-index"),
-      args.get("publish-vectors"))
+      args.get("publish-vectors"),
+      quota)
     finally spark.stop()
   }
 
@@ -118,8 +125,10 @@ object CorpusMain {
       exportJsonl: Boolean = false,
       publishIndex: Option[String] = None,
       publishVectorIndex: Option[String] = None,
-      publishVectors: Option[String] = None): Unit = {
+      publishVectors: Option[String] = None,
+      quota: Option[Int] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
+    require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
     require(minHits == 1L || bench.nonEmpty,
@@ -152,7 +161,7 @@ object CorpusMain {
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
-      publishVectors)
+      publishVectors, quota)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -163,7 +172,8 @@ object CorpusMain {
       quarantineStaged: Boolean,
       publishIndex: Option[String] = None,
       publishVectorIndex: Option[String] = None,
-      publishVectors: Option[String] = None): Unit = {
+      publishVectors: Option[String] = None,
+      quota: Option[Int] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -238,10 +248,25 @@ object CorpusMain {
             // (the stale vector audit, if any, is retired post-publish)
             textDeduped
         }
+        // per-domain quota AFTER dedup (dedup changes per-source counts,
+        // so a pre-dedup cut would under-fill every domain that had
+        // duplicates), audited first like every other drop: the kept
+        // (doc_id, source, quality, rk) rows land on disk, are read back,
+        // and the corpus keeps exactly the audited ids — provably
+        // consistent with the evidence, same protocol as contamination
+        val capped = quota match {
+          case Some(q) =>
+            Warehouse.replaceDir(
+              TextOps.domainQuota(deduped, q), s"$output/domain_quota")
+            deduped.join(
+              spark.read.parquet(s"$output/domain_quota").select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          case None => deduped
+        }
         // split and pack IN PLACE: both are per-row/window columns, so
         // appending them costs zero joins — only the pack window itself
         // shuffles, once, on the stream key
-        val withSplit = deduped
+        val withSplit = capped
           .withColumn("split", TextOps.splitColumn(col("doc_id")))
         // pack per (split, source): a training stream never crosses a
         // split boundary, so offsets must restart inside each split
@@ -271,6 +296,7 @@ object CorpusMain {
         else Warehouse.retireDir(spark, s"$output/quarantine")
         if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
         if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
+        if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
         // optional JSONL mirror of the published corpus — the exchange
         // format tokenizer/trainer tooling consumes — derived from the

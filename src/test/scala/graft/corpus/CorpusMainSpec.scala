@@ -284,6 +284,43 @@ class CorpusMainSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_gate_idx")
   }
 
+  test("--quota caps every source at its k best-quality survivors, audited and reversible") {
+    val out = Files.createTempDirectory("corpus_main_quota").toString
+    // un-capped run first: the quota ranks DEDUP SURVIVORS, so the
+    // expected cut is domainQuota over exactly this corpus
+    CorpusMain.runWith(spark, input, out)
+    val uncappedIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.queries.TextOps.domainQuota(
+        spark.read.parquet(s"$out/corpus").select("doc_id", "source", "text"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    CorpusMain.runWith(spark, input, out, quota = Some(5))
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val gotIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expected, "corpus must keep exactly the quota winners")
+    assert(gotIds.size < uncappedIds.size, "quota 5 over 25-doc sources must cut")
+    val bySrc = corpus.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bySrc.forall(_._2 <= 5L), bySrc.mkString(","))
+
+    // the audit IS the corpus membership, with in-quota ranks
+    val audit = spark.read.parquet(s"$out/domain_quota")
+    assert(audit.select("doc_id").collect().map(_.getLong(0)).toSet == gotIds)
+    assert(audit.filter(col("rk") > 5).count() == 0)
+
+    // a quota-less rerun retires the stale audit and restores the full set
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/domain_quota").exists(),
+      "stale quota audit must retire when the stage is off")
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == uncappedIds)
+
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, quota = Some(0))
+    }
+  }
+
   test("--publish-vector-index writes the at-rest vector index the streaming twin loads") {
     import spark.implicits._
     import graft.ops.VectorSim
