@@ -101,21 +101,6 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
-  /** [[domainQuota]] keeping FULL rows — the pipeline-stage form, the same
-    * split [[mixCorpus]]/[[mixFilter]] make: the audit projection names
-    * the evidence (quality, rank), the filter carries every column
-    * through to the next stage. Membership is identical by construction
-    * (same quality Column, same window, same tiebreak). */
-  def domainQuotaFilter(docs: DataFrame, k: Int = DefaultQuota): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"quota must be >= 1, got $k")
-    docs
-      .withColumn("q_rk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(qualityExpr.desc, col("doc_id"))))
-      .filter(col("q_rk") <= k)
-      .drop("q_rk")
-  }
 
   /** Language id (q42) by n-gram/stopword heuristic: score per candidate
     * set, argmax with a fixed precedence tiebreak. */
