@@ -388,6 +388,70 @@ class CorpusMainSpec extends SparkSpec {
     }
   }
 
+  test("every optional stage at once: audits, tables, mirror and caps all compose") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("corpus_main_allflags").toString
+    val docs = spark.read.parquet(s"$input/documents.parquet")
+    // bench = verbatim copies of docs 0-2 (certain contamination);
+    // embeddings = distinct one-hots for ids 0-9 (no vector dups — the
+    // vector pass must drop nothing; it still has to RUN)
+    docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/bench")
+    (0L until 10L).map(i =>
+        (i, Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$out/emb")
+    try {
+      CorpusMain.runWith(spark, input, out,
+        capacity = Some(512),
+        bench = Some(s"$out/bench"),
+        mixRates = Some(Seq("src0" -> "7f")),
+        embeddings = Some(s"$out/emb"),
+        quota = Some(5),
+        exportJsonl = true,
+        publishIndex = Some("all_flags_idx"),
+        publishVectorIndex = Some("all_flags_vec_idx"),
+        publishVectors = Some("all_flags_vecs"))
+      val corpus = spark.read.parquet(s"$out/corpus")
+      val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty)
+      // every stage left its mark: contamination dropped the bench copies,
+      // the quota capped every source, every audit is on disk
+      val contaminated = spark.read.parquet(s"$out/contaminated")
+        .filter(col("n_hits") >= 1).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(contaminated.intersect(ids).isEmpty, "contaminated docs published")
+      assert(corpus.groupBy("source").count()
+        .collect().forall(_.getLong(1) <= 5L), "quota breached")
+      for (audit <- Seq("near_dup_pairs", "domain_quota", "embed_dup_pairs"))
+        assert(new java.io.File(s"$out/$audit").exists(), s"$audit missing")
+      // the quota audit and the corpus agree exactly
+      assert(spark.read.parquet(s"$out/domain_quota")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+      // the jsonl mirror mirrors the published corpus
+      assert(spark.read.json(s"$out/corpus_jsonl")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+      // all three tables derive from the PUBLISHED (post-quota) corpus
+      assert(spark.table("all_flags_idx").select("corpus_id").distinct()
+        .collect().map(_.getLong(0)).toSet.subsetOf(ids))
+      val vecIds = spark.table("all_flags_vecs")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(vecIds == ids.filter(_ < 10L), "vectors table != published ∩ embedded")
+      assert(spark.table("all_flags_vec_idx").select("corpus_id").distinct()
+        .collect().map(_.getLong(0)).toSet.subsetOf(vecIds))
+      // packing restarted inside each (split, source) under the cap
+      assert(corpus.filter(col("offset") === 0L).count() > 0)
+      // a minimal rerun retires every optional ARTIFACT (catalog tables
+      // are a separate lifecycle — saveAsTable overwrite on next publish)
+      CorpusMain.runWith(spark, input, out)
+      for (stale <- Seq("contaminated", "domain_quota", "embed_dup_pairs", "corpus_jsonl"))
+        assert(!new java.io.File(s"$out/$stale").exists(), s"$stale must retire")
+    } finally
+      for (t <- Seq("all_flags_idx", "all_flags_vec_idx", "all_flags_vecs"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated
