@@ -366,6 +366,41 @@ class CorpusStreamMainSpec extends SparkSpec {
       s"74 dups the vector of 71, accepted in an earlier batch: $b2")
   }
 
+  test("restart re-arms the VECTOR side: a vector-dup of a pre-restart accept drops") {
+    val root = Files.createTempDirectory("stream_gate_vec_restart").toString
+    val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    val vecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0),
+      10L -> Seq(0.0, 1.0, 0.0, 0.0),   // accepted by incarnation 1
+      11L -> Seq(0.0, 2.0, 0.0, 0.0)))  // colinear with 10 — text-novel
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+    def restartAndDrain(): Unit = {
+      // resume must rebuild the ABSORBED vector index from the published
+      // batch dirs, not only the text side — or restarts silently forget
+      // every embedding the previous incarnation accepted
+      val state = GateState.resume(spark, corpusDf, out,
+        vectors = Some((vecs, 0.9)))
+      val q = CorpusStreamMain.start(
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+          .parquet(inDir), state, out, ckpt)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    drop("crawl0", Seq((10L, "src0", "first crawl delivers this clean document")))
+    restartAndDrain()
+    drop("crawl1", Seq(
+      (11L, "src0", "wholly unrelated phrasing sharing not one shingle here")))
+    restartAndDrain()
+    val got = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(10L),
+      s"11 is text-novel but vector-dups the pre-restart accept 10: $got")
+  }
+
   test("vector gate: docs without a vector pass; plan stays equi-join only") {
     val vecs = vecsOf(Seq(1000L -> Seq(1.0, 0.0, 0.0, 0.0)))
     val state = GateState.build(corpusDf, vectors = Some((vecs, 0.9)))
