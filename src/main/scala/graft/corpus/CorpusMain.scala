@@ -51,12 +51,13 @@ object CorpusMain {
       "[--embeddings <parquet>] [--cos-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
       "[--export-jsonl true|false] [--publish-index <table>] " +
-      "[--publish-vector-index <table>] [--publish-vectors <table>]"
+      "[--publish-vector-index <table>] [--publish-vectors <table>] " +
+      "[--publish-shingles <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
-        "publish-vectors", "quota"),
+        "publish-vectors", "publish-shingles", "quota"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -92,7 +93,8 @@ object CorpusMain {
       args.get("publish-index"),
       args.get("publish-vector-index"),
       args.get("publish-vectors"),
-      quota)
+      quota,
+      args.get("publish-shingles"))
     finally spark.stop()
   }
 
@@ -126,7 +128,8 @@ object CorpusMain {
       publishIndex: Option[String] = None,
       publishVectorIndex: Option[String] = None,
       publishVectors: Option[String] = None,
-      quota: Option[Int] = None): Unit = {
+      quota: Option[Int] = None,
+      publishShingles: Option[String] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
     // a threshold without a benchmark would be silently meaningless — the
@@ -161,7 +164,7 @@ object CorpusMain {
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
-      publishVectors, quota)
+      publishVectors, quota, publishShingles)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -173,7 +176,8 @@ object CorpusMain {
       publishIndex: Option[String] = None,
       publishVectorIndex: Option[String] = None,
       publishVectors: Option[String] = None,
-      quota: Option[Int] = None): Unit = {
+      quota: Option[Int] = None,
+      publishShingles: Option[String] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -313,9 +317,13 @@ object CorpusMain {
         // overwrite is drop-and-recreate, not a swap: the only reader is
         // a gate at STARTUP, and a failed write is healed by rerunning —
         // never by serving a half-written index mid-stream.
-        publishIndex.foreach { table =>
-          DedupOps.writeCorpusBandIndex(
-            DedupOps.shingledOf(spark.read.parquet(s"$output/corpus")), table)
+        // one re-shingle pass over the published corpus feeds both text
+        // at-rest artifacts: the (b,v)-bucketed band index and the
+        // doc_id-bucketed shingle table (the gate's probe and verify sides)
+        if (publishIndex.nonEmpty || publishShingles.nonEmpty) {
+          val pubSh = DedupOps.shingledOf(spark.read.parquet(s"$output/corpus"))
+          publishIndex.foreach(DedupOps.writeCorpusBandIndex(pubSh, _))
+          publishShingles.foreach(DedupOps.writeCorpusShingles(pubSh, _))
         }
         // the vector-space twins: over the PUBLISHED survivors' prepped
         // (vec_id, e, nrm) rows — what the streaming twin loads via

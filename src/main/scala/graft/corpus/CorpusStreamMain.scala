@@ -181,12 +181,13 @@ object CorpusStreamMain {
       "[--bench <parquet>] [--min-hits N] [--broadcast-bench true|false] " +
       "[--recursive true|false] [--format parquet|jsonl] " +
       "[--embeddings <parquet> | --vectors-table <table>] [--cos-threshold D] " +
-      "[--index-table <table>] [--vector-index-table <table>]"
+      "[--index-table <table>] [--shingles-table <table>] " +
+      "[--vector-index-table <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "index-table",
-        "vector-index-table", "vectors-table"),
+        "shingles-table", "vector-index-table", "vectors-table"),
       required = Set("input", "corpus", "output", "checkpoint"),
       usage = usage)
     // same orphan-flag rule as CorpusMain: a flag without its stage
@@ -256,6 +257,11 @@ object CorpusStreamMain {
       // startup fold over the corpus and keeps the per-batch probe join
       // exchange-free on the index side
       val baseIndex = args.get("index-table").map(spark.table)
+      // --shingles-table: the verify side of the text gate at rest (the
+      // doc_id-bucketed table CorpusMain --publish-shingles wrote) —
+      // skips the startup shingling fold over the whole corpus AND the
+      // corpus-sized checkpoint the in-session path pays
+      val baseShingles = args.get("shingles-table").map(spark.table)
       // --vector-index-table: the same move on the vector side — the
       // (b, v)-bucketed table VectorOps.writeVectorBandIndex wrote
       // (CorpusMain --publish-vector-index), skipping the startup
@@ -264,7 +270,7 @@ object CorpusStreamMain {
       // heal interrupted swaps, then fold previously published batches
       // into the gate state (restart rebuild — see GateState.resume)
       val state = GateState.resume(spark, corpus, output, vectors, baseIndex,
-        baseVecIndex, persistVectors)
+        baseShingles, baseVecIndex, persistVectors)
       // the DISTINCT exploded shingle set is what contamination joins on:
       // persist that, so each micro-batch reuses the built set instead of
       // re-paying explode + distinct (+ the broadcast build) forever

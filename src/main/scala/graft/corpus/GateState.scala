@@ -154,13 +154,19 @@ object GateState {
       absorbedBatchIds: Set[Long] = Set.empty,
       vectors: Option[(DataFrame, Double)] = None,
       baseIndex: Option[DataFrame] = None,
+      baseShingles: Option[DataFrame] = None,
       baseVecIndex: Option[DataFrame] = None,
       persistVectors: Boolean = true): GateState = {
     // a prebuilt vector index with no vector side would be silently
     // ignored — the same config bug the mains' orphan-flag rule catches
     require(baseVecIndex.isEmpty || vectors.nonEmpty,
       "baseVecIndex was given without vectors: it would be silently ignored")
-    val baseSh = DedupOps.shingledOf(corpus).localCheckpoint(true)
+    // `baseShingles`: the shingled corpus AT REST (the doc_id-bucketed
+    // table [[DedupOps.writeCorpusShingles]] wrote) — skips the startup
+    // shingling fold AND the corpus-sized checkpoint; the verify join
+    // reads the at-rest layout per batch instead of executor memory.
+    val baseSh = baseShingles.getOrElse(
+      DedupOps.shingledOf(corpus).localCheckpoint(true))
     // `baseIndex`: the corpus band index AT REST — the (b, v)-bucketed
     // table [[DedupOps.writeCorpusBandIndex]] wrote. Passing it skips the
     // startup 8-hash fold over the corpus AND keeps the probe join
@@ -215,6 +221,7 @@ object GateState {
       output: String,
       vectors: Option[(DataFrame, Double)] = None,
       baseIndex: Option[DataFrame] = None,
+      baseShingles: Option[DataFrame] = None,
       baseVecIndex: Option[DataFrame] = None,
       persistVectors: Boolean = true): GateState = {
     graft.sources.Warehouse.recover(spark, output)
@@ -226,6 +233,6 @@ object GateState {
         .select("doc_id", "text"))
     build(corpus, published,
       batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet, vectors,
-      baseIndex, baseVecIndex, persistVectors)
+      baseIndex, baseShingles, baseVecIndex, persistVectors)
   }
 }

@@ -249,6 +249,19 @@ object DedupOps {
     graft.sources.Warehouse.writeBucketedBy(
       corpusBandIndex(corpusShingles), table, Seq("b", "v"), numBuckets)
 
+  /** The shingled corpus AT REST: (doc_id, sh) bucketed by doc_id — the
+    * verification side of the text gate as a catalog table, completing
+    * what [[writeCorpusBandIndex]] starts. A gate that loads BOTH skips
+    * the startup shingling fold over the whole corpus AND never holds a
+    * corpus-sized shingle frame in executor memory (the checkpoint the
+    * in-session path pays); the per-batch verify join probes the at-rest
+    * layout instead. Rebuild with the index whenever the corpus
+    * republishes. */
+  def writeCorpusShingles(corpusShingles: DataFrame, table: String,
+      numBuckets: Int = 32): Unit =
+    graft.sources.Warehouse.writeBucketed(
+      corpusShingles, table, "doc_id", numBuckets)
+
   /** [[nearDupAgainstShingled]] against a prebuilt [[corpusBandIndex]];
     * `corpus` is still needed for the exact-Jaccard verification join. */
   def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,

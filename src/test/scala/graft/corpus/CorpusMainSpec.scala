@@ -263,7 +263,8 @@ class CorpusMainSpec extends SparkSpec {
 
   test("--publish-index writes the at-rest gate index the streaming twin loads") {
     val out = Files.createTempDirectory("corpus_main_index").toString
-    CorpusMain.runWith(spark, input, out, publishIndex = Some("corpus_gate_idx"))
+    CorpusMain.runWith(spark, input, out, publishIndex = Some("corpus_gate_idx"),
+      publishShingles = Some("corpus_gate_sh"))
     try {
       val corpus = spark.read.parquet(s"$out/corpus")
       val idx = spark.table("corpus_gate_idx")
@@ -281,7 +282,23 @@ class CorpusMainSpec extends SparkSpec {
           DedupOps.shingledOf(incoming), idx, DedupOps.shingledOf(corpus))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(flagged == Set(999999L), s"the at-rest index must catch the copy: $flagged")
-    } finally spark.sql("DROP TABLE IF EXISTS corpus_gate_idx")
+      // --publish-shingles: the verify side at rest, content-identical to
+      // shingling the published corpus in session
+      def shSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).toSet)).toSet
+      assert(shSet(spark.table("corpus_gate_sh")) ==
+        shSet(DedupOps.shingledOf(corpus)),
+        "at-rest shingles must equal the in-session shingle pass")
+      // and the fully at-rest text side still gates: both tables, no
+      // in-session fold at all
+      val flaggedAtRest = DedupOps.nearDupAgainstIndex(
+          DedupOps.shingledOf(incoming), idx, spark.table("corpus_gate_sh"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flaggedAtRest == Set(999999L), flaggedAtRest.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS corpus_gate_idx")
+      spark.sql("DROP TABLE IF EXISTS corpus_gate_sh")
+    }
   }
 
   test("--quota caps every source at its k best-quality survivors, audited and reversible") {

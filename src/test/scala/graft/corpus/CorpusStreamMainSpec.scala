@@ -315,6 +315,19 @@ class CorpusStreamMainSpec extends SparkSpec {
       val viaDefault = CorpusStreamMain.curateBatch(rows, corpusSh)
         .select("doc_id").as[Long].collect().toSet
       assert(viaTable == viaDefault && viaTable == Set(46L), viaTable.toString)
+      // the FULLY at-rest text side: band index AND shingles from catalog
+      // tables (GateState baseIndex + baseShingles) — no in-session
+      // shingling fold, no corpus-sized checkpoint, same gating
+      DedupOps.writeCorpusShingles(corpusSh, "gate_sh_at_rest", numBuckets = 8)
+      try {
+        val st = GateState.build(corpusDf, baseIndex = Some(atRest),
+          baseShingles = Some(spark.table("gate_sh_at_rest")))
+        val ids = rows.select("doc_id")
+        val kept = CorpusStreamMain.curateBatch(rows, st.corpusSh,
+            corpusIndex = Some(st.probeIdx(ids)))
+          .select("doc_id").as[Long].collect().toSet
+        assert(kept == Set(46L), s"fully at-rest text side must gate: $kept")
+      } finally spark.sql("DROP TABLE IF EXISTS gate_sh_at_rest")
     } finally spark.sql("DROP TABLE IF EXISTS gate_band_idx")
   }
 
