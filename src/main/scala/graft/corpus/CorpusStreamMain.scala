@@ -141,8 +141,8 @@ object CorpusStreamMain {
         val ids = docs.select("doc_id")
         val curated = state.vectorGate(
           curateBatch(docs, state.corpusSh, mixRates, mixDefault, benchSet,
-            minHits, broadcastBench, corpusIndex = Some(state.probeIdx(ids))),
-          ids)
+            minHits, broadcastBench, corpusIndex = Some(state.probeIdx(ids, id))),
+          ids, id)
         publishBatch(curated, output, id)
         // absorb from the PUBLISHED directory — the on-disk truth, which
         // also severs lineage back to the stream source
@@ -182,14 +182,60 @@ object CorpusStreamMain {
       "[--recursive true|false] [--format parquet|jsonl] " +
       "[--embeddings <parquet> | --vectors-table <table>] [--cos-threshold D] " +
       "[--index-table <table>] [--shingles-table <table>] " +
-      "[--vector-index-table <table>]"
+      "[--vector-index-table <table>] [--max-files-per-trigger N]\n" +
+      "   or: graft.corpus.CorpusStreamMain --compact-state true " +
+      "--output <dir> --index-table <table> --shingles-table <table> " +
+      "[--vector-index-table <table> " +
+      "--embeddings <parquet> | --vectors-table <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "index-table",
-        "shingles-table", "vector-index-table", "vectors-table"),
-      required = Set("input", "corpus", "output", "checkpoint"),
+        "shingles-table", "vector-index-table", "vectors-table",
+        "max-files-per-trigger", "compact-state"),
+      required = Set("output"),
       usage = usage)
+    val compactMode = Cli.toBoolean(args, "compact-state", usage).getOrElse(false)
+    // --compact-state is an offline maintenance run over the published
+    // batch dirs and the at-rest tables: every streaming-only flag is
+    // meaningless there and rejected (the orphan-flag rule), and the
+    // required set changes — the tables ARE the target.
+    if (compactMode) {
+      val streamOnly = Seq("input", "corpus", "checkpoint", "mix",
+        "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
+        "format", "cos-threshold", "max-files-per-trigger")
+      for (f <- streamOnly if args.contains(f)) {
+        System.err.println(s"--$f is a streaming flag: meaningless with --compact-state")
+        sys.exit(2)
+      }
+      for (f <- Seq("index-table", "shingles-table") if !args.contains(f)) {
+        System.err.println(s"--compact-state needs --$f (the table to fold into)")
+        sys.exit(2)
+      }
+      if (args.contains("vector-index-table") &&
+          !args.contains("embeddings") && !args.contains("vectors-table")) {
+        System.err.println("--vector-index-table needs the vectors " +
+          "(--embeddings or --vectors-table) to band-hash the tail batches")
+        sys.exit(2)
+      }
+      val spark = graft.Sessions.local("graft-gate-compact")
+      try {
+        val vectors = args.get("embeddings").map(p =>
+          spark.read.parquet(p)
+            .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+            .withColumn("nrm", VectorSim.norm(col("e"))))
+          .orElse(args.get("vectors-table").map(spark.table))
+        val n = GateState.compactState(spark, args("output"),
+          args("index-table"), args("shingles-table"),
+          args.get("vector-index-table"), vectors)
+        System.err.println(s"[compact-state] folded $n batch(es) into the at-rest gate tables")
+      } finally spark.stop()
+      return
+    }
+    for (f <- Seq("input", "corpus", "checkpoint") if !args.contains(f)) {
+      System.err.println(usage)
+      sys.exit(2)
+    }
     // same orphan-flag rule as CorpusMain: a flag without its stage
     // would be silently ignored. The vector stage has two sources
     // (raw parquet to prep and persist, or the prepped at-rest table) —
@@ -227,6 +273,14 @@ object CorpusStreamMain {
     // column arrives null. Flat-file and plain-subdirectory deliveries
     // (columns stored IN the files) want the default.
     val recursive = Cli.toBoolean(args, "recursive", usage).getOrElse(true)
+    // --max-files-per-trigger (default 256): bounds a micro-batch by
+    // source files. Without a bound, batch 0 of a fresh stream over an
+    // existing backlog is the ENTIRE backlog — and the gate's replay
+    // exclusion broadcasts the batch's doc_id set, which must stay
+    // batch-sized, never backlog-sized. Catch-up then takes several
+    // bounded batches instead of one unbounded one, which is also what
+    // keeps per-batch publish/absorb cost flat.
+    val maxFiles = Cli.toLong(args, "max-files-per-trigger", usage).getOrElse(256L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
     val format = args.getOrElse("format", "parquet")
     if (format != "parquet" && format != "jsonl") {
@@ -288,6 +342,7 @@ object CorpusStreamMain {
           // split happens per batch
           val lines = spark.readStream
             .option("recursiveFileLookup", recursive.toString)
+            .option("maxFilesPerTrigger", maxFiles.toString)
             .text(args("input"))
             .select(col("value").as("_line"))
             .withColumn("_file", input_file_name())
@@ -298,6 +353,7 @@ object CorpusStreamMain {
           (spark.readStream
             .schema(ingestSchema)
             .option("recursiveFileLookup", recursive.toString)
+            .option("maxFilesPerTrigger", maxFiles.toString)
             .parquet(args("input")), None)
       }
       val q = start(incoming, state, output, args("checkpoint"),

@@ -1,11 +1,23 @@
 package graft.corpus
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Checkpoints
 import graft.queries.{DedupOps, VectorOps}
+import graft.sources.Warehouse
+
+/** Absorbed-state size after a [[GateState.absorb]] — the number an
+  * operator watches to schedule re-curation/compaction BEFORE restart
+  * cost bites: per-batch absorb cost and restart cost both grow with
+  * these rows until [[GateState.compactState]] folds them into the
+  * at-rest tables. `storedBytes` is the accumulator's block-manager
+  * footprint (memory + disk) as reported by the storage layer — an
+  * estimate, not a count job. */
+final case class GateStats(batches: Int, shingleRows: Long, indexRows: Long,
+    vectorIndexRows: Option[Long], storedBytes: Long)
 
 /** The evolving curated-side state of the streaming ingest gate: what the
   * gate knows, at each micro-batch, about every document that must not be
@@ -26,19 +38,31 @@ import graft.queries.{DedupOps, VectorOps}
   *     stays one union deep regardless of stream lifetime (the
   *     lineage-truncation discipline [[DedupOps.components]] uses).
   *     At rest, the same state is the (b, v)-bucketed index table the
-  *     q48 notes prescribe; this class is its in-session form.
+  *     q48 notes prescribe; this class is its in-session form, and
+  *     [[GateState.compactState]] is the job that folds it back into the
+  *     tables between corpus re-curations so restart cost stops growing
+  *     with stream lifetime.
   *
-  * Replay identity (what makes exactly-once hold end to end): the
-  * absorbed accumulator's probe rows for the CURRENT batch's own doc_ids
-  * are excluded per batch ([[probeIdx]], [[vectorGate]]) — never the
-  * base's. A replayed batch (crash after publish + absorb-rebuild, before
-  * the checkpoint commit) therefore curates against exactly the state it
-  * saw the first time and republishes the identical batch directory,
-  * instead of flagging its own published survivors as duplicates of
-  * themselves. The exclusion also gives a re-delivered doc_id REPLACE
-  * semantics rather than self-collision. [[absorb]] additionally keys on
-  * the micro-batch id, so a batch folds into the accumulator exactly
-  * once no matter how often it replays.
+  * Replay identity (what makes exactly-once hold end to end): when the
+  * CURRENT batch id is one the gate already published ([[absorb]]ed this
+  * session, or listed by [[resume]]), the probe rows for that batch's own
+  * doc_ids are excluded ([[probeIdx]], [[vectorGate]]) — base AND
+  * absorbed, because after a compaction the batch's own rows live in the
+  * base tables. A replayed batch (crash after publish, before the
+  * checkpoint commit) therefore curates against exactly the state it saw
+  * the first time and republishes the identical batch directory, instead
+  * of flagging its own published survivors as duplicates of themselves.
+  * A FRESH batch id gets no exclusion at all: a re-delivered doc_id with
+  * near-identical text is gated against its earlier self and dropped
+  * (first-arrival wins — published dirs are immutable, so there is no
+  * replace). A re-delivered doc_id with genuinely different text is a new
+  * document under a colliding id and is accepted: crawl doc_ids are
+  * required to be unique across the corpus and the stream's lifetime, and
+  * an id that is also a CORPUS doc_id would additionally be mistaken for
+  * the gate's own publish during a replay — uniqueness is the caller's
+  * contract, not something the gate can check cheaply. [[absorb]]
+  * additionally keys on the micro-batch id, so a batch folds into the
+  * accumulator exactly once no matter how often it replays.
   *
   * Threading: mutated only inside `foreachBatch`, which Structured
   * Streaming runs serially per query — no synchronization needed.
@@ -53,40 +77,53 @@ final class GateState private (
     private var absorbedBatches: Set[Long],
     private var absBlocks: Seq[RDD[_]]) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GateState])
+
   /** Full shingled corpus (base + absorbed) — the exact-Jaccard
     * verification side of the text gate. No exclusion needed: candidates
     * only arise from the (already filtered) probe index. */
   def corpusSh: DataFrame = baseSh.unionByName(absSh)
 
-  /** The text-gate probe index for one batch: base + absorbed, minus the
-    * absorbed rows of the batch's own doc_ids (replay identity — see the
-    * class note). `batchIds` is one micro-batch's (doc_id) frame: small
-    * by definition, hence the broadcast anti-join. */
-  def probeIdx(batchIds: DataFrame): DataFrame =
-    baseIdx.unionByName(absIdx.join(
+  /** The text-gate probe index for the batch `batchId` over `batchIds`
+    * (its (doc_id) frame — small by construction: the main bounds batch
+    * size via maxFilesPerTrigger, hence the broadcast anti-join). A fresh
+    * batch probes base + absorbed as-is; a REPLAYED batch (id already
+    * published) excludes its own doc_ids from both sides — replay
+    * identity, see the class note. */
+  def probeIdx(batchIds: DataFrame, batchId: Long): DataFrame = {
+    val all = baseIdx.unionByName(absIdx)
+    if (!absorbedBatches(batchId)) all
+    else all.join(
       broadcast(batchIds.select(col("doc_id").as("corpus_id"))),
-      Seq("corpus_id"), "left_anti"))
+      Seq("corpus_id"), "left_anti")
+  }
 
   /** Whether a vector side was configured (`--embeddings`). */
   def hasVectors: Boolean = vecSide.nonEmpty
 
-  /** The vector-space gate over one batch's text-surviving docs: drop
-    * every doc whose embedding near-duplicates (cosine >= threshold) a
-    * corpus or previously-accepted vector ([[VectorOps.lshNearDupAgainstIndex]]),
-    * then collapse intra-batch vector near-dup clusters to one canonical
-    * ([[VectorOps.lshNearDup]] + star components — cosine similarity
-    * chains, so diameter is unknown). Docs with no row in the vectors
-    * table pass untouched: an embedding-less doc has nothing to compare.
-    * Identity when no vector side is configured. */
-  def vectorGate(curated: DataFrame, batchIds: DataFrame): DataFrame =
+  /** The vector-space gate over the batch `batchId`'s text-surviving
+    * docs: drop every doc whose embedding near-duplicates (cosine >=
+    * threshold) a corpus or previously-accepted vector
+    * ([[VectorOps.lshNearDupAgainstIndex]]), then collapse intra-batch
+    * vector near-dup clusters to one canonical ([[VectorOps.lshNearDup]]
+    * + star components — cosine similarity chains, so diameter is
+    * unknown). Docs with no row in the vectors table pass untouched: an
+    * embedding-less doc has nothing to compare. Identity when no vector
+    * side is configured. Replay identity mirrors [[probeIdx]]: only a
+    * replayed batch excludes its own ids, from base AND absorbed. */
+  def vectorGate(curated: DataFrame, batchIds: DataFrame,
+      batchId: Long): DataFrame =
     vecSide match {
       case None => curated
       case Some((vecs, threshold, baseVecIdx)) =>
         val incVecs = vecs.join(
           curated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        val idx = baseVecIdx.unionByName(absVecIdx.get.join(
-          broadcast(batchIds.select(col("doc_id").as("corpus_id"))),
-          Seq("corpus_id"), "left_anti"))
+        val all = baseVecIdx.unionByName(absVecIdx.get)
+        val idx =
+          if (!absorbedBatches(batchId)) all
+          else all.join(
+            broadcast(batchIds.select(col("doc_id").as("corpus_id"))),
+            Seq("corpus_id"), "left_anti")
         val flagged = VectorOps.lshNearDupAgainstIndex(incVecs, idx, vecs, threshold)
           .select(col("vec_id").as("doc_id")).distinct()
         val survived = curated.join(flagged, Seq("doc_id"), "left_anti")
@@ -102,7 +139,9 @@ final class GateState private (
     * is read back from the batch's published directory ((doc_id, text)
     * suffice) — the on-disk truth, which also severs any lineage back to
     * the stream source. Idempotent per `batchId`: a replayed batch never
-    * double-folds. */
+    * double-folds. Logs [[absorbedStats]] after each fold — the row
+    * counts are block-local scans of the just-checkpointed accumulators,
+    * the same O(absorbed) order the re-checkpoint itself already pays. */
   def absorb(batchId: Long, published: DataFrame): Unit = {
     if (!absorbedBatches(batchId)) {
       val freshSh = DedupOps.shingledOf(published)
@@ -122,7 +161,25 @@ final class GateState private (
       absVecIdx = newVecIdx
       absorbedBatches += batchId
       absBlocks = (Seq(newSh, newIdx) ++ newVecIdx).flatMap(Checkpoints.rddsOf)
+      val s = absorbedStats()
+      log.info(s"gate absorbed batch=$batchId: batches=${s.batches} " +
+        s"shingleRows=${s.shingleRows} indexRows=${s.indexRows} " +
+        s"vectorIndexRows=${s.vectorIndexRows.getOrElse(-1L)} " +
+        s"storedBytes=${s.storedBytes} — compact into the at-rest tables " +
+        "(CorpusStreamMain --compact-state) before these grow past what a " +
+        "restart should re-fold")
     }
+  }
+
+  /** Size of the absorbed accumulator — what [[absorb]] logs per batch
+    * and an operator alerts on. Row counts scan the checkpointed blocks;
+    * bytes come from the block manager's storage report (no job). */
+  def absorbedStats(): GateStats = {
+    val ids = absBlocks.map(_.id).toSet
+    val stored = absSh.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids(i.id)).map(i => i.memSize + i.diskSize).sum
+    GateStats(absorbedBatches.size, absSh.count(), absIdx.count(),
+      absVecIdx.map(_.count()), stored)
   }
 
   /** Release every block this state holds (base + absorbed + the vectors
@@ -173,7 +230,8 @@ object GateState {
     // exchange-free on the index side (checkpointing would destroy the
     // bucketed layout, so the at-rest frame is used as-is). The absorbed
     // accumulator still unions in per batch; at rest, absorbed deltas are
-    // compacted back into the table whenever the corpus republishes.
+    // compacted back into the table by [[compactState]] and at every
+    // corpus republish.
     val baseIdx = baseIndex.getOrElse(
       DedupOps.corpusBandIndex(baseSh).localCheckpoint(true))
     val seed = published.getOrElse(corpus.limit(0))
@@ -211,28 +269,146 @@ object GateState {
   }
 
   /** [[build]] for a (re)starting stream: heal any interrupted swap under
-    * `output`, then fold every `batch=<id>` directory a previous
+    * `output`, then fold the `batch=<id>` directories a previous
     * incarnation published into the absorbed side — those docs are
     * curated output and must gate later batches exactly like the corpus;
     * their batch ids are recorded so a replayed batch is recognized.
+    *
+    * Batches the compaction manifest marks as already folded into the
+    * at-rest tables ([[compactState]]) are SKIPPED — their rows arrive
+    * through `baseIndex`/`baseShingles`/`baseVecIndex`, so restart cost
+    * is O(un-compacted tail), not O(all accepted history). The skip only
+    * applies when every configured gate side actually loads its table
+    * (text: index + shingles; vectors, if configured: the vector index):
+    * with any side rebuilt in-session from `corpus`, the compacted docs
+    * would exist nowhere on that side and near-dups of them would slip
+    * through — so the manifest is ignored and everything re-folds
+    * (correct, merely slow). The tables passed must be the ones
+    * compaction appended to — the manifest describes them.
+    *
     * One definition shared by the main and the specs, so the restart
     * semantics cannot drift between them. */
-  def resume(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+  def resume(spark: SparkSession, corpus: DataFrame,
       output: String,
       vectors: Option[(DataFrame, Double)] = None,
       baseIndex: Option[DataFrame] = None,
       baseShingles: Option[DataFrame] = None,
       baseVecIndex: Option[DataFrame] = None,
       persistVectors: Boolean = true): GateState = {
-    graft.sources.Warehouse.recover(spark, output)
-    val batchDirs = Option(new java.io.File(output).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    Warehouse.recover(spark, output)
+    val dirs = publishedBatchDirs(spark, output)
+    val tablesCover = baseIndex.nonEmpty && baseShingles.nonEmpty &&
+      (vectors.isEmpty || baseVecIndex.nonEmpty)
+    val compacted =
+      if (tablesCover) compactedBatchIds(spark, output) else Set.empty[Long]
+    val tail = dirs.filterNot { case (id, _) => compacted(id) }
     val published =
-      if (batchDirs.isEmpty) None
-      else Some(spark.read.parquet(batchDirs.map(_.getPath): _*)
+      if (tail.isEmpty) None
+      else Some(spark.read.parquet(tail.map(_._2.toString): _*)
         .select("doc_id", "text"))
-    build(corpus, published,
-      batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet, vectors,
+    build(corpus, published, dirs.map(_._1).toSet, vectors,
       baseIndex, baseShingles, baseVecIndex, persistVectors)
+  }
+
+  /** The incremental compaction job between corpus re-curations: append
+    * the band/shingle/vector-band rows of every published-but-uncompacted
+    * `batch=<id>` directory into the at-rest gate tables, then record the
+    * batch ids in the manifest — after which [[resume]] re-arms the gate
+    * from the tables alone and re-folds only batches published since.
+    * Runs offline (the stream down or between its batches' publishes);
+    * cost is O(un-compacted tail) plus one columnar scan of each table
+    * for the idempotence check below. Returns the number of batches
+    * folded.
+    *
+    * Crash safety: each table append is guarded by an anti-join of the
+    * tail's doc ids against the ids already in that table, so a rerun
+    * after a crash between an append and the manifest publish appends
+    * nothing twice — per table, because a crash can leave the tables
+    * unequally advanced. The manifest itself publishes last, via the
+    * crash-safe directory swap. A batch id already in the manifest is
+    * not re-read at all, so a replayed/rerun compaction never
+    * double-folds.
+    *
+    * `vectors` must cover the tail batches' doc ids (the same
+    * (vec_id, e, nrm) source the gate runs with); the vec_id-bucketed
+    * vectors TABLE is not appended to here — it is maintained upstream,
+    * since it must already cover a doc before the gate can verify it.
+    * `numBuckets` must match the tables' bucket count (Spark fails
+    * loudly on a mismatch). At the next corpus re-curation the tables
+    * are rebuilt from the published corpus and the batch dirs retire —
+    * retire the manifest with them. */
+  def compactState(spark: SparkSession, output: String,
+      indexTable: String, shinglesTable: String,
+      vectorIndexTable: Option[String] = None,
+      vectors: Option[DataFrame] = None,
+      numBuckets: Int = 32): Int = {
+    require(vectorIndexTable.isEmpty || vectors.nonEmpty,
+      "vectorIndexTable was given without vectors to band-hash")
+    Warehouse.recover(spark, output)
+    val compacted = compactedBatchIds(spark, output)
+    val tail = publishedBatchDirs(spark, output)
+      .filterNot { case (id, _) => compacted(id) }
+    if (tail.isEmpty) 0
+    else {
+      val docs = spark.read.parquet(tail.map(_._2.toString): _*)
+        .select("doc_id", "text")
+      val tailIds = docs.select("doc_id").distinct()
+      // ids of the tail NOT yet in `table` — the per-table idempotence
+      // guard (one scan of the table, shuffle only of the tiny id sets)
+      def freshIds(table: String, idCol: String): DataFrame =
+        tailIds.join(
+          spark.table(table).select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      val shDocs = docs.join(
+        freshIds(shinglesTable, "doc_id"), Seq("doc_id"), "left_semi")
+      Warehouse.appendBucketedBy(DedupOps.shingledOf(shDocs),
+        shinglesTable, Seq("doc_id"), numBuckets)
+      val idxDocs = docs.join(
+        freshIds(indexTable, "corpus_id"), Seq("doc_id"), "left_semi")
+      Warehouse.appendBucketedBy(
+        DedupOps.corpusBandIndex(DedupOps.shingledOf(idxDocs)),
+        indexTable, Seq("b", "v"), numBuckets)
+      vectorIndexTable.foreach { vt =>
+        val tailVecs = vectors.get
+          .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .join(spark.table(vt).select(col("corpus_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+        Warehouse.appendBucketedBy(VectorOps.vectorBandIndex(tailVecs),
+          vt, Seq("b", "v"), numBuckets)
+      }
+      import spark.implicits._
+      Warehouse.replaceDir(
+        (compacted ++ tail.map(_._1)).toSeq.sorted.toDF("batch"),
+        manifestDir(output))
+      tail.size
+    }
+  }
+
+  /** Batch ids already folded into the at-rest tables — the compaction
+    * manifest, a tiny one-column parquet published crash-safely under the
+    * stream output root (underscore-prefixed: invisible to parquet
+    * readers of the batch dirs). */
+  def compactedBatchIds(spark: SparkSession, output: String): Set[Long] = {
+    val p = new Path(manifestDir(output))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(manifestDir(output))
+      .select("batch").collect().map(_.getLong(0)).toSet
+  }
+
+  private def manifestDir(output: String): String = s"$output/_gate_compacted"
+
+  /** The `batch=<id>` directories under `output`, via the Hadoop
+    * FileSystem of the path — NOT java.io.File, which on any non-local
+    * store (HDFS/S3) would list nothing and silently rebuild an empty
+    * absorbed gate. */
+  private def publishedBatchDirs(spark: SparkSession,
+      output: String): Seq[(Long, Path)] = {
+    val target = new Path(output)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) Seq.empty
+    else fs.listStatus(target).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath))
   }
 }

@@ -62,7 +62,13 @@ object Warehouse {
     * the pipeline runs (one pass over the dump, while the input still
     * exists exactly as read) but published only after the new corpus is
     * live, so a mid-pipeline crash never leaves the still-live OLD corpus
-    * described by the NEW run's quarantine. */
+    * described by the NEW run's quarantine. Residual window: between the
+    * target table's swap and the staged artifact's publish there is a
+    * moment where the NEW table is live while the OLD run's staged-class
+    * artifact still is — callers keep it minimal by publishing the staged
+    * artifact FIRST in their post-swap block, and a rerun heals it; a
+    * single atomic multi-directory swap would need a filesystem-level
+    * transaction no object store offers. */
   def stageDirWith(spark: SparkSession, dir: String)(
       write: String => Unit): Unit = {
     val target = new Path(dir)
@@ -460,6 +466,26 @@ object Warehouse {
       numBuckets: Int = 32): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Append to an existing [[writeBucketedBy]] table, preserving its
+    * layout contract: each append job writes its own set of bucket files
+    * (a bucket may then hold several files — the hash distribution still
+    * holds, so bucketed joins stay exchange-free; only the per-file sort
+    * guarantee weakens, which costs at most a local sort in the consumer,
+    * never a shuffle). The bucketing spec must match the table's — Spark
+    * fails loudly on a mismatch, which is the point: a silent re-bucket
+    * would corrupt the co-location every reader relies on. This is the
+    * write behind incremental gate-state compaction
+    * ([[graft.corpus.GateState.compactState]]). */
+  def appendBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int = 32): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    df.write.mode(SaveMode.Append)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

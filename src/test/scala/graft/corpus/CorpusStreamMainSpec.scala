@@ -136,7 +136,7 @@ class CorpusStreamMainSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
     val ids = batch.select("doc_id")
     def curate() = CorpusStreamMain.curateBatch(batch, state.corpusSh,
-      corpusIndex = Some(state.probeIdx(ids)))
+      corpusIndex = Some(state.probeIdx(ids, 0L)))
     val first = curate()
     CorpusStreamMain.publishBatch(first, out, 0L)
     state.absorb(0L, spark.read.parquet(s"$out/batch=0").select("doc_id", "text"))
@@ -155,7 +155,7 @@ class CorpusStreamMainSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
     val laterIds = later.select("doc_id")
     val kept = CorpusStreamMain.curateBatch(later, state.corpusSh,
-        corpusIndex = Some(state.probeIdx(laterIds)))
+        corpusIndex = Some(state.probeIdx(laterIds, 1L)))
       .select("doc_id").as[Long].collect().toSet
     assert(kept.isEmpty, s"doc 60 dups the absorbed doc 50, must drop: $kept")
   }
@@ -324,7 +324,7 @@ class CorpusStreamMainSpec extends SparkSpec {
           baseShingles = Some(spark.table("gate_sh_at_rest")))
         val ids = rows.select("doc_id")
         val kept = CorpusStreamMain.curateBatch(rows, st.corpusSh,
-            corpusIndex = Some(st.probeIdx(ids)))
+            corpusIndex = Some(st.probeIdx(ids, 0L)))
           .select("doc_id").as[Long].collect().toSet
         assert(kept == Set(46L), s"fully at-rest text side must gate: $kept")
       } finally spark.sql("DROP TABLE IF EXISTS gate_sh_at_rest")
@@ -423,7 +423,7 @@ class CorpusStreamMainSpec extends SparkSpec {
     val (kept, plan) = noAutoBroadcast {
       val gated = state.vectorGate(
         CorpusStreamMain.curateBatch(rows, state.corpusSh,
-          corpusIndex = Some(state.probeIdx(ids))), ids)
+          corpusIndex = Some(state.probeIdx(ids, 0L))), ids, 0L)
       (gated.select("doc_id").as[Long].collect().toSet,
         gated.queryExecution.executedPlan.toString)
     }
@@ -456,7 +456,7 @@ class CorpusStreamMainSpec extends SparkSpec {
       val ids = rows.select("doc_id")
       def keptWith(state: GateState) = state.vectorGate(
           CorpusStreamMain.curateBatch(rows, state.corpusSh,
-            corpusIndex = Some(state.probeIdx(ids))), ids)
+            corpusIndex = Some(state.probeIdx(ids, 0L))), ids, 0L)
         .select("doc_id").as[Long].collect().toSet
       val viaTable = GateState.build(corpusDf, vectors = Some((vecs, 0.9)),
         baseVecIndex = Some(atRest))
@@ -497,6 +497,191 @@ class CorpusStreamMainSpec extends SparkSpec {
           "the fully at-rest vector side must gate identically")
       } finally spark.sql("DROP TABLE IF EXISTS gate_vecs_at_rest")
     } finally spark.sql("DROP TABLE IF EXISTS gate_vec_band_idx")
+  }
+
+  // ---- incremental gate-state compaction (--compact-state) -------------
+
+  test("compaction: restart folds only the un-compacted tail, still gates, never double-folds") {
+    val root = Files.createTempDirectory("stream_gate_compact").toString
+    val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+    def drain(): Unit = {
+      val state = GateState.resume(spark, corpusDf, out)
+      val q = CorpusStreamMain.start(
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+          .parquet(inDir), state, out, ckpt)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    drop("crawl0", Seq((10L, "src0", "first crawl delivers this clean document")))
+    drain()
+    drop("crawl1", Seq((12L, "src0", "second crawl delivers another clean one")))
+    drain()
+    // the corpus's at-rest text side, as CorpusMain --publish-index /
+    // --publish-shingles writes it — compaction appends the batches to it
+    val corpusSh = DedupOps.shingledOf(corpusDf)
+    DedupOps.writeCorpusBandIndex(corpusSh, "cmp_idx", numBuckets = 8)
+    DedupOps.writeCorpusShingles(corpusSh, "cmp_sh", numBuckets = 8)
+    try {
+      assert(GateState.compactState(spark, out, "cmp_idx", "cmp_sh",
+        numBuckets = 8) == 2)
+      val idxRows = spark.table("cmp_idx").count()
+      val shRows = spark.table("cmp_sh").count()
+      // restart with the tables: NOTHING re-folds (the absorbed side
+      // stays empty — the direct observation that no batch was re-read
+      // or re-shingled), yet every published id stays known for replay
+      val st = GateState.resume(spark, corpusDf, out,
+        baseIndex = Some(spark.table("cmp_idx")),
+        baseShingles = Some(spark.table("cmp_sh")))
+      val stats = st.absorbedStats()
+      assert(stats.shingleRows == 0 && stats.indexRows == 0,
+        s"compacted batches must not be re-shingled at restart: $stats")
+      assert(stats.batches == 2, s"published ids must stay known: $stats")
+      // the gate still drops a near-dup of a compacted-batch doc — the
+      // TABLE rows now carry what the absorbed accumulator used to
+      val later = Seq((99L, "srcX", "first crawl delivers this clean document"))
+        .toDF("doc_id", "source", "text")
+      val kept = CorpusStreamMain.curateBatch(later, st.corpusSh,
+          corpusIndex = Some(st.probeIdx(later.select("doc_id"), 2L)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.isEmpty, s"99 dups the compacted doc 10, must drop: $kept")
+      // replay identity against COMPACTED rows: a replayed batch id
+      // excludes its own docs from the base tables and republishes itself
+      val replay0 = Seq((10L, "src0", "first crawl delivers this clean document"))
+        .toDF("doc_id", "source", "text")
+      val keptReplay = CorpusStreamMain.curateBatch(replay0, st.corpusSh,
+          corpusIndex = Some(st.probeIdx(replay0.select("doc_id"), 0L)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptReplay == Set(10L),
+        s"a replayed compacted batch must republish itself: $keptReplay")
+      // a manifest-listed batch never re-folds: rerun is a no-op
+      assert(GateState.compactState(spark, out, "cmp_idx", "cmp_sh",
+        numBuckets = 8) == 0)
+      assert(spark.table("cmp_idx").count() == idxRows)
+      assert(spark.table("cmp_sh").count() == shRows)
+      // crash between the appends and the manifest publish: the manifest
+      // is gone but the rows are in — the rerun re-reads the tail yet the
+      // per-table anti-join guard appends nothing twice
+      graft.sources.Warehouse.retireDir(spark, s"$out/_gate_compacted")
+      assert(GateState.compactState(spark, out, "cmp_idx", "cmp_sh",
+        numBuckets = 8) == 2)
+      assert(spark.table("cmp_idx").count() == idxRows,
+        "a crashed compaction's rerun must not duplicate index rows")
+      assert(spark.table("cmp_sh").count() == shRows,
+        "a crashed compaction's rerun must not duplicate shingle rows")
+      assert(GateState.compactedBatchIds(spark, out) == Set(0L, 1L),
+        "the manifest must be restored")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmp_idx")
+      spark.sql("DROP TABLE IF EXISTS cmp_sh")
+    }
+  }
+
+  test("compaction folds the vector side too: a vector-dup of a compacted accept drops") {
+    val root = Files.createTempDirectory("stream_gate_compact_vec").toString
+    val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    val vecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0),
+      10L -> Seq(0.0, 1.0, 0.0, 0.0),   // accepted, then compacted
+      11L -> Seq(0.0, 2.0, 0.0, 0.0)))  // colinear with 10 — text-novel
+    Seq((10L, "src0", "first crawl delivers this clean document"))
+      .toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/crawl0")
+    val state0 = GateState.resume(spark, corpusDf, out, vectors = Some((vecs, 0.9)))
+    val q = CorpusStreamMain.start(
+      spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        .parquet(inDir), state0, out, ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    val corpusSh = DedupOps.shingledOf(corpusDf)
+    val corpusVecs = vecs.join(
+      corpusDf.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    DedupOps.writeCorpusBandIndex(corpusSh, "cmpv_idx", numBuckets = 8)
+    DedupOps.writeCorpusShingles(corpusSh, "cmpv_sh", numBuckets = 8)
+    graft.queries.VectorOps.writeVectorBandIndex(corpusVecs, "cmpv_vidx",
+      numBuckets = 8)
+    try {
+      assert(GateState.compactState(spark, out, "cmpv_idx", "cmpv_sh",
+        Some("cmpv_vidx"), Some(vecs), numBuckets = 8) == 1)
+      val st = GateState.resume(spark, corpusDf, out,
+        vectors = Some((vecs, 0.9)),
+        baseIndex = Some(spark.table("cmpv_idx")),
+        baseShingles = Some(spark.table("cmpv_sh")),
+        baseVecIndex = Some(spark.table("cmpv_vidx")))
+      val stats = st.absorbedStats()
+      assert(stats.vectorIndexRows.contains(0L) && stats.shingleRows == 0,
+        s"the vector side must restart from the table alone: $stats")
+      val rows = Seq(
+        (11L, "src1", "wholly unrelated phrasing sharing not one shingle here"))
+        .toDF("doc_id", "source", "text")
+      val ids = rows.select("doc_id")
+      val kept = st.vectorGate(
+          CorpusStreamMain.curateBatch(rows, st.corpusSh,
+            corpusIndex = Some(st.probeIdx(ids, 1L))), ids, 1L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.isEmpty,
+        s"11 vector-dups the compacted accept 10 through the table: $kept")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmpv_idx")
+      spark.sql("DROP TABLE IF EXISTS cmpv_sh")
+      spark.sql("DROP TABLE IF EXISTS cmpv_vidx")
+    }
+  }
+
+  test("absorbedStats reports per-batch absorbed growth (gate observability)") {
+    val out = Files.createTempDirectory("stream_gate_stats").toString
+    val state = GateState.build(corpusDf)
+    val s0 = state.absorbedStats()
+    assert(s0.batches == 0 && s0.shingleRows == 0 && s0.indexRows == 0)
+    assert(s0.vectorIndexRows.isEmpty, "no vector side configured")
+    def acceptBatch(id: Long, doc: (Long, String, String)): Unit = {
+      val b = Seq(doc).toDF("doc_id", "source", "text")
+      CorpusStreamMain.publishBatch(
+        CorpusStreamMain.curateBatch(b, state.corpusSh), out, id)
+      state.absorb(id, spark.read.parquet(s"$out/batch=$id")
+        .select("doc_id", "text"))
+    }
+    acceptBatch(0L, (300L, "src0", "a clean novel document body number one right here"))
+    val s1 = state.absorbedStats()
+    assert(s1.batches == 1 && s1.shingleRows > 0 && s1.indexRows > 0,
+      s"first absorb must show up: $s1")
+    assert(s1.storedBytes > 0, s"checkpointed blocks must report a footprint: $s1")
+    acceptBatch(1L, (301L, "src0", "a second clean novel document body phrased differently"))
+    val s2 = state.absorbedStats()
+    assert(s2.batches == 2 && s2.shingleRows > s1.shingleRows
+      && s2.indexRows > s1.indexRows,
+      s"growth per batch is what the operator watches: $s1 -> $s2")
+  }
+
+  test("a re-delivered doc_id in a later batch drops: first arrival wins, no duplicate publish") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream_gate_redeliver").toString
+    val ckpt = Files.createTempDirectory("stream_gate_redeliver_ckpt").toString
+    val state = GateState.build(corpusDf)
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStreamMain.start(
+      in.toDF().toDF("doc_id", "source", "text"), state, out, ckpt)
+    try {
+      in.addData((500L, "src0", "a novel body of words delivered exactly here first"))
+      q.processAllAvailable()
+      // the crawler re-delivers the same doc_id with the same text in a
+      // NEW batch: this is not a replay (fresh batch id), so no exclusion
+      // applies — the doc is gated against its own earlier publish and
+      // drops; published dirs are immutable, so first arrival wins
+      in.addData((500L, "src0", "a novel body of words delivered exactly here first"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(500L),
+      s"the re-delivered 500 must publish exactly once: $got")
+    assert(spark.read.parquet(s"$out/batch=1").count() == 0,
+      "the second delivery's batch publishes empty")
   }
 
   // ---- jsonl streaming ingest (--format jsonl) -------------------------
