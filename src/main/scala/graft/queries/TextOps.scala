@@ -88,8 +88,8 @@ object TextOps {
     * each domain's sort is local to its partition. Domains are many and
     * individually small next to the corpus, so there is no global sort
     * and no skew beyond a genuinely degenerate single-domain crawl (for
-    * which the lever is pre-aggregating a per-domain quality histogram
-    * and cutting by threshold instead of rank). */
+    * which [[domainQuotaByThreshold]] is the lever: a pre-aggregated
+    * per-domain quality histogram cut by threshold instead of rank). */
   def domainQuota(docs: DataFrame, k: Int = DefaultQuota): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"quota must be >= 1, got $k")
@@ -99,6 +99,66 @@ object TextOps {
         Window.partitionBy(col("source"))
           .orderBy(col("quality").desc, col("doc_id"))).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /** [[domainQuota]] for the degenerate-domain crawl (q56): the same cut
+    * — each source capped at its `k` best by (quality DESC, doc_id ASC) —
+    * computed WITHOUT sorting whole domains. [[domainQuota]]'s one window
+    * sorts each domain inside a single partition, the right shape when
+    * domains are many and individually small; a single-domain crawl puts
+    * the entire corpus in that one partition. Here the rank is replaced
+    * by a histogram threshold:
+    *   1. bin each doc's quality into one of `bins` equal-width buckets
+    *      (quality lives in [0, 1] by construction; 1.0 clamps into the
+    *      top bin);
+    *   2. aggregate the per-(source, bin) histogram — the only
+    *      corpus-wide shuffle, map-side combinable, ≤ domains × bins
+    *      output rows;
+    *   3. per domain, walk bins from the top to find the boundary bin
+    *      where the cumulative count first reaches `k` — windows over
+    *      HISTOGRAM rows, never documents (a domain with under `k` docs
+    *      has no boundary and keeps everything);
+    *   4. keep every doc strictly above its domain's boundary bin
+    *      (guaranteed fewer than `k` of them), and rank only WITHIN the
+    *      boundary bin — a window whose input a filter has already cut
+    *      to ~1/bins of the domain — for the remaining seats.
+    * The per-domain (boundary bin, seats) table is one row per domain
+    * and broadcast, so the documents themselves are never shuffled for
+    * it. Binning is monotone in quality, so the kept set is EXACTLY
+    * [[domainQuota]]'s (TextOpsSpec pins the equivalence, ties
+    * included); only `rk` is not produced — a global per-domain rank is
+    * precisely the sort this variant exists to avoid. */
+  def domainQuotaByThreshold(docs: DataFrame, k: Int = DefaultQuota,
+      bins: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"quota must be >= 1, got $k")
+    require(bins >= 2, s"need >= 2 histogram bins, got $bins")
+    val scored = docs
+      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .withColumn("bin",
+        least(floor(col("quality") * bins).cast("long"), lit(bins - 1L)))
+    val hist = scored.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum", sum(col("n")).over(
+      Window.partitionBy(col("source")).orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the HIGHEST bin whose from-the-top cumulative reaches k; seats =
+    // what k leaves after every doc in the bins strictly above it
+    val boundary = cum.filter(col("cum") >= k)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("bin").desc)))
+      .filter(col("r") === 1)
+      .select(col("source"), col("bin").as("bbin"),
+        (lit(k.toLong) - (col("cum") - col("n"))).as("seats"))
+    val withB = scored.join(broadcast(boundary), Seq("source"), "left")
+    val above = withB.filter(col("bbin").isNull || col("bin") > col("bbin"))
+    val atBoundary = withB.filter(col("bin") === col("bbin"))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rb") <= col("seats"))
+    above.select("doc_id", "source", "quality")
+      .unionByName(atBoundary.select("doc_id", "source", "quality"))
   }
 
 
@@ -387,7 +447,11 @@ object TextOps {
     "q52_corpus_mix" -> { (s, dir) => mixCorpus(Tables.documents(s, dir)) },
 
     // Per-domain quota (see domainQuota).
-    "q55_domain_quota" -> { (s, dir) => domainQuota(Tables.documents(s, dir)) })
+    "q55_domain_quota" -> { (s, dir) => domainQuota(Tables.documents(s, dir)) },
+
+    // Per-domain quota via histogram threshold (see domainQuotaByThreshold).
+    "q56_domain_quota_threshold" -> { (s, dir) =>
+      domainQuotaByThreshold(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -514,5 +578,31 @@ object TextOps {
              row_number() OVER (PARTITION BY source
                ORDER BY quality DESC, doc_id) AS rk
            FROM q)
-         SELECT doc_id, source, quality, rk FROM r WHERE rk <= $DefaultQuota""")
+         SELECT doc_id, source, quality, rk FROM r WHERE rk <= $DefaultQuota""",
+    // the oracle for the THRESHOLD variant is the exact rank form: the
+    // histogram cut must keep precisely the top-k per domain
+    "q56_domain_quota_threshold" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS stop_hits,
+             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+               (acc, v) -> acc + v) AS tot_tok_len
+           FROM t),
+         q AS (
+           SELECT doc_id, source,
+             (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+               + (CASE WHEN CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                        AND CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 6.0
+                       THEN 0.5 ELSE 0.0 END) AS quality
+           FROM m),
+         r AS (
+           SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS rk
+           FROM q)
+         SELECT doc_id, source, quality FROM r WHERE rk <= $DefaultQuota""")
 }

@@ -69,6 +69,52 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextOps.domainQuota(docs, 0) }
   }
 
+  test("domainQuotaByThreshold == domainQuota on a skewed corpus, with no document-scale window") {
+    // one degenerate domain holding almost everything (the case the
+    // variant exists for), one domain under the quota. Texts repeat
+    // across ids so equal qualities TIE inside a histogram bin — the
+    // doc_id tiebreak must match the rank form's exactly.
+    val docs = ((0L until 200L).map { i =>
+      val stops = Seq.fill((i % 7).toInt)("the")
+      val body = Seq.fill(3 + (i % 5).toInt)(s"tok${i % 11}")
+      (i, "big", (stops ++ body).mkString(" "))
+    } ++ Seq(
+      (900L, "small", "alpha beta gamma delta"),
+      (901L, "small", "one two three"),
+      (902L, "small", "the the the the"))).toDF("doc_id", "source", "text")
+    val viaRank = TextOps.domainQuota(docs, k = 7)
+      .select("doc_id", "source", "quality")
+      .as[(Long, String, Double)].collect().toSet
+    val viaThreshold = TextOps.domainQuotaByThreshold(docs, k = 7)
+      .select("doc_id", "source", "quality")
+      .as[(Long, String, Double)].collect().toSet
+    assert(viaThreshold == viaRank,
+      s"the histogram cut must keep exactly the rank cut's rows:\n" +
+        s"rank - threshold: ${viaRank -- viaThreshold}\n" +
+        s"threshold - rank: ${viaThreshold -- viaRank}")
+    assert(viaThreshold.count(_._2 == "small") == 3,
+      "a domain under the quota keeps everything (no boundary bin)")
+    // the plan property that IS the operator: every window runs over
+    // histogram rows (below an Aggregate) or over one boundary bin (below
+    // a bin filter) — never over a whole domain of documents, which is
+    // domainQuota's shape and exactly what a degenerate domain breaks
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val plan = TextOps.domainQuotaByThreshold(docs, k = 7)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "the threshold cut still windows (just never over a domain)")
+    wins.foreach { w =>
+      val guarded = w.child.collectFirst {
+        case a: Aggregate => a
+        case f: Filter if f.condition.references.exists(r =>
+          Set("bin", "bbin", "cum")(r.name)) => f
+      }.nonEmpty
+      assert(guarded, s"document-scale window in the threshold plan:\n$w")
+    }
+    intercept[IllegalArgumentException] { TextOps.domainQuotaByThreshold(docs, 0) }
+    intercept[IllegalArgumentException] { TextOps.domainQuotaByThreshold(docs, 5, bins = 1) }
+  }
+
   test("hashSplit is a pure function of the id: subset-invariant, partition-invariant, ~80/10/10") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
