@@ -17,7 +17,7 @@ object Bench {
   // a plan regression (the plan itself is PlanSpec-pinned).
   private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
-    "q48_neardup_gate", "q51_decontaminate")
+    "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
@@ -53,7 +53,7 @@ object Bench {
     ("q15_first_per_key", 0.22, 0.45),
     ("q16_sessionize", 0.34, 0.45),
     ("q17_collect_types", 0.19, 0.3),
-    ("q18_asof_signup", 0.38, 0.5),
+    ("q18_asof_signup", 0.25, 0.5),
     ("q19_json_roundtrip", 0.36, 0.5),
     ("q20_clock_math", 0.2, 0.3),
     ("q21_season_parse", 0.26, 0.5),
@@ -73,7 +73,7 @@ object Bench {
     ("q35_ann_topk", 0.29, 0.5),
     ("q36_ivf_topk", 0.4, 0.55),
     ("q37_hyperplane_lsh", 0.8, 0.95),
-    ("q38_components", 2.6, 2.95),
+    ("q38_components", 1.5, 2.95),
     ("q39_dedupe_corpus", 1.75, 1.95),
     ("q40_token_count", 0.14, 0.22),
     ("q41_quality_score", 0.18, 0.25),
@@ -91,7 +91,9 @@ object Bench {
     ("q53_embed_dedup", 3.6, 4.7),
     ("q54_vector_gate", 0.6, 0.8),
     ("q55_domain_quota", 0.24, 0.45),
-    ("q56_domain_quota_threshold", 0.5, 1.1))
+    ("q56_domain_quota_threshold", 0.5, 1.1),
+    ("q57_token_budget_mix", 0.15, 0.45),
+    ("q58_boilerplate", 0.5, 1.2))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -99,7 +101,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q56; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q58; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

@@ -32,21 +32,27 @@ import graft.sources.{Jsonl, Warehouse}
   *     near-misses stay visible and a lower threshold needs no recompute;
   *   - `domain_quota/` (with `--quota N`) — the kept (doc_id, source,
   *     quality, rk) rows of the per-domain cap, the evidence the corpus's
-  *     membership is then read back from.
+  *     membership is then read back from;
+  *   - `token_budget/` (with `--token-budget N`) — the kept (doc_id,
+  *     source, n_tokens, tb_bucket, tb_cut) rows of the per-source
+  *     token-budget sample, read back the same way.
   *
   * Every stage is one of the oracle-checked operators (q52, q51, q31,
-  * q39, q55, q49, q50) — this main only composes and publishes them.
-  * Stage order is cheapest-reduction-first: mixing is a hash filter (no
-  * data examined), decontamination touches shingles once, dedup pays the
-  * banded self-join only over what survives both, and the quota cut
-  * ranks only dedup survivors (a pre-dedup cut would under-fill every
-  * domain that had duplicates).
+  * q39, q55, q57, q49, q50) — this main only composes and publishes
+  * them. Stage order is cheapest-reduction-first: mixing is a hash
+  * filter (no data examined), decontamination touches shingles once,
+  * dedup pays the banded self-join only over what survives both, and the
+  * quota and token-budget cuts rank/sample only dedup survivors (a
+  * pre-dedup cut would under-fill every domain that had duplicates —
+  * and, for the budget, sample against token totals the published
+  * corpus no longer has).
   */
 object CorpusMain {
 
   def main(argv: Array[String]): Unit = {
     val usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
       "[--capacity N] [--bench <parquet>] [--min-hits N] [--quota N] " +
+      "[--token-budget N] " +
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--embeddings <parquet>] [--cos-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
@@ -57,7 +63,7 @@ object CorpusMain {
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
-        "publish-vectors", "publish-shingles", "quota"),
+        "publish-vectors", "publish-shingles", "quota", "token-budget"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -76,6 +82,7 @@ object CorpusMain {
     // stack trace after multi-second JVM startup
     val capacity = Cli.toInt(args, "capacity", usage)
     val quota = Cli.toInt(args, "quota", usage)
+    val tokenBudget = Cli.toLong(args, "token-budget", usage)
     val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
@@ -94,7 +101,8 @@ object CorpusMain {
       args.get("publish-vector-index"),
       args.get("publish-vectors"),
       quota,
-      args.get("publish-shingles"))
+      args.get("publish-shingles"),
+      tokenBudget)
     finally spark.stop()
   }
 
@@ -129,9 +137,12 @@ object CorpusMain {
       publishVectorIndex: Option[String] = None,
       publishVectors: Option[String] = None,
       quota: Option[Int] = None,
-      publishShingles: Option[String] = None): Unit = {
+      publishShingles: Option[String] = None,
+      tokenBudget: Option[Long] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
+    require(tokenBudget.forall(_ >= 1),
+      s"token-budget must be >= 1, got ${tokenBudget.get}")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
     require(minHits == 1L || bench.nonEmpty,
@@ -164,7 +175,7 @@ object CorpusMain {
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
-      publishVectors, quota, publishShingles)
+      publishVectors, quota, publishShingles, tokenBudget)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -177,7 +188,8 @@ object CorpusMain {
       publishVectorIndex: Option[String] = None,
       publishVectors: Option[String] = None,
       quota: Option[Int] = None,
-      publishShingles: Option[String] = None): Unit = {
+      publishShingles: Option[String] = None,
+      tokenBudget: Option[Long] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -267,10 +279,25 @@ object CorpusMain {
               Seq("doc_id"), "left_semi")
           case None => deduped
         }
+        // token budget LAST of the drops, over what every earlier stage
+        // kept: rate mixing, dedup, and the quota all change per-source
+        // token totals, so an earlier sample would target totals the
+        // published corpus no longer has. Audited and read back like the
+        // quota — the kept (doc_id, source, n_tokens, tb_bucket, tb_cut)
+        // rows ARE the membership evidence.
+        val budgeted = tokenBudget match {
+          case Some(b) =>
+            Warehouse.replaceDir(
+              TextOps.mixToTokenBudget(capped, b), s"$output/token_budget")
+            capped.join(
+              spark.read.parquet(s"$output/token_budget").select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          case None => capped
+        }
         // split and pack IN PLACE: both are per-row/window columns, so
         // appending them costs zero joins — only the pack window itself
         // shuffles, once, on the stream key
-        val withSplit = capped
+        val withSplit = budgeted
           .withColumn("split", TextOps.splitColumn(col("doc_id")))
         // pack per (split, source): a training stream never crosses a
         // split boundary, so offsets must restart inside each split
@@ -301,6 +328,7 @@ object CorpusMain {
         if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
         if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
+        if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
         // optional JSONL mirror of the published corpus — the exchange
         // format tokenizer/trainer tooling consumes — derived from the

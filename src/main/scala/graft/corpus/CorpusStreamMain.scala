@@ -43,10 +43,11 @@ import graft.sources.{Jsonl, Warehouse}
   * pinned by StreamOpsSpec; this main adds the end-to-end composition +
   * exactly-once publish, pinned by CorpusStreamMainSpec.
   *
-  * Deliberately absent: the batch twin's per-domain quota (`--quota`).
-  * A per-BATCH cap is not a global cap — early batches would fill every
-  * domain's quota and later, better documents could never displace them
-  * (published batches are immutable). The quota belongs to the periodic
+  * Deliberately absent: the batch twin's per-domain quota (`--quota`)
+  * and token budget (`--token-budget`). A per-BATCH cap is not a global
+  * cap — early batches would fill every domain's quota (or token
+  * budget) and later, better documents could never displace them
+  * (published batches are immutable). Both caps belong to the periodic
   * batch re-curation over the whole corpus, not the ingest gate.
   */
 object CorpusStreamMain {

@@ -391,6 +391,107 @@ object TextOps {
       .drop("rate_cut")
   }
 
+  // q57/q58 defaults — interpolated into the oracle SQL like q49's cuts
+  private val DefaultTokenBudget = 1200L
+  private val DefaultBoilerDfFrac = 0.01
+  private val DefaultBoilerFlagFrac = 0.05
+  // budget * 65536 must stay inside a long — 1.4e14 tokens (~100x any
+  // published pretraining corpus) before the cut arithmetic overflows
+  private val MaxTokenBudget = Long.MaxValue / 65536
+
+  /** Token-budget corpus mixing (q57) — the data-mixture op that samples
+    * each source DOWN TO a target token budget, the way a pretraining
+    * recipe balances sources by token share rather than document rate
+    * ([[mixCorpus]] reweights a source's RATE; this bounds its absolute
+    * token contribution). A source whose total is within `budget` is kept
+    * whole (`tb_cut` null); an over-budget source is hash-sampled at rate
+    * budget/total, so its EXPECTED kept tokens ≈ the budget (sampling is
+    * per-document — the exact total depends on which docs fall under the
+    * cut; a hard cap would need a sequential scan no parallel engine
+    * should pay).
+    *
+    * Membership is a pure function of doc_id: hex chars 5-8 of
+    * md5(doc_id) — a THIRD independent coordinate of the same digest
+    * ([[hashSplit]] consumes 1-2, [[mixCorpus]] 3-4), so budget
+    * sampling skews neither the split nor the rate mix — compared
+    * lexicographically against the source's 4-hex-char cut
+    * (1/65536 granularity; the cut is `floor(budget * 65536 / total)`
+    * in pure long arithmetic, exact on every engine).
+    *
+    * Shape at scale: one map-side-combinable per-source token sum (≤
+    * |sources| rows), broadcast back, then a per-row hash filter —
+    * the corpus itself never shuffles. */
+  def mixToTokenBudget(docs: DataFrame, budget: Long = DefaultTokenBudget,
+      sourceCol: String = "source"): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    require(budget <= MaxTokenBudget,
+      s"token budget past $MaxTokenBudget overflows the cut arithmetic")
+    val withTok = docs.select(col("doc_id"), col(sourceCol),
+      size(tokens).cast("long").as("n_tokens"))
+    val cuts = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .select(col(sourceCol),
+        when(col("total_tokens") <= budget, lit(null).cast("string"))
+          .otherwise(lower(lpad(
+            hex(expr(s"(${budget}L * 65536L) div total_tokens")), 4, "0")))
+          .as("tb_cut"))
+    withTok
+      .join(broadcast(cuts), Seq(sourceCol))
+      .withColumn("tb_bucket", substring(md5(col("doc_id").cast("string")), 5, 4))
+      .filter(col("tb_cut").isNull || col("tb_bucket") < col("tb_cut"))
+      .select(col("doc_id"), col(sourceCol), col("n_tokens"),
+        col("tb_bucket"), col("tb_cut"))
+  }
+
+  /** Boilerplate signals (q58) — the RefinedWeb/CCNet-style pass that
+    * finds template text: a shingle (word 3-gram, [[DedupOps.shingledOf]]'s
+    * unit) is BOILERPLATE when it appears in at least `minDfFrac` of all
+    * documents, and each document reports what fraction of its distinct
+    * shingles are boilerplate (`boiler_frac`, flagged at `flagFrac`) — the
+    * navigation-chrome/license-footer signal a quality filter drops on.
+    *
+    * Shape at scale: the posting explode feeds ONE map-side-combinable
+    * df aggregation; the boilerplate set is df-bounded small (shingles in
+    * >= 1% of a corpus are few by Zipf) and broadcast into a semi-join,
+    * so the only doc-keyed shuffle is the per-doc hit count. A pipeline
+    * calling this alongside other shingle passes shares one staged
+    * shingle table (the q31 discipline — the persist below is
+    * CacheManager-keyed, so a session's dedup queries over the same docs
+    * share ONE cache entry and the bench's `staged` list marks the
+    * rebuild); with a pathologically low `minDfFrac` the broadcast
+    * becomes a plain shuffled semi-join — drop the hint, nothing else
+    * changes. */
+  def boilerplateSignals(docs: DataFrame,
+      minDfFrac: Double = DefaultBoilerDfFrac,
+      flagFrac: Double = DefaultBoilerFlagFrac): DataFrame = {
+    require(minDfFrac > 0 && minDfFrac <= 1,
+      s"minDfFrac must be in (0, 1], got $minDfFrac")
+    require(flagFrac > 0 && flagFrac <= 1,
+      s"flagFrac must be in (0, 1], got $flagFrac")
+    // four consumers (df agg, hit semi-join, totals, doc count) — without
+    // the persist the shingle explode re-evaluates per consumer
+    val sh = DedupOps.shingledOf(docs).persist()
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // one-row doc count joined on a constant key: the threshold needs the
+    // corpus size, and a 1-row broadcast equi-join keeps the plan free of
+    // driver actions and cartesians alike
+    val nDocs = sh.agg(count(lit(1)).as("n_docs")).withColumn("_k", lit(1))
+    val boiler = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("_k", lit(1))
+      .join(broadcast(nDocs), Seq("_k"))
+      .filter(col("df").cast("double") / col("n_docs").cast("double") >= minDfFrac)
+      .select(col("g"))
+    val totals = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    val hits = post.join(broadcast(boiler), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("flagged", col("boiler_frac") >= flagFrac)
+  }
+
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by
     * (tf desc, df asc, term asc) — the idf ordering without the float: a
     * term with higher tf and lower df ranks first, and the integer tuple
@@ -451,7 +552,15 @@ object TextOps {
 
     // Per-domain quota via histogram threshold (see domainQuotaByThreshold).
     "q56_domain_quota_threshold" -> { (s, dir) =>
-      domainQuotaByThreshold(Tables.documents(s, dir)) })
+      domainQuotaByThreshold(Tables.documents(s, dir)) },
+
+    // Token-budget corpus mixing (see mixToTokenBudget).
+    "q57_token_budget_mix" -> { (s, dir) =>
+      mixToTokenBudget(Tables.documents(s, dir)) },
+
+    // Boilerplate shingle signals (see boilerplateSignals).
+    "q58_boilerplate" -> { (s, dir) =>
+      boilerplateSignals(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -604,5 +713,52 @@ object TextOps {
              row_number() OVER (PARTITION BY source
                ORDER BY quality DESC, doc_id) AS rk
            FROM q)
-         SELECT doc_id, source, quality FROM r WHERE rk <= $DefaultQuota""")
+         SELECT doc_id, source, quality FROM r WHERE rk <= $DefaultQuota""",
+    "q57_token_budget_mix" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         tot AS (
+           SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM t GROUP BY 1),
+         c AS (
+           SELECT source,
+             CASE WHEN total_tokens <= $DefaultTokenBudget THEN NULL
+                  ELSE lpad(lower(to_hex(
+                    ($DefaultTokenBudget * 65536) // total_tokens)), 4, '0')
+             END AS tb_cut
+           FROM tot),
+         r AS (
+           SELECT t.doc_id, t.source, t.n_tokens,
+             substr(md5(CAST(t.doc_id AS VARCHAR)), 5, 4) AS tb_bucket,
+             c.tb_cut
+           FROM t JOIN c USING (source))
+         SELECT doc_id, source, n_tokens, tb_bucket, tb_cut
+         FROM r WHERE tb_cut IS NULL OR tb_bucket < tb_cut""",
+    "q58_boilerplate" ->
+      s"""WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM w),
+         post AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         nd AS (SELECT count(*) AS n_docs FROM sh),
+         dfx AS (SELECT g, count(*) AS df FROM post GROUP BY 1),
+         boiler AS (
+           SELECT g FROM dfx, nd
+           WHERE CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) >= $DefaultBoilerDfFrac),
+         tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM sh),
+         hits AS (
+           SELECT doc_id, count(*) AS n_boiler FROM post
+           WHERE g IN (SELECT g FROM boiler) GROUP BY 1)
+         SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_boiler, 0) AS n_boiler,
+           CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+             AS boiler_frac,
+           CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+             >= $DefaultBoilerFlagFrac AS flagged
+         FROM tot t LEFT JOIN hits h USING (doc_id)""")
 }

@@ -338,6 +338,41 @@ class CorpusMainSpec extends SparkSpec {
     }
   }
 
+  test("--token-budget samples each source to its token budget, audited and reversible") {
+    val out = Files.createTempDirectory("corpus_main_budget").toString
+    // un-budgeted run first: the budget samples DEDUP SURVIVORS, so the
+    // expected sample is mixToTokenBudget over exactly this corpus
+    CorpusMain.runWith(spark, input, out)
+    val unbudgetedIds = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.queries.TextOps.mixToTokenBudget(
+        spark.read.parquet(s"$out/corpus").select("doc_id", "source", "text"), 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    CorpusMain.runWith(spark, input, out, tokenBudget = Some(300L))
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val gotIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expected, "corpus must keep exactly the budget sample")
+    assert(gotIds.size < unbudgetedIds.size, "a 300-token budget over ~1400-token sources must cut")
+
+    // the audit IS the corpus membership, carrying the sample evidence
+    val audit = spark.read.parquet(s"$out/token_budget")
+    assert(audit.select("doc_id").collect().map(_.getLong(0)).toSet == gotIds)
+    assert(audit.columns.toSet ==
+      Set("doc_id", "source", "n_tokens", "tb_bucket", "tb_cut"))
+
+    // a budget-less rerun retires the stale audit and restores the full set
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/token_budget").exists(),
+      "stale budget audit must retire when the stage is off")
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == unbudgetedIds)
+
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, tokenBudget = Some(0L))
+    }
+  }
+
   test("--publish-vector-index writes the at-rest vector index the streaming twin loads") {
     import spark.implicits._
     import graft.ops.VectorSim
@@ -426,6 +461,7 @@ class CorpusMainSpec extends SparkSpec {
         mixRates = Some(Seq("src0" -> "7f")),
         embeddings = Some(s"$out/emb"),
         quota = Some(5),
+        tokenBudget = Some(10000L), // over any post-quota total: samples nothing, still audits
         exportJsonl = true,
         publishIndex = Some("all_flags_idx"),
         publishVectorIndex = Some("all_flags_vec_idx"),
@@ -441,10 +477,14 @@ class CorpusMainSpec extends SparkSpec {
       assert(contaminated.intersect(ids).isEmpty, "contaminated docs published")
       assert(corpus.groupBy("source").count()
         .collect().forall(_.getLong(1) <= 5L), "quota breached")
-      for (audit <- Seq("near_dup_pairs", "domain_quota", "embed_dup_pairs"))
+      for (audit <- Seq("near_dup_pairs", "domain_quota", "embed_dup_pairs",
+          "token_budget"))
         assert(new java.io.File(s"$out/$audit").exists(), s"$audit missing")
-      // the quota audit and the corpus agree exactly
+      // the quota and budget audits and the corpus agree exactly (the
+      // over-total budget keeps every quota survivor, with null cuts)
       assert(spark.read.parquet(s"$out/domain_quota")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+      assert(spark.read.parquet(s"$out/token_budget")
         .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
       // the jsonl mirror mirrors the published corpus
       assert(spark.read.json(s"$out/corpus_jsonl")
@@ -462,7 +502,8 @@ class CorpusMainSpec extends SparkSpec {
       // a minimal rerun retires every optional ARTIFACT (catalog tables
       // are a separate lifecycle — saveAsTable overwrite on next publish)
       CorpusMain.runWith(spark, input, out)
-      for (stale <- Seq("contaminated", "domain_quota", "embed_dup_pairs", "corpus_jsonl"))
+      for (stale <- Seq("contaminated", "domain_quota", "embed_dup_pairs",
+          "token_budget", "corpus_jsonl"))
         assert(!new java.io.File(s"$out/$stale").exists(), s"$stale must retire")
     } finally
       for (t <- Seq("all_flags_idx", "all_flags_vec_idx", "all_flags_vecs"))

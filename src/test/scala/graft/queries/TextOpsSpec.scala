@@ -115,6 +115,72 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextOps.domainQuotaByThreshold(docs, 5, bins = 1) }
   }
 
+  test("mixToTokenBudget: under-budget source kept whole, over-budget source cut at budget/total") {
+    // srcB totals 6 tokens <= budget 10: kept whole, null cut. srcA
+    // totals 40: cut = floor(10 * 65536 / 40) = 16384 = '4000'.
+    val docs = ((0L until 10L).map(i => (i, "srcA", "w x y z")) ++ Seq(
+      (100L, "srcB", "a b c"), (101L, "srcB", "d e f")))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.mixToTokenBudget(docs, budget = 10L)
+      .select("doc_id", "source", "n_tokens", "tb_bucket", "tb_cut")
+      .as[(Long, String, Long, String, Option[String])].collect()
+    assert(out.filter(_._2 == "srcB").map(_._1).sorted.toSeq == Seq(100L, 101L),
+      "an under-budget source is kept whole")
+    assert(out.filter(_._2 == "srcB").forall(_._5.isEmpty), "null cut = uncapped")
+    // independent md5: the op's decision must match hex chars 5-8 of the
+    // digest compared against the hand-computed cut
+    def coord(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(4, 8)
+    }
+    val keptA = out.filter(_._2 == "srcA")
+    assert(keptA.forall(_._5.contains("4000")), keptA.mkString(","))
+    val expectA = (0L until 10L).filter(coord(_) < "4000").toSet
+    assert(keptA.map(_._1).toSet == expectA,
+      s"kept = ids whose digest coordinate < cut: got ${keptA.map(_._1).toSet}, want $expectA")
+    assert(keptA.forall(r => r._4 == coord(r._1)), "emitted bucket is the digest coordinate")
+    // per-source purity: another source's docs never move srcA's cut
+    val more = docs.unionByName(
+      Seq((200L, "srcC", "lots of extra words here")).toDF("doc_id", "source", "text"))
+    val keptA2 = TextOps.mixToTokenBudget(more, budget = 10L)
+      .filter(col("source") === "srcA").select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptA2 == expectA, "adding srcC docs must not change srcA's sample")
+    // scale shape: the corpus joins the per-source cut table by BROADCAST;
+    // the only hash exchange is the tiny per-source token aggregation
+    val plan = TextOps.mixToTokenBudget(docs, 10L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length == 1, plan)
+    intercept[IllegalArgumentException] { TextOps.mixToTokenBudget(docs, 0L) }
+  }
+
+  test("boilerplateSignals: a shared template shingle is flagged, unique text is not") {
+    // "nav bar home" appears in 3 of 4 eligible docs (df 3/4 >= 0.75);
+    // every other trigram is unique (df 1/4). The 2-token doc has no
+    // trigram and no row.
+    val docs = Seq(
+      (1L, "nav bar home alpha beta gamma"),
+      (2L, "nav bar home delta eps zeta"),
+      (3L, "nav bar home eta theta iota"),
+      (4L, "one two three four"),
+      (5L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.boilerplateSignals(docs, minDfFrac = 0.75, flagFrac = 0.25)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 0.25, true),
+      (2L, 4L, 1L, 0.25, true),
+      (3L, 4L, 1L, 0.25, true),
+      (4L, 2L, 0L, 0.0, false)), out.toString)
+    // scale shape: the boilerplate set reaches the postings by broadcast
+    // semi-join — the corpus-sized posting table never shuffles for it
+    val plan = TextOps.boilerplateSignals(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    intercept[IllegalArgumentException] { TextOps.boilerplateSignals(docs, minDfFrac = 0.0) }
+    intercept[IllegalArgumentException] { TextOps.boilerplateSignals(docs, flagFrac = 1.5) }
+  }
+
   test("hashSplit is a pure function of the id: subset-invariant, partition-invariant, ~80/10/10") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
