@@ -93,7 +93,10 @@ object Bench {
     ("q55_domain_quota", 0.24, 0.45),
     ("q56_domain_quota_threshold", 0.5, 1.1),
     ("q57_token_budget_mix", 0.15, 0.45),
-    ("q58_boilerplate", 0.5, 1.2))
+    ("q58_boilerplate", 0.5, 1.2),
+    ("q59_vocab_topk", 0.3, 0.7),
+    ("q60_chunk_windows", 0.15, 0.45),
+    ("q61_composition", 0.1, 0.3))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -101,7 +104,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q58; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q61; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

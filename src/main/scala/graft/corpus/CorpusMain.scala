@@ -35,10 +35,22 @@ import graft.sources.{Jsonl, Warehouse}
   *     membership is then read back from;
   *   - `token_budget/` (with `--token-budget N`) — the kept (doc_id,
   *     source, n_tokens, tb_bucket, tb_cut) rows of the per-source
-  *     token-budget sample, read back the same way.
+  *     token-budget sample, read back the same way;
+  *   - `examples/` (with `--chunk N`) — the corpus cut into fixed-length
+  *     training examples (q60's windows, stride `--chunk-stride`, default
+  *     disjoint), derived from the PUBLISHED corpus so the two can never
+  *     diverge, partitioned by `split` like the corpus itself; carries
+  *     `chunk_text` instead of `text` (the full text stays in `corpus/`);
+  *   - `corpus_stats/` + `composition/` (with `--stats true`) — the
+  *     one-row sketch statistics (HLL vocabulary, length quantiles) and
+  *     the per-(lang, source) doc/token composition of the published
+  *     corpus — the report a mixture designer reads before the next run.
+  *     Composition publishes in LONG form ((lang, source) rows), not
+  *     q61's wide matrix: a published artifact must not grow a column per
+  *     source.
   *
   * Every stage is one of the oracle-checked operators (q52, q51, q31,
-  * q39, q55, q57, q49, q50) — this main only composes and publishes
+  * q39, q55, q57, q49, q50, q60) — this main only composes and publishes
   * them. Stage order is cheapest-reduction-first: mixing is a hash
   * filter (no data examined), decontamination touches shingles once,
   * dedup pays the banded self-join only over what survives both, and the
@@ -58,19 +70,21 @@ object CorpusMain {
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
       "[--export-jsonl true|false] [--publish-index <table>] " +
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
-      "[--publish-shingles <table>]"
+      "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
+      "[--stats true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
-        "publish-vectors", "publish-shingles", "quota", "token-budget"),
+        "publish-vectors", "publish-shingles", "quota", "token-budget",
+        "chunk", "chunk-stride", "stats"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings",
         "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings",
-        "publish-vectors" -> "embeddings"))
+        "publish-vectors" -> "embeddings", "chunk-stride" -> "chunk"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -83,6 +97,9 @@ object CorpusMain {
     val capacity = Cli.toInt(args, "capacity", usage)
     val quota = Cli.toInt(args, "quota", usage)
     val tokenBudget = Cli.toLong(args, "token-budget", usage)
+    val chunk = Cli.toInt(args, "chunk", usage)
+    val chunkStride = Cli.toInt(args, "chunk-stride", usage)
+    val stats = Cli.toBoolean(args, "stats", usage).getOrElse(false)
     val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
@@ -102,7 +119,10 @@ object CorpusMain {
       args.get("publish-vectors"),
       quota,
       args.get("publish-shingles"),
-      tokenBudget)
+      tokenBudget,
+      chunk,
+      chunkStride,
+      stats)
     finally spark.stop()
   }
 
@@ -138,11 +158,20 @@ object CorpusMain {
       publishVectors: Option[String] = None,
       quota: Option[Int] = None,
       publishShingles: Option[String] = None,
-      tokenBudget: Option[Long] = None): Unit = {
+      tokenBudget: Option[Long] = None,
+      chunk: Option[Int] = None,
+      chunkStride: Option[Int] = None,
+      stats: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
     require(tokenBudget.forall(_ >= 1),
       s"token-budget must be >= 1, got ${tokenBudget.get}")
+    require(chunk.forall(_ >= 1), s"chunk must be >= 1, got ${chunk.get}")
+    // stride outside [1, chunk] would skip tokens — fail before any work
+    require(chunkStride.isEmpty || chunk.nonEmpty,
+      "chunk-stride was given without a chunk size to stride")
+    for (c <- chunk; s <- chunkStride) require(s >= 1 && s <= c,
+      s"chunk-stride must be in [1, chunk], got $s (chunk $c)")
     // a threshold without a benchmark would be silently meaningless — the
     // same class of configuration bug the empty-corpus guard fails on
     require(minHits == 1L || bench.nonEmpty,
@@ -175,7 +204,8 @@ object CorpusMain {
     runStages(spark, raw, output, capacity, bench, mixRates, mixDefault,
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
-      publishVectors, quota, publishShingles, tokenBudget)
+      publishVectors, quota, publishShingles, tokenBudget, chunk,
+      chunkStride, stats)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -189,7 +219,10 @@ object CorpusMain {
       publishVectors: Option[String] = None,
       quota: Option[Int] = None,
       publishShingles: Option[String] = None,
-      tokenBudget: Option[Long] = None): Unit = {
+      tokenBudget: Option[Long] = None,
+      chunk: Option[Int] = None,
+      chunkStride: Option[Int] = None,
+      stats: Boolean = false): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -330,6 +363,11 @@ object CorpusMain {
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
+        if (chunk.isEmpty) Warehouse.retireDir(spark, s"$output/examples")
+        if (!stats) {
+          Warehouse.retireDir(spark, s"$output/corpus_stats")
+          Warehouse.retireDir(spark, s"$output/composition")
+        }
         // optional JSONL mirror of the published corpus — the exchange
         // format tokenizer/trainer tooling consumes — derived from the
         // PUBLISHED parquet (so it can never diverge from it), swapped in
@@ -338,6 +376,34 @@ object CorpusMain {
           Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
             spark.read.parquet(s"$output/corpus")
               .write.partitionBy("split").json(staging))
+        // fixed-length training examples (q60's windows), derived from the
+        // PUBLISHED corpus like the jsonl mirror, so examples and corpus
+        // can never diverge. Stride defaults to the chunk size (disjoint
+        // windows); overlap is opt-in via --chunk-stride. The examples
+        // carry chunk_text, never the full text — the corpus already
+        // holds it once, and duplicating it ~n/stride times per doc would
+        // multiply the footprint for no reader.
+        chunk.foreach { c =>
+          Warehouse.replaceDirWith(spark, s"$output/examples")(staging =>
+            TextOps.chunkWindowsAll(spark.read.parquet(s"$output/corpus"),
+                c, chunkStride.getOrElse(c))
+              .drop("text", "offset", "bin")
+              .write.partitionBy("split").parquet(staging))
+        }
+        // the curation report, over the PUBLISHED corpus (same derive-
+        // from-published rule): one-row sketch statistics plus the
+        // long-form (lang, source) composition — counts and token totals
+        // from one low-cardinality map-side-combinable aggregation
+        if (stats) {
+          val pub = spark.read.parquet(s"$output/corpus")
+          Warehouse.replaceDir(
+            TextOps.approxCorpusStats(pub), s"$output/corpus_stats")
+          Warehouse.replaceDir(
+            pub.groupBy(col("lang"), col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("n_tokens")).as("n_tokens")),
+            s"$output/composition")
+        }
         // optional at-rest gate index: the (b, v)-bucketed band-index
         // table the STREAMING twin loads via --index-table — derived from
         // the PUBLISHED parquet (so it can never diverge from the corpus

@@ -492,6 +492,150 @@ object TextOps {
       .withColumn("flagged", col("boiler_frac") >= flagFrac)
   }
 
+  // q59/q60/q61 defaults — interpolated into the oracle SQL like q49's cuts
+  private val DefaultVocabK = 50
+  private val DefaultChunkSize = 32
+  private val DefaultChunkStride = 24
+  private val DefaultSources = (0 until 20).map(i => s"src$i")
+
+  /** Corpus vocabulary top-k (q59) — the tokenizer-training prefix of a
+    * pretraining pipeline (BPE/unigram trainers start from exactly this
+    * table): the `k` terms with the highest document frequency, each with
+    * its total term frequency. Ranking is (df desc, tf desc, term asc) —
+    * term is unique per row, so the cut at `k` is total-ordered and
+    * engine-exact.
+    *
+    * Shape at scale: both aggregations are map-side combinable (the
+    * (doc_id, term) pre-aggregation collapses a doc's repeats before the
+    * shuffle; the per-term rollup moves one row per distinct (doc, term)),
+    * and the final top-k plans as TakeOrderedAndProject — every partition
+    * keeps its own k rows and the driver merges |partitions|·k, never a
+    * global sort of the vocabulary. */
+  def vocabTopK(docs: DataFrame, k: Int = DefaultVocabK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Context-window chunking (q60) — the pass that turns variable-length
+    * documents into fixed-length training examples: each document's token
+    * stream is cut into `chunk`-token windows starting every `stride`
+    * tokens (stride < chunk = overlapping windows, the standard way to
+    * keep context across chunk boundaries). The final window of a doc may
+    * be short (`n_chunk_tokens` < chunk); `stride <= chunk` is required so
+    * no token is silently skipped.
+    *
+    * [[packWindows]] is the other half of the same story: packing
+    * concatenates SMALL docs up to capacity, chunking splits LARGE docs
+    * down to it; a pipeline applies both around the capacity midpoint.
+    *
+    * Shape at scale: pure per-row generate — the only cost is the output
+    * fan-out (ceil(n/stride) rows per doc), zero shuffles, and the
+    * parquet scan still prunes to (doc_id, text). */
+  def chunkWindows(docs: DataFrame, chunk: Int = DefaultChunkSize,
+      stride: Int = DefaultChunkStride): DataFrame = {
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    require(stride > 0 && stride <= chunk,
+      s"stride must be in [1, chunk], got $stride (chunk $chunk)")
+    docs.select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(chunk), size(col("w")) - col("start")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("w"), col("start") + 1, lit(chunk)), " ")
+          .as("chunk_text"))
+  }
+
+  /** [[chunkWindows]] with every input column retained — the form a
+    * pipeline publishes training examples from: the generate keeps its
+    * child's output, so appending the chunk columns costs zero joins
+    * (joining chunks back onto full rows would shuffle the corpus on
+    * doc_id once per side). */
+  def chunkWindowsAll(docs: DataFrame, chunk: Int = DefaultChunkSize,
+      stride: Int = DefaultChunkStride): DataFrame = {
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    require(stride > 0 && stride <= chunk,
+      s"stride must be in [1, chunk], got $stride (chunk $chunk)")
+    Seq("w", "chunk_id", "start", "n_chunk_tokens", "chunk_text").foreach(c =>
+      require(!docs.columns.contains(c), s"docs already has a '$c' column"))
+    val keep = docs.columns.map(col).toSeq
+    docs.withColumn("w", tokens)
+      .select(keep :+ col("w") :+
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")): _*)
+      .select(keep ++ Seq(
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(chunk), size(col("w")) - col("start")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("w"), col("start") + 1, lit(chunk)), " ")
+          .as("chunk_text")): _*)
+  }
+
+  /** Corpus composition report (q61) — the lang × source document-count
+    * matrix a mixture designer reads before choosing rates: one row per
+    * language, one column per listed source, plus the row total over the
+    * listed sources. The column set is an explicit parameter — a report's
+    * columns should be declared, and it is also what makes the plan cheap:
+    * `Dataset.pivot` without values runs a hidden collect-distinct JOB
+    * (a full extra scan at 100 TB), and even WITH values it plans two
+    * exchanges (a (lang, source) pre-aggregation feeding a non-codegen
+    * `pivotfirst` rollup). The conditional-aggregate form below is what
+    * pivot compiles to minus that extra hop.
+    *
+    * Shape at scale: ONE hash aggregation keyed by `lang` (cardinality ~
+    * hundreds) with map-side partials, so each task emits at most |langs|
+    * rows regardless of input size and every counter stays inside
+    * whole-stage codegen; missing (lang, source) cells are 0, not null. */
+  def corpusComposition(docs: DataFrame,
+      sources: Seq[String] = DefaultSources): DataFrame = {
+    require(sources.nonEmpty, "composition needs at least one source column")
+    require(sources.distinct.size == sources.size,
+      s"duplicate sources: ${sources.mkString(",")}")
+    val cells = sources.map(s =>
+      sum(when(col("source") === s, 1L).otherwise(0L)).as(s))
+    val total = sum(when(col("source").isInCollection(sources), 1L)
+      .otherwise(0L)).as("n_docs")
+    docs.groupBy(col("lang")).agg(cells.head, cells.tail :+ total: _*)
+  }
+
+  /** Sketch-based corpus statistics — the numbers a 100 TB curation run
+    * reads FIRST (vocabulary size, token volume, length distribution),
+    * computed with mergeable sketches so the driver receives O(sketch
+    * bytes), never O(corpus): HyperLogLog++ for the distinct-term count
+    * (`rsd` relative error) and the approx-percentile sketch for the
+    * per-doc token-length quantiles. Exact forms of both exist in this
+    * module ([[vocabTopK]]'s df table IS the exact vocabulary) — this is
+    * the cheap first pass that sizes them. Spec-checked against the exact
+    * values within `rsd`-scaled tolerance (TextOpsSpec); not
+    * oracle-checked because sketch estimates are engine-specific by
+    * design. */
+  def approxCorpusStats(docs: DataFrame, rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0, 1), got $rsd")
+    val termStats = docs.select(explode(tokens).as("term"))
+      .agg(count(lit(1)).as("total_tokens"),
+        approx_count_distinct(col("term"), rsd).as("approx_vocab"))
+      .withColumn("_k", lit(1))
+    val lenStats = docs.select(size(tokens).as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(10000)).as("len_quantiles"))
+      .withColumn("_k", lit(1))
+    termStats.join(broadcast(lenStats), Seq("_k")).drop("_k")
+      .select(col("n_docs"), col("total_tokens"), col("approx_vocab"),
+        col("len_quantiles").getItem(0).as("p50_tokens"),
+        col("len_quantiles").getItem(1).as("p90_tokens"),
+        col("len_quantiles").getItem(2).as("p99_tokens"))
+  }
+
   /** TF-IDF keyword extraction (q45): top-`k` terms per document ranked by
     * (tf desc, df asc, term asc) — the idf ordering without the float: a
     * term with higher tf and lower df ranks first, and the integer tuple
@@ -560,7 +704,16 @@ object TextOps {
 
     // Boilerplate shingle signals (see boilerplateSignals).
     "q58_boilerplate" -> { (s, dir) =>
-      boilerplateSignals(Tables.documents(s, dir)) })
+      boilerplateSignals(Tables.documents(s, dir)) },
+
+    // Corpus vocabulary top-k (see vocabTopK).
+    "q59_vocab_topk" -> { (s, dir) => vocabTopK(Tables.documents(s, dir)) },
+
+    // Context-window chunking (see chunkWindows).
+    "q60_chunk_windows" -> { (s, dir) => chunkWindows(Tables.documents(s, dir)) },
+
+    // Corpus composition pivot (see corpusComposition).
+    "q61_composition" -> { (s, dir) => corpusComposition(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -760,5 +913,39 @@ object TextOps {
              AS boiler_frac,
            CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
              >= $DefaultBoilerFlagFrac AS flagged
-         FROM tot t LEFT JOIN hits h USING (doc_id)""")
+         FROM tot t LEFT JOIN hits h USING (doc_id)""",
+    "q59_vocab_topk" ->
+      s"""WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         g AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2)
+         SELECT term, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+         FROM g GROUP BY term
+         ORDER BY df DESC, tf DESC, term ASC LIMIT $DefaultVocabK""",
+    "q60_chunk_windows" ->
+      s"""WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (
+           SELECT doc_id, w,
+             unnest(range(0, len(w), $DefaultChunkStride)) AS "start"
+           FROM t)
+         SELECT doc_id,
+           "start" // $DefaultChunkStride AS chunk_id,
+           "start",
+           CAST(least($DefaultChunkSize, len(w) - "start") AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(w["start" + 1 : "start" + $DefaultChunkSize], ' ')
+             AS chunk_text
+         FROM s""",
+    "q61_composition" -> {
+      val cells = DefaultSources.map(s =>
+        s"""CAST(count(*) FILTER (WHERE source = '$s') AS BIGINT) AS $s""")
+        .mkString(",\n           ")
+      val inList = DefaultSources.map(s => s"'$s'").mkString(", ")
+      s"""SELECT lang,
+           $cells,
+           CAST(count(*) FILTER (WHERE source IN ($inList)) AS BIGINT)
+             AS n_docs
+         FROM documents GROUP BY lang"""
+    })
 }

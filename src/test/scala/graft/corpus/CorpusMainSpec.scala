@@ -462,6 +462,8 @@ class CorpusMainSpec extends SparkSpec {
         embeddings = Some(s"$out/emb"),
         quota = Some(5),
         tokenBudget = Some(10000L), // over any post-quota total: samples nothing, still audits
+        chunk = Some(16),
+        stats = true,
         exportJsonl = true,
         publishIndex = Some("all_flags_idx"),
         publishVectorIndex = Some("all_flags_vec_idx"),
@@ -499,15 +501,69 @@ class CorpusMainSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet.subsetOf(vecIds))
       // packing restarted inside each (split, source) under the cap
       assert(corpus.filter(col("offset") === 0L).count() > 0)
+      // the examples and reports derive from the published corpus
+      assert(spark.read.parquet(s"$out/examples")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+      assert(spark.read.parquet(s"$out/corpus_stats").count() == 1L)
+      assert(spark.read.parquet(s"$out/composition")
+        .agg(org.apache.spark.sql.functions.sum("n_docs"))
+        .collect()(0).getLong(0) == ids.size.toLong)
       // a minimal rerun retires every optional ARTIFACT (catalog tables
       // are a separate lifecycle — saveAsTable overwrite on next publish)
       CorpusMain.runWith(spark, input, out)
       for (stale <- Seq("contaminated", "domain_quota", "embed_dup_pairs",
-          "token_budget", "corpus_jsonl"))
+          "token_budget", "corpus_jsonl", "examples", "corpus_stats",
+          "composition"))
         assert(!new java.io.File(s"$out/$stale").exists(), s"$stale must retire")
     } finally
       for (t <- Seq("all_flags_idx", "all_flags_vec_idx", "all_flags_vecs"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("--chunk publishes q60's examples from the published corpus; --stats the reports; both retire") {
+    import graft.queries.TextOps
+    val out = Files.createTempDirectory("corpus_main_chunk").toString
+    CorpusMain.runWith(spark, input, out,
+      chunk = Some(8), chunkStride = Some(6), stats = true)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val ex = spark.read.parquet(s"$out/examples")
+    // the examples are exactly q60's windows over the published corpus
+    val expected = TextOps.chunkWindows(
+        corpus.select(col("doc_id"), col("text")), chunk = 8, stride = 6)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = ex.select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected)
+    // chunk_text only — the full text lives in corpus/, once
+    assert(!ex.columns.contains("text"))
+    // corpus metadata and the split partition layout ride along
+    assert(ex.columns.contains("source") && ex.columns.contains("split"))
+    assert(new java.io.File(s"$out/examples").listFiles()
+      .exists(_.getName.startsWith("split=")))
+    // the reports describe the published corpus
+    val st = spark.read.parquet(s"$out/corpus_stats").collect()
+    assert(st.length == 1)
+    assert(st(0).getAs[Long]("n_docs") == corpus.count())
+    val comp = spark.read.parquet(s"$out/composition")
+    assert(comp.columns.toSeq == Seq("lang", "source", "n_docs", "n_tokens"))
+    assert(comp.agg(sum("n_docs")).collect()(0).getLong(0) == corpus.count())
+    // stride defaults to the chunk size: disjoint windows
+    CorpusMain.runWith(spark, input, out, chunk = Some(8))
+    assert(spark.read.parquet(s"$out/examples")
+      .select("start").collect().forall(_.getLong(0) % 8 == 0))
+    // ...and the stats-less rerun retired the reports
+    assert(!new java.io.File(s"$out/corpus_stats").exists())
+    assert(!new java.io.File(s"$out/composition").exists())
+    // a chunk-less rerun retires the examples
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/examples").exists())
+    // an orphan stride is a config bug, rejected before any work
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, chunkStride = Some(4))
+    }
   }
 
   test("a pipeline whose stages eat every document fails loudly, not silently") {

@@ -181,6 +181,111 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextOps.boilerplateSignals(docs, flagFrac = 1.5) }
   }
 
+  test("vocabTopK ranks (df desc, tf desc, term asc), cuts at k, plans a partition-local top-k") {
+    // df order: "common" in 3 docs; "mid"/"twin" in 2; the rest in 1.
+    // "mid" vs "twin" tie on df 2 -> tf breaks it (mid 3 > twin 2);
+    // "aaa" vs "zzz" tie on (df 1, tf 1) -> term breaks it.
+    val docs = Seq(
+      (1L, "common mid mid twin aaa"),
+      (2L, "common mid twin zzz"),
+      (3L, "common")).toDF("doc_id", "text")
+    val top = TextOps.vocabTopK(docs, k = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(
+      ("common", 3L, 3L),
+      ("mid", 3L, 2L),
+      ("twin", 2L, 2L),
+      ("aaa", 1L, 1L)), top.toString)
+    // k larger than the vocabulary returns everything, no padding
+    assert(TextOps.vocabTopK(docs, k = 100).count() == 5L)
+    // scale shape: the cut is a partition-local top-k merged on the
+    // driver, never a global sort of the vocabulary
+    val plan = TextOps.vocabTopK(docs, 4).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    intercept[IllegalArgumentException] { TextOps.vocabTopK(docs, 0) }
+  }
+
+  test("chunkWindows cuts overlapping fixed-size windows; short tail; no shuffle") {
+    // 7 tokens, chunk 4, stride 2: starts 0/2/4/6 -> windows of 4,4,3,1
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.chunkWindows(docs, chunk = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 2L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 4L, 3L, "t4 t5 t6"),
+      (1L, 3L, 6L, 1L, "t6"),
+      (2L, 0L, 0L, 1L, "solo")), out.toString)
+    // stride <= chunk means every token lands in at least one window
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 7L).toSet, "no token may fall between windows")
+    // scale shape: per-row generate only — nothing shuffles
+    val plan = TextOps.chunkWindows(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] { TextOps.chunkWindows(docs, chunk = 0) }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWindows(docs, chunk = 4, stride = 5) // gaps would skip tokens
+    }
+  }
+
+  test("corpusComposition fills missing cells with 0 and plans one low-cardinality agg") {
+    val docs = Seq(
+      (1L, "en", "srcA"), (2L, "en", "srcA"), (3L, "en", "srcB"),
+      (4L, "fr", "srcB"),
+      (5L, "de", "srcC")) // srcC unlisted: out of the matrix AND the total
+      .toDF("doc_id", "lang", "source")
+    val out = TextOps.corpusComposition(docs, sources = Seq("srcA", "srcB"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 0L, 0L, 0L),   // de has only unlisted srcC rows: zeros, not nulls
+      ("en", 2L, 1L, 3L),
+      ("fr", 0L, 1L, 1L)), out.toString)
+    // ONE hash exchange (the lang rollup) and no pivotfirst — the
+    // conditional-aggregate form skips Dataset.pivot's extra
+    // (lang, source) pre-aggregation hop entirely
+    val plan = TextOps.corpusComposition(docs, Seq("srcA", "srcB"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("pivotfirst"), plan)
+    intercept[IllegalArgumentException] {
+      TextOps.corpusComposition(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.corpusComposition(docs, Seq("srcA", "srcA"))
+    }
+  }
+
+  test("approxCorpusStats sketches land within tolerance of the exact values") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val r = TextOps.approxCorpusStats(docs, rsd = 0.05).collect()(0)
+    val (nDocs, totalTokens, approxVocab) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exactVocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(nDocs == docs.count(), "doc count is exact, not sketched")
+    assert(totalTokens == docs.select(org.apache.spark.sql.functions
+      .explode(org.apache.spark.sql.functions.split(col("text"), " "))).count())
+    assert(math.abs(approxVocab - exactVocab).toDouble / exactVocab <= 3 * 0.05,
+      s"HLL estimate $approxVocab vs exact $exactVocab drifts past 3x rsd")
+    // quantiles are over per-doc token counts: bounded by observed min/max
+    val lens = docs.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(col("text"), " ")).as("n"))
+      .as[Int].collect()
+    Seq(r.getInt(3), r.getInt(4), r.getInt(5)).foreach { q =>
+      assert(q >= lens.min && q <= lens.max, s"quantile $q outside data range")
+    }
+    assert(r.getInt(3) <= r.getInt(4) && r.getInt(4) <= r.getInt(5),
+      "quantiles must be monotone")
+    intercept[IllegalArgumentException] { TextOps.approxCorpusStats(docs, 0.0) }
+  }
+
   test("hashSplit is a pure function of the id: subset-invariant, partition-invariant, ~80/10/10") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
