@@ -94,8 +94,8 @@ object Bench {
     ("q56_domain_quota_threshold", 0.5, 1.1),
     ("q57_token_budget_mix", 0.15, 0.45),
     ("q58_boilerplate", 0.5, 1.2),
-    ("q59_vocab_topk", 0.3, 0.7),
-    ("q60_chunk_windows", 0.15, 0.45),
+    ("q59_vocab_topk", 0.19, 0.55),
+    ("q60_chunk_windows", 0.09, 0.3),
     ("q61_composition", 0.1, 0.3))
 
   private[graft] val RetimeFactor = 2.0
