@@ -616,6 +616,55 @@ object DedupOps {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  // q62 defaults — interpolated into the oracle SQL like q49's cuts
+  private val DefaultFuzzyPrefix = 24
+  private val DefaultFuzzyMaxDist = 2
+
+  /** Edit-distance (fuzzy) near-dup over document prefixes (q62) — the
+    * title/URL-style dedup modality the shingle family misses: two docs
+    * whose opening `prefixLen` chars differ by at most `maxDist` single-
+    * character edits are a candidate pair, the classic record-linkage
+    * blocking shape (Levenshtein is character-level, so it catches typo
+    * and reformatting variants whose word-level shingles all differ).
+    *
+    * Blocking: pairs are generated only WITHIN a block (first two prefix
+    * chars), pre-pruned by the length bound |len(a) - len(b)| <= maxDist
+    * (an edit changes length by at most one), then verified with a
+    * THRESHOLDED Levenshtein — Spark's three-arg `levenshtein` abandons a
+    * row's DP early once `maxDist` is exceeded, so the per-pair cost is
+    * O(prefixLen · maxDist), not O(prefixLen²). An edit inside the first
+    * two characters escapes the block — the standard blocking
+    * recall/cost trade, mirrored exactly in the oracle SQL.
+    *
+    * Shape at scale: one equi-join keyed by the block — never an
+    * all-pairs cartesian — with per-block cost O(|block|²) after the
+    * length prune. The block key choice IS the lever: at corpus scale a
+    * 2-char key over skewed real-world prefixes ("http", "the ") makes
+    * degenerate blocks, so a production run widens the key ((first-k,
+    * length-bucket)) or salts the hot blocks — the same skew treatment
+    * as every bucketed join in this module. */
+  def fuzzyNearDup(docs: DataFrame, prefixLen: Int = DefaultFuzzyPrefix,
+      maxDist: Int = DefaultFuzzyMaxDist): DataFrame = {
+    require(prefixLen >= 4, s"prefixLen must be >= 4, got $prefixLen")
+    require(maxDist >= 0 && maxDist < prefixLen,
+      s"maxDist must be in [0, prefixLen), got $maxDist")
+    val p = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"))
+      .withColumn("blk", substring(col("p"), 1, 2))
+      .withColumn("l", length(col("p")))
+    val a = p.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+      col("blk"), col("l").as("la"))
+    val b = p.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+      col("blk"), col("l").as("lb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      // three-arg levenshtein returns -1 past the threshold: cheap reject
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy (map-side combinable at any scale).
     "q30_dedup_exact" -> { (s, dir) =>
@@ -674,6 +723,11 @@ object DedupOps {
       nearDupAgainstShingled(
         sh.filter(col("doc_id") % 2 === 1),
         sh.filter(col("doc_id") % 2 === 0))
+    },
+
+    // Edit-distance near-dup over doc prefixes (see fuzzyNearDup).
+    "q62_fuzzy_neardup" -> { (s, dir) =>
+      fuzzyNearDup(Tables.documents(s, dir))
     })
 
   /** Shared shingle CTE (mirrors `shingled`). */
@@ -835,5 +889,17 @@ object DedupOps {
            SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchMod <> 0)
          SELECT p.doc_id, count(*) AS n_hits
          FROM post p JOIN bench b ON p.g = b.g
-         GROUP BY p.doc_id""")
+         GROUP BY p.doc_id""",
+    // mirrors fuzzyNearDup exactly, including the blocking recall trade
+    "q62_fuzzy_neardup" ->
+      s"""WITH p AS (
+           SELECT doc_id, substr(text, 1, $DefaultFuzzyPrefix) AS p
+           FROM documents),
+         b AS (
+           SELECT doc_id, p, substr(p, 1, 2) AS blk, length(p) AS l FROM p)
+         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
+         FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         WHERE abs(a.l - c.l) <= $DefaultFuzzyMaxDist
+           AND levenshtein(a.p, c.p) <= $DefaultFuzzyMaxDist""")
 }

@@ -117,6 +117,56 @@ class DedupOpsSpec extends SparkSpec {
       plan)
   }
 
+  test("fuzzyNearDup: thresholded edit distance within blocks, length prune, no cartesian") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over it"), // prefix: "the quick brown fox jump"
+      (2L, "the quack brown fox jumps over it"), // 1 substitution in-prefix: dist 1
+      (3L, "the quack brewn fix jumps banana"), // 2 more edits: dist 3 from 1, 2 from 2
+      (4L, "the quick brown wolf leaps around"), // > 2 edits from all: cut by threshold
+      (5L, "xhe quick brown fox jumps over it"), // first-char edit: other block (recall trade)
+      (6L, "zz totally unrelated text here now")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.fuzzyNearDup(d, prefixLen = 24, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // verify against an independent quadratic-DP reference
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) => 0)
+      for (i <- 0 to a.length) m(i)(0) = i
+      for (j <- 0 to b.length) m(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val prefixes = d.collect().map(r => r.getLong(0) -> r.getString(1).take(24)).toMap
+    val expected = (for {
+      a <- prefixes.keys; b <- prefixes.keys
+      if a < b
+      // the same blocking the operator documents: first two chars equal
+      if prefixes(a).take(2) == prefixes(b).take(2)
+      dd = lev(prefixes(a), prefixes(b))
+      if dd <= 2
+    } yield (a, b, dd.toLong)).toSet
+    assert(got == expected, s"got $got want $expected")
+    // the fixture actually exercises the interesting cases: a nonzero
+    // in-threshold distance found, an over-threshold pair cut
+    assert(got.contains((1L, 2L, 1L)), got.toString)
+    assert(got.contains((2L, 3L, 2L)), got.toString)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), "dist-3 pair leaked")
+    assert(!got.exists(p => p._2 == 4L), "past-threshold pair leaked")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "a first-char edit lands in another block — the documented recall trade")
+    // scale shape: the pair generator is an equi-join on the block key,
+    // never a cartesian
+    val plan = noAutoBroadcast {
+      DedupOps.fuzzyNearDup(d).queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException] { DedupOps.fuzzyNearDup(d, prefixLen = 2) }
+    intercept[IllegalArgumentException] { DedupOps.fuzzyNearDup(d, maxDist = -1) }
+  }
+
   test("simhashNearDup refuses a hammingMax beyond the pigeonhole-exact bound") {
     // 32 bits / 8-bit bands -> banded join is exact only for hamming <= 3;
     // a larger bound would silently lose recall, so it must throw instead
