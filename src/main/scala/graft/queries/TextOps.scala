@@ -663,6 +663,124 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
 
+  /** q63 redaction patterns — (name, regex, replacement), applied IN ORDER
+    * with each pattern seeing the previous pattern's output: emails go
+    * first (they contain digit runs a later pattern would half-eat),
+    * dotted quads before bare digit runs. The regexes stay inside the
+    * Java-regex/RE2 common subset (char classes, bounded repeats, `\b`)
+    * so the oracle's DuckDB engine matches byte-for-byte. */
+  val DefaultRedactPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{7,15}\\b", "<PHONE>"))
+
+  private val RedactName = "[a-z][a-z0-9_]*".r
+
+  /** The redaction chain over one text column: the scrubbed text plus, per
+    * pattern, the match count AT THE MOMENT that pattern ran (progressive
+    * counts — a digit run consumed by the email pass is never also billed
+    * to the phone pass, so the per-pattern counts sum to the total number
+    * of replacements made). */
+  private def redactionColumns(text: Column,
+      patterns: Seq[(String, String, String)]): (Column, Seq[(String, Column)]) = {
+    require(patterns.nonEmpty, "redact needs at least one pattern")
+    val names = patterns.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate pattern names: ${names.mkString(",")}")
+    names.foreach(n => require(RedactName.matches(n),
+      s"pattern name must be a lowercase identifier, got '$n'"))
+    patterns.foldLeft((text, Vector.empty[(String, Column)])) {
+      case ((t, acc), (name, re, repl)) =>
+        (regexp_replace(t, re, repl), acc :+ (name -> regexp_count(t, lit(re))))
+    }
+  }
+
+  /** PII redaction (q63) — the scrub pass a training corpus runs before
+    * anything is published (emails, IPs, phone-shaped digit runs →
+    * typed placeholder tokens), reported as (doc_id, scrubbed text,
+    * per-pattern counts, total). The C4/Dolma-style cleanup, expressed as
+    * a pure per-row `regexp_replace` chain.
+    *
+    * Shape at scale: zero shuffles and zero joins — every column is a
+    * scalar function of `text`, the whole chain runs inside one
+    * whole-stage-codegen'd project over the scan, and the scan itself
+    * prunes to (doc_id, text). The audit a pipeline wants ("which docs
+    * had PII, how much") is a filter on `n_redacted > 0` over this same
+    * projection — see CorpusMain's `--redact` stage. */
+  def redact(docs: DataFrame,
+      patterns: Seq[(String, String, String)] = DefaultRedactPatterns,
+      textCol: String = "text"): DataFrame = {
+    val (red, counts) = redactionColumns(col(textCol), patterns)
+    val total = counts.map(_._2).reduce(_ + _)
+    docs.select(col("doc_id") +: red.as(textCol) +:
+      counts.map { case (n, c) => c.as(s"n_$n") } :+
+      total.as("n_redacted"): _*)
+  }
+
+  /** [[redact]] as an in-place rewrite: every original column intact with
+    * `textCol` scrubbed — the form a pipeline composes with. Redaction is
+    * a pure per-row function, so this costs no join against [[redact]]'s
+    * projection (the same no-rejoin rule as [[splitColumn]] /
+    * [[mixFilter]]). */
+  def redactInPlace(docs: DataFrame,
+      patterns: Seq[(String, String, String)] = DefaultRedactPatterns,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, redactionColumns(col(textCol), patterns)._1)
+
+  /** The synthetic corpus carries no PII by construction, so the q63 demo
+    * query deterministically injects a PII-shaped suffix (email + dotted
+    * quad + 7-digit phone) on every third doc before scrubbing — the
+    * oracle mirrors the same injection SQL, so the hash compare exercises
+    * real matches AND the two-thirds of rows that must pass untouched. */
+  private def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 tel "),
+          (col("doc_id") % 9000000 + 1000000).cast("string")))
+        .otherwise(col("text")))
+
+  private val SyntheticPiiSql =
+    """CASE WHEN doc_id % 3 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+                 '.7 tel ' || CAST(doc_id % 9000000 + 1000000 AS VARCHAR)
+            ELSE text END"""
+
+  private val DefaultNgramN = 2
+  private val DefaultNgramK = 30
+
+  /** Corpus n-gram top-k (q64) — the repeated-phrase table ([[vocabTopK]]
+    * is the n=1 story, [[boilerplateSignals]] the df-thresholded 3-gram
+    * one; this is the raw occurrence count ranking for any n, the table a
+    * tokenizer trainer or template-text analyst reads).
+    *
+    * Shape at scale: a per-row generate (fan-out ~n_tokens rows/doc, no
+    * shuffle), ONE map-side-combinable count aggregation over the gram
+    * key, and a TakeOrdered(k) — the driver receives k rows, never the
+    * gram table. Zipf guarantees the partial-agg maps absorb the head
+    * grams, so the shuffle carries roughly the distinct-gram tail, not
+    * the corpus. */
+  def ngramTopK(docs: DataFrame, n: Int = DefaultNgramN,
+      k: Int = DefaultNgramK): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    val w = tokens
+    // the filter (not a when/otherwise) keeps sequence() ascending: for a
+    // doc shorter than n tokens, size-(n-1) < 1 would generate a
+    // DESCENDING sequence, not an empty one
+    docs.filter(size(w) >= n)
+      .select(explode(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish word-regex token count.
     "q40_token_count" -> { (s, dir) => tokenCounts(Tables.documents(s, dir)) },
@@ -713,7 +831,14 @@ object TextOps {
     "q60_chunk_windows" -> { (s, dir) => chunkWindows(Tables.documents(s, dir)) },
 
     // Corpus composition pivot (see corpusComposition).
-    "q61_composition" -> { (s, dir) => corpusComposition(Tables.documents(s, dir)) })
+    "q61_composition" -> { (s, dir) => corpusComposition(Tables.documents(s, dir)) },
+
+    // PII redaction over a synthetic-PII-injected corpus (see redact).
+    "q63_redact" -> { (s, dir) =>
+      redact(withSyntheticPii(Tables.documents(s, dir))) },
+
+    // Corpus bigram top-k (see ngramTopK).
+    "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -947,5 +1072,35 @@ object TextOps {
            CAST(count(*) FILTER (WHERE source IN ($inList)) AS BIGINT)
              AS n_docs
          FROM documents GROUP BY lang"""
-    })
+    },
+    // generated from DefaultRedactPatterns so the chain (order, regexes,
+    // replacements, progressive counts) cannot drift from redact()'s fold
+    "q63_redact" -> {
+      val chain = DefaultRedactPatterns.zipWithIndex.map {
+        case ((name, re, repl), i) =>
+          val carried = DefaultRedactPatterns.take(i)
+            .map { case (nm, _, _) => s"n_$nm, " }.mkString
+          s"""s$i AS (
+           SELECT doc_id, $carried
+             len(regexp_extract_all(t$i, '$re')) AS n_$name,
+             regexp_replace(t$i, '$re', '$repl', 'g') AS t${i + 1}
+           FROM ${if (i == 0) "inj" else s"s${i - 1}"})"""
+      }.mkString(",\n         ")
+      val names = DefaultRedactPatterns.map { case (nm, _, _) => s"n_$nm" }
+      val last = DefaultRedactPatterns.size - 1
+      s"""WITH inj AS (
+           SELECT doc_id, $SyntheticPiiSql AS t0 FROM documents),
+         $chain
+         SELECT doc_id, t${last + 1} AS text, ${names.mkString(", ")},
+           ${names.mkString(" + ")} AS n_redacted
+         FROM s$last"""
+    },
+    "q64_ngram_topk" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS gram
+           FROM t)
+         SELECT gram, count(*) AS n FROM b
+         GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT $DefaultNgramK""")
 }

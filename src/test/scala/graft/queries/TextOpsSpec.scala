@@ -451,4 +451,73 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("redact scrubs email/ip/phone once each, progressively, and leaves clean text alone") {
+    val docs = Seq(
+      (1L, "write to jane.doe+x@corp.example.com or 192.168.1.200 tel 5551234567 now"),
+      (2L, "perfectly clean prose with words only"),
+      // a digit run inside a dotted quad must be billed to ipv4, not phone
+      (3L, "server at 10.20.30.40 only"),
+      // 7 digits is the phone floor; 6 is not a phone
+      (4L, "short 123456 long 1234567")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redact(docs).orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+    assert(out(0) == ((1L, "write to <EMAIL> or <IP> tel <PHONE> now", 1, 1, 1, 3)))
+    assert(out(1) == ((2L, "perfectly clean prose with words only", 0, 0, 0, 0)),
+      "a clean doc passes byte-identical with zero counts")
+    assert(out(2) == ((3L, "server at <IP> only", 0, 1, 0, 1)),
+      "quad digits are consumed by the ipv4 pass, never double-counted as phones")
+    assert(out(3) == ((4L, "short 123456 long <PHONE>", 0, 0, 1, 1)))
+  }
+
+  test("redactInPlace rewrites text only, keeps every other column, plans no join") {
+    val docs = Seq((1L, "srcA", "mail me a@b.cc please", 21L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = TextOps.redactInPlace(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val row = out.as[(Long, String, String, Long)].collect().head
+    assert(row == ((1L, "srcA", "mail me <EMAIL> please", 21L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pure per-row rewrite must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"and must not shuffle:\n$plan")
+  }
+
+  test("redact rejects empty, duplicate-named, and malformed-name pattern sets") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { TextOps.redact(docs, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      TextOps.redact(docs, Seq(("a", "x", "y"), ("a", "z", "w")))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.redact(docs, Seq(("Bad Name", "x", "y")))
+    }
+  }
+
+  test("ngramTopK counts corpus bigrams, breaks ties by gram, honors n and k") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b" x2, "b a" x1
+      (2L, "a b c"),     // "a b", "b c"
+      (3L, "solo")       // < n tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val top = TextOps.ngramTopK(docs, n = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L)),
+      "count desc, then gram asc breaks the b-a/b-c tie at the k boundary")
+    val tri = TextOps.ngramTopK(docs, n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(tri == Seq(("a b a", 1L), ("a b c", 1L), ("b a b", 1L)),
+      "n = 3 windows; docs shorter than n drop out")
+    intercept[IllegalArgumentException] { TextOps.ngramTopK(docs, n = 0) }
+    intercept[IllegalArgumentException] { TextOps.ngramTopK(docs, k = 0) }
+  }
+
+  test("ngramTopK plans one partial-final count agg and a TakeOrdered, no global sort") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TextOps.ngramTopK(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered (driver receives k rows), not Sort+Limit:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"the gram count must map-side combine before the shuffle:\n$plan")
+  }
 }
