@@ -97,7 +97,13 @@ object Bench {
     ("q59_vocab_topk", 0.19, 0.55),
     ("q60_chunk_windows", 0.09, 0.3),
     ("q61_composition", 0.1, 0.3),
-    ("q62_fuzzy_neardup", 0.15, 0.8))
+    ("q62_fuzzy_neardup", 0.15, 0.8),
+    ("q63_redact", 0.4, 0.6),
+    ("q64_ngram_topk", 2.5, 3.3),
+    ("q65_funnel", 0.4, 0.8),
+    ("q66_retention", 0.5, 0.8),
+    ("q67_rolling_actives", 0.7, 1.2),
+    ("q68_change_intervals", 0.7, 1.1))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -105,7 +111,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q62; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q66; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

@@ -34,6 +34,169 @@ object EventOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
+  /** Default funnel: the acquisition path through the synthetic event log. */
+  private[queries] val DefaultFunnelSteps = Seq("view", "click", "purchase")
+
+  /** Ordered-funnel analysis (q65): how many users complete each prefix of
+    * `steps`, where step i counts only at its earliest occurrence STRICTLY
+    * after the user's earliest qualifying step i-1 (the classic product
+    * funnel; ties at the same timestamp do not advance the funnel).
+    *
+    * One row out: per-step completing-user counts plus step-to-step
+    * conversion rates.
+    *
+    * Shape at scale: ONE exchange. The per-user ordered scan is a chain of
+    * running-min window columns over the same (user_id; ts, event_id)
+    * window — one hash exchange + one sort, each later Window op reuses
+    * both — and the per-user aggregate reuses the window's partitioning,
+    * so the corpus-sized event table is shuffled exactly once. The final
+    * funnel reduce is a single-row global aggregate (partial-agg maps emit
+    * one row each). The equivalent min-per-step/join-back cascade (the
+    * oracle's form) would shuffle a filtered copy of the table per step.
+    *
+    * Why the running mins are equivalent to the sequential definition: at
+    * any row r of a user's ordered log, `run_i(r)` is the earliest
+    * qualifying step-i timestamp among events ≤ r, so a step-i+1 event at
+    * r qualifies iff its ts is strictly greater — the same condition as
+    * "strictly after the user's final earliest step-i time", because a
+    * qualifying step-i event earlier than ts(r) is always inside r's
+    * prefix. Pinned against a literal join-cascade in EventOpsSpec. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = DefaultFunnelSteps): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    val qualified = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val qual =
+        if (i == 0) when(col("event_type") === step, col("ts"))
+        else when(col("event_type") === step && col("ts") > col(s"run_${i - 1}"),
+          col("ts"))
+      // run_i is only read by qual_{i+1}: the last step needs no running min
+      val withQual = df.withColumn(s"qual_$i", qual)
+      if (i == steps.size - 1) withQual
+      else withQual.withColumn(s"run_$i", min(col(s"qual_$i")).over(w))
+    }
+    val perUser = qualified.groupBy(col("user_id"))
+      .agg(min(col("qual_0")).as("t_0"),
+        steps.indices.drop(1).map(i => min(col(s"qual_$i")).as(s"t_$i")): _*)
+    val counts = steps.indices.map(i =>
+      count(col(s"t_$i")).as(s"n_${steps(i)}_users"))
+    val row = perUser.agg(counts.head, counts.tail: _*)
+    val convs = steps.indices.drop(1).map { i =>
+      val prev = col(s"n_${steps(i - 1)}_users")
+      when(prev > 0, col(s"n_${steps(i)}_users").cast("double") / prev)
+        .as(s"conv_${steps(i - 1)}_to_${steps(i)}")
+    }
+    row.select(steps.indices.map(i => col(s"n_${steps(i)}_users")) ++ convs: _*)
+  }
+
+  /** Retention cohorts (q66): bucket every user by the ISO week of their
+    * FIRST event (the cohort), then count how many distinct users of each
+    * cohort were active in each subsequent week — the classic retention
+    * triangle `(cohort_week, week_offset) -> n_users`.
+    *
+    * Shape at scale: the corpus-sized event table is shuffled ONCE. The
+    * per-user first-event timestamp is an unordered window min over
+    * `user_id` (one hash exchange, no sort — no orderBy on the window), and
+    * the per-user-per-week dedup keys on `(user_id, cohort, offset)`, whose
+    * clustering the window's user_id hash partitioning already satisfies
+    * (subset rule) — so the distinct adds NO exchange. Only the already
+    * per-user-weekly-deduped rows — bounded by users x active weeks, not
+    * events — cross the wire into the final low-cardinality
+    * (cohort, offset) count, which partial-aggregates map-side. The literal
+    * form (min-per-user, join back, DISTINCT, group) — the oracle's — pays
+    * three full-width exchanges.
+    *
+    * Week parity across engines: both Spark and DuckDB `date_trunc('week')`
+    * truncate to Monday 00:00, the session pins UTC, and two Monday
+    * truncations are always a whole number of days apart, so
+    * `datediff / 7` is exact integer math on both sides. */
+  def retention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events.select(col("user_id"), col("ts"))
+      .withColumn("t0", min(col("ts")).over(w))
+      .select(col("user_id"),
+        date_trunc("week", col("t0")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          date_trunc("week", col("t0")).cast("date")) / 7).cast("int")
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Rolling N-day active users (q67): for every calendar day with at least
+    * one event, the count of distinct users active in the trailing `days`
+    * days — the WAU/MAU family, computed EXACTLY.
+    *
+    * A trailing-distinct can't be derived from daily distinct counts (users
+    * overlap across days), and a naive RANGE window re-scans the raw log
+    * per day. Instead: dedup to user-days FIRST (events collapse to at most
+    * users x days rows — the corpus-sized table crosses the wire once,
+    * partially aggregated map-side), then explode each user-day to the
+    * `days` window-ending days it covers (a bounded x`days` generate on the
+    * already-shrunk table, no shuffle), semi-join against the distinct-day
+    * set (broadcast — it's calendar-sized) so windows ending on event-less
+    * days don't materialize, and count-distinct per window day. Work is
+    * O(user-days x days), independent of raw event volume.
+    */
+  def rollingActives(events: DataFrame, days: Int = 7): DataFrame = {
+    require(days >= 1, s"window must be >= 1 day, got $days")
+    val userDays = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val presentDays = userDays.select(col("day")).distinct()
+    userDays
+      .select(explode(sequence(col("day"), date_add(col("day"), days - 1)))
+        .as("wday"), col("user_id"))
+      .join(broadcast(presentDays.withColumnRenamed("day", "wday")),
+        Seq("wday"), "left_semi")
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as(s"n_active_${days}d"))
+      .withColumnRenamed("wday", "day")
+  }
+
+  /** Per-key attribute run-length intervals (q68) — the gaps-and-islands /
+    * SCD2 idiom: collapse each user's consecutive run of equal `event_type`
+    * (in (ts, event_id) order) into one row with the run's start, the next
+    * run's start as its end (null while the run is current), and the run's
+    * event count. The general change-tracking shape: a dimension snapshot
+    * stream collapses to validity intervals the same way.
+    *
+    * Shape at scale: ONE corpus-sized exchange. Change flag (lag), run id
+    * (running sum of flags), the per-run aggregate, and the lead to the
+    * next run all key on user_id: the three window ops share one
+    * (user_id; ts, event_id) hash exchange + sort, the groupBy rides it by
+    * subset clustering, and the final lead re-sorts the already
+    * run-compressed rows within the same partitioning. */
+  def changeIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), 0)
+          .otherwise(1))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // event_type is constant within a run, so keying on it changes no
+      // groups — but it makes the aggregate deterministic (no `first`)
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    // run_id is the per-user run ordinal — ordering the lead by it (not by
+    // valid_from) stays deterministic when adjacent runs share a timestamp
+    runs
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("run_id")))
+          .as("valid_to"),
+        col("n_events"))
+  }
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W2 first-row-per-group — the starter-derivation idiom (reference:
@@ -210,7 +373,19 @@ object EventOps {
           "left")
         .groupBy(col("user_id"), col("session_no"))
         .agg(count(col("e_id")).as("n_errors"))
-    })
+    },
+
+    // Ordered-funnel analysis (see funnel): view -> click -> purchase.
+    "q65_funnel" -> { (s, dir) => funnel(Tables.events(s, dir)) },
+
+    // Retention cohorts (see retention): first-event week x active week.
+    "q66_retention" -> { (s, dir) => retention(Tables.events(s, dir)) },
+
+    // Rolling 7-day active users (see rollingActives).
+    "q67_rolling_actives" -> { (s, dir) => rollingActives(Tables.events(s, dir)) },
+
+    // Gaps-and-islands change intervals (see changeIntervals).
+    "q68_change_intervals" -> { (s, dir) => changeIntervals(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -348,5 +523,80 @@ object EventOps {
          FROM sess s LEFT JOIN events e
            ON e.user_id = s.user_id AND e.event_type = 'error'
            AND e.ts BETWEEN s.session_start AND s.session_end
-         GROUP BY s.user_id, s.session_no""")
+         GROUP BY s.user_id, s.session_no""",
+    // The literal sequential definition — a min-per-step/join-back cascade;
+    // the Spark side's one-exchange running-min window form must agree.
+    "q65_funnel" ->
+      """WITH s0 AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+         n AS (
+           SELECT (SELECT count(*) FROM s0) AS n_view_users,
+                  (SELECT count(*) FROM s1) AS n_click_users,
+                  (SELECT count(*) FROM s2) AS n_purchase_users)
+         SELECT n_view_users, n_click_users, n_purchase_users,
+           CASE WHEN n_view_users > 0
+                THEN CAST(n_click_users AS DOUBLE) / n_view_users END
+             AS conv_view_to_click,
+           CASE WHEN n_click_users > 0
+                THEN CAST(n_purchase_users AS DOUBLE) / n_click_users END
+             AS conv_click_to_purchase
+         FROM n""",
+    // The literal definition: first event per user, join back, dedup to
+    // user-weeks, count — the three-exchange form the Spark side avoids.
+    "q66_retention" ->
+      """WITH firsts AS (
+           SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+         user_weeks AS (
+           SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', f.t0),
+                            date_trunc('week', e.ts)) // 7 AS INT)
+               AS week_offset
+           FROM events e JOIN firsts f ON e.user_id = f.user_id)
+         SELECT cohort_week, week_offset, count(*) AS n_users
+         FROM user_weeks GROUP BY 1, 2""",
+    // The literal definition: for each day with events, distinct users
+    // over the trailing 7 days — the per-day re-scan the Spark side's
+    // user-day expansion avoids.
+    "q67_rolling_actives" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day FROM ud)
+         SELECT d.day AS day, count(DISTINCT u.user_id) AS n_active_7d
+         FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1""",
+    // The textbook gaps-and-islands form; run_id ordinals agree with the
+    // Spark side's by construction (same change flag, same running sum,
+    // same (ts, event_id) order).
+    "q68_change_intervals" ->
+      """WITH marked AS (
+           SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  = event_type THEN 0 ELSE 1 END AS chg,
+             event_id
+           FROM events),
+         runs AS (
+           SELECT *, sum(chg) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM marked),
+         agg AS (
+           SELECT user_id, run_id, event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+           FROM runs GROUP BY 1, 2, 3)
+         SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           n_events
+         FROM agg""")
 }

@@ -23,18 +23,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it scans as Long nanos, which we
-    * convert to a micros timestamp via exact integer division (`div`, not
-    * `/` — double math would lose precision above 2^53 ns).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (scans as Long nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong`; exact integer `div`, not
+    * `/` — double math would lose precision above 2^53 ns) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (scans as TIMESTAMP_NTZ, which
+    * Spark 4 refuses to cast to numeric — the epoch math downstream needs an
+    * instant). Both shapes normalize HERE to a plain UTC-instant TIMESTAMP —
+    * the session pins `spark.sql.session.timeZone=UTC`, so the NTZ cast
+    * reinterprets the stored micros 1:1 and every engine (and the DuckDB
+    * oracle, which reads the same naive micros) sees identical integers.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Funnel semantics (q65): the one-exchange running-min window form must
+  * agree with the literal sequential definition (min-per-step join-back
+  * cascade — the oracle's shape) on fixtures built to break it.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def ev(rows: (Long, Long, Long, String)*): DataFrame =
+    rows.map { case (id, u, t, ty) => (id, u, ts(t), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+
+  /** The literal definition, step by step: earliest step-i event strictly
+    * after the user's earliest qualifying step i-1. */
+  private def funnelByJoins(events: DataFrame, steps: Seq[String]): Seq[Long] = {
+    val head = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val perStep = steps.drop(1).scanLeft(head) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    perStep.map(_.count())
+  }
+
+  test("funnel matches the sequential join-cascade on an adversarial fixture") {
+    // user 1: clean view(10) -> click(20) -> purchase(30): full depth.
+    // user 2: click BEFORE any view, plus a same-ts click (ties don't
+    //   advance) — only the view counts.
+    // user 3: purchase before the qualifying click; a later purchase
+    //   qualifies. An EARLIER non-first view exists after the click too:
+    //   strictly-after compares against the EARLIEST view.
+    // user 4: no view at all — contributes to no step.
+    // user 5: view only.
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+      (4, 2, 5, "click"), (5, 2, 10, "view"), (6, 2, 10, "click"),
+      (7, 3, 10, "view"), (8, 3, 15, "purchase"), (9, 3, 20, "click"),
+      (10, 3, 18, "view"), (11, 3, 25, "purchase"),
+      (12, 4, 10, "click"), (13, 4, 20, "purchase"),
+      (14, 5, 10, "view"), (15, 5, 5, "error"))
+    val row = EventOps.funnel(events).collect().head
+    assert(Seq(row.getLong(0), row.getLong(1), row.getLong(2)) == Seq(4L, 2L, 2L))
+    assert(row.getDouble(3) == 0.5 && row.getDouble(4) == 1.0)
+    assert(funnelByJoins(events, Seq("view", "click", "purchase")) ==
+      Seq(4L, 2L, 2L))
+  }
+
+  test("funnel agrees with the join-cascade on a randomized log and 4 steps") {
+    val steps = Seq("view", "click", "signup", "purchase")
+    val rnd = new scala.util.Random(7)
+    val types = steps ++ Seq("error")
+    val events = ev((1L to 600L).map(i =>
+      (i, rnd.nextInt(25).toLong, rnd.nextInt(50).toLong,
+        types(rnd.nextInt(types.size)))): _*)
+    val row = EventOps.funnel(events, steps).collect().head
+    val got = steps.indices.map(i => row.getLong(i))
+    assert(got == funnelByJoins(events, steps))
+  }
+
+  test("funnel rejects degenerate step lists") {
+    val events = ev((1, 1, 10, "view"))
+    intercept[IllegalArgumentException] { EventOps.funnel(events, Seq("view")) }
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(events, Seq("view", "view"))
+    }
+  }
+
+  test("funnel shuffles the event table exactly once") {
+    val events = ev((1, 1, 10, "view"), (2, 1, 20, "click"),
+      (3, 1, 30, "purchase"))
+    val plan = EventOps.funnel(events).queryExecution.executedPlan.toString
+    // one hash exchange for the per-user window+agg chain, one single-row
+    // global reduce; no range exchange (no global sort) ever.
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("retention matches the literal join form on a multi-week fixture") {
+    val week = 7L * 86400L
+    // users 1,2 start week 0 (1 returns weeks 1 and 3, 2 never returns);
+    // user 3 starts week 1 and returns week 2; user 4 has two events in
+    // the SAME week (must dedup to one active user-week).
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, week + 5, "click"), (3, 1, 3 * week + 9, "view"),
+      (4, 2, 20, "view"),
+      (5, 3, week + 30, "view"), (6, 3, 2 * week + 30, "purchase"),
+      (7, 4, 40, "view"), (8, 4, 50, "click"))
+    val got = EventOps.retention(events)
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    // Literal form, computed independently here.
+    val firsts = events.groupBy("user_id").agg(min("ts").as("t0"))
+    val want = events.join(firsts, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("t0")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          date_trunc("week", col("t0")).cast("date")) / 7).cast("int")
+          .as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset").count()
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // Structure checks the fixture was built to force: user 4's same-week
+    // events collapse (cohort of users 1/2/4 has 3 users at offset 0),
+    // and user 1 is absent at offset 2 (a retention GAP, not a cumsum).
+    val byKey = got.map { case (c, o, n) => (c, o) -> n }.toMap
+    val cohort0 = got.head._1
+    assert(byKey((cohort0, 0)) == 3L)
+    assert(!byKey.contains((cohort0, 2)))
+    assert(byKey((cohort0, 3)) == 1L)
+  }
+
+  test("retention shuffles the event table once; the dedup adds no exchange") {
+    val events = ev((1, 1, 10, "view"), (2, 1, 20, "click"),
+      (3, 2, 30, "purchase"))
+    val plan = EventOps.retention(events).queryExecution.executedPlan.toString
+    // one corpus-sized hash exchange on user_id (the window); the distinct
+    // rides it (subset clustering); one low-cardinality exchange for the
+    // final (cohort_week, week_offset) count; nothing else.
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("rollingActives matches a literal trailing-window count") {
+    val day = 86400L
+    // user 1 active days 0,3,8; user 2 days 0,1; user 3 day 8 twice (same
+    // user-day must not double-count); day 8's window [2..8] must NOT see
+    // days 0-1, and days 4-7 have no events so no output rows exist.
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, 3 * day + 5, "click"), (3, 1, 8 * day + 1, "view"),
+      (4, 2, 20, "view"), (5, 2, day + 30, "click"),
+      (6, 3, 8 * day + 40, "view"), (7, 3, 8 * day + 50, "click"))
+    val got = EventOps.rollingActives(events)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == Map(
+      "1970-01-01" -> 2L, // users 1,2 on day 0
+      "1970-01-02" -> 2L, // day 1: user 2 new, user 1 still in window
+      "1970-01-04" -> 2L, // day 3: users 1,2 (days 0-1 within 7)
+      "1970-01-09" -> 2L)) // day 8: window [day 2..8] -> users 1,3 only
+    assert(got.size == 4) // no rows for event-less days
+  }
+
+  test("rollingActives broadcasts the day set; no global sort") {
+    val events = ev((1, 1, 10, "view"), (2, 2, 20, "click"))
+    val plan = EventOps.rollingActives(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("changeIntervals collapses runs: gaps-and-islands semantics") {
+    // user 1: view,view | click | view  -> 4 events, 3 intervals (the
+    // second view run is a NEW interval, not merged with the first);
+    // user 2: single run, open-ended (null valid_to).
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, 20, "view"), (3, 1, 30, "click"),
+      (4, 1, 40, "view"),
+      (5, 2, 50, "purchase"), (6, 2, 60, "purchase"))
+    val got = EventOps.changeIntervals(events)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000,
+        Option(r.getTimestamp(3)).map(_.getTime / 1000), r.getLong(4)))
+      .sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      (1L, "view", 10L, Some(30L), 2L),
+      (1L, "click", 30L, Some(40L), 1L),
+      (1L, "view", 40L, None, 1L),
+      (2L, "purchase", 50L, None, 2L)))
+  }
+
+  test("changeIntervals runs in ONE exchange: windows, agg, and lead share it") {
+    val events = ev((1, 1, 10, "view"), (2, 1, 20, "click"))
+    val plan = EventOps.changeIntervals(events)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+  }
+}
