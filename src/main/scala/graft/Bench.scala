@@ -103,7 +103,9 @@ object Bench {
     ("q65_funnel", 0.4, 0.8),
     ("q66_retention", 0.5, 0.8),
     ("q67_rolling_actives", 0.7, 1.2),
-    ("q68_change_intervals", 0.7, 1.1))
+    ("q68_change_intervals", 0.7, 1.1),
+    ("q69_top_paths", 0.9, 1.5),
+    ("q70_key_skew", 0.45, 0.85))
 
   private[graft] val RetimeFactor = 2.0
 

@@ -159,6 +159,37 @@ object EventOps {
       .withColumnRenamed("wday", "day")
   }
 
+  /** Sketch twin of [[rollingActives]]: rolling N-day active users
+    * estimated with mergeable HLL++ sketches (`hll_sketch_agg` /
+    * `hll_union_agg`). The 100 TB path for the WAU/MAU family: the raw log
+    * collapses to ONE fixed-size sketch per day (a map-side-combinable
+    * aggregate — each task emits at most days × 2^lgK bytes regardless of
+    * row count), and the rolling union then operates on a calendar-sized
+    * table: re-windowing (7d → 28d → 90d) or multi-window dashboards reuse
+    * the same daily sketches without ever rescanning events, which is the
+    * property the exact form's user-day expansion cannot offer. Standard
+    * HLL++ error ≈ 1.04/√2^lgK (~1.6 % at the default lgK=12). No DuckDB
+    * oracle by design — sketch estimates are engine-specific (same policy
+    * as TextOps.approxCorpusStats); spec-pinned against [[rollingActives]]
+    * within tolerance instead. */
+  def rollingActivesApprox(events: DataFrame, days: Int = 7,
+      lgK: Int = 12): DataFrame = {
+    require(days >= 1, s"window must be >= 1 day, got $days")
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    val presentDays = daily.select(col("day").as("wday"))
+    daily
+      .select(explode(sequence(col("day"), date_add(col("day"), days - 1)))
+        .as("wday"), col("sk"))
+      .join(broadcast(presentDays), Seq("wday"), "left_semi")
+      .groupBy(col("wday"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as(s"n_active_${days}d_approx"))
+      .withColumnRenamed("wday", "day")
+  }
+
   /** Per-key attribute run-length intervals (q68) — the gaps-and-islands /
     * SCD2 idiom: collapse each user's consecutive run of equal `event_type`
     * (in (ts, event_id) order) into one row with the run's start, the next
@@ -195,6 +226,63 @@ object EventOps {
           .over(Window.partitionBy(col("user_id")).orderBy(col("run_id")))
           .as("valid_to"),
         col("n_events"))
+  }
+
+  /** Key-skew report (q70): the operational pre-join diagnostic — the top
+    * `k` hottest values of a prospective join/partition key, each with its
+    * row count and share of the table. At 100 TB this is the cheap pass an
+    * operator runs BEFORE a big join to decide whether the documented skew
+    * levers (ops/Salting, AQE skew-join) are needed, and it names the keys
+    * to salt.
+    *
+    * Shape at scale: one map-side-combinable count per key (the only
+    * corpus-sized exchange), a 1-row total joined back via broadcast
+    * nested-loop (1 row × key-count table — no shuffle), and a
+    * partition-local TakeOrdered for the top-k. The share division is
+    * exact-integer-in, IEEE-double-out on both engines. */
+  def keySkewReport(df: DataFrame, keyCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("total_rows"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("total_rows")).as("share"))
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
+  /** Top session paths (q69): the `k` most common ordered event-type
+    * sequences across sessions — "what do users actually do in a visit".
+    * Sessions come from [[graft.ops.Sessionize]] (same gap as q16); each
+    * session's path is its event types joined in (ts, event_id) order.
+    *
+    * Shape at scale: the event table shuffles ONCE (the sessionizer's
+    * user_id window); the per-session path aggregate keys on
+    * (user_id, session_no) and rides that exchange by subset clustering —
+    * the ordered collect uses the A1 `array_sort(collect_list(struct))`
+    * idiom, never a re-sort of raw events. Only session-granularity path
+    * strings cross the second (map-side-combined) exchange, and the top-k
+    * is a partition-local TakeOrdered — no global sort. Ties at rank k
+    * break by path string, so the result is total-order deterministic. */
+  def topSessionPaths(events: DataFrame, gapSeconds: Long = GapSeconds,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tagged = graft.ops.Sessionize.withSessionNo(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts", "event_id", gapSeconds)
+    tagged
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
   }
 
 
@@ -385,7 +473,14 @@ object EventOps {
     "q67_rolling_actives" -> { (s, dir) => rollingActives(Tables.events(s, dir)) },
 
     // Gaps-and-islands change intervals (see changeIntervals).
-    "q68_change_intervals" -> { (s, dir) => changeIntervals(Tables.events(s, dir)) })
+    "q68_change_intervals" -> { (s, dir) => changeIntervals(Tables.events(s, dir)) },
+
+    // Top session paths (see topSessionPaths): ordered event-type journeys.
+    "q69_top_paths" -> { (s, dir) => topSessionPaths(Tables.events(s, dir)) },
+
+    // Key-skew report (see keySkewReport): hottest join-key values.
+    "q70_key_skew" -> { (s, dir) =>
+      keySkewReport(Tables.events(s, dir), "user_id") })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -598,5 +693,38 @@ object EventOps {
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
              AS valid_to,
            n_events
-         FROM agg""")
+         FROM agg""",
+    // Same sessionization CTE as q16; the path is an ordered string_agg.
+    // LIMIT's rank-k tie breaks by path string on both sides.
+    "q69_top_paths" -> {
+      s"""WITH flagged AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > $GapSeconds
+                  THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           FROM flagged),
+         paths AS (
+           SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM numbered GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions
+         FROM paths GROUP BY 1
+         ORDER BY n_sessions DESC, path ASC LIMIT 20"""
+    },
+    // Exact-integer counts; the share division is IEEE double on both
+    // engines, so the hash compare is exact.
+    "q70_key_skew" ->
+      """WITH counts AS (
+           SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+         total AS (SELECT sum(n_rows) AS total_rows FROM counts)
+         SELECT user_id, n_rows,
+           CAST(n_rows AS DOUBLE) / total_rows AS share
+         FROM counts, total
+         ORDER BY n_rows DESC, user_id ASC LIMIT 20""")
 }

@@ -188,4 +188,93 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("rollingActivesApprox tracks the exact count within HLL tolerance") {
+    // ~2000 user-days over 20 days, enough for the ~1.6% (lgK=12) sketch
+    // error to be exercised against a 5% assertion band.
+    val rnd = new scala.util.Random(11)
+    val events = ev((1L to 4000L).map(i =>
+      (i, rnd.nextInt(500).toLong, rnd.nextInt(20).toLong * 86400L + 30L,
+        "view")): _*)
+    val exact = EventOps.rollingActives(events)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = EventOps.rollingActivesApprox(events)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet) // same day coverage rule
+    exact.foreach { case (day, n) =>
+      assert(math.abs(approx(day) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"day $day exact=$n approx=${approx(day)}")
+    }
+  }
+
+  test("rollingActivesApprox sketches per day before any wide step") {
+    val events = ev((1, 1, 10, "view"), (2, 2, 86400L + 5, "click"))
+    val plan = EventOps.rollingActivesApprox(events)
+      .queryExecution.executedPlan.toString
+    // the raw log meets ONE exchange, carrying daily sketches (partial
+    // hll_sketch_agg map-side); everything after is calendar-sized
+    assert(plan.contains("hll_sketch_agg"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("topSessionPaths orders within session and ranks deterministically") {
+    val gap = 100L
+    // user 1, session A: out-of-event-id-order inserts still path by ts;
+    // session B starts after the gap. user 2 repeats the view>click path
+    // so it outranks everything; a tie between two 1-count paths breaks
+    // by path string.
+    val events = ev(
+      (2, 1, 20, "click"), (1, 1, 10, "view"),
+      (3, 1, 500, "purchase"),
+      (4, 2, 10, "view"), (5, 2, 30, "click"),
+      (6, 2, 800, "view"), (7, 2, 820, "click"))
+    val got = EventOps.topSessionPaths(events, gapSeconds = gap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("view>click", 3L), ("purchase", 1L)))
+  }
+
+  test("topSessionPaths: path agg rides the session exchange; top-k is TakeOrdered") {
+    // k must be BELOW the fixture's known row bound: on a LocalRelation the
+    // optimizer proves maxRows <= k and eliminates the limit entirely,
+    // leaving a bare global Sort — so pin with k = 1 over 2 rows.
+    val events = ev((1, 1, 10, "view"), (2, 2, 20, "click"))
+    val plan = EventOps.topSessionPaths(events, k = 1)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("keySkewReport ranks hot keys with exact shares") {
+    // user 1: 4 rows, user 2: 2, users 3/4: 1 each — k=3 cuts user 4 via
+    // the (n_rows desc, key asc) tie-break.
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, 20, "view"), (3, 1, 30, "click"),
+      (4, 1, 40, "view"),
+      (5, 2, 50, "view"), (6, 2, 60, "click"),
+      (7, 3, 70, "view"), (8, 4, 80, "view"))
+    val got = EventOps.keySkewReport(events, "user_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 4L, 0.5), (2L, 2L, 0.25), (3L, 1L, 0.125)))
+  }
+
+  test("keySkewReport reuses the key-count exchange for the total") {
+    val events = ev((1, 1, 10, "view"), (2, 2, 20, "click"),
+      (3, 3, 30, "view"))
+    val df = EventOps.keySkewReport(events, "user_id", k = 2)
+    df.collect() // AQE dedupes the twin exchange at RUNTIME, not in the
+    // static plan — materialize first, then read the final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
+    // the key-count exchange is planned once and REUSED by the 1-row
+    // total branch; the total joins back broadcast-nested-loop (1 row),
+    // and the top-k is TakeOrdered — never a rangepartitioning
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }
