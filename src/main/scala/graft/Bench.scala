@@ -105,7 +105,9 @@ object Bench {
     ("q67_rolling_actives", 0.7, 1.2),
     ("q68_change_intervals", 0.7, 1.1),
     ("q69_top_paths", 0.9, 1.5),
-    ("q70_key_skew", 0.45, 0.85))
+    ("q70_key_skew", 0.45, 0.85),
+    ("q71_stratified_sample", 0.45, 0.85),
+    ("q72_attribution", 0.5, 1.0))
 
   private[graft] val RetimeFactor = 2.0
 

@@ -228,6 +228,40 @@ object EventOps {
         col("n_events"))
   }
 
+  /** Touch event types credited by [[attribution]]. */
+  private[queries] val DefaultTouchTypes = Seq("view", "click")
+
+  /** Last-touch attribution (q72): credit every `purchase` to the user's
+    * most recent PRECEDING touch event (`view`/`click`; strictly-ordered by
+    * (ts, event_id), so a same-row tie never self-credits), and report
+    * conversions per channel — purchases with no preceding touch land in
+    * the `"none"` channel. The marketing-attribution shape; swap the touch
+    * set and conversion predicate for any credit model of the same form.
+    *
+    * Shape at scale: ONE exchange, the event table hashed by user. The
+    * running "last touch type so far" is `last(..., ignoreNulls)` over the
+    * user window — no join between conversions and touches ever exists
+    * (the oracle's form is exactly that as-of self-join); the final
+    * per-channel count is a low-cardinality map-side-combined aggregate. */
+  def attribution(events: DataFrame,
+      touchTypes: Seq[String] = DefaultTouchTypes,
+      conversionType: String = "purchase"): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"conversion '$conversionType' cannot also be a touch type")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("last_touch",
+        last(when(col("event_type").isin(touchTypes: _*),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   /** Key-skew report (q70): the operational pre-join diagnostic — the top
     * `k` hottest values of a prospective join/partition key, each with its
     * row count and share of the table. At 100 TB this is the cheap pass an
@@ -480,7 +514,10 @@ object EventOps {
 
     // Key-skew report (see keySkewReport): hottest join-key values.
     "q70_key_skew" -> { (s, dir) =>
-      keySkewReport(Tables.events(s, dir), "user_id") })
+      keySkewReport(Tables.events(s, dir), "user_id") },
+
+    // Last-touch attribution (see attribution): conversions per channel.
+    "q72_attribution" -> { (s, dir) => attribution(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -726,5 +763,19 @@ object EventOps {
          SELECT user_id, n_rows,
            CAST(n_rows AS DOUBLE) / total_rows AS share
          FROM counts, total
-         ORDER BY n_rows DESC, user_id ASC LIMIT 20""")
+         ORDER BY n_rows DESC, user_id ASC LIMIT 20""",
+    // The same strictly-preceding frame; the Spark side never joins —
+    // this window IS the as-of self-join collapsed into one pass.
+    "q72_attribution" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+           FROM events)
+         SELECT coalesce(last_touch, 'none') AS channel,
+           count(*) AS n_conversions
+         FROM t WHERE event_type = 'purchase' GROUP BY 1""")
 }

@@ -31,6 +31,7 @@ object TextOps {
   private val DefaultValUpper = "e6"   // +26/256 ~ 10%
   private val DefaultCapacity = 2048
   private val DefaultQuota = 10        // q55 per-domain cap
+  private val DefaultSampleK = 25      // q71 per-source sample size
 
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
@@ -443,6 +444,38 @@ object TextOps {
         col("tb_bucket"), col("tb_cut"))
   }
 
+  /** Deterministic stratified sample (q71): a uniform, reproducible `k`
+    * documents from EACH source — the eval-set / human-review-set
+    * construction pass ([[TextOps.domainQuota]] picks each source's BEST k
+    * by quality; this picks a REPRESENTATIVE k, uniformly at random but
+    * stable across runs, partitionings, and corpus growth of OTHER
+    * sources).
+    *
+    * The sampling key is hex chars 9-16 of md5(doc_id) — a FOURTH
+    * independent coordinate of the shared digest ([[hashSplit]] consumes
+    * 1-2, [[mixCorpus]] 3-4, [[mixToTokenBudget]] 5-8), so the sample is
+    * unbiased w.r.t. split, mix, and budget membership; doc_id breaks the
+    * (rare) 32-bit hash ties so the selection is total-order
+    * deterministic.
+    *
+    * Shape at scale: ONE hash exchange on the stratum + a per-partition
+    * rank — the same shape (and the same degenerate-single-source caveat
+    * and remedy) as [[domainQuota]]: for a corpus that is one giant
+    * source, hash-rate sampling ([[mixCorpus]]) is the lever, trading the
+    * exact-k guarantee for a per-row filter. */
+  def stratifiedSample(docs: DataFrame, k: Int = DefaultSampleK,
+      sourceCol: String = "source"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(sourceCol),
+        substring(md5(col("doc_id").cast("string")), 9, 8).as("sample_key"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col(sourceCol), col("sample_rank"))
+  }
+
   /** Boilerplate signals (q58) — the RefinedWeb/CCNet-style pass that
     * finds template text: a shingle (word 3-gram, [[DedupOps.shingledOf]]'s
     * unit) is BOILERPLATE when it appears in at least `minDfFrac` of all
@@ -838,7 +871,11 @@ object TextOps {
       redact(withSyntheticPii(Tables.documents(s, dir))) },
 
     // Corpus bigram top-k (see ngramTopK).
-    "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) })
+    "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
+
+    // Deterministic per-source uniform sample (see stratifiedSample).
+    "q71_stratified_sample" -> { (s, dir) =>
+      stratifiedSample(Tables.documents(s, dir)) })
 
   val oracles: Map[String, String] = Map(
     "q40_token_count" ->
@@ -1102,5 +1139,14 @@ object TextOps {
              i -> w[i] || ' ' || w[i+1])) AS gram
            FROM t)
          SELECT gram, count(*) AS n FROM b
-         GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT $DefaultNgramK""")
+         GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT $DefaultNgramK""",
+    // Same sampling coordinate (md5 hex chars 9-16) and doc_id tie-break.
+    "q71_stratified_sample" ->
+      s"""SELECT doc_id, source, sample_rank FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) ASC,
+                        doc_id ASC) AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= $DefaultSampleK""")
 }

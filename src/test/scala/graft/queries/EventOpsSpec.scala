@@ -277,4 +277,34 @@ class EventOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  test("attribution credits the strictly-preceding touch, 'none' if absent") {
+    // user 1: view(10) click(20) purchase(30) -> click gets the credit;
+    //   a second purchase(40) with no new touch ALSO credits click.
+    // user 2: purchase(10) before any touch -> none; then a view and a
+    //   purchase at the SAME ts where the view has the smaller event_id,
+    //   so row order makes it strictly preceding -> view gets the credit.
+    // user 3: error events never take credit.
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+      (4, 1, 40, "purchase"),
+      (5, 2, 10, "purchase"), (6, 2, 20, "view"), (7, 2, 20, "purchase"),
+      (8, 3, 10, "error"), (9, 3, 20, "purchase"))
+    val got = EventOps.attribution(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("click" -> 2L, "view" -> 1L, "none" -> 2L))
+    intercept[IllegalArgumentException] {
+      EventOps.attribution(events, touchTypes = Seq("purchase"))
+    }
+  }
+
+  test("attribution is ONE exchange — the as-of credit join never materializes") {
+    val events = ev((1, 1, 10, "view"), (2, 1, 20, "purchase"))
+    val plan = EventOps.attribution(events)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }

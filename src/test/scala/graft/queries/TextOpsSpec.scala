@@ -520,4 +520,37 @@ class TextOpsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"the gram count must map-side combine before the shuffle:\n$plan")
   }
+
+  test("stratifiedSample: exact k per source, deterministic, stable under unrelated growth") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 30) "big" else "small", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.stratifiedSample(docs, k = 5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(out.count(_._2 == "big") == 5 && out.count(_._2 == "small") == 5)
+    // rerun == same sample (pure function of doc_id)
+    val again = TextOps.stratifiedSample(docs, k = 5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(again == out)
+    // growing ONE source never changes another source's sample — the
+    // property a rank over a global order would break
+    val grown = docs.union(Seq((100L, "big", "new doc"))
+      .toDF("doc_id", "source", "text"))
+    val afterGrowth = TextOps.stratifiedSample(grown, k = 5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(afterGrowth.filter(_._2 == "small") == out.filter(_._2 == "small"))
+    intercept[IllegalArgumentException] { TextOps.stratifiedSample(docs, 0) }
+  }
+
+  test("stratifiedSample is independent of the split/mix/budget coordinates") {
+    // the sample key reads md5 hex chars 9-16: verify a doc's sample rank
+    // ignores chars 1-8 by construction — same digest, disjoint substrings
+    val docs = Seq((7L, "s", "x")).toDF("doc_id", "source", "text")
+    val row = TextOps.stratifiedSample(docs, k = 1).collect().head
+    assert(row.getLong(0) == 7L && row.getInt(2) == 1)
+    val plan = TextOps.stratifiedSample(docs, k = 1)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }
