@@ -48,9 +48,14 @@ import graft.sources.{Jsonl, Warehouse}
   *     Composition publishes in LONG form ((lang, source) rows), not
   *     q61's wide matrix: a published artifact must not grow a column per
   *     source.
+  *   - `review_sample/` (with `--review-sample N`) — q71's uniform
+  *     per-source sample of the PUBLISHED corpus, full rows + rank: the
+  *     human-eval set, deterministic across reruns and unmoved by growth
+  *     of unrelated sources (its md5 coordinate is independent of
+  *     split/mix/budget, so reviewing it biases nothing).
   *
   * Every stage is one of the oracle-checked operators (q52, q51, q31,
-  * q39, q55, q57, q49, q50, q60) — this main only composes and publishes
+  * q39, q55, q57, q49, q50, q60, q71) — this main only composes and publishes
   * them. Stage order is cheapest-reduction-first: mixing is a hash
   * filter (no data examined), decontamination touches shingles once,
   * dedup pays the banded self-join only over what survives both, and the
@@ -71,13 +76,13 @@ object CorpusMain {
       "[--export-jsonl true|false] [--publish-index <table>] " +
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
-      "[--stats true|false]"
+      "[--stats true|false] [--review-sample N]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
-        "chunk", "chunk-stride", "stats"),
+        "chunk", "chunk-stride", "stats", "review-sample"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -100,6 +105,7 @@ object CorpusMain {
     val chunk = Cli.toInt(args, "chunk", usage)
     val chunkStride = Cli.toInt(args, "chunk-stride", usage)
     val stats = Cli.toBoolean(args, "stats", usage).getOrElse(false)
+    val reviewSample = Cli.toInt(args, "review-sample", usage)
     val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
@@ -122,7 +128,8 @@ object CorpusMain {
       tokenBudget,
       chunk,
       chunkStride,
-      stats)
+      stats,
+      reviewSample)
     finally spark.stop()
   }
 
@@ -161,8 +168,11 @@ object CorpusMain {
       tokenBudget: Option[Long] = None,
       chunk: Option[Int] = None,
       chunkStride: Option[Int] = None,
-      stats: Boolean = false): Unit = {
+      stats: Boolean = false,
+      reviewSample: Option[Int] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
+    require(reviewSample.forall(_ >= 1),
+      s"review-sample must be >= 1, got ${reviewSample.get}")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
     require(tokenBudget.forall(_ >= 1),
       s"token-budget must be >= 1, got ${tokenBudget.get}")
@@ -205,7 +215,7 @@ object CorpusMain {
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
-      chunkStride, stats)
+      chunkStride, stats, reviewSample)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -222,7 +232,8 @@ object CorpusMain {
       tokenBudget: Option[Long] = None,
       chunk: Option[Int] = None,
       chunkStride: Option[Int] = None,
-      stats: Boolean = false): Unit = {
+      stats: Boolean = false,
+      reviewSample: Option[Int] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -364,6 +375,8 @@ object CorpusMain {
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")
         if (chunk.isEmpty) Warehouse.retireDir(spark, s"$output/examples")
+        if (reviewSample.isEmpty)
+          Warehouse.retireDir(spark, s"$output/review_sample")
         if (!stats) {
           Warehouse.retireDir(spark, s"$output/corpus_stats")
           Warehouse.retireDir(spark, s"$output/composition")
@@ -389,6 +402,18 @@ object CorpusMain {
                 c, chunkStride.getOrElse(c))
               .drop("text", "offset", "bin")
               .write.partitionBy("split").parquet(staging))
+        }
+        // uniform per-source review sample (q71's coordinate), derived
+        // from the PUBLISHED corpus: the human-eval set, full rows joined
+        // back via the broadcast-able id list (k x |sources| rows), stable
+        // across reruns and across growth of unrelated sources
+        reviewSample.foreach { k =>
+          Warehouse.replaceDirWith(spark, s"$output/review_sample")(staging => {
+            val pub = spark.read.parquet(s"$output/corpus")
+            pub.join(broadcast(TextOps.stratifiedSample(pub, k)
+                .select(col("doc_id"), col("sample_rank"))), Seq("doc_id"))
+              .write.parquet(staging)
+          })
         }
         // the curation report, over the PUBLISHED corpus (same derive-
         // from-published rule): one-row sketch statistics plus the

@@ -566,6 +566,36 @@ class CorpusMainSpec extends SparkSpec {
     }
   }
 
+  test("--review-sample publishes q71's uniform per-source rows; retires without it") {
+    import graft.queries.TextOps
+    val out = Files.createTempDirectory("corpus_main_review").toString
+    CorpusMain.runWith(spark, input, out, reviewSample = Some(3))
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val rs = spark.read.parquet(s"$out/review_sample")
+    // exactly q71's selection over the published corpus, full rows + rank
+    val expected = TextOps.stratifiedSample(corpus, k = 3)
+      .select("doc_id", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = rs.select("doc_id", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected && got.nonEmpty)
+    // at most k rows per source, and the full text rides along for review
+    val perSource = rs.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 3))
+    assert(rs.columns.contains("text"))
+    // a rerun reproduces the same sample (pure doc_id function) ...
+    CorpusMain.runWith(spark, input, out, reviewSample = Some(3))
+    val again = spark.read.parquet(s"$out/review_sample")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_._1))
+    // ... and a sample-less rerun retires the artifact
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/review_sample").exists())
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, reviewSample = Some(0))
+    }
+  }
+
   test("a pipeline whose stages eat every document fails loudly, not silently") {
     val out = Files.createTempDirectory("corpus_main_empty").toString
     // bench = the input itself: every doc is fully contaminated
