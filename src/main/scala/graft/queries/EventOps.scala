@@ -34,8 +34,10 @@ object EventOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
-  /** Default funnel: the acquisition path through the synthetic event log. */
-  private[queries] val DefaultFunnelSteps = Seq("view", "click", "purchase")
+  /** Default funnel: the acquisition path through the synthetic event log.
+    * Shared with the streaming twin ([[graft.streaming]]), hence
+    * graft-wide visibility. */
+  private[graft] val DefaultFunnelSteps = Seq("view", "click", "purchase")
 
   /** Ordered-funnel analysis (q65): how many users complete each prefix of
     * `steps`, where step i counts only at its earliest occurrence STRICTLY
@@ -60,7 +62,9 @@ object EventOps {
     * r qualifies iff its ts is strictly greater — the same condition as
     * "strictly after the user's final earliest step-i time", because a
     * qualifying step-i event earlier than ts(r) is always inside r's
-    * prefix. Pinned against a literal join-cascade in EventOpsSpec. */
+    * prefix. Pinned against a literal join-cascade in EventOpsSpec.
+    * [[graft.streaming.StreamOps.funnelProgress]] is the streaming twin
+    * (same rule as per-user state; stream==batch census pin). */
   def funnel(events: DataFrame,
       steps: Seq[String] = DefaultFunnelSteps): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")

@@ -50,6 +50,46 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Per-user funnel progress carried across micro-batches: the earliest
+    * qualifying timestamp (epoch millis) of each completed step prefix.
+    * State is O(|steps|) longs per user — bounded by construction. */
+  case class FunnelState(reached: Seq[Long])
+
+  /** Streaming twin of the batch funnel ([[graft.queries.EventOps.funnel]],
+    * q65): emits `(event_id, user_id, depth)` whenever a user's funnel
+    * depth GROWS — step i qualifies at its first occurrence strictly after
+    * the user's earliest qualifying step i-1, the batch operator's exact
+    * rule (same-timestamp ties do not advance; within a micro-batch rows
+    * are processed in (ts, event_id) order, and cross-batch order is the
+    * source's append order — the in-order-log assumption
+    * [[sinceLastSignup]] documents). A batch count of the emitted max
+    * depth per user IS the batch funnel's per-step census, which is how
+    * the spec pins the two engines together. */
+  def funnelProgress(events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      steps: Seq[String] = graft.queries.EventOps.DefaultFunnelSteps)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Int)] = {
+    import spark.implicits._
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[FunnelState]) => {
+          var reached = state.getOption.map(_.reached).getOrElse(Seq.empty)
+          val out = it.toSeq.sortBy(e => (e._2.getTime, e._3)).flatMap { e =>
+            val depth = reached.size
+            if (depth < steps.size && e._4 == steps(depth) &&
+                (depth == 0 || e._2.getTime > reached(depth - 1))) {
+              reached = reached :+ e._2.getTime
+              Some((e._3, user, reached.size))
+            } else None
+          }
+          state.update(FunnelState(reached))
+          out.iterator
+        })
+  }
+
   /** Streaming per-key running state: events-since-last-'signup' counter —
     * the streaming twin of the batch stateful scan (queries.q23). Rows are
     * ordered by event time within each micro-batch; cross-batch order is

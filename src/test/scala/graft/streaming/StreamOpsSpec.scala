@@ -70,6 +70,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress: cross-batch depth, tie rule, and stream == batch census") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamOps.funnelProgress(in.toDS())
+    val q = out.toDF("event_id", "user_id", "depth")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    // user 1 views in batch 1, converts across batches; user 2's click
+    // arrives BEFORE any view (no credit) and its same-ts re-click after
+    // the view must not advance (strictly-after rule); user 3 full-depth
+    // inside one batch.
+    val b1 = Seq(
+      (1L, ts(10), 1L, "view"),
+      (2L, ts(5), 4L, "click"), (2L, ts(10), 5L, "view"), (2L, ts(10), 6L, "click"),
+      (3L, ts(1), 7L, "view"), (3L, ts(2), 8L, "click"), (3L, ts(3), 9L, "purchase"))
+    val b2 = Seq(
+      (1L, ts(20), 2L, "click"), (1L, ts(30), 3L, "purchase"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val depths = spark.sql("SELECT user_id, max(depth) FROM funnel GROUP BY 1")
+        .as[(Long, Int)].collect().toMap
+      assert(depths == Map(1L -> 3, 2L -> 1, 3L -> 3))
+      // the stream's census == the batch operator over the full log
+      val all = (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type")
+      val batch = graft.queries.EventOps.funnel(all).collect().head
+      val census = (1 to 3).map(d => depths.values.count(_ >= d).toLong)
+      assert(census == Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2)))
+    } finally q.stop()
+  }
+
   test("trackLineups: static roster table via initial state; stream == batch path") {
     implicit val sqlCtx = spark.sqlContext
     val G = "0022400100"
