@@ -115,7 +115,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q66; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q72; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

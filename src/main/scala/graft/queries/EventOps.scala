@@ -286,7 +286,10 @@ object EventOps {
     counts.crossJoin(broadcast(total))
       .select(col(keyCol), col("n_rows"),
         (col("n_rows").cast("double") / col("total_rows")).as("share"))
-      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      // nulls LAST to match SQL's default ASC ordering: a generic join key
+      // may well contain nulls (that's often WHY it's being probed), and
+      // Spark's plain .asc would rank the null group first at a rank-k tie
+      .orderBy(col("n_rows").desc, col(keyCol).asc_nulls_last)
       .limit(k)
   }
 

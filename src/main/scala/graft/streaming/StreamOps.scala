@@ -51,9 +51,17 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Per-user funnel progress carried across micro-batches: the earliest
-    * qualifying timestamp (epoch millis) of each completed step prefix.
-    * State is O(|steps|) longs per user — bounded by construction. */
+    * qualifying timestamp (epoch MICROS — `Timestamp.getTime` millis would
+    * truncate the sub-ms precision the events table ships, making a 500µs
+    * gap look like a tie and silently diverging from the batch rule) of
+    * each completed step prefix. O(|steps|) longs per user — bounded by
+    * construction. */
   case class FunnelState(reached: Seq[Long])
+
+  /** Full-precision epoch micros of a Timestamp: getTime carries millis
+    * only; getNanos carries the whole sub-second part. */
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming twin of the batch funnel ([[graft.queries.EventOps.funnel]],
     * q65): emits `(event_id, user_id, depth)` whenever a user's funnel
@@ -77,11 +85,11 @@ object StreamOps {
         (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[FunnelState]) => {
           var reached = state.getOption.map(_.reached).getOrElse(Seq.empty)
-          val out = it.toSeq.sortBy(e => (e._2.getTime, e._3)).flatMap { e =>
+          val out = it.toSeq.sortBy(e => (epochMicros(e._2), e._3)).flatMap { e =>
             val depth = reached.size
             if (depth < steps.size && e._4 == steps(depth) &&
-                (depth == 0 || e._2.getTime > reached(depth - 1))) {
-              reached = reached :+ e._2.getTime
+                (depth == 0 || epochMicros(e._2) > reached(depth - 1))) {
+              reached = reached :+ epochMicros(e._2)
               Some((e._3, user, reached.size))
             } else None
           }

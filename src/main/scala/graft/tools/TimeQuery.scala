@@ -18,14 +18,24 @@ object TimeQuery {
       case bad => sys.error(s"unknown queries: $bad")
     }
     val spark = Sessions.local("graft-timequery")
-    val warmDir = {
+    // same warm-dir rule as Bench: env override, else sf0.001 sibling,
+    // else warm on the timed dir itself and say so loudly
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.getPath else sfDir
+      if (sib.isDirectory) sib.getPath
+      else {
+        System.err.println(
+          s"[timequery] WARN: no sf0.001 sibling of $sfDir; warming on the timed dir itself")
+        sfDir
+      }
     }
     def noop(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-    names.foreach(noop(_, warmDir))
+    // a warmup failure must not kill the measurement run (Bench's rule)
+    names.foreach(n => try noop(n, warmDir) catch { case e: Throwable =>
+      System.err.println(s"[timequery] warmup $n failed (ignored): ${e.getMessage}")
+    })
     names.foreach { name =>
       val ts = (1 to 2).map { _ =>
         spark.catalog.clearCache()

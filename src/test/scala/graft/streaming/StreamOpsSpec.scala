@@ -100,6 +100,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress keeps sub-millisecond precision: a 500us gap is strictly after") {
+    implicit val sqlCtx = spark.sqlContext
+    // the events table ships micros — same epoch MILLI, different micros.
+    // getTime-based comparison would call this a tie and refuse to advance.
+    def microTs(ms: Long, micros: Int): Timestamp = {
+      val t = new Timestamp(ms)
+      t.setNanos(micros * 1000)
+      t
+    }
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamOps.funnelProgress(in.toDS())
+    val q = out.toDF("event_id", "user_id", "depth")
+      .writeStream.format("memory").queryName("funnel_us").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, microTs(1000, 100), 1L, "view"),
+        (1L, microTs(1000, 600), 2L, "click"), // +500us: strictly after
+        (2L, microTs(1000, 100), 3L, "view"),
+        (2L, microTs(1000, 100), 4L, "click")) // true tie: no credit
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, max(depth) FROM funnel_us GROUP BY 1")
+        .as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 2, 2L -> 1))
+    } finally q.stop()
+  }
+
   test("trackLineups: static roster table via initial state; stream == batch path") {
     implicit val sqlCtx = spark.sqlContext
     val G = "0022400100"
