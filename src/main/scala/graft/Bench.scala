@@ -17,7 +17,8 @@ object Bench {
   // a plan regression (the plan itself is PlanSpec-pinned).
   private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
-    "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate")
+    "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate",
+    "q74_canonical_pick")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
@@ -99,7 +100,9 @@ object Bench {
     ("q61_composition", 0.1, 0.3),
     ("q62_fuzzy_neardup", 0.15, 0.8),
     ("q63_redact", 0.4, 0.6),
-    ("q64_ngram_topk", 2.5, 3.3),
+    // r10: generate now materializes tokens before the lambda (was
+    // re-splitting text per element) — 2.5-3.3 band dropped ~4x
+    ("q64_ngram_topk", 0.5, 1.2),
     ("q65_funnel", 0.4, 0.8),
     ("q66_retention", 0.5, 0.8),
     ("q67_rolling_actives", 0.7, 1.2),
@@ -107,7 +110,12 @@ object Bench {
     ("q69_top_paths", 0.9, 1.5),
     ("q70_key_skew", 0.45, 0.85),
     ("q71_stratified_sample", 0.45, 0.85),
-    ("q72_attribution", 0.5, 1.0))
+    ("q72_attribution", 0.5, 1.0),
+    // round-10 additions (local best-of-2 ranges, short history)
+    ("q73_lm_score", 1.2, 2.0),
+    ("q74_canonical_pick", 2.0, 3.8),
+    ("q75_daily_anomaly", 0.3, 0.8),
+    ("q76_semantic_dedup", 0.55, 1.3))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -115,7 +123,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q72; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q76; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.ops.Shingles
@@ -616,6 +616,42 @@ object DedupOps {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Canonical-survivor selection by quality (q74) — [[dedupeCorpus]] keeps
+    * each component's min-id doc, which is arbitrary; a production corpus
+    * keeps the BEST duplicate (the cleanest mirror of a page, the longest
+    * crawl of an article). Per near-dup component: survivor = argmax of
+    * `quality` (ties to the lower doc_id); every doc maps to its
+    * component's survivor (`canonical_id`), docs in no component map to
+    * themselves. The quality Column is the caller's — the q74 query passes
+    * TextOps.docQuality, the exact scalar the scoring pass (q41) reports,
+    * so the pick can never rank by a different quality than the filter
+    * pipeline measures.
+    *
+    * Shape at scale: the component labels come from the existing
+    * O(log)-cycle machinery; the argmax is a min(struct) aggregation at
+    * COMPONENT granularity (map-side combinable — no window, no per-group
+    * buffering); the survivor joins back ride the labels frame, which
+    * holds only pair participants — at real-world dup rates a few percent
+    * of the corpus — so the full corpus is touched once by the final
+    * doc_id equi-join and never re-shuffles for the pick itself. */
+  def canonicalByQuality(docs: DataFrame, pairs: DataFrame, quality: Column,
+      star: Boolean = false): DataFrame = {
+    val labels = if (star) componentsStar(pairs) else components(pairs)
+    val scored = docs.select(col("doc_id"), quality.as("q"))
+    // min over (negated quality, doc_id): quality desc, ties to low id —
+    // the struct-min trick (see q24), exact because double negation is
+    val surv = labels.join(scored, "doc_id")
+      .groupBy(col("label"))
+      .agg(min(struct((-col("q")).as("negq"), col("doc_id"))).as("pick"))
+      .select(col("label"), col("pick.doc_id").as("canonical_id"))
+    docs.select(col("doc_id"))
+      .join(labels.join(surv, "label").select(col("doc_id"), col("canonical_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+  }
+
   // q62 defaults — interpolated into the oracle SQL like q49's cuts
   private val DefaultFuzzyPrefix = 24
   private val DefaultFuzzyMaxDist = 2
@@ -703,6 +739,13 @@ object DedupOps {
     "q39_dedupe_corpus" -> { (s, dir) =>
       dedupeCorpus(Tables.documents(s, dir), minhashNearDup(shingled(s, dir)))
         .select(col("doc_id"))
+    },
+
+    // Canonical-survivor selection: q39's component collapse, but the
+    // survivor is the component's best-QUALITY doc, not its min id.
+    "q74_canonical_pick" -> { (s, dir) =>
+      canonicalByQuality(Tables.documents(s, dir),
+        minhashNearDup(shingled(s, dir)), TextOps.docQuality)
     },
 
     // Benchmark decontamination: docs with doc_id % 97 == 0 play the eval
@@ -861,6 +904,36 @@ object DedupOps {
            WHERE doc_id <> label)
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)""",
+    // q39's component labels + TextOps' shared quality CTE; survivor =
+    // row_number 1 on (quality DESC, doc_id ASC) within each label.
+    "q74_canonical_pick" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         $minhashCandCte,
+         pairs AS ($minhashPairsSelect),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS doc_id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS doc_id, r.label AS label
+           FROM reach r JOIN edges e ON e.src = r.doc_id),
+         labels AS (
+           SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         ${TextOps.QualityCteSql},
+         ranked AS (
+           SELECT l.label, l.doc_id,
+             row_number() OVER (PARTITION BY l.label
+               ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+           FROM labels l JOIN qq q ON q.doc_id = l.doc_id),
+         canon AS (SELECT label, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+         SELECT d.doc_id,
+           COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+           COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+         FROM documents d
+         LEFT JOIN labels l ON l.doc_id = d.doc_id
+         LEFT JOIN canon c ON c.label = l.label""",
     "q32_simhash" ->
       s"""$shingleCte,
          tok AS (SELECT doc_id, md5(unnest(sh)) AS t FROM s),

@@ -326,6 +326,57 @@ object EventOps {
       .limit(k)
   }
 
+  private val AnomalyBaselineDays = 7
+  private val AnomalyZ = 3.0
+
+  /** Daily-count anomaly detection (q75): per event type, each day's event
+    * count scored as a z-score against the trailing `baseline` observed
+    * days — the operational spike/drop monitor over any event log (a bot
+    * burst, a broken SDK, a holiday). A day is only scored once a FULL
+    * baseline window precedes it (`baseline_n` = `baseline`) and the
+    * baseline has nonzero variance; `is_spike` flags z >= `zThreshold`.
+    *
+    * Cross-engine determinism: the baseline moments come from INTEGER
+    * window sums (count, sum, sum of squares — exact longs); mean and
+    * variance are derived per row in one fixed parenthesization
+    * (`sumsq/n - mean*mean`), and z adds one subtraction, one division
+    * and one sqrt — all correctly-rounded IEEE ops, so the doubles are
+    * bit-identical to the oracle's.
+    *
+    * Shape at scale: the raw log collapses to (event_type, day) rows via
+    * ONE map-side-combinable count — the only corpus-sized exchange; the
+    * trailing window then runs over a calendar-sized table (types × days)
+    * partitioned by event_type, which no realistic retention makes large.
+    * The ROWS frame is over OBSERVED days — a type with gap days scores
+    * against its last `baseline` active days; densify against a calendar
+    * dimension first if zero-filled semantics are wanted. */
+  def dailyAnomaly(events: DataFrame, baseline: Int = AnomalyBaselineDays,
+      zThreshold: Double = AnomalyZ): DataFrame = {
+    require(baseline >= 2, s"baseline must be >= 2 days, got $baseline")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-baseline, -1)
+    val withMoments = daily
+      .withColumn("baseline_n", count(col("cnt")).over(w))
+      .withColumn("baseline_sum", sum(col("cnt")).over(w))
+      .withColumn("baseline_sumsq", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("mean",
+        when(col("baseline_n") > 0,
+          col("baseline_sum").cast("double") / col("baseline_n").cast("double")))
+      .withColumn("variance",
+        when(col("baseline_n") > 0,
+          col("baseline_sumsq").cast("double") / col("baseline_n").cast("double")
+            - col("mean") * col("mean")))
+    withMoments
+      .withColumn("z",
+        when(col("baseline_n") === baseline && col("variance") > 0,
+          (col("cnt").cast("double") - col("mean")) / sqrt(col("variance"))))
+      .withColumn("is_spike", col("z").isNotNull && col("z") >= zThreshold)
+      .select(col("event_type"), col("day"), col("cnt"), col("baseline_n"),
+        col("mean"), col("z"), col("is_spike"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W2 first-row-per-group — the starter-derivation idiom (reference:
@@ -524,7 +575,10 @@ object EventOps {
       keySkewReport(Tables.events(s, dir), "user_id") },
 
     // Last-touch attribution (see attribution): conversions per channel.
-    "q72_attribution" -> { (s, dir) => attribution(Tables.events(s, dir)) })
+    "q72_attribution" -> { (s, dir) => attribution(Tables.events(s, dir)) },
+
+    // Daily-count anomaly z-scores (see dailyAnomaly).
+    "q75_daily_anomaly" -> { (s, dir) => dailyAnomaly(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -784,5 +838,39 @@ object EventOps {
            FROM events)
          SELECT coalesce(last_touch, 'none') AS channel,
            count(*) AS n_conversions
-         FROM t WHERE event_type = 'purchase' GROUP BY 1""")
+         FROM t WHERE event_type = 'purchase' GROUP BY 1""",
+    // Integer window moments; mean/variance/z derived with the exact
+    // parenthesization dailyAnomaly uses, so the doubles are bit-equal.
+    "q75_daily_anomaly" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, cnt,
+             count(cnt) OVER win AS baseline_n,
+             CAST(sum(cnt) OVER win AS BIGINT) AS baseline_sum,
+             CAST(sum(cnt * cnt) OVER win AS BIGINT) AS baseline_sumsq
+           FROM daily
+           WINDOW win AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING)),
+         m AS (
+           SELECT event_type, day, cnt, baseline_n,
+             CASE WHEN baseline_n > 0
+                  THEN CAST(baseline_sum AS DOUBLE) / CAST(baseline_n AS DOUBLE)
+             END AS mean,
+             CASE WHEN baseline_n > 0
+                  THEN CAST(baseline_sumsq AS DOUBLE) / CAST(baseline_n AS DOUBLE)
+                    - (CAST(baseline_sum AS DOUBLE) / CAST(baseline_n AS DOUBLE))
+                      * (CAST(baseline_sum AS DOUBLE) / CAST(baseline_n AS DOUBLE))
+             END AS variance
+           FROM w),
+         z AS (
+           SELECT event_type, day, cnt, baseline_n, mean,
+             CASE WHEN baseline_n = $AnomalyBaselineDays AND variance > 0
+                  THEN (CAST(cnt AS DOUBLE) - mean) / sqrt(variance)
+             END AS z
+           FROM m)
+         SELECT event_type, day, cnt, baseline_n, mean, z,
+           COALESCE(z >= $AnomalyZ, false) AS is_spike
+         FROM z""")
 }

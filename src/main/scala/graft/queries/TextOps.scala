@@ -63,6 +63,33 @@ object TextOps {
       qualityExpr.as("quality"))
   }
 
+  /** [[qualityExpr]] for sibling query modules (DedupOps' canonical-pick
+    * ranks dedup survivors by the same scalar the scoring pass reports). */
+  private[queries] def docQuality: Column = qualityExpr
+
+  /** The quality scalar as a DuckDB CTE chain ending in
+    * `qq(doc_id, source, quality)` — shared by every oracle that ranks or
+    * picks by quality (q55, q56, DedupOps' q74) so the SQL mirror cannot
+    * drift from [[qualityExpr]]. */
+  private[queries] val QualityCteSql: String =
+    """qt AS (
+         SELECT doc_id, source, string_split(text, ' ') AS toks
+         FROM documents),
+       qm AS (
+         SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS stop_hits,
+           list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+             (acc, v) -> acc + v) AS tot_tok_len
+         FROM qt),
+       qq AS (
+         SELECT doc_id, source,
+           (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+             + (CASE WHEN CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                      AND CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 6.0
+                     THEN 0.5 ELSE 0.0 END) AS quality
+         FROM qm)"""
+
   /** The q41 weighted-quality scalar as one Column — shared by
     * [[qualityScore]] and [[domainQuota]] so a quota cut can never rank by
     * a different quality than the scoring pass reports. */
@@ -801,17 +828,73 @@ object TextOps {
       k: Int = DefaultNgramK): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k > 0, s"k must be positive, got $k")
-    val w = tokens
     // the filter (not a when/otherwise) keeps sequence() ascending: for a
     // doc shorter than n tokens, size-(n-1) < 1 would generate a
-    // DESCENDING sequence, not an empty one
-    docs.filter(size(w) >= n)
-      .select(explode(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+    // DESCENDING sequence, not an empty one. Tokens are materialized into
+    // a column BEFORE the lambda (Shingles.wordNGrams' rule): a split
+    // referenced inside the lambda re-splits the text on every element —
+    // measured 8x slower at sf0.1.
+    docs.filter(size(tokens) >= n)
+      .select(tokens.as("w"))
+      .select(explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("w"), i + lit(j))): _*)))
         .as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(k)
+  }
+
+  private val LmKnownMin = 2L
+
+  /** Bigram-LM familiarity scoring (q73) — the in-corpus analog of the
+    * CCNet-style language-model quality filter: train bigram counts over
+    * the WHOLE corpus, then score every document by how familiar its own
+    * token transitions are. A doc whose bigrams are mostly unseen
+    * elsewhere (machine-garbled text, boilerplate soup, wrong-language
+    * fragments) scores low and is a drop candidate.
+    *
+    * Per doc: `n_bigrams`, `known_bigrams` (corpus count >= `knownMin` —
+    * every bigram self-counts once, so >= 2 means "seen beyond this
+    * occurrence"), `sum_bigram_count`, and two derived scores —
+    * `familiarity` = known/n and `mean_bigram_freq` = sum/n. Both are ONE
+    * int/int division of exactly-aggregated longs, so they are bit-exact
+    * across engines (the reason this scores by count ratios, not by
+    * avg-log-prob: a float SUM is reduction-order-dependent and could
+    * never hash-match an oracle).
+    *
+    * Shape at scale: one generate pass produces (doc_id, gram) rows; the
+    * count table is ONE map-side-combinable aggregation on gram (Zipf head
+    * absorbed by the partial maps); scoring joins the gram rows back to
+    * the post-agg count table — build side is 1 row per DISTINCT bigram,
+    * so the hot-gram skew sits only on the streaming probe side of the
+    * sort-merge join, never in a buffer; then one integer agg per doc_id.
+    * The corpus is scanned twice (train + score) — at 100 TB either accept
+    * it (the train pass is a full scan regardless) or persist the gram
+    * frame; a `dfMax`-style cap is NOT needed because the join build side
+    * is post-aggregation. */
+  def lmFamiliarity(docs: DataFrame, knownMin: Long = LmKnownMin): DataFrame = {
+    require(knownMin >= 1, s"knownMin must be >= 1, got $knownMin")
+    // filter (not when/otherwise) keeps sequence() ascending — same guard
+    // as ngramTopK, and the same materialize-tokens-first rule
+    val grams = docs.filter(size(tokens) >= 2)
+      .select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") >= knownMin, 1L).otherwise(0L)).as("known_bigrams"),
+        sum(col("cnt")).as("sum_bigram_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("known_bigrams"),
+        col("sum_bigram_count"),
+        (col("known_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .as("familiarity"),
+        (col("sum_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bigram_freq"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -872,6 +955,9 @@ object TextOps {
 
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
+
+    // Bigram-LM familiarity scoring (see lmFamiliarity).
+    "q73_lm_score" -> { (s, dir) => lmFamiliarity(Tables.documents(s, dir)) },
 
     // Deterministic per-source uniform sample (see stratifiedSample).
     "q71_stratified_sample" -> { (s, dir) =>
@@ -980,54 +1066,22 @@ object TextOps {
          FROM r WHERE mix_bucket <= keep_below"""
     },
     "q55_domain_quota" ->
-      s"""WITH t AS (
-           SELECT doc_id, source, string_split(text, ' ') AS toks
-           FROM documents),
-         m AS (
-           SELECT doc_id, source,
-             len(toks) AS n_tokens,
-             len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS stop_hits,
-             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
-               (acc, v) -> acc + v) AS tot_tok_len
-           FROM t),
-         q AS (
-           SELECT doc_id, source,
-             (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
-               + (CASE WHEN CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-                        AND CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 6.0
-                       THEN 0.5 ELSE 0.0 END) AS quality
-           FROM m),
+      s"""WITH $QualityCteSql,
          r AS (
            SELECT doc_id, source, quality,
              row_number() OVER (PARTITION BY source
                ORDER BY quality DESC, doc_id) AS rk
-           FROM q)
+           FROM qq)
          SELECT doc_id, source, quality, rk FROM r WHERE rk <= $DefaultQuota""",
     // the oracle for the THRESHOLD variant is the exact rank form: the
     // histogram cut must keep precisely the top-k per domain
     "q56_domain_quota_threshold" ->
-      s"""WITH t AS (
-           SELECT doc_id, source, string_split(text, ' ') AS toks
-           FROM documents),
-         m AS (
-           SELECT doc_id, source,
-             len(toks) AS n_tokens,
-             len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS stop_hits,
-             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
-               (acc, v) -> acc + v) AS tot_tok_len
-           FROM t),
-         q AS (
-           SELECT doc_id, source,
-             (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
-               + (CASE WHEN CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-                        AND CAST(tot_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 6.0
-                       THEN 0.5 ELSE 0.0 END) AS quality
-           FROM m),
+      s"""WITH $QualityCteSql,
          r AS (
            SELECT doc_id, source, quality,
              row_number() OVER (PARTITION BY source
                ORDER BY quality DESC, doc_id) AS rk
-           FROM q)
+           FROM qq)
          SELECT doc_id, source, quality FROM r WHERE rk <= $DefaultQuota""",
     "q57_token_budget_mix" ->
       s"""WITH t AS (
@@ -1140,6 +1194,28 @@ object TextOps {
            FROM t)
          SELECT gram, count(*) AS n FROM b
          GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT $DefaultNgramK""",
+    // Scores are single int/int divisions of exactly-aggregated counts —
+    // the only float-producing ops, mirrored verbatim (see lmFamiliarity).
+    "q73_lm_score" ->
+      s"""WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS gram
+           FROM t),
+         c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         s AS (
+           SELECT g.doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN c.cnt >= $LmKnownMin THEN 1 ELSE 0 END)
+               AS BIGINT) AS known_bigrams,
+             CAST(sum(c.cnt) AS BIGINT) AS sum_bigram_count
+           FROM g JOIN c USING (gram) GROUP BY 1)
+         SELECT doc_id, n_bigrams, known_bigrams, sum_bigram_count,
+           CAST(known_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS familiarity,
+           CAST(sum_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS mean_bigram_freq
+         FROM s""",
     // Same sampling coordinate (md5 hex chars 9-16) and doc_id tie-break.
     "q71_stratified_sample" ->
       s"""SELECT doc_id, source, sample_rank FROM (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -133,6 +133,12 @@ object VectorOps {
     // typed block-nested-loop path instead of the pairwise equi-join —
     // the bucketed composition the q34 notes prescribe at 100x, with the
     // same oracle evidence as the banded form.
+    // SemDeDup: cluster-then-prune semantic dedup — q36's cells, q34's
+    // exact in-cell cosine, greedy keep-lowest-id survivors.
+    "q76_semantic_dedup" -> { (s, dir) =>
+      semanticDedup(vecs(s, dir))(s)
+    },
+
     "q28_lsh_bucketed_exact" -> { (s, dir) =>
       exactNearDupInLshBuckets(vecs(s, dir), NearDupThreshold)(s)
     },
@@ -384,13 +390,27 @@ object VectorOps {
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val n = n0.filter(col("nrm") > 0)
-    val thr = threshold
     lshBands(n)
       .join(n.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
       .select((col("b") * (1 << HyperplaneBandBits) + col("v")).as("bucket"),
         col("vec_id"), col("e"), col("nrm"))
       .as[BucketVec]
-      .groupByKey(_.bucket)
+      .transform(pairsWithinBuckets(_, threshold))
+      .distinct() // a pair may co-occur in several bands
+      .toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** The in-bucket exact pair kernel shared by [[exactNearDupInLshBuckets]]
+    * (LSH bands as buckets) and [[semanticDedup]] (k-means cells as
+    * buckets): per bucket, a tight JVM block-nested loop over the id-sorted
+    * members — same left-to-right double fold as the q34 kernel, so every
+    * emitted cosine is bit-exact vs the oracle's list_reduce. One bucket's
+    * work is quadratic in ITS size (the skew caveat above applies to any
+    * caller). */
+  private def pairsWithinBuckets(ds: Dataset[BucketVec],
+      thr: Double): Dataset[PairCos] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.bucket)
       .flatMapGroups { (_, it) =>
         val arr = it.toArray.sortBy(_.vec_id)
         Iterator.range(0, arr.length).flatMap { i =>
@@ -404,8 +424,38 @@ object VectorOps {
           }
         }
       }
-      .distinct() // a pair may co-occur in several bands
-      .toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** SemDeDup (q76) — semantic dedup by cluster-then-prune (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the embedding space, then inside
+    * each cluster drop every vector that has an ε-similar lower-id
+    * neighbor. The greedy keep-lowest-id rule is the paper's (their
+    * upper-triangular pairwise matrix drops any column with an
+    * above-threshold entry); unlike the component collapse (q53) it never
+    * chains — a kept vector is within ε of every vector it displaced.
+    *
+    * Cells here are q36's static first-k pick so the assignment is
+    * oracle-mirrorable; the trained path swaps in [[kmeansCentroids]]
+    * (q46) unchanged. At 100 TB k grows with the corpus (the paper runs
+    * ~100k clusters) so cells stay bounded and the in-cell quadratic
+    * kernel — the same [[pairsWithinBuckets]] the LSH path uses — stays
+    * task-sized; assignment is one broadcast-k join, and the prune output
+    * is an anti-join on vec_id. Returns survivors as (vec_id, cluster). */
+  def semanticDedup(n0: DataFrame, threshold: Double = NearDupThreshold)(
+      implicit s: SparkSession): DataFrame = {
+    val n = n0.filter(col("nrm") > 0)
+    val cent = n.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val assigned = assignToCentroids(n, cent)
+    import s.implicits._
+    val dropped = pairsWithinBuckets(
+      assigned.select(col("cluster").cast("int").as("bucket"),
+        col("vec_id"), col("e"), col("nrm")).as[BucketVec],
+      threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left_anti")
   }
 
   private val KmeansK = 4
@@ -584,6 +634,21 @@ object VectorOps {
            SELECT e.dst AS doc_id, r.label AS label
            FROM reach r JOIN edges e ON e.src = r.doc_id)
          SELECT doc_id AS vec_id, min(label) AS label FROM reach GROUP BY doc_id""",
+    // q36's static-cell assignment + q34's exact cosine inside each cell;
+    // dropped = any vector with an above-threshold lower-id cell-mate.
+    "q76_semantic_dedup" ->
+      s"""$vecCte,
+         nz AS (SELECT vec_id, e, nrm FROM n WHERE nrm > 0),
+         cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nz
+                  WHERE vec_id < $NumCentroids),
+         ${assignSql("nz", "cent", "assigned")},
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold)
+         SELECT vec_id, cluster FROM assigned
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
     "q35_ann_topk" ->
       s"""$vecCte,
          q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n

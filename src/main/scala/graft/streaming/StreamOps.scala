@@ -124,6 +124,77 @@ object StreamOps {
         })
   }
 
+  /** State of [[anomalyProgress]]: the open (not yet scored) epoch-day, its
+    * running count, and the trailing completed-day counts (oldest first,
+    * at most `baseline` entries) — O(baseline) per event type. */
+  case class AnomalyState(day: Long, cnt: Long, window: Seq[Long])
+
+  /** A scored completed day — field-for-field the row the batch operator
+    * ([[graft.queries.EventOps.dailyAnomaly]], q75) produces for it. */
+  case class AnomalyRow(event_type: String, day: java.sql.Date, cnt: Long,
+      baseline_n: Long, mean: Option[Double], z: Option[Double],
+      is_spike: Boolean)
+
+  /** Streaming twin of the batch daily-anomaly monitor (q75): maintains a
+    * per-event-type day counter plus the trailing `baseline` completed-day
+    * counts, and emits a day's scored row the moment a LATER day's first
+    * event closes it — the live spike/drop alert the batch form can only
+    * produce in hindsight. The open day is never emitted (its count is
+    * still growing); a stream==batch comparison therefore covers every
+    * type's days except its last.
+    *
+    * The z math is the batch operator's bit-for-bit: integer sums of the
+    * trailing window, `mean = sum/n`, `variance = sumsq/n - mean*mean`,
+    * `z = (cnt - mean)/sqrt(variance)` — plain JVM double ops, the same
+    * IEEE operations Spark's codegen emits for the batch Columns.
+    *
+    * Ordering: rows are processed in (event-time, event_id) order within a
+    * micro-batch; across batches the in-order-log assumption of
+    * [[sinceLastSignup]] applies. A row older than its type's open day is
+    * DROPPED (the reference-semantics late-data rule — see the class note;
+    * a watermarked window variant is the remedy when late days matter). */
+  def anomalyProgress(events: Dataset[(String, java.sql.Timestamp, Long)],
+      baseline: Int = 7, zThreshold: Double = 3.0)(
+      implicit spark: SparkSession): Dataset[AnomalyRow] = {
+    import spark.implicits._
+    require(baseline >= 2, s"baseline must be >= 2 days, got $baseline")
+    val microsPerDay = 86400L * 1000000L
+    def score(typ: String, day: Long, cnt: Long, window: Seq[Long]): AnomalyRow = {
+      val n = window.size.toLong
+      val mean = if (n > 0) Some(window.sum.toDouble / n.toDouble) else None
+      val variance = mean.map(m =>
+        window.map(c => c * c).sum.toDouble / n.toDouble - m * m)
+      val z = if (n == baseline && variance.exists(_ > 0))
+        Some((cnt.toDouble - mean.get) / math.sqrt(variance.get))
+      else None
+      AnomalyRow(typ,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day)),
+        cnt, n, mean, z, z.exists(_ >= zThreshold))
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[AnomalyState]) => {
+          var st = state.getOption.getOrElse(
+            AnomalyState(Long.MinValue, 0L, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+          it.toSeq.sortBy(e => (epochMicros(e._2), e._3)).foreach { e =>
+            val d = Math.floorDiv(epochMicros(e._2), microsPerDay)
+            if (st.day == Long.MinValue) st = AnomalyState(d, 1L, Seq.empty)
+            else if (d == st.day) st = st.copy(cnt = st.cnt + 1)
+            else if (d > st.day) {
+              out += score(typ, st.day, st.cnt, st.window)
+              st = AnomalyState(d, 1L,
+                (st.window :+ st.cnt).takeRight(baseline))
+            }
+            // d < st.day: late beyond the open day — dropped (scaladoc)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** The per-game roster/starters/matchup side inputs as STREAMING initial
     * state: one [[Lineups.LineupState]] per game, carrying only the side
     * rows. This is how the static side of the join reaches the trackers at

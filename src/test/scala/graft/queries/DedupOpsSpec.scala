@@ -175,4 +175,21 @@ class DedupOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("hammingMax"))
   }
+
+  test("canonicalByQuality: best quality survives, ties to low id, singletons self-map") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, 0.2), (2L, 0.9),           // component {1,2}: 2 wins on quality
+      (3L, 0.5),                      // singleton: maps to itself
+      (4L, 0.9), (5L, 0.9)            // component {4,5}: tie -> low id 4
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.canonicalByQuality(d, pairs, col("q"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 3L, true),
+      (4L, 4L, true), (5L, 4L, false)))
+  }
 }

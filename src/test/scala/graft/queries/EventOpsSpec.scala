@@ -307,4 +307,51 @@ class EventOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  /** dailyAnomaly fixture: `counts(d)` events of type `typ` on day d. */
+  private def dailyEvents(typ: String, counts: Seq[(Int, Int)],
+      idBase: Long): DataFrame = {
+    val rows = counts.flatMap { case (day, cnt) =>
+      (0 until cnt).map(i =>
+        (idBase + day * 1000L + i, 1L, ts(day * 86400L + i), typ))
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  test("dailyAnomaly: full-baseline spike flags, variance-0 and short-history rows stay null") {
+    // type "t": 7 baseline days (8,12,10,10,10,10,10 -> mean 10,
+    // var 8/7 > 0), then a 20-count spike day and a calm 10-count day.
+    // type "flat": constant 5 -> variance 0 on its scored days -> z null.
+    val events = dailyEvents("t",
+      Seq(1 -> 8, 2 -> 12, 3 -> 10, 4 -> 10, 5 -> 10, 6 -> 10, 7 -> 10,
+        8 -> 20, 9 -> 10), 0L)
+      .union(dailyEvents("flat", (1 to 9).map(_ -> 5), 100000L))
+    val out = EventOps.dailyAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), Option(r.get(5)).map(_ => r.getDouble(5)),
+        r.getBoolean(6)))
+    val t = out.filter(_._1 == "t").sortBy(_._2)
+    // days 1-7: baseline shorter than 7 observed days -> never scored
+    assert(t.take(7).forall(r => r._5.isEmpty && !r._6),
+      "short-history days must not score")
+    val spike = t(7); val calm = t(8)
+    assert(spike._3 == 20L && spike._4 == 7L)
+    assert(spike._5.exists(_ > 3.0) && spike._6, s"spike day must flag: $spike")
+    // calm day's baseline slid to (12,10,10,10,10,10,20): mean > 10, so a
+    // 10-count day sits below it — negative z, never a spike
+    assert(calm._5.exists(_ < 0.0) && !calm._6, s"calm day must not flag: $calm")
+    val flat = out.filter(_._1 == "flat").sortBy(_._2)
+    assert(flat.forall(r => r._5.isEmpty && !r._6),
+      "zero-variance baselines must not score")
+  }
+
+  test("dailyAnomaly is two exchanges: the daily rollup, then the per-type window") {
+    val events = dailyEvents("t", Seq(1 -> 2, 2 -> 3), 0L)
+    val plan = EventOps.dailyAnomaly(events)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }

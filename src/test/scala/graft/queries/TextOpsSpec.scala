@@ -553,4 +553,33 @@ class TextOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length == 1, plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  test("lmFamiliarity: known = corpus bigram count >= 2, scores are count ratios") {
+    val docs = Seq(
+      (1L, "a b c"),  // bigrams "a b" (corpus cnt 2), "b c" (cnt 1)
+      (2L, "a b x"),  // bigrams "a b" (cnt 2), "b x" (cnt 1)
+      (3L, "z")       // single token: no bigrams, no row
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmFamiliarity(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(out.length == 2, "a 1-token doc has no bigrams and no row")
+    // both docs: 2 bigrams, 1 shared ("a b"), sum of corpus counts 2+1=3
+    assert(out(0) == ((1L, 2L, 1L, 3L, 0.5, 1.5)))
+    assert(out(1) == ((2L, 2L, 1L, 3L, 0.5, 1.5)))
+    intercept[IllegalArgumentException] { TextOps.lmFamiliarity(docs, 0L) }
+  }
+
+  test("lmFamiliarity plan: the count join builds post-agg, no cartesian, three exchanges") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    noAutoBroadcast {
+      val plan = TextOps.lmFamiliarity(docs)
+        .queryExecution.executedPlan.toString
+      // gram-count build, gram probe, final doc_id agg — and nothing else
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3, plan)
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoop"), plan)
+    }
+  }
 }

@@ -113,4 +113,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(cent.map(_.getLong(0)).toSet == byCluster.keySet)
     assert(cent.forall(_.getSeq[Double](1).length == 64))
   }
+
+  test("semanticDedup: in-cell near-dups drop against lower ids, cross-cell ones keep") {
+    import spark.implicits._
+    // ids < 8 are the static centroids: 0 = x-axis, 1 = y-axis.
+    // 10, 11 land in cell 0 within eps of it -> both drop against 0;
+    // 12 lands in cell 1 within eps of 1 -> drops; 13 assigns to cell 1
+    // but cos(1, 13) = 0.4/|13| < 0.4 -> survives; 14 is zero-norm ->
+    // excluded from the operator's universe entirely.
+    val n = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0),
+      10L -> Array(1.0, 0.01), 11L -> Array(1.0, 0.02),
+      12L -> Array(0.01, 1.0), 13L -> Array(-1.0, 0.4),
+      14L -> Array(0.0, 0.0))
+      .toDF("vec_id", "e")
+      .withColumn("nrm", VectorSim.norm(col("e")))
+    val out = VectorOps.semanticDedup(n)(spark)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 13L -> 1L))
+  }
 }

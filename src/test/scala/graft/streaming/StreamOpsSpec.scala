@@ -347,4 +347,47 @@ class StreamOpsSpec extends SparkSpec {
         s"expected the batch engine's duplicate-id failure, got: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("anomalyProgress: days close across batches, scored rows == batch q75 minus open days") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = StreamOps.anomalyProgress(in.toDS(), baseline = 2)
+    val q = out.toDF()
+      .writeStream.format("memory").queryName("anomaly").outputMode("append").start()
+    def day(d: Int, i: Int) = ts(d * 86400L + i)
+    // type "t": day1 x2, day2 x3, day3 x4, day4 x1 (closes day 3).
+    // day3 scores vs window [2,3]: mean 2.5, var 0.25, z = (4-2.5)/0.5 = 3.0
+    // -> exactly at the flag threshold. Type "u" never sees a second day:
+    // its single open day must emit nothing.
+    val b1 = Seq.tabulate(2)(i => ("t", day(1, i), 10L + i)) ++
+      Seq.tabulate(3)(i => ("t", day(2, i), 20L + i)) ++
+      Seq(("u", day(1, 0), 90L))
+    val b2 = Seq.tabulate(4)(i => ("t", day(3, i), 30L + i))
+    val b3 = Seq(("t", day(4, 0), 40L))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val afterB2 = spark.sql("SELECT event_type, day FROM anomaly")
+        .as[(String, java.sql.Date)].collect()
+      assert(afterB2.length == 2 && afterB2.forall(_._1 == "t"),
+        s"days 1,2 closed, day 3 still open, 'u' never closes: ${afterB2.toSeq}")
+      in.addData(b3: _*); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_type, day, cnt, baseline_n, mean, z, is_spike FROM anomaly")
+        .as[(String, java.sql.Date, Long, Long, Option[Double], Option[Double], Boolean)]
+        .collect().toSet
+      val spike = got.find(_._2.toString == "1970-01-04").get
+      assert(spike._6.contains(3.0) && spike._7,
+        s"day 3 must flag at exactly z = 3.0: $spike")
+      // batch q75 over the full log, minus each type's open (= last) day
+      val all = (b1 ++ b2 ++ b3).toDF("event_type", "ts", "event_id")
+      val batch = graft.queries.EventOps.dailyAnomaly(all, baseline = 2)
+      val lastDay = batch.groupBy(col("event_type"))
+        .agg(max(col("day")).as("day"))
+      val exp = batch.join(lastDay, Seq("event_type", "day"), "left_anti")
+        .as[(String, java.sql.Date, Long, Long, Option[Double], Option[Double], Boolean)]
+        .collect().toSet
+      assert(got == exp, s"stream rows != batch rows:\n got=$got\n exp=$exp")
+    } finally q.stop()
+  }
 }
