@@ -115,7 +115,9 @@ object Bench {
     ("q73_lm_score", 1.2, 2.0),
     ("q74_canonical_pick", 2.0, 3.8),
     ("q75_daily_anomaly", 0.3, 0.8),
-    ("q76_semantic_dedup", 0.55, 1.3))
+    ("q76_semantic_dedup", 0.55, 1.3),
+    ("q77_soft_quality", 0.35, 0.8),
+    ("q78_length_quantiles", 0.25, 0.7))
 
   private[graft] val RetimeFactor = 2.0
 

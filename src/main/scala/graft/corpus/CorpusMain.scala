@@ -76,13 +76,13 @@ object CorpusMain {
       "[--export-jsonl true|false] [--publish-index <table>] " +
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
-      "[--stats true|false] [--review-sample N]"
+      "[--stats true|false] [--review-sample N] [--keep-best true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
-        "chunk", "chunk-stride", "stats", "review-sample"),
+        "chunk", "chunk-stride", "stats", "review-sample", "keep-best"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -110,6 +110,7 @@ object CorpusMain {
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
     val exportJsonl = Cli.toBoolean(args, "export-jsonl", usage).getOrElse(false)
+    val keepBest = Cli.toBoolean(args, "keep-best", usage).getOrElse(false)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -129,7 +130,8 @@ object CorpusMain {
       chunk,
       chunkStride,
       stats,
-      reviewSample)
+      reviewSample,
+      keepBest)
     finally spark.stop()
   }
 
@@ -169,7 +171,8 @@ object CorpusMain {
       chunk: Option[Int] = None,
       chunkStride: Option[Int] = None,
       stats: Boolean = false,
-      reviewSample: Option[Int] = None): Unit = {
+      reviewSample: Option[Int] = None,
+      keepBest: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(reviewSample.forall(_ >= 1),
       s"review-sample must be >= 1, got ${reviewSample.get}")
@@ -215,7 +218,7 @@ object CorpusMain {
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
-      chunkStride, stats, reviewSample)
+      chunkStride, stats, reviewSample, keepBest)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -233,7 +236,8 @@ object CorpusMain {
       chunk: Option[Int] = None,
       chunkStride: Option[Int] = None,
       stats: Boolean = false,
-      reviewSample: Option[Int] = None): Unit = {
+      reviewSample: Option[Int] = None,
+      keepBest: Boolean = false): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -274,7 +278,25 @@ object CorpusMain {
         // audit first: if the run dies after this publish, the pair
         // evidence is on disk and a rerun recomputes the same corpus
         Warehouse.replaceDir(pairs, s"$output/near_dup_pairs")
-        val textDeduped = DedupOps.dedupeCorpus(docs, pairs)
+        // --keep-best swaps each component's min-id survivor for its
+        // best-QUALITY one (q74's rule, ranked by the same scalar the
+        // quota ranks by), and publishes the full doc -> canonical map as
+        // lineage evidence BEFORE the drop applies — every dropped doc's
+        // audit row names the doc that replaced it, so the drop is
+        // reversible and explainable like every other stage's
+        def collapse(frame: DataFrame, prs: DataFrame, star: Boolean,
+            audit: String): DataFrame =
+          if (!keepBest) DedupOps.dedupeCorpus(frame, prs, star)
+          else {
+            Warehouse.replaceDir(
+              DedupOps.canonicalByQuality(frame, prs, TextOps.docQuality, star),
+              s"$output/$audit")
+            frame.join(
+              spark.read.parquet(s"$output/$audit")
+                .filter(col("is_canonical")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          }
+        val textDeduped = collapse(docs, pairs, star = false, "canonical_map")
         // vector pass AFTER the text pass, over its survivors only: the
         // double-dedup a production corpus run actually does. The pair
         // producer is the LSH-bucketed kernel (banded equi-join, never
@@ -301,8 +323,8 @@ object CorpusMain {
               // same evidence-first protocol as the text pairs: the audit
               // lands before any drop it justifies
               Warehouse.replaceDir(vpairs, s"$output/embed_dup_pairs")
-              DedupOps.dedupeCorpus(textDeduped,
-                vpairs.select("doc_a", "doc_b"), star = true)
+              collapse(textDeduped, vpairs.select("doc_a", "doc_b"),
+                star = true, "embed_canonical_map")
             } finally { vpairs.unpersist(); () }
           case None =>
             // (the stale vector audit, if any, is retired post-publish)
@@ -371,6 +393,9 @@ object CorpusMain {
         else Warehouse.retireDir(spark, s"$output/quarantine")
         if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
         if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
+        if (!keepBest) Warehouse.retireDir(spark, s"$output/canonical_map")
+        if (!keepBest || embeddings.isEmpty)
+          Warehouse.retireDir(spark, s"$output/embed_canonical_map")
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")

@@ -63,9 +63,10 @@ object TextOps {
       qualityExpr.as("quality"))
   }
 
-  /** [[qualityExpr]] for sibling query modules (DedupOps' canonical-pick
-    * ranks dedup survivors by the same scalar the scoring pass reports). */
-  private[queries] def docQuality: Column = qualityExpr
+  /** [[qualityExpr]] for sibling modules (DedupOps' canonical-pick and
+    * CorpusMain's --keep-best rank dedup survivors by the same scalar the
+    * scoring pass reports). */
+  private[graft] def docQuality: Column = qualityExpr
 
   /** The quality scalar as a DuckDB CTE chain ending in
     * `qq(doc_id, source, quality)` — shared by every oracle that ranks or
@@ -844,6 +845,64 @@ object TextOps {
       .limit(k)
   }
 
+  private val SoftFilterScale = 65536L // 16-bit coordinate: md5 hex 17-20
+
+  /** Quality-weighted stochastic filter (q77) — soft quality sampling:
+    * every doc survives with probability equal to its quality score,
+    * decided by a deterministic hash coordinate (a doc's fate never
+    * changes across reruns). The soft alternative to a hard threshold
+    * cut: a hard cut at q >= 0.8 discards EVERY 0.79 doc — this keeps
+    * 79% of them, preserving distributional diversity while still
+    * down-weighting junk (the FineWeb-style soft filter).
+    *
+    * The coordinate is md5 hex chars 17-20 — the FIFTH independent slice
+    * of the digest (split 1-2, mix 3-4, budget 5-8, sample 9-16), so soft
+    * filtering biases none of the other sampling stages. The cut is
+    * `floor(quality * 65536)` rendered as 4 hex chars; quality is a
+    * bit-exact double on both engines and 65536 is a power of two, so the
+    * scaling multiply — and therefore the cut — is exact. quality >= 1
+    * renders a NULL cut (keep unconditionally, q57's convention). Pure
+    * per-row scan: zero shuffles, zero joins. */
+  def softQualityFilter(docs: DataFrame): DataFrame = {
+    val qScaled = floor(qualityExpr * lit(SoftFilterScale.toDouble)).cast("long")
+    val cut = when(qScaled >= SoftFilterScale, lit(null).cast("string"))
+      .otherwise(lpad(lower(hex(qScaled)), 4, "0"))
+    docs
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("doc_id").cast("string")), 17, 4).as("sq_bucket"),
+        cut.as("sq_cut"))
+      .filter(col("sq_cut").isNull || col("sq_bucket") < col("sq_cut"))
+  }
+
+  /** Exact grouped length quantiles (q78): per source, the median and p90
+    * token counts picked as RANKED ROWS — `percentile_cont`-style
+    * interpolation differs across engines, a rank pick cannot (rank
+    * targets are pure integer arithmetic: ceil(q*n) = (q_num*n + q_den-1)
+    * div q_den). The exact counterpart of approxCorpusStats' sketch
+    * quantiles — run the sketch first, this only where exactness matters.
+    *
+    * One exchange on source: row_number and the per-source count share the
+    * partitioning, the final agg rides it too (subset clustering). The
+    * per-source sort is the cost of exactness — the degenerate-domain
+    * remedy is the same as the quota's (q56): at one-giant-domain scale,
+    * use the sketch. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+      size(tokens).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(when(col("rk") === expr("(n_docs + 1) div 2"), col("n_tokens")))
+          .as("p50_tokens"),
+        max(when(col("rk") === expr("(9 * n_docs + 9) div 10"), col("n_tokens")))
+          .as("p90_tokens"))
+  }
+
   private val LmKnownMin = 2L
 
   /** Bigram-LM familiarity scoring (q73) — the in-corpus analog of the
@@ -958,6 +1017,12 @@ object TextOps {
 
     // Bigram-LM familiarity scoring (see lmFamiliarity).
     "q73_lm_score" -> { (s, dir) => lmFamiliarity(Tables.documents(s, dir)) },
+
+    // Quality-weighted stochastic filter (see softQualityFilter).
+    "q77_soft_quality" -> { (s, dir) => softQualityFilter(Tables.documents(s, dir)) },
+
+    // Exact grouped length quantiles (see lengthQuantiles).
+    "q78_length_quantiles" -> { (s, dir) => lengthQuantiles(Tables.documents(s, dir)) },
 
     // Deterministic per-source uniform sample (see stratifiedSample).
     "q71_stratified_sample" -> { (s, dir) =>
@@ -1216,6 +1281,39 @@ object TextOps {
            CAST(sum_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
              AS mean_bigram_freq
          FROM s""",
+    // Fifth digest slice (hex 17-20); cut = floor(quality * 2^16) as 4
+    // hex chars, NULL (keep) at quality >= 1 — q57's degenerate-cut idiom.
+    "q77_soft_quality" ->
+      s"""WITH $QualityCteSql,
+         r AS (
+           SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) AS sq_bucket,
+             CASE WHEN CAST(floor(quality * 65536.0) AS BIGINT) >= $SoftFilterScale
+                  THEN NULL
+                  ELSE lpad(lower(to_hex(
+                    CAST(floor(quality * 65536.0) AS BIGINT))), 4, '0')
+             END AS sq_cut
+           FROM qq)
+         SELECT doc_id, source, sq_bucket, sq_cut
+         FROM r WHERE sq_cut IS NULL OR sq_bucket < sq_cut""",
+    // Rank targets in pure integer arithmetic — never a float quantile.
+    "q78_length_quantiles" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_tokens, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_docs
+           FROM t)
+         SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rk = (n_docs + 1) // 2 THEN n_tokens END)
+             AS BIGINT) AS p50_tokens,
+           CAST(max(CASE WHEN rk = (9 * n_docs + 9) // 10 THEN n_tokens END)
+             AS BIGINT) AS p90_tokens
+         FROM r GROUP BY 1""",
     // Same sampling coordinate (md5 hex chars 9-16) and doc_id tie-break.
     "q71_stratified_sample" ->
       s"""SELECT doc_id, source, sample_rank FROM (

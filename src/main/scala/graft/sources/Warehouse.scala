@@ -491,4 +491,52 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Keyed diff of two snapshot versions of a table — the CDC/data-
+    * versioning primitive: which rows were `added`, `removed`, or
+    * `changed` between a published corpus (or any warehouse table) and
+    * its re-curation. The answer an operator needs before promoting a
+    * new snapshot ("this rerun would drop 40% of the corpus" is a bug
+    * report, not a publish), and the delta a downstream incremental
+    * consumer feeds on instead of re-reading the full table.
+    *
+    * Non-key columns are compared via one md5 over their JSON rendering
+    * (per-row, codegen'd, computed map-side BEFORE the join — only
+    * key + 32-hex-char rows shuffle, never the payload: diffing two wide
+    * snapshots moves O(rows x 50B), not O(data)). The join is a keyed
+    * full-outer — on bucketed snapshots ([[writeBucketedBy]]) it plans
+    * exchange-free. Caller contract: `keys` is unique per snapshot (the
+    * same id invariant the upsert path asserts); both frames must carry
+    * identical column sets.
+    *
+    * Returns `keys* , status` rows; `unchanged` rows — typically ~all of
+    * the table — are dropped unless `includeUnchanged` (the delta is the
+    * product; a full-table status listing is a debugging view). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "need at least one key column")
+    require(oldDf.columns.toSet == newDf.columns.toSet,
+      s"snapshot schemas must match: old=${oldDf.columns.toSeq} " +
+        s"new=${newDf.columns.toSeq}")
+    require(keys.forall(oldDf.columns.contains),
+      s"keys $keys must be columns of the snapshots")
+    val nonKey = oldDf.columns.toSeq.filterNot(keys.contains)
+    def hashed(df: DataFrame, h: String) = {
+      // fixed old-side column ORDER on both sides: to_json renders fields
+      // in struct order, so a reordered-but-equal snapshot must not diff
+      val payload =
+        if (nonKey.isEmpty) lit("") // key-only table: presence IS the row
+        else md5(to_json(struct(nonKey.map(col): _*)))
+      df.select(keys.map(col) :+ payload.as(h): _*)
+    }
+    val joined = hashed(oldDf, "old_hash")
+      .join(hashed(newDf, "new_hash"), keys, "full_outer")
+    val status = when(col("old_hash").isNull, "added")
+      .when(col("new_hash").isNull, "removed")
+      .when(col("old_hash") =!= col("new_hash"), "changed")
+      .otherwise("unchanged")
+    val out = joined.select(keys.map(col) :+ status.as("status"): _*)
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
 }

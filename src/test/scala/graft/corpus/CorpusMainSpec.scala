@@ -609,4 +609,43 @@ class CorpusMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/contaminated").count() > 0)
     assert(!new java.io.File(s"$out/corpus").exists())
   }
+
+  test("--keep-best keeps the component's best-QUALITY doc, audits the canonical map") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_keepbest_in").toString
+    val out = Files.createTempDirectory("corpus_keepbest_out").toString
+    // docs 1 and 2 share 46 of 50 3-gram shingles (Jaccard 0.92): a
+    // near-dup family where the HIGHER id has the higher quality (doc 1's
+    // stopword tail costs it 0.02) — the min-id rule and the keep-best
+    // rule must disagree on the survivor
+    val base = (1 to 48).map(i => f"tok$i%02d").mkString(" ")
+    val docsDf = Seq(
+      (1L, "s", base + " the a"),
+      (2L, "s", base + " zqx zrx"),
+      (3L, "s", (1 to 40).map(i => f"one$i%02d").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    docsDf.write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    CorpusMain.runWith(spark, tmpIn, out, keepBest = true)
+    // precondition: the fixture really band-collides into a pair
+    val pairs = spark.read.parquet(s"$out/near_dup_pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"fixture must band-collide: $pairs")
+    val kept = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"keep-best must keep higher-quality 2: $kept")
+    // the audit maps every doc to its survivor — dropped 1 names 2
+    val cmap = spark.read.parquet(s"$out/canonical_map")
+      .select("doc_id", "canonical_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(cmap == Set((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)))
+    // the min-id rule would have kept 1 — the flag changed the outcome
+    assert(DedupOps.dedupeCorpus(docsDf,
+      spark.read.parquet(s"$out/near_dup_pairs"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // a rerun WITHOUT the flag reverts the survivor and retires the audit
+    CorpusMain.runWith(spark, tmpIn, out)
+    assert(!new java.io.File(s"$out/canonical_map").exists())
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
 }

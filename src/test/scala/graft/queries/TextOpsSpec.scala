@@ -571,6 +571,47 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextOps.lmFamiliarity(docs, 0L) }
   }
 
+  test("softQualityFilter: survival prob == quality, exact vs a hand-rolled md5 check") {
+    // "a a a a": stop_ratio 1, mean len 1 -> quality 0 -> never survives.
+    // "tok tok tok": quality 1 -> NULL cut -> always survives.
+    // "the the the the": stop_ratio 1 BUT mean 3 earns the len bonus ->
+    // quality 0.5 -> cut 0x8000; survival decided by md5 hex 17-20.
+    val docs = ((1L to 200L).map(i => (i, "mid", "the the the the")) ++
+      Seq((900L, "zero", "a a a a"), (901L, "one", "tok tok tok")))
+      .toDF("doc_id", "source", "text")
+    val kept = TextOps.softQualityFilter(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(900L), "quality-0 doc must never survive")
+    assert(kept.contains(901L), "quality-1 doc must always survive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def slice(id: Long): String = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.substring(16, 20)
+    }
+    val expectMid = (1L to 200L).filter(slice(_) < "8000").toSet
+    assert(kept - 901L == expectMid,
+      s"survivors must be exactly the sub-cut md5 slices")
+    // an even quality split keeps roughly half (sanity on the rate)
+    assert(expectMid.size > 70 && expectMid.size < 130, expectMid.size.toString)
+  }
+
+  test("lengthQuantiles: rank-picked exact median/p90, single-doc source, one exchange") {
+    val docs = (1 to 10).map(n =>
+        (n.toLong, "s", (1 to n).map(_ => "tok").mkString(" "))) :+
+      (99L, "t", "tok tok tok")
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = TextOps.lengthQuantiles(df)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out("s") == ((10L, 5L, 9L)),
+      "counts 1..10: median = rank 5 -> 5, p90 = rank 9 -> 9")
+    assert(out("t") == ((1L, 3L, 3L)), "a single doc is its own quantiles")
+    val plan = TextOps.lengthQuantiles(df).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("lmFamiliarity plan: the count join builds post-agg, no cartesian, three exchanges") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     noAutoBroadcast {

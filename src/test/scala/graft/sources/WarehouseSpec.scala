@@ -67,4 +67,38 @@ class WarehouseSpec extends SparkSpec {
       .filter(n => n.startsWith(".") && n.endsWith(".old"))
     assert(leftovers.isEmpty, s"swap debris: ${leftovers.mkString(",")}")
   }
+
+  test("snapshotDiff classifies added/removed/changed; reorder and unchanged are silent") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "s", "v")
+    // 1 unchanged, 2 changed (payload), 3 removed, 4 added
+    val nu = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 4.0))
+      .toDF("id", "s", "v")
+    val got = Warehouse.snapshotDiff(old, nu, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // includeUnchanged is the debugging view
+    val full = Warehouse.snapshotDiff(old, nu, Seq("id"), includeUnchanged = true)
+      .as[(Long, String)].collect().toMap
+    assert(full(1L) == "unchanged" && full.size == 4)
+    // a column-REORDERED but equal snapshot must not diff
+    val reordered = nu.select("v", "id", "s")
+    assert(Warehouse.snapshotDiff(nu, reordered, Seq("id")).count() == 0)
+    // null vs zero IS a change (to_json drops null fields)
+    val oldN = Seq((1L, Option.empty[Double])).toDF("id", "v")
+    val nuN = Seq((1L, Option(0.0))).toDF("id", "v")
+    assert(Warehouse.snapshotDiff(oldN, nuN, Seq("id"))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "changed")))
+    // key-only table: presence is the row — only add/remove can happen
+    val ko = Warehouse.snapshotDiff(
+      Seq(1L, 2L).toDF("id"), Seq(2L, 3L).toDF("id"), Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(ko == Set((1L, "removed"), (3L, "added")))
+    intercept[IllegalArgumentException] {
+      Warehouse.snapshotDiff(old, old.drop("v"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.snapshotDiff(old, nu, Seq.empty)
+    }
+  }
 }
