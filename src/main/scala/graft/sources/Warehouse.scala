@@ -137,7 +137,17 @@ object Warehouse {
               val orig = new Path(p, n.drop(1).dropRight(4))
               if (!fs.exists(orig)) fs.rename(st.getPath, orig)
               else fs.delete(st.getPath, true)
+            } else if (n.startsWith(".del-")) {
+              // orphan deleteWhere staging: always disposable — the swap
+              // that would consume it never ran (it deletes its staging)
+              fs.delete(st.getPath, true)
             } else if (!n.startsWith(".") && !n.startsWith("_")) walk(st.getPath)
+          } else if (n.startsWith(".") && n.endsWith(".old")) {
+            // deleteWhere's FILE-level rename-aside: same heal rule as the
+            // directory swap — target missing -> roll back, else drop
+            val orig = new Path(p, n.drop(1).dropRight(4))
+            if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+            else fs.delete(st.getPath, false)
           }
         }
     walk(target)
@@ -490,6 +500,109 @@ object Warehouse {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Targeted delete — the right-to-be-forgotten / retention-purge
+    * primitive: remove every row matching `predicate` from a parquet
+    * directory table by rewriting ONLY the files that actually contain a
+    * match. At 100 TB a GDPR erasure request touches one user's rows; a
+    * whole-table rewrite for that is a day of cluster time, while this is
+    * one pruned scan (partition filters prune whole directories,
+    * row-group stats skip clean files) plus a rewrite of the handful of
+    * hit files — on a [[clustered]]/bucketed-by-user layout, O(1) files
+    * per user.
+    *
+    * Crash safety is the directory swap's protocol at FILE granularity:
+    * the filtered replacement is staged to a hidden `.del-<name>` sibling
+    * dir, the original renames aside to `.<name>.old`, the staged part
+    * renames in, then the aside and staging drop. [[recover]] heals both
+    * new cases (a stranded `.old` FILE rolls back; orphan `.del-*`
+    * staging drops), so a crash at any point leaves a table a rerun
+    * fixes. A file whose every row matches simply disappears. Hit files
+    * rewrite CONCURRENTLY under a bounded pool ([[compact]]'s shape).
+    *
+    * The predicate may reference partition columns (they resolve via
+    * basePath); data files never store them, so the rewrite drops them
+    * before writing. Same single-maintainer assumption as compact: one
+    * maintenance writer at a time. Returns (filesRewritten, rowsDeleted).
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      maxConcurrentFiles: Int = 8): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    require(maxConcurrentFiles >= 1, s"need >= 1 worker, got $maxConcurrentFiles")
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
+    val affected = spark.read.parquet(dir).filter(predicate)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (new Path(new java.net.URI(r.getString(0))), r.getLong(1)))
+    if (affected.isEmpty) return (0, 0L)
+    // partition columns live in directory names, not in the files: the
+    // per-file read resolves them via basePath (so the predicate may use
+    // them) and the rewrite drops them before writing
+    val rootPath = fs.makeQualified(target).toUri.getPath
+    def partitionCols(p: Path): Seq[String] = {
+      var cols = List.empty[String]
+      var cur = p.getParent
+      while (cur != null && cur.toUri.getPath != rootPath) {
+        val n = cur.getName
+        if (n.contains("=")) cols ::= n.takeWhile(_ != '=')
+        cur = cur.getParent
+      }
+      cols
+    }
+    def rewriteFile(p: Path): Unit = {
+      val staging = new Path(p.getParent, s".del-${p.getName}")
+      fs.delete(staging, true)
+      spark.read.option("basePath", dir).parquet(p.toString)
+        .filter(!predicate)
+        .drop(partitionCols(p): _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val allParts = fs.listStatus(staging).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      })
+      require(allParts.length <= 1, s"coalesce(1) wrote ${allParts.length} parts")
+      // an all-rows-matched file writes a 0-row part — drop the file
+      // entirely rather than publish an empty husk (one footer read of
+      // the just-written staged file, negligible next to the rewrite)
+      val parts =
+        if (allParts.nonEmpty &&
+            spark.read.parquet(staging.toString).isEmpty) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else allParts
+      val old = new Path(p.getParent, s".${p.getName}.old")
+      fs.delete(old, false)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"failed to retire $p -> $old")
+      parts.headOption.foreach { part =>
+        if (!fs.rename(part.getPath, p)) {
+          fs.rename(old, p) // roll back
+          throw new java.io.IOException(s"failed to publish ${part.getPath} -> $p")
+        }
+      }
+      fs.delete(old, false)
+      fs.delete(staging, true)
+      ()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrentFiles, affected.length))
+    try {
+      val done = affected.map { case (p, _) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = rewriteFile(p)
+        })
+      }
+      // drain before rethrowing — a failed file must not abandon others
+      // mid-swap (compact's rule); per-file crash state heals via recover
+      val failures = done.flatMap(f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+      failures.headOption.foreach(throw _)
+    } finally pool.shutdown()
+    (affected.length, affected.map(_._2).sum)
   }
 
   /** Keyed diff of two snapshot versions of a table — the CDC/data-

@@ -307,4 +307,66 @@ class LayoutSpec extends SparkSpec {
     assert(Warehouse.compact(spark, dir) == 1)
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("deleteWhere rewrites ONLY the files holding matches; clean files untouched") {
+    val dir = tmp()
+    // clustered on id: 4 files with disjoint id ranges — one user's rows
+    // live in exactly one file, the layout the op is designed for
+    Warehouse.writeClustered(
+      shuffled(400).withColumn("user_id", col("id") % 100), dir,
+      Seq("user_id"), numFiles = 4)
+    def files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = files
+    val (nFiles, nRows) = Warehouse.deleteWhere(spark, dir, col("user_id") === 7)
+    assert(nFiles == 1 && nRows == 4, s"($nFiles, $nRows)")
+    val after = files
+    assert(spark.read.parquet(dir).filter(col("user_id") === 7).count() == 0)
+    assert(spark.read.parquet(dir).count() == 396)
+    // the replacement keeps the original NAME (readers' file lists stay
+    // stable) — so "untouched" shows up as unchanged mtimes, exactly 3
+    assert(after.keySet == before.keySet, "file names must be stable")
+    val rewritten = before.keys.filter(n => before(n) != after(n)).toSet
+    assert(rewritten.size == 1, s"exactly one file replaced: $rewritten")
+    // no swap debris, and a rerun is an exact no-op
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.endsWith(".old") && !f.getName.startsWith(".del-")))
+    assert(Warehouse.deleteWhere(spark, dir, col("user_id") === 7) == ((0, 0L)))
+  }
+
+  test("deleteWhere: partition-column predicates prune and empty a leaf; files vanish") {
+    val dir = tmp()
+    spark.range(100).toDF("id")
+      .withColumn("p", when(col("id") % 2 === 0, "a").otherwise("b"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val (_, nRows) = Warehouse.deleteWhere(spark, dir, col("p") === "b")
+    assert(nRows == 50L)
+    assert(spark.read.parquet(dir).count() == 50)
+    assert(spark.read.parquet(dir).filter(col("p") === "b").count() == 0)
+    // the emptied leaf holds no visible data files
+    val leaf = new java.io.File(s"$dir/p=b")
+    assert(!leaf.exists() || leaf.listFiles().forall(f =>
+      f.getName.startsWith(".") || f.getName.startsWith("_")),
+      "a fully-matching leaf's files must disappear")
+    // mixed predicate: rows in the surviving partition still delete fine
+    val (_, n2) = Warehouse.deleteWhere(spark, dir,
+      col("p") === "a" && col("id") < 10)
+    assert(n2 == 5L && spark.read.parquet(dir).count() == 45)
+  }
+
+  test("deleteWhere heals a stranded file-level .old before running (recover-first)") {
+    val dir = tmp()
+    spark.range(100).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    // simulate a crash between retire and publish: the data file sits
+    // aside as .name.old, the table view is missing it
+    java.nio.file.Files.move(part.toPath,
+      part.toPath.resolveSibling(s".${part.getName}.old"))
+    val (nf, nr) = Warehouse.deleteWhere(spark, dir, col("id") === 5)
+    assert(nf == 1 && nr == 1, s"heal must restore the file first: ($nf, $nr)")
+    assert(spark.read.parquet(dir).count() == 99)
+  }
 }
