@@ -117,7 +117,8 @@ object Bench {
     ("q75_daily_anomaly", 0.3, 0.8),
     ("q76_semantic_dedup", 0.55, 1.3),
     ("q77_soft_quality", 0.35, 0.8),
-    ("q78_length_quantiles", 0.25, 0.7))
+    ("q78_length_quantiles", 0.25, 0.7),
+    ("q79_asof_next", 0.5, 1.0))
 
   private[graft] val RetimeFactor = 2.0
 

@@ -578,7 +578,23 @@ object EventOps {
     "q72_attribution" -> { (s, dir) => attribution(Tables.events(s, dir)) },
 
     // Daily-count anomaly z-scores (see dailyAnomaly).
-    "q75_daily_anomaly" -> { (s, dir) => dailyAnomaly(Tables.events(s, dir)) })
+    "q75_daily_anomaly" -> { (s, dir) => dailyAnomaly(Tables.events(s, dir)) },
+
+    // J6's mirror: FORWARD as-of — earliest purchase at-or-after each
+    // signup (time-to-first-conversion), same union+window rewrite.
+    "q79_asof_next" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("pid"),
+          col("event_id"))
+      AsOfJoin.forward(signups, purchases,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightTie = "event_id", payloadCols = Seq("pid"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pid").as("next_purchase_id"))
+    })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -631,6 +647,22 @@ object EventOps {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
            FROM u)
          SELECT event_id, user_id, ts, last_signup_id FROM w WHERE tag = 1""",
+    // Forward mirror of q18: right rows sort AFTER left at equal ts
+    // ((1 - tag) flips), first_value over the following frame.
+    "q79_asof_next" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS tag
+           FROM events WHERE event_type IN ('signup','purchase')),
+         w AS (
+           SELECT *, first_value(pid IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts ASC, (1 - tag) ASC, pid ASC NULLS FIRST
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_purchase_id
+           FROM u)
+         SELECT event_id, user_id, ts, next_purchase_id FROM w WHERE tag = 1""",
     "q19_json_roundtrip" ->
       """SELECT event_id, k, to_json({'k': k, 'k2': k2})::VARCHAR AS js FROM (
            SELECT event_id, CAST(props->>'k' AS INT) AS k,

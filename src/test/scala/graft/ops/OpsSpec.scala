@@ -59,6 +59,47 @@ class OpsSpec extends SparkSpec {
     assert(got == ((None, Some(2L))), s"payload must be the latest right ROW, got $got")
   }
 
+  test("AsOfJoin.forward: earliest right at-or-after left; same-ts right visible; MIN tiebreak") {
+    val left = Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(25), "c"), (2L, ts(10), "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), 100L), (1L, ts(10), 101L), // two at same ts: 100 wins (mirror of backward)
+      (1L, ts(22), 102L))
+      .toDF("k", "rts", "payload")
+      .withColumn("tie", col("payload"))
+    val got = AsOfJoin.forward(left, right, Seq("k"), "ts", "rts", "tie", Seq("payload"))
+      .select(col("tag"), col("asof_payload")).as[(String, Option[Long])].collect().toMap
+    assert(got == Map("a" -> Some(100L), "b" -> Some(102L), "c" -> None, "d" -> None))
+  }
+
+  test("AsOfJoin.nearest: closer side wins, equidistant and one-sided fall to backward") {
+    val left = Seq(
+      (1L, ts(10), "back-closer"),   // back@9 (d=1), fwd@14 (d=4)
+      (1L, ts(13), "fwd-closer"),    // back@9 (d=4), fwd@14 (d=1)
+      (1L, ts(30), "only-back"),     // nothing after
+      (2L, ts(3), "only-fwd"),       // nothing before
+      (1L, ts(11), "equidistant"))   // back@9 (d=2), fwd@13? no - right@14 d=3 -> back
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(9), 1L), (1L, ts(14), 2L), (2L, ts(5), 3L))
+      .toDF("k", "rts", "payload")
+      .withColumn("tie", col("payload"))
+    val got = AsOfJoin.nearest(left, right, Seq("k"), "ts", "rts", "tie", Seq("payload"))
+      .select(col("tag"), col("asof_payload")).as[(String, Option[Long])].collect().toMap
+    assert(got == Map("back-closer" -> Some(1L), "fwd-closer" -> Some(2L),
+      "only-back" -> Some(2L), "only-fwd" -> Some(3L), "equidistant" -> Some(1L)))
+    // true equidistance: back@9 and fwd@13 from ts(11) -> backward wins
+    val right2 = Seq((1L, ts(9), 1L), (1L, ts(13), 2L))
+      .toDF("k", "rts", "payload").withColumn("tie", col("payload"))
+    val eq = AsOfJoin.nearest(left.filter(col("tag") === "equidistant"),
+        right2, Seq("k"), "ts", "rts", "tie", Seq("payload"))
+      .select(col("asof_payload")).as[Option[Long]].head()
+    assert(eq == Some(1L), "equidistant must fall to backward")
+    // both windows ride ONE key exchange
+    val plan = AsOfJoin.nearest(left, right, Seq("k"), "ts", "rts", "tie",
+      Seq("payload")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("Shingles.wordNGrams yields an empty array (not a crash) for inputs shorter than n") {
     import graft.ops.Shingles
     val got = Seq(Seq("a", "b"), Seq("a", "b", "c"))
