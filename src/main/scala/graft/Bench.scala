@@ -118,7 +118,8 @@ object Bench {
     ("q76_semantic_dedup", 0.55, 1.3),
     ("q77_soft_quality", 0.35, 0.8),
     ("q78_length_quantiles", 0.25, 0.7),
-    ("q79_asof_next", 0.5, 1.0))
+    ("q79_asof_next", 0.5, 1.0),
+    ("q80_windowed_funnel", 0.45, 1.0))
 
   private[graft] val RetimeFactor = 2.0
 

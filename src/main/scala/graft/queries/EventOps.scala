@@ -38,6 +38,7 @@ object EventOps {
     * Shared with the streaming twin ([[graft.streaming]]), hence
     * graft-wide visibility. */
   private[graft] val DefaultFunnelSteps = Seq("view", "click", "purchase")
+  private[graft] val DefaultFunnelGap = 86400L // q80's per-step deadline
 
   /** Ordered-funnel analysis (q65): how many users complete each prefix of
     * `steps`, where step i counts only at its earliest occurrence STRICTLY
@@ -66,19 +67,35 @@ object EventOps {
     * [[graft.streaming.StreamOps.funnelProgress]] is the streaming twin
     * (same rule as per-user state; stream==batch census pin). */
   def funnel(events: DataFrame,
-      steps: Seq[String] = DefaultFunnelSteps): DataFrame = {
+      steps: Seq[String] = DefaultFunnelSteps,
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(maxGapSeconds.forall(_ >= 1),
+      s"maxGapSeconds must be >= 1, got ${maxGapSeconds.get}")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = events.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type"))
+    // maxGapSeconds adds the conversion DEADLINE (windowed funnel): step i
+    // must land within the gap of the chosen step i-1 time, or the user
+    // stalls at depth i-1 — no restart from a later step-(i-1) event (the
+    // standard product-analytics "conversion window" semantics). The
+    // running-min equivalence argument below survives the bound: whenever
+    // a candidate's ts exceeds the running min, the final earliest
+    // step-(i-1) event is already inside the prefix, so the bound is
+    // always evaluated against the FINAL time, never a temporary one.
     val qualified = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
       val qual =
         if (i == 0) when(col("event_type") === step, col("ts"))
-        else when(col("event_type") === step && col("ts") > col(s"run_${i - 1}"),
-          col("ts"))
+        else {
+          val after = col("event_type") === step &&
+            col("ts") > col(s"run_${i - 1}")
+          val cond = maxGapSeconds.fold(after)(g =>
+            after && col("ts") <= col(s"run_${i - 1}") + expr(s"INTERVAL $g SECOND"))
+          when(cond, col("ts"))
+        }
       // run_i is only read by qual_{i+1}: the last step needs no running min
       val withQual = df.withColumn(s"qual_$i", qual)
       if (i == steps.size - 1) withQual
@@ -580,6 +597,10 @@ object EventOps {
     // Daily-count anomaly z-scores (see dailyAnomaly).
     "q75_daily_anomaly" -> { (s, dir) => dailyAnomaly(Tables.events(s, dir)) },
 
+    // Windowed funnel: q65 with a 1-day conversion deadline per step.
+    "q80_windowed_funnel" -> { (s, dir) =>
+      funnel(Tables.events(s, dir), maxGapSeconds = Some(DefaultFunnelGap)) },
+
     // J6's mirror: FORWARD as-of — earliest purchase at-or-after each
     // signup (time-to-first-conversion), same union+window rewrite.
     "q79_asof_next" -> { (s, dir) =>
@@ -763,6 +784,33 @@ object EventOps {
            SELECT e.user_id, min(e.ts) AS t
            FROM events e JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+         n AS (
+           SELECT (SELECT count(*) FROM s0) AS n_view_users,
+                  (SELECT count(*) FROM s1) AS n_click_users,
+                  (SELECT count(*) FROM s2) AS n_purchase_users)
+         SELECT n_view_users, n_click_users, n_purchase_users,
+           CASE WHEN n_view_users > 0
+                THEN CAST(n_click_users AS DOUBLE) / n_view_users END
+             AS conv_view_to_click,
+           CASE WHEN n_click_users > 0
+                THEN CAST(n_purchase_users AS DOUBLE) / n_click_users END
+             AS conv_click_to_purchase
+         FROM n""",
+    // q65's cascade with the per-step conversion deadline bound.
+    "q80_windowed_funnel" ->
+      s"""WITH s0 AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t
+             AND e.ts <= s0.t + INTERVAL $DefaultFunnelGap SECOND GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t
+             AND e.ts <= s1.t + INTERVAL $DefaultFunnelGap SECOND GROUP BY 1),
          n AS (
            SELECT (SELECT count(*) FROM s0) AS n_view_users,
                   (SELECT count(*) FROM s1) AS n_click_users,

@@ -19,14 +19,18 @@ class EventOpsSpec extends SparkSpec {
       .toDF("event_id", "user_id", "ts", "event_type")
 
   /** The literal definition, step by step: earliest step-i event strictly
-    * after the user's earliest qualifying step i-1. */
-  private def funnelByJoins(events: DataFrame, steps: Seq[String]): Seq[Long] = {
+    * after the user's earliest qualifying step i-1 (and within the
+    * deadline of it when `maxGapSeconds` is set). */
+  private def funnelByJoins(events: DataFrame, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): Seq[Long] = {
     val head = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts").as("t"))
     val perStep = steps.drop(1).scanLeft(head) { (prev, step) =>
+      val within = maxGapSeconds.fold(lit(true))(g =>
+        col("ts") <= col("t") + expr(s"INTERVAL $g SECOND"))
       events.filter(col("event_type") === step)
         .join(prev, "user_id")
-        .filter(col("ts") > col("t"))
+        .filter(col("ts") > col("t") && within)
         .groupBy("user_id").agg(min("ts").as("t"))
     }
     perStep.map(_.count())
@@ -65,6 +69,38 @@ class EventOpsSpec extends SparkSpec {
     val row = EventOps.funnel(events, steps).collect().head
     val got = steps.indices.map(i => row.getLong(i))
     assert(got == funnelByJoins(events, steps))
+  }
+
+  test("windowed funnel: the deadline binds to the CHOSEN step time, no restart") {
+    // user 1: click at +30 within the 3600s window, purchase at +5000
+    //   after the CLICK's deadline -> depth 2.
+    // user 2: first click lands outside the view's window; a purchase
+    //   right after that click must NOT count (the funnel never restarts
+    //   from a non-qualifying step) -> depth 1.
+    // user 3: full chain, every hop inside its window -> depth 3.
+    val events = ev(
+      (1, 1, 0, "view"), (2, 1, 30, "click"), (3, 1, 5000, "purchase"),
+      (4, 2, 0, "view"), (5, 2, 4000, "click"), (6, 2, 4010, "purchase"),
+      (7, 3, 0, "view"), (8, 3, 100, "click"), (9, 3, 200, "purchase"))
+    val steps = Seq("view", "click", "purchase")
+    val row = EventOps.funnel(events, steps, maxGapSeconds = Some(3600L))
+      .collect().head
+    val got = steps.indices.map(row.getLong)
+    assert(got == Seq(3L, 2L, 1L), s"got $got")
+    assert(got == funnelByJoins(events, steps, Some(3600L)))
+    // randomized equivalence with a tight window forcing many stalls
+    val rnd = new scala.util.Random(11)
+    val types = steps ++ Seq("error")
+    val big = ev((1L to 600L).map(i =>
+      (i, rnd.nextInt(25).toLong, rnd.nextInt(50000).toLong,
+        types(rnd.nextInt(types.size)))): _*)
+    val r2 = EventOps.funnel(big, steps, maxGapSeconds = Some(900L))
+      .collect().head
+    assert(steps.indices.map(r2.getLong) ==
+      funnelByJoins(big, steps, Some(900L)))
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(events, steps, maxGapSeconds = Some(0L))
+    }
   }
 
   test("funnel rejects degenerate step lists") {
