@@ -18,7 +18,7 @@ object Bench {
   private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
     "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate",
-    "q74_canonical_pick")
+    "q74_canonical_pick", "q81_dup_stats")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
@@ -119,7 +119,8 @@ object Bench {
     ("q77_soft_quality", 0.35, 0.8),
     ("q78_length_quantiles", 0.25, 0.7),
     ("q79_asof_next", 0.5, 1.0),
-    ("q80_windowed_funnel", 0.45, 1.0))
+    ("q80_windowed_funnel", 0.45, 1.0),
+    ("q81_dup_stats", 2.0, 3.5))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -127,7 +128,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q76; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q81; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

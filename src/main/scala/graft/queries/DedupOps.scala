@@ -652,6 +652,26 @@ object DedupOps {
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
   }
 
+  /** Duplication statistics (q81): the component-size histogram of the
+    * near-dup graph — "how duplicated is my corpus" in one small table
+    * (`component_size -> n_components`), the diagnostic an operator reads
+    * BEFORE committing to a dedup pass (a fat tail of giant components
+    * usually means boilerplate, not true duplicates, and wants q58's
+    * boilerplate pass first; a mass of pairs wants plain dedup). Only
+    * docs that appear in a pair have components, so sizes start at 2 —
+    * singletons are the corpus minus the histogram's mass.
+    *
+    * Shape at scale: rides the existing O(log)-cycle component machinery;
+    * both aggregations are map-side-combinable and shrink monotonically
+    * (docs -> components -> distinct sizes), so the histogram itself is
+    * never more than distinct-size rows. */
+  def dupStats(pairs: DataFrame, star: Boolean = false): DataFrame = {
+    val labels = if (star) componentsStar(pairs) else components(pairs)
+    labels.groupBy(col("label")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+  }
+
   // q62 defaults — interpolated into the oracle SQL like q49's cuts
   private val DefaultFuzzyPrefix = 24
   private val DefaultFuzzyMaxDist = 2
@@ -739,6 +759,12 @@ object DedupOps {
     "q39_dedupe_corpus" -> { (s, dir) =>
       dedupeCorpus(Tables.documents(s, dir), minhashNearDup(shingled(s, dir)))
         .select(col("doc_id"))
+    },
+
+    // Duplication diagnostic: component-size histogram of the near-dup
+    // graph (see dupStats).
+    "q81_dup_stats" -> { (s, dir) =>
+      dupStats(minhashNearDup(shingled(s, dir)))
     },
 
     // Canonical-survivor selection: q39's component collapse, but the
@@ -904,6 +930,26 @@ object DedupOps {
            WHERE doc_id <> label)
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)""",
+    // q38's reach CTE folded to per-label sizes, then a size histogram.
+    "q81_dup_stats" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         $minhashCandCte,
+         pairs AS ($minhashPairsSelect),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         reach AS (
+           SELECT src AS doc_id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS doc_id, r.label AS label
+           FROM reach r JOIN edges e ON e.src = r.doc_id),
+         labels AS (
+           SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         sizes AS (
+           SELECT label, count(*) AS component_size FROM labels GROUP BY 1)
+         SELECT component_size, count(*) AS n_components
+         FROM sizes GROUP BY 1""",
     // q39's component labels + TextOps' shared quality CTE; survivor =
     // row_number 1 on (quality DESC, doc_id ASC) within each label.
     "q74_canonical_pick" ->

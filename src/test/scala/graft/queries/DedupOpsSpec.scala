@@ -176,6 +176,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("hammingMax"))
   }
 
+  test("dupStats: component-size histogram counts cliques and chains, ignores singletons") {
+    // {1,2,3} a triangle, {4,5} a pair, {6,7} a chain via 8: sizes 3,2,3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (6L, 8L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.dupStats(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 2L, 2L -> 1L))
+    // star strategy agrees
+    assert(DedupOps.dupStats(pairs, star = true)
+      .as[(Long, Long)].collect().toMap == got)
+  }
+
   test("canonicalByQuality: best quality survives, ties to low id, singletons self-map") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
