@@ -672,6 +672,98 @@ object DedupOps {
       .agg(count(lit(1)).as("n_components"))
   }
 
+  /** Cross-source overlap matrix (q84): for every unordered pair of
+    * sources, how many DISTINCT word-3-gram shingles they share — the
+    * provenance-leakage diagnostic read BEFORE mixing crawls: a hot pair
+    * means two feeds scrape the same sites (near-dups will cross the
+    * source boundary, so per-source quotas and token budgets double-count
+    * the shared material), and pairing a benchmark source against the rest
+    * is q51's contamination surface rendered as a matrix.
+    *
+    * Shape at scale: the posting explode feeds ONE aggregation keyed by
+    * shingle (collect_set partial-merges map-side, so a shingle's set is
+    * deduped before the shuffle), the per-shingle source set is bounded by
+    * |sources|, and pair expansion is a per-row generate over that sorted
+    * set — the corpus never self-joins. The final (source_a, source_b)
+    * count is |sources|²-bounded and map-side combinable. Stop-shingles
+    * present in ~every source cost C(|sources|, 2) rows each — fine for
+    * feed-granularity sources; for a corpus keyed by millions of DOMAINS,
+    * cap hot shingles first (q33's dfMax broadcast anti-join is the same
+    * lever: a shingle present in more than `cap` sources identifies
+    * nothing about any particular pair). */
+  def sourceOverlap(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= NGram)
+      .select(col(sourceCol).as("src"),
+        explode(Shingles.wordNGrams(col("w"), NGram)).as("g"))
+    sh.groupBy(col("g"))
+      .agg(array_sort(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      // unordered pairs (a < b) of the sorted set in one generate: element
+      // i paired with every later element — no per-row cartesian node
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs")) - i - 1), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  private val SpanGram = 8 // q82 span resolution (tokens)
+
+  /** Exact duplicated-substring spans (q82) — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) modality: doc-LEVEL dedup keeps two docs that share
+    * a long verbatim passage; this finds and cuts the passage itself.
+    * A token position is DUPLICATED when any `n`-token gram covering it
+    * occurs at least twice in the corpus (across docs or repeated within
+    * one); per doc we report the covered-token count and fraction plus
+    * `text_clean`, the document with every covered token removed.
+    *
+    * Resolution bound, stated: the suffix-array method finds duplicated
+    * substrings of ANY length ≥ threshold; the n-gram mark finds exactly
+    * those of length ≥ n (a shorter shared run never fills a whole gram)
+    * — the standard scalable approximation, with `n` the knob.
+    *
+    * Shape at scale: positional postings are O(tokens); the occurrence
+    * count is ONE map-side-combinable aggregation keyed by the gram's
+    * 8-byte xxhash64 (q33's trade: a cross-doc 64-bit collision at
+    * ~2^-64 per co-occurring pair, for ~30% off the shuffle); marked
+    * positions come from an equi-join against the count-filtered dup-gram
+    * set — never a self-join; and coverage expansion is a bounded
+    * generate (n rows per marked gram) collapsed by a doc-keyed
+    * collect_set whose result is bounded by document length. The cleaning
+    * rewrite is a per-row lambda over the token array. */
+  def spanDedup(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val posting = toks
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(array_join(slice(col("w"), i, lit(n)), " ")).as("gh")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+    val dupGrams = posting.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gh"))
+    val covered = posting.join(dupGrams, Seq("gh"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("idx")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(col("cov")).as("n_covered"),
+        (size(col("cov")).cast("double") / size(col("w")).cast("double"))
+          .as("dup_frac"),
+        array_join(filter(col("w"),
+          (t, i) => !array_contains(col("cov"), i + 1)), " ").as("text_clean"))
+  }
+
   // q62 defaults — interpolated into the oracle SQL like q49's cuts
   private val DefaultFuzzyPrefix = 24
   private val DefaultFuzzyMaxDist = 2
@@ -792,6 +884,17 @@ object DedupOps {
       nearDupAgainstShingled(
         sh.filter(col("doc_id") % 2 === 1),
         sh.filter(col("doc_id") % 2 === 0))
+    },
+
+    // Cross-source shingle-overlap matrix (see sourceOverlap).
+    "q84_source_overlap" -> { (s, dir) =>
+      sourceOverlap(Tables.documents(s, dir))
+    },
+
+    // Exact duplicated-substring spans, cut at 8-token resolution
+    // (see spanDedup).
+    "q82_span_dedup" -> { (s, dir) =>
+      spanDedup(Tables.documents(s, dir))
     },
 
     // Edit-distance near-dup over doc prefixes (see fuzzyNearDup).
@@ -930,6 +1033,53 @@ object DedupOps {
            WHERE doc_id <> label)
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)""",
+    // The literal positional form: every n-gram with its start position,
+    // occurrence counts, covered-index expansion, and an ordered re-join of
+    // the surviving tokens (string grams where the Spark side counts by
+    // xxhash64 — q33's documented 2^-64 collision trade).
+    "q82_span_dedup" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos,
+             array_to_string(w[i:i+${SpanGram - 1}], ' ') AS gram
+           FROM t, unnest(range(1, len(w) - ${SpanGram - 2})) AS u(i)),
+         c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         m AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)
+               WHERE c.cnt >= 2),
+         cov AS (SELECT DISTINCT doc_id, j
+                 FROM m, unnest(range(pos, pos + $SpanGram)) AS v(j)),
+         cv AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY 1),
+         tok AS (SELECT doc_id, j AS idx, w[j] AS tk
+                 FROM t, unnest(range(1, len(w) + 1)) AS p(j)),
+         keep AS (SELECT tok.doc_id, tok.idx, tok.tk
+                  FROM tok ANTI JOIN cov
+                    ON tok.doc_id = cov.doc_id AND tok.idx = cov.j),
+         clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS text_clean
+                   FROM keep GROUP BY 1)
+         SELECT t.doc_id, len(w) AS n_tokens,
+           coalesce(cv.n_covered, 0) AS n_covered,
+           CAST(coalesce(cv.n_covered, 0) AS DOUBLE) /
+             CAST(len(w) AS DOUBLE) AS dup_frac,
+           coalesce(clean.text_clean, '') AS text_clean
+         FROM t LEFT JOIN cv ON t.doc_id = cv.doc_id
+                LEFT JOIN clean ON t.doc_id = clean.doc_id""",
+    // Distinct (source, shingle) pairs self-joined on the shingle — the
+    // literal set-intersection form of the matrix the Spark side builds
+    // with one collect_set aggregation + pair generate.
+    "q84_source_overlap" ->
+      s"""WITH t AS (
+           SELECT source, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= $NGram),
+         g AS (
+           SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(w) - ${NGram - 2}),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM t)
+         SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_shingles
+         FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         GROUP BY 1, 2""",
     // q38's reach CTE folded to per-label sizes, then a size histogram.
     "q81_dup_stats" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -69,6 +69,34 @@ object EventOps {
   def funnel(events: DataFrame,
       steps: Seq[String] = DefaultFunnelSteps,
       maxGapSeconds: Option[Long] = None): DataFrame = {
+    val perUser = funnelPerUser(events, steps, maxGapSeconds)
+    val counts = steps.indices.map(i =>
+      count(col(s"t_$i")).as(s"n_${steps(i)}_users"))
+    val row = perUser.agg(counts.head, counts.tail: _*)
+    val convs = steps.indices.drop(1).map { i =>
+      val prev = col(s"n_${steps(i - 1)}_users")
+      when(prev > 0, col(s"n_${steps(i)}_users").cast("double") / prev)
+        .as(s"conv_${steps(i - 1)}_to_${steps(i)}")
+    }
+    row.select(steps.indices.map(i => col(s"n_${steps(i)}_users")) ++ convs: _*)
+  }
+
+  /** The funnel's per-user completion table `(user_id, t_0 .. t_{k-1})`:
+    * t_i is the user's earliest qualifying step-i timestamp (NULL where the
+    * user stalls). Shared by [[funnel]] (counts the non-nulls) and
+    * [[funnelLatency]] (differences adjacent columns) so the two can never
+    * disagree on which event qualifies.
+    *
+    * maxGapSeconds adds the conversion DEADLINE (windowed funnel): step i
+    * must land within the gap of the chosen step i-1 time, or the user
+    * stalls at depth i-1 — no restart from a later step-(i-1) event (the
+    * standard product-analytics "conversion window" semantics). The
+    * running-min equivalence argument below survives the bound: whenever
+    * a candidate's ts exceeds the running min, the final earliest
+    * step-(i-1) event is already inside the prefix, so the bound is
+    * always evaluated against the FINAL time, never a temporary one. */
+  private def funnelPerUser(events: DataFrame, steps: Seq[String],
+      maxGapSeconds: Option[Long]): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     require(maxGapSeconds.forall(_ >= 1),
@@ -78,14 +106,6 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = events.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type"))
-    // maxGapSeconds adds the conversion DEADLINE (windowed funnel): step i
-    // must land within the gap of the chosen step i-1 time, or the user
-    // stalls at depth i-1 — no restart from a later step-(i-1) event (the
-    // standard product-analytics "conversion window" semantics). The
-    // running-min equivalence argument below survives the bound: whenever
-    // a candidate's ts exceeds the running min, the final earliest
-    // step-(i-1) event is already inside the prefix, so the bound is
-    // always evaluated against the FINAL time, never a temporary one.
     val qualified = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
       val qual =
         if (i == 0) when(col("event_type") === step, col("ts"))
@@ -101,18 +121,57 @@ object EventOps {
       if (i == steps.size - 1) withQual
       else withQual.withColumn(s"run_$i", min(col(s"qual_$i")).over(w))
     }
-    val perUser = qualified.groupBy(col("user_id"))
+    qualified.groupBy(col("user_id"))
       .agg(min(col("qual_0")).as("t_0"),
         steps.indices.drop(1).map(i => min(col(s"qual_$i")).as(s"t_$i")): _*)
-    val counts = steps.indices.map(i =>
-      count(col(s"t_$i")).as(s"n_${steps(i)}_users"))
-    val row = perUser.agg(counts.head, counts.tail: _*)
-    val convs = steps.indices.drop(1).map { i =>
-      val prev = col(s"n_${steps(i - 1)}_users")
-      when(prev > 0, col(s"n_${steps(i)}_users").cast("double") / prev)
-        .as(s"conv_${steps(i - 1)}_to_${steps(i)}")
+  }
+
+  /** Funnel step-latency profile (q83): for every adjacent step pair, how
+    * long completing users took — count, min/max/sum and the MEDIAN of the
+    * step-(i-1)→step-i latency, over exactly the users [[funnel]] counts as
+    * completing step i. The timing companion of the funnel's conversion
+    * rates: conversion tells you how many make it, this tells you how fast.
+    *
+    * Portability: latencies are integer microseconds (`unix_micros`
+    * differences — exact on both engines), and the median is a RANKED ROW
+    * (the ⌈n/2⌉-th smallest, integer arithmetic only), not an interpolated
+    * percentile — interpolation differs across engines (q78's rule).
+    *
+    * Shape at scale: the corpus-sized event table pays [[funnelPerUser]]'s
+    * single (user_id) exchange; everything after operates on the per-USER
+    * completion table (one row per funnel-entering user). The transition
+    * long-form is a per-row generate (k-1 structs, no extra scan — the
+    * naive per-transition union would re-run the window chain k-1 times),
+    * and the ranked-median window + final agg share ONE (step_from,
+    * step_to) exchange of that user-granular table (subset clustering).
+    * k-1 distinct transition keys make that last exchange near-degenerate;
+    * at a trillion events the cost is the funnel's own exchange, unchanged. */
+  def funnelLatency(events: DataFrame,
+      steps: Seq[String] = DefaultFunnelSteps,
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    val perUser = funnelPerUser(events, steps, maxGapSeconds)
+    val transitions = steps.indices.drop(1).map { i =>
+      struct(lit(steps(i - 1)).as("step_from"), lit(steps(i)).as("step_to"),
+        (unix_micros(col(s"t_$i")) - unix_micros(col(s"t_${i - 1}")))
+          .as("lat_us"))
     }
-    row.select(steps.indices.map(i => col(s"n_${steps(i)}_users")) ++ convs: _*)
+    val lat = perUser
+      .select(explode(array(transitions: _*)).as("tr"))
+      .select(col("tr.step_from"), col("tr.step_to"), col("tr.lat_us"))
+      .filter(col("lat_us").isNotNull)
+    val part = Window.partitionBy(col("step_from"), col("step_to"))
+    lat
+      .withColumn("rk", row_number().over(
+        part.orderBy(col("lat_us").asc)))
+      .withColumn("n", count(lit(1)).over(part))
+      .groupBy(col("step_from"), col("step_to"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("lat_us")).as("min_lat_us"),
+        max(col("lat_us")).as("max_lat_us"),
+        sum(col("lat_us")).as("sum_lat_us"),
+        max(when(col("rk") === expr("(n + 1) DIV 2"), col("lat_us")))
+          .as("median_lat_us"))
   }
 
   /** Retention cohorts (q66): bucket every user by the ISO week of their
@@ -601,6 +660,9 @@ object EventOps {
     "q80_windowed_funnel" -> { (s, dir) =>
       funnel(Tables.events(s, dir), maxGapSeconds = Some(DefaultFunnelGap)) },
 
+    // Funnel step-latency profile (see funnelLatency).
+    "q83_funnel_latency" -> { (s, dir) => funnelLatency(Tables.events(s, dir)) },
+
     // J6's mirror: FORWARD as-of — earliest purchase at-or-after each
     // signup (time-to-first-conversion), same union+window rewrite.
     "q79_asof_next" -> { (s, dir) =>
@@ -823,6 +885,41 @@ object EventOps {
                 THEN CAST(n_purchase_users AS DOUBLE) / n_click_users END
              AS conv_click_to_purchase
          FROM n""",
+    // q65's cascade extended with per-transition latency rows; the median
+    // is the ranked ⌈n/2⌉-th smallest (integer rank math, no interpolation)
+    // and sums are cast back to BIGINT (DuckDB's sum(BIGINT) is HUGEINT,
+    // which pandas renders as float and the driver hash-compares).
+    "q83_funnel_latency" ->
+      """WITH s0 AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+         lat AS (
+           SELECT 'view' AS step_from, 'click' AS step_to,
+             epoch_us(s1.t) - epoch_us(s0.t) AS lat_us
+           FROM s1 JOIN s0 ON s1.user_id = s0.user_id
+           UNION ALL
+           SELECT 'click' AS step_from, 'purchase' AS step_to,
+             epoch_us(s2.t) - epoch_us(s1.t) AS lat_us
+           FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+         r AS (
+           SELECT step_from, step_to, lat_us,
+             row_number() OVER (PARTITION BY step_from, step_to
+               ORDER BY lat_us) AS rk,
+             count(*) OVER (PARTITION BY step_from, step_to) AS n
+           FROM lat)
+         SELECT step_from, step_to, count(*) AS n_users,
+           min(lat_us) AS min_lat_us, max(lat_us) AS max_lat_us,
+           CAST(sum(lat_us) AS BIGINT) AS sum_lat_us,
+           max(CASE WHEN rk = (n + 1) // 2 THEN lat_us END) AS median_lat_us
+         FROM r GROUP BY 1, 2""",
     // The literal definition: first event per user, join back, dedup to
     // user-weeks, count — the three-exchange form the Spark side avoids.
     "q66_retention" ->

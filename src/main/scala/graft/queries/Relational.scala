@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.GameIds
+import graft.ops.IncrementalAgg
 
 /** Core relational operator coverage (SURVEY.md §2.2-§2.6) expressed over
   * the driver's TPC-H-ish tables, each paired with ANSI SQL for the DuckDB
@@ -195,6 +196,37 @@ object Relational {
           dsum(col("o_totalprice")).as("sum_price"))
     },
 
+    // Incremental materialized-view maintenance (ops/IncrementalAgg): the
+    // per-customer order rollup maintained from a CDC delta instead of a
+    // fact rescan. The query partitions orders deterministically into a
+    // base (aggregated into the MV), inserts (o_orderkey % 10 == 0),
+    // deletes (base rows with % 7 == 0) and updates (base rows with
+    // % 13 == 0, price + 1), applies the delta algebraically, and must
+    // reproduce the direct aggregate of the final state — which is exactly
+    // what the oracle computes. Value sums ride DECIMAL so
+    // sum(base)+sum(delta) == sum(all) bit-exactly (see IncrementalAgg).
+    "q86_incremental_agg" -> { (s, dir) =>
+      val keyed = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("v"))
+      val base = keyed.filter(col("o_orderkey") % 10 =!= 0)
+      val mv = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sum_price"))
+      val cdc = keyed
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, "insert")
+            .when(col("o_orderkey") % 7 === 0, "delete")
+            .when(col("o_orderkey") % 13 === 0, "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("o_custkey"),
+          when(col("op") =!= "insert", col("v")).as("old_value"),
+          when(col("op") === "insert", col("v"))
+            .when(col("op") === "update", (col("v") + 1).cast("decimal(18,4)"))
+            .as("new_value"))
+      IncrementalAgg.maintain(mv, cdc, Seq("o_custkey"), "n_orders", "sum_price")
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("decimal(38,4)").cast("double").as("sum_price"))
+    },
+
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
     "q14_id_synth" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -205,6 +237,22 @@ object Relational {
     })
 
   val oracles: Map[String, String] = Map(
+    // The direct aggregate of the FINAL table state after the CDC story
+    // (inserts present, deletes absent, updates at their new value) — the
+    // incremental path must land on exactly this.
+    "q86_incremental_agg" ->
+      """WITH f AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                  WHEN o_orderkey % 13 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS v
+           FROM orders
+           WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0))
+         SELECT o_custkey, count(*) AS n_orders,
+           CAST(CAST(sum(v) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price
+         FROM f GROUP BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -811,6 +811,57 @@ object TextOps {
                  '.7 tel ' || CAST(doc_id % 9000000 + 1000000 AS VARCHAR)
             ELSE text END"""
 
+  /** Whitespace / control-character normalization (q85) — the cleanup pass
+    * every crawl pipeline runs before tokenization: map every whitespace
+    * variant (tab, CR, LF, VT, FF) to a plain space, STRIP the remaining
+    * C0/DEL control characters (they carry no text and break downstream
+    * tokenizers), collapse space runs, and trim. Reported as (doc_id, raw
+    * and normalized lengths, normalized text, changed flag) so the audit
+    * ("how dirty was the crawl") is a filter on `changed`.
+    *
+    * The three regexes stay inside the Java-regex/RE2 common subset
+    * (explicit char classes and bounded repeats — q63's portability rule)
+    * so the DuckDB oracle matches byte-for-byte.
+    *
+    * Shape at scale: pure per-row scalar chain — zero shuffles, zero
+    * joins, whole-stage codegen over a (doc_id, text)-pruned scan, the
+    * same shape as [[redact]]. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val norm = trim(regexp_replace(regexp_replace(regexp_replace(t,
+      "[\\t\\n\\r\\x0B\\x0C]", " "),
+      "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      " {2,}", " "))
+    docs.select(col("doc_id"),
+      length(t).as("n_chars_raw"),
+      norm.as("text_norm"),
+      length(norm).as("n_chars_norm"),
+      (norm =!= t).as("changed"))
+  }
+
+  /** The synthetic corpus is single-space-clean by construction, so the
+    * q85 demo query deterministically dirties every fourth doc (leading
+    * tab, trailing CR LF, and on every eighth doc all spaces doubled)
+    * before normalizing — the oracle mirrors the same injection SQL, so
+    * the hash compare exercises real cleanup AND the three-quarters of
+    * rows that must pass through untouched. */
+  private def withSyntheticMess(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("\t "),
+          when(col("doc_id") % 8 === 0, replace(col("text"), lit(" "), lit("  ")))
+            .otherwise(col("text")),
+          lit(" \r\n")))
+        .otherwise(col("text")))
+
+  private val SyntheticMessSql =
+    """CASE WHEN doc_id % 4 = 0
+            THEN chr(9) || ' ' ||
+                 (CASE WHEN doc_id % 8 = 0 THEN replace(text, ' ', '  ')
+                       ELSE text END) ||
+                 ' ' || chr(13) || chr(10)
+            ELSE text END"""
+
   private val DefaultNgramN = 2
   private val DefaultNgramK = 30
 
@@ -1011,6 +1062,11 @@ object TextOps {
     // PII redaction over a synthetic-PII-injected corpus (see redact).
     "q63_redact" -> { (s, dir) =>
       redact(withSyntheticPii(Tables.documents(s, dir))) },
+
+    // Whitespace/control normalization over a synthetically-dirtied corpus
+    // (see normalizeText).
+    "q85_normalize" -> { (s, dir) =>
+      normalizeText(withSyntheticMess(Tables.documents(s, dir))) },
 
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
@@ -1251,6 +1307,22 @@ object TextOps {
            ${names.mkString(" + ")} AS n_redacted
          FROM s$last"""
     },
+    // Same injection + the same three-regex chain (DuckDB needs the 'g'
+    // flag; Spark's regexp_replace is global by default).
+    "q85_normalize" ->
+      s"""WITH inj AS (
+           SELECT doc_id, $SyntheticMessSql AS t0 FROM documents),
+         n AS (
+           SELECT doc_id, t0,
+             trim(regexp_replace(regexp_replace(regexp_replace(t0,
+               '[\\t\\n\\r\\x0B\\x0C]', ' ', 'g'),
+               '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+               ' {2,}', ' ', 'g')) AS text_norm
+           FROM inj)
+         SELECT doc_id, length(t0) AS n_chars_raw, text_norm,
+           length(text_norm) AS n_chars_norm,
+           text_norm <> t0 AS changed
+         FROM n""",
     "q64_ngram_topk" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
          b AS (

@@ -1,10 +1,11 @@
 #!/bin/bash
 # Run graft.Verify directly on the compiled classes (faster than sbt run).
-# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass]
+# Usage: tools/run_verify.sh [sfDir] [outDir] [mainClass] [extraArgs...]
 set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/graft_verify}
 MAIN=${3:-graft.Verify}
+shift $(( $# > 3 ? 3 : $# ))
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -14,4 +15,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" "$MAIN" "$SF" "$OUT"
+  -cp "$CP" "$MAIN" "$SF" "$OUT" "$@"
