@@ -120,7 +120,12 @@ object Bench {
     ("q78_length_quantiles", 0.25, 0.7),
     ("q79_asof_next", 0.5, 1.0),
     ("q80_windowed_funnel", 0.45, 1.0),
-    ("q81_dup_stats", 2.0, 3.5))
+    ("q81_dup_stats", 2.0, 3.5),
+    ("q82_span_dedup", 1.3, 2.2),
+    ("q83_funnel_latency", 0.35, 0.9),
+    ("q84_source_overlap", 1.1, 2.0),
+    ("q85_normalize", 0.2, 0.6),
+    ("q86_incremental_agg", 0.25, 0.7))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -128,7 +133,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q81; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q86; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

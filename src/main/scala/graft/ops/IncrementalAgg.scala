@@ -61,4 +61,53 @@ object IncrementalAgg {
           coalesce(col("_d_sum"), lit(0).cast("decimal(18,4)"))).as(sumCol)): _*)
       .filter(col(countCol) =!= 0)
   }
+
+  private val AppliedMarker = "_applied_batch"
+
+  /** Continuous aggregation: the `foreachBatch` fold that maintains an
+    * at-rest MV parquet from a CDC micro-batch stream — wire it as
+    * `cdcStream.writeStream.foreachBatch(IncrementalAgg.maintainAggBatch(
+    * mvDir, keys))`. Each micro-batch applies [[maintain]] against the
+    * current MV and publishes the result with the crash-safe directory
+    * swap; `_applied_batch` (an underscore file — invisible to parquet
+    * readers, and swapped atomically WITH the data it describes) records
+    * the last applied batch id, so a replayed micro-batch after a restart
+    * is skipped instead of double-applied: exactly-once, the same
+    * batch-dir-swap discipline as CorpusStreamMain. A crash between the
+    * maintain and the swap leaves the old MV + old marker — the replay
+    * re-applies cleanly.
+    *
+    * Scale: per trigger this costs O(|batch| + |MV|) — the continuous
+    * form of the same asymptotics, with the MV read fresh from disk each
+    * batch (nothing MV-sized held in executor memory between triggers). */
+  def maintainAggBatch(mvDir: String, keyCols: Seq[String],
+      countCol: String = "n_rows", sumCol: String = "sum_value")(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Warehouse.recover(spark, mvDir)
+    val dir = new org.apache.hadoop.fs.Path(mvDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, AppliedMarker)
+    val applied: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      }
+    if (batchId <= applied) return // replayed micro-batch: already folded
+    val mv =
+      if (fs.exists(dir)) spark.read.parquet(mvDir)
+      else batch.select(keyCols.map(col): _*).limit(0)
+        .withColumn(countCol, lit(0L))
+        .withColumn(sumCol, lit(0).cast("decimal(38,4)"))
+    val next = maintain(mv, batch.toDF(), keyCols, countCol, sumCol)
+      .withColumn(sumCol, col(sumCol).cast("decimal(38,4)"))
+    graft.sources.Warehouse.replaceDirWith(spark, mvDir) { staging =>
+      next.write.parquet(staging)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 }

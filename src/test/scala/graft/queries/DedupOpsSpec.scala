@@ -204,4 +204,56 @@ class DedupOpsSpec extends SparkSpec {
       (1L, 2L, false), (2L, 2L, true), (3L, 3L, true),
       (4L, 4L, true), (5L, 4L, false)))
   }
+
+  test("spanDedup: cross-doc span cut, within-doc repeat cut, short docs untouched") {
+    val d = Seq(
+      // docs 1/2 share the 8-token run a..h at different offsets
+      (1L, "a b c d e f g h x1 x2"),
+      (2L, "z1 z2 a b c d e f g h"),
+      // doc 3: no duplicated gram anywhere
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      // doc 4: the same 8-gram repeated within ONE doc — every window of 8
+      // matches its +8 twin, so the whole doc is covered
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"),
+      // doc 5: shorter than the gram width — no grams, passes through
+      (5L, "s1 s2 s3")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanDedup(d)
+      .as[(Long, Int, Int, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10, 8, 0.8, "x1 x2")))
+    assert(got(2L) == ((2L, 10, 8, 0.8, "z1 z2")))
+    assert(got(3L) == ((3L, 9, 0, 0.0, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    assert(got(4L) == ((4L, 16, 16, 1.0, "")))
+    assert(got(5L) == ((5L, 3, 0, 0.0, "s1 s2 s3")))
+  }
+
+  test("spanDedup plans equi-joins only — no cartesian, no nested-loop") {
+    val d = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val plan = DedupOps.spanDedup(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sourceOverlap: distinct shared shingles per unordered source pair") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "srcA"),   // shingles: [w1 w2 w3], [w2 w3 w4]
+      (2L, "w1 w2 w3 zz", "srcB"),   // shares [w1 w2 w3] with srcA
+      (3L, "w1 w2 w3 yy", "srcA"),   // same shingle AGAIN in srcA: set, not bag
+      (4L, "q1 q2 q3", "srcC")       // no overlap with anyone
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceOverlap(d)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("srcA", "srcB", 1L)))
+  }
+
+  test("sourceOverlap: a shingle in k sources feeds every one of its C(k,2) pairs") {
+    val d = Seq(
+      (1L, "c1 c2 c3", "s1"), (2L, "c1 c2 c3", "s3"), (3L, "c1 c2 c3", "s2"),
+      (4L, "c1 c2 c3 d4", "s1") // extra shingle [c2 c3 d4] only in s1
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceOverlap(d)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s1", "s2", 1L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
 }

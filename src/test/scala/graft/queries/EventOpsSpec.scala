@@ -111,6 +111,61 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnelLatency: per-transition count/min/max/sum and ranked lower median") {
+    // view->click latencies: u1 10s, u2 20s, u3 8s -> n=3, median = 2nd
+    //   smallest = 10s; click->purchase: u1 30s, u3 1s -> n=2, lower
+    //   median = 1s. u4 views only. All values integer microseconds.
+    val events = ev(
+      (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 50, "purchase"),
+      (4, 2, 5, "view"), (5, 2, 25, "click"),
+      (6, 3, 0, "view"), (7, 3, 8, "click"), (8, 3, 9, "purchase"),
+      (9, 4, 10, "view"))
+    val got = EventOps.funnelLatency(events)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val M = 1000000L
+    assert(got(("view", "click")) ==
+      (("view", "click", 3L, 8 * M, 20 * M, 38 * M, 10 * M)))
+    assert(got(("click", "purchase")) ==
+      (("click", "purchase", 2L, 1 * M, 30 * M, 31 * M, 1 * M)))
+  }
+
+  test("funnelLatency counts exactly the users funnel counts, under the deadline too") {
+    val rnd = new scala.util.Random(11)
+    val types = Seq("view", "click", "purchase", "error")
+    val events = ev((1L to 400L).map(i =>
+      (i, rnd.nextInt(20).toLong, rnd.nextInt(2000).toLong,
+        types(rnd.nextInt(types.size)))): _*)
+    for (gap <- Seq(None, Some(300L))) {
+      val fr = EventOps.funnel(events, maxGapSeconds = gap).collect().head
+      val lat = EventOps.funnelLatency(events, maxGapSeconds = gap)
+        .as[(String, String, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(lat.getOrElse(("view", "click"), 0L) == fr.getLong(1))
+      assert(lat.getOrElse(("click", "purchase"), 0L) == fr.getLong(2))
+      // the deadline bounds every surviving latency
+      gap.foreach { g =>
+        val mx = EventOps.funnelLatency(events, maxGapSeconds = gap)
+          .as[(String, String, Long, Long, Long, Long, Long)].collect()
+          .map(_._5).max
+        assert(mx <= g * 1000000L)
+      }
+    }
+  }
+
+  test("funnelLatency adds only the tiny transition exchange to funnel's one") {
+    val events = ev((1, 1, 10, "view"), (2, 1, 20, "click"),
+      (3, 1, 30, "purchase"))
+    val plan = EventOps.funnelLatency(events)
+      .queryExecution.executedPlan.toString
+    // the event table pays its one user_id exchange; the ranked-median
+    // window and the final agg share one (step_from, step_to) exchange of
+    // the user-granular table; never a global sort
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("funnel shuffles the event table exactly once") {
     val events = ev((1, 1, 10, "view"), (2, 1, 20, "click"),
       (3, 1, 30, "purchase"))

@@ -612,6 +612,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("normalizeText: whitespace variants to space, controls stripped, runs collapsed, trim") {
+    val d = Seq(
+      (1L, "a\tb"),            // tab -> space
+      (2L, "  a   b  "),       // runs collapse, ends trim
+      (3L, "a\r\nb"),          // CR LF -> two spaces -> one
+      (4L, "a\u0001b\u007Fc"), // C0/DEL controls stripped outright
+      (5L, "a b")              // already clean: untouched, changed=false
+    ).toDF("doc_id", "text")
+    val got = TextOps.normalizeText(d)
+      .as[(Long, Int, String, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3, "a b", 3, true)))
+    assert(got(2L) == ((2L, 9, "a b", 3, true)))
+    assert(got(3L) == ((3L, 4, "a b", 3, true)))
+    assert(got(4L) == ((4L, 5, "abc", 3, true)))
+    assert(got(5L) == ((5L, 3, "a b", 3, false)))
+    val plan = TextOps.normalizeText(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // pure per-row scan
+  }
+
   test("lmFamiliarity plan: the count join builds post-agg, no cartesian, three exchanges") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     noAutoBroadcast {
