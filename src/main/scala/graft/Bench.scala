@@ -125,7 +125,11 @@ object Bench {
     ("q83_funnel_latency", 0.35, 0.9),
     ("q84_source_overlap", 1.1, 2.0),
     ("q85_normalize", 0.2, 0.6),
-    ("q86_incremental_agg", 0.25, 0.7))
+    ("q86_incremental_agg", 0.25, 0.7),
+    ("q87_bloom_decontaminate", 1.1, 1.8),
+    ("q88_decay_score", 0.4, 0.8),
+    ("q89_label_mode", 0.3, 0.6),
+    ("q90_cooccurrence", 0.85, 1.4))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -133,7 +137,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q86; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q90; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

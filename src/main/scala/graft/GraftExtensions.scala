@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DotProduct
+import graft.expressions.{BloomMightContain, DotProduct}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use (`SELECT graft_dot(a, b)`), the sanctioned
@@ -18,6 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getCanonicalName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain takes exactly 2 arguments")
+        BloomMightContain(children.head, children(1))
       }))
   }
 }

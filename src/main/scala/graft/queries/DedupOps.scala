@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.ops.Shingles
+import graft.expressions.BloomMightContain
 
 /** Near-duplicate detection suite over `documents` — the dedup passes of a
   * large-scale training-data pipeline: exact hash dedup, MinHash+LSH,
@@ -597,8 +598,57 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Benchmark decontamination with a Bloom-prefiltered probe side (q87) —
+    * [[contamination]]'s scale path for the regime its `broadcastBench`
+    * escape hatch concedes: a benchmark suite whose distinct shingle SET
+    * is too large to broadcast exactly (10^8 shingles are gigabytes as an
+    * exact in-memory set) but whose Bloom SKETCH is not (~100 MB at 1%
+    * fpp). The probe (corpus) side filters on `graft_might_contain` at the
+    * SCAN, below its exchange, so the shuffled verify join receives only
+    * true hits plus the fpp fraction of the corpus's shingles — instead of
+    * every shingle of every document. The exact equi-join then removes the
+    * false positives, so the result is IDENTICAL to [[contamination]] at
+    * any fpp: blooms have no false negatives, and every surviving row is
+    * verified. (The oracle for q87 is therefore the plain exact-overlap
+    * SQL — the sketch is invisible in the answer, which is the point.)
+    *
+    * Cost note: the bench side pays one count (sizing the filter) and one
+    * aggregation to the driver (building it) — both over the side that is
+    * orders of magnitude smaller than the corpus by definition. Pass
+    * `expectedItems` to skip the count when the caller already knows the
+    * cardinality (a stored index's row count).
+    *
+    * Shape at scale: scan-side codegen'd Bloom probe (zero shuffle), one
+    * shuffled equi-join over ~hits + fpp·|shingles| rows, one map-side
+    * combinable per-doc count. `broadcastBench = true` composes too (the
+    * bloom then just cuts hash-probe work), but the broadcast regime is
+    * [[contamination]]'s home turf — this operator exists for the shuffle
+    * regime. */
+  def contaminationBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
+      fpp: Double = 0.01, broadcastBench: Boolean = false,
+      expectedItems: Option[Long] = None): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // persisted: sized, sketched, and joined — three uses; released by the
+    // caller's clearCache like every staged table here
+    val benchSet = benchShingleSet(benchShingles).persist()
+    val n = math.max(expectedItems.getOrElse(benchSet.count()), 1L)
+    val bloom = benchSet.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", n, fpp)
+    val bytes = BloomMightContain.serialize(bloom)
+    val pre = corpusShingles
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(BloomMightContain.might(xxhash64(col("g")), bytes))
+    pre.join(if (broadcastBench) broadcast(benchSet) else benchSet, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** q51's deterministic benchmark membership: doc_id divisible by 97. */
   private val BenchMod = 97
+
+  /** q87's bench membership — a different modulus than q51 so the two
+    * decontamination queries score different eval sets. */
+  private val BloomBenchMod = 101
 
   /** The full corpus-dedup operator: given documents and near-dup pairs
     * (from minhashNearDup / simhashNearDup / ngramJaccard), keep one
@@ -874,6 +924,17 @@ object DedupOps {
       contamination(
         sh.filter(col("doc_id") % BenchMod =!= 0),
         sh.filter(col("doc_id") % BenchMod === 0))
+    },
+
+    // Bloom-prefiltered decontamination on the SHUFFLE (non-broadcast)
+    // path: the probe side is cut by a scan-side bloom filter before its
+    // exchange, then exact-verified — the oracle is the plain exact
+    // overlap, because the sketch cannot change the answer.
+    "q87_bloom_decontaminate" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      contaminationBloom(
+        sh.filter(col("doc_id") % BloomBenchMod =!= 0),
+        sh.filter(col("doc_id") % BloomBenchMod === 0))
     },
 
     // The streaming-shaped near-dup gate run in batch: odd doc_ids are the
@@ -1156,6 +1217,18 @@ object DedupOps {
            SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BenchMod = 0),
          post AS (
            SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchMod <> 0)
+         SELECT p.doc_id, count(*) AS n_hits
+         FROM post p JOIN bench b ON p.g = b.g
+         GROUP BY p.doc_id""",
+    // the Bloom prefilter is invisible to the oracle: prefilter + exact
+    // verify == the plain exact overlap (no false negatives, positives
+    // removed by the join) — only the bench modulus differs from q51
+    "q87_bloom_decontaminate" ->
+      s"""$shingleCte,
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BloomBenchMod = 0),
+         post AS (
+           SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BloomBenchMod <> 0)
          SELECT p.doc_id, count(*) AS n_hits
          FROM post p JOIN bench b ON p.g = b.g
          GROUP BY p.doc_id""",

@@ -454,6 +454,114 @@ object EventOps {
         col("mean"), col("z"), col("is_spike"))
   }
 
+  /** Recency-decay cap: ages 0..15 days carry weight 2^(15-age); older
+    * events contribute zero. Half-life = 1 day. */
+  private val DecayCapDays = 16
+  /** value is fixed-pointed to integer milli-units before weighting, so
+    * the weighted sum aggregates exact longs (the q73 rule: a float SUM is
+    * reduction-order-dependent and could never hash-match an oracle). */
+  private val DecayUnitScale = 1000L
+  private val DecayDenom = (1L << (DecayCapDays - 1)) * DecayUnitScale
+
+  /** Recency-decayed engagement score (q88) — the feature-store staple:
+    * per user, sum of event values weighted by an exponential decay
+    * (half-life one day) of the event's age relative to that USER's most
+    * recent event. Anchoring per user (not at a global max) keeps the
+    * feature meaningful per entity AND keeps the plan to one exchange —
+    * the anchor is a window max over the same key the final aggregation
+    * groups by, so Catalyst plans a single hash partitioning for both.
+    *
+    * Cross-engine determinism: age is an INTEGER day count (floor of an
+    * exact-double division); the weight is an integer power of two
+    * (`shiftleft`), value is floored to integer milli-units, so the
+    * aggregated sum is an exact long — one final division by the constant
+    * denominator produces the double score, bit-identical to the oracle.
+    *
+    * Shape at scale: one shuffle on user_id shared by the window and the
+    * aggregation (plan-pinned single Exchange); everything else is per-row
+    * codegen. At 100 TB this is the shape of any per-entity feature
+    * backfill: key-partitioned scan, narrow state, no second pass. */
+  def decayScore(events: DataFrame, capDays: Int = DecayCapDays): DataFrame = {
+    require(capDays >= 1 && capDays <= 62, s"capDays must be in [1,62], got $capDays")
+    val w = Window.partitionBy(col("user_id"))
+    val aged = events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("age_days",
+        floor((unix_micros(max(col("ts")).over(w)) - unix_micros(col("ts")))
+          .cast("double") / lit(86400e6)).cast("int"))
+      .withColumn("term", expr(
+        s"""CASE WHEN age_days < $capDays
+           |     THEN CAST(floor(value * $DecayUnitScale) AS BIGINT)
+           |          * shiftleft(CAST(1 AS BIGINT), ${capDays - 1} - age_days)
+           |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    val denom = (1L << (capDays - 1)) * DecayUnitScale
+    aged.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("age_days") < capDays, 1L).otherwise(0L)).as("n_recent"),
+        max(col("ts")).as("last_ts"),
+        sum(col("term")).as("raw"))
+      .select(col("user_id"), col("n_events"), col("n_recent"), col("last_ts"),
+        (col("raw").cast("double") / lit(denom.toDouble)).as("decay_score"))
+  }
+
+  /** Per-key label mode / majority vote (q89) — the label-aggregation pass
+    * of an annotation or weak-supervision pipeline: per key, the most
+    * frequent label, ties broken to the lexicographically smallest (a
+    * stated rule, not engine luck). Reports the winner, its count, the
+    * key's total, and the winner's share (one division of exact longs).
+    *
+    * Shape at scale: two map-side-combinable aggregations — (key, label)
+    * counts, then an argmax via min(struct(-cnt, label)) at KEY
+    * granularity. No window, no per-group buffering; the second shuffle
+    * carries one row per distinct (key, label), bounded by label
+    * cardinality, not events. */
+  def labelMode(events: DataFrame, keyCol: String = "user_id",
+      labelCol: String = "event_type"): DataFrame = {
+    val counts = events.groupBy(col(keyCol), col(labelCol))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(keyCol))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col(labelCol).as("lbl"))).as("m"),
+        sum(col("cnt")).as("n_total"))
+      .select(col(keyCol),
+        col("m.lbl").as("mode_label"),
+        (-col("m.nc")).as("n_mode"),
+        col("n_total"),
+        ((-col("m.nc")).cast("double") / col("n_total").cast("double"))
+          .as("share"))
+  }
+
+  /** Session-level event-type co-occurrence (q90) — the market-basket
+    * read over a behavioral log: for every unordered pair of event types,
+    * in how many sessions do both occur? (Set semantics: a type occurring
+    * five times in a session counts once — co-occurrence is about
+    * presence, not volume.)
+    *
+    * Shape at scale: the sessionizer's single user_id exchange; the
+    * per-session distinct type set rides the SAME partitioning (groupBy
+    * (user, session_no) is clustered-subsumed by the window's hash on
+    * user); pairs are one bounded per-row generate over the sorted set
+    * (C(k,2) with k <= |event types|, sourceOverlap's idiom — never a
+    * self-join of the log); the final count shuffles type-pair rows only.
+    */
+  def sessionCooccurrence(events: DataFrame,
+      gapSeconds: Long = GapSeconds): DataFrame = {
+    val tagged = Sessionize.withSessionNo(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts", "event_id", gapSeconds)
+    tagged
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(array_sort(collect_set(col("event_type"))).as("tps"))
+      .filter(size(col("tps")) >= 2)
+      .select(explode(flatten(transform(col("tps"), (a, i) =>
+        transform(slice(col("tps"), i + 2, size(col("tps")) - i - 1), b =>
+          struct(a.as("type_a"), b.as("type_b")))))).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W2 first-row-per-group — the starter-derivation idiom (reference:
     // etl/players_on_court_at_start_of_period.py:73-88).
@@ -677,7 +785,17 @@ object EventOps {
           rightTie = "event_id", payloadCols = Seq("pid"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_pid").as("next_purchase_id"))
-    })
+    },
+
+    // Recency-decayed per-user engagement (see decayScore).
+    "q88_decay_score" -> { (s, dir) => decayScore(Tables.events(s, dir)) },
+
+    // Majority-vote label aggregation (see labelMode).
+    "q89_label_mode" -> { (s, dir) => labelMode(Tables.events(s, dir)) },
+
+    // Session-level event-type co-occurrence (see sessionCooccurrence).
+    "q90_cooccurrence" -> { (s, dir) =>
+      sessionCooccurrence(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -1049,5 +1167,66 @@ object EventOps {
            FROM m)
          SELECT event_type, day, cnt, baseline_n, mean, z,
            COALESCE(z >= $AnomalyZ, false) AS is_spike
-         FROM z""")
+         FROM z""",
+    // Integer age-days, power-of-two weights, milli-unit values: the
+    // aggregated sum is an exact BIGINT; the single final division is the
+    // only double op, bit-equal across engines.
+    "q88_decay_score" ->
+      s"""WITH a AS (
+           SELECT user_id, ts, value,
+             CAST(floor(CAST(epoch_us(max(ts) OVER (PARTITION BY user_id))
+                             - epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  AS INTEGER) AS age_days
+           FROM events),
+         s AS (
+           SELECT user_id, count(*) AS n_events,
+             CAST(sum(CASE WHEN age_days < $DecayCapDays THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_recent,
+             max(ts) AS last_ts,
+             CAST(sum(CASE WHEN age_days < $DecayCapDays
+                   THEN CAST(floor(value * $DecayUnitScale) AS BIGINT)
+                        * (CAST(1 AS BIGINT) << (${DecayCapDays - 1} - age_days))
+                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS raw
+           FROM a GROUP BY 1)
+         SELECT user_id, n_events, n_recent, last_ts,
+           CAST(raw AS DOUBLE) / ${DecayDenom.toDouble} AS decay_score
+         FROM s""",
+    // the argmax mirrored as max-count join + min(label): exactly
+    // labelMode's stated tie rule, no engine-default argmax luck
+    "q89_label_mode" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT user_id, max(cnt) AS n_mode,
+             CAST(sum(cnt) AS BIGINT) AS n_total
+           FROM c GROUP BY 1)
+         SELECT m.user_id, min(c.event_type) AS mode_label,
+           m.n_mode, m.n_total,
+           CAST(m.n_mode AS DOUBLE) / CAST(m.n_total AS DOUBLE) AS share
+         FROM c JOIN m ON c.user_id = m.user_id AND c.cnt = m.n_mode
+         GROUP BY m.user_id, m.n_mode, m.n_total""",
+    // set semantics via DISTINCT, unordered pairs via the < self-join —
+    // the literal form of sessionCooccurrence's sorted-set generate
+    "q90_cooccurrence" ->
+      s"""WITH flagged AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > $GapSeconds
+                  THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           FROM flagged),
+         t AS (
+           SELECT DISTINCT user_id, session_no, event_type FROM numbered)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_sessions
+         FROM t a JOIN t b
+           ON a.user_id = b.user_id AND a.session_no = b.session_no
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2""")
 }

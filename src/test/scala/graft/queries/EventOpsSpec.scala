@@ -445,4 +445,87 @@ class EventOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  private val Day = 86400L
+
+  private def evv(rows: (Long, Long, Long, Double)*): DataFrame =
+    rows.map { case (id, u, t, v) => (id, u, ts(t), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+
+  test("decayScore: per-user anchor, halving weights, zero beyond the cap") {
+    val events = evv(
+      (1, 1, 10 * Day + Day / 2, 2.0),  // anchor: age 0, weight 2^15
+      (2, 1, 9 * Day + Day / 2, 1.5),   // exactly 1 day older: weight 2^14
+      (3, 1, -10 * Day + Day / 2, 9.9), // age 20 >= cap: weight 0, still counted
+      (4, 2, 3 * Day, 0.5))             // lone event: score == its own value
+    val got = EventOps.decayScore(events)
+      .as[(Long, Long, Long, Timestamp, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // user 1: (2000*2^15 + 1500*2^14) / (1000*2^15) = 2.0 + 0.75
+    assert(got(1L)._2 == 3L && got(1L)._3 == 2L)
+    assert(got(1L)._5 == 2.75, s"hand-computed decay sum: ${got(1L)}")
+    assert(got(1L)._4 == ts(10 * Day + Day / 2))
+    // a user's most recent event always carries full weight — the per-user
+    // anchor makes the lone event's score its own value
+    assert(got(2L)._5 == 0.5 && got(2L)._3 == 1L)
+  }
+
+  test("decayScore: all-age-0 events degenerate to sum of milli-floored values") {
+    val events = evv((1, 7, 100, 1.25), (2, 7, 100, 2.5), (3, 7, 100, 0.125))
+    val got = EventOps.decayScore(events)
+      .select(col("decay_score")).as[Double].head()
+    assert(got == (1250L + 2500L + 125L) / 1000.0)
+  }
+
+  test("decayScore is ONE exchange: the window anchor and the agg share it") {
+    val events = evv((1, 1, 10, 1.0), (2, 1, 20, 2.0))
+    val plan = EventOps.decayScore(events)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("labelMode: majority wins, ties go to the lexicographically smallest") {
+    val events = ev(
+      (1, 1, 10, "b"), (2, 1, 20, "a"), (3, 1, 30, "a"), (4, 1, 40, "b"),
+      (5, 2, 10, "c"), (6, 2, 20, "c"), (7, 2, 30, "c"), (8, 2, 40, "b"))
+    val got = EventOps.labelMode(events)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a", 2L, 4L, 0.5)), s"tie must break to 'a': ${got(1L)}")
+    assert(got(2L) == ((2L, "c", 3L, 4L, 0.75)))
+  }
+
+  test("labelMode plans two hash aggs, no window, no join") {
+    val events = ev((1, 1, 10, "a"), (2, 1, 20, "b"))
+    val plan = EventOps.labelMode(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("sessionCooccurrence: presence not volume, within-session pairs only") {
+    val events = ev(
+      // user 1, session 1: types a,b,a,c -> pairs (a,b),(a,c),(b,c)
+      (1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 300, "a"), (4, 1, 400, "c"),
+      // user 1, session 2 (gap > 6h): a,b -> (a,b) again
+      (5, 1, 100 + 8 * 3600, "a"), (6, 1, 200 + 8 * 3600, "b"),
+      // user 2: singleton-type session contributes nothing
+      (7, 2, 100, "a"))
+    val got = EventOps.sessionCooccurrence(events)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("sessionCooccurrence: the set agg rides the session exchange, no self-join") {
+    val events = ev((1, 1, 100, "a"), (2, 1, 200, "b"))
+    val plan = EventOps.sessionCooccurrence(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // one corpus-sized exchange on user_id (window + session agg), one
+    // pair-sized on (type_a, type_b)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
 }
