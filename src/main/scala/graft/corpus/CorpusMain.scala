@@ -48,16 +48,21 @@ import graft.sources.{Jsonl, Warehouse}
   *     Composition publishes in LONG form ((lang, source) rows), not
   *     q61's wide matrix: a published artifact must not grow a column per
   *     source.
+  *   - `normalize_stats/` (with `--normalize true`) — the per-source dirt
+  *     report of the whitespace/control cleanup (q85's pass applied in
+  *     place, BEFORE shingling so whitespace variants cannot defeat
+  *     dedup): docs seen, docs changed, characters removed;
   *   - `review_sample/` (with `--review-sample N`) — q71's uniform
   *     per-source sample of the PUBLISHED corpus, full rows + rank: the
   *     human-eval set, deterministic across reruns and unmoved by growth
   *     of unrelated sources (its md5 coordinate is independent of
   *     split/mix/budget, so reviewing it biases nothing).
   *
-  * Every stage is one of the oracle-checked operators (q52, q51, q31,
+  * Every stage is one of the oracle-checked operators (q52, q85, q51, q31,
   * q39, q55, q57, q49, q50, q60, q71) — this main only composes and publishes
   * them. Stage order is cheapest-reduction-first: mixing is a hash
-  * filter (no data examined), decontamination touches shingles once,
+  * filter (no data examined), normalization is a per-row rewrite ahead of
+  * everything that reads text, decontamination touches shingles once,
   * dedup pays the banded self-join only over what survives both, and the
   * quota and token-budget cuts rank/sample only dedup survivors (a
   * pre-dedup cut would under-fill every domain that had duplicates —
@@ -76,13 +81,15 @@ object CorpusMain {
       "[--export-jsonl true|false] [--publish-index <table>] " +
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
-      "[--stats true|false] [--review-sample N] [--keep-best true|false]"
+      "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
+      "[--normalize true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
-        "chunk", "chunk-stride", "stats", "review-sample", "keep-best"),
+        "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
+        "normalize"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -111,6 +118,7 @@ object CorpusMain {
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
     val exportJsonl = Cli.toBoolean(args, "export-jsonl", usage).getOrElse(false)
     val keepBest = Cli.toBoolean(args, "keep-best", usage).getOrElse(false)
+    val normalize = Cli.toBoolean(args, "normalize", usage).getOrElse(false)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -131,7 +139,8 @@ object CorpusMain {
       chunkStride,
       stats,
       reviewSample,
-      keepBest)
+      keepBest,
+      normalize)
     finally spark.stop()
   }
 
@@ -172,7 +181,8 @@ object CorpusMain {
       chunkStride: Option[Int] = None,
       stats: Boolean = false,
       reviewSample: Option[Int] = None,
-      keepBest: Boolean = false): Unit = {
+      keepBest: Boolean = false,
+      normalize: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(reviewSample.forall(_ >= 1),
       s"review-sample must be >= 1, got ${reviewSample.get}")
@@ -218,7 +228,7 @@ object CorpusMain {
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
-      chunkStride, stats, reviewSample, keepBest)
+      chunkStride, stats, reviewSample, keepBest, normalize)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -237,7 +247,8 @@ object CorpusMain {
       chunkStride: Option[Int] = None,
       stats: Boolean = false,
       reviewSample: Option[Int] = None,
-      keepBest: Boolean = false): Unit = {
+      keepBest: Boolean = false,
+      normalize: Boolean = false): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -248,7 +259,30 @@ object CorpusMain {
       case (None, Some(d)) => TextOps.mixFilter(raw, Seq.empty, d)
       case (None, None) => raw
     }
-    val shAll = DedupOps.shingledOf(mixed).persist()
+    // normalization BEFORE anything that reads text: whitespace variants
+    // must not defeat shingle dedup (a tab-indented mirror of a page is
+    // the same page), and quality/token stats must describe the text the
+    // corpus actually publishes. The per-source dirt report lands first
+    // (evidence-before-effect, like every audit here): one
+    // low-cardinality map-side-combinable agg — the normalization scalar
+    // is evaluated twice (audit pass + pipeline rewrite), which at any
+    // scale is cheaper than materializing a corpus-sized intermediate.
+    val cleaned = if (!normalize) mixed else {
+      val norm = TextOps.normalizedCol(col("text"))
+      Warehouse.replaceDir(
+        mixed.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum((norm =!= col("text")).cast("long")).as("n_changed"),
+          sum((length(col("text")) - length(norm)).cast("long"))
+            .as("chars_removed")),
+        s"$output/normalize_stats")
+      val c = mixed.withColumn("text", norm)
+      // documents carries a derived n_chars; keep it describing the text
+      // it sits next to (jsonl dumps don't carry one — nothing to mend)
+      if (c.columns.contains("n_chars")) c.withColumn("n_chars", length(col("text")))
+      else c
+    }
+    val shAll = DedupOps.shingledOf(cleaned).persist()
     try {
       // decontamination, audited BEFORE the drop is applied: reading the
       // published audit back both avoids recomputing the overlap and makes
@@ -266,12 +300,12 @@ object CorpusMain {
           Warehouse.replaceDir(hits, s"$output/contaminated")
           val drop = spark.read.parquet(s"$output/contaminated")
             .filter(col("n_hits") >= minHits).select("doc_id")
-          (mixed.join(drop, Seq("doc_id"), "left_anti"),
+          (cleaned.join(drop, Seq("doc_id"), "left_anti"),
             shAll.join(drop, Seq("doc_id"), "left_anti"))
         case None =>
           // (the stale `contaminated` audit, if any, is retired AFTER the
           // new corpus publishes — see the post-publish block)
-          (mixed, shAll)
+          (cleaned, shAll)
       }
       val pairs = DedupOps.minhashNearDup(sh).persist()
       try {
@@ -396,6 +430,7 @@ object CorpusMain {
         if (!keepBest) Warehouse.retireDir(spark, s"$output/canonical_map")
         if (!keepBest || embeddings.isEmpty)
           Warehouse.retireDir(spark, s"$output/embed_canonical_map")
+        if (!normalize) Warehouse.retireDir(spark, s"$output/normalize_stats")
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")

@@ -826,12 +826,19 @@ object TextOps {
     * Shape at scale: pure per-row scalar chain — zero shuffles, zero
     * joins, whole-stage codegen over a (doc_id, text)-pruned scan, the
     * same shape as [[redact]]. */
-  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val norm = trim(regexp_replace(regexp_replace(regexp_replace(t,
+  /** The normalization itself as a reusable Column — whitespace variants
+    * to space, C0/DEL controls stripped, runs collapsed, trim — so the
+    * corpus pipeline can rewrite `text` in place (CorpusMain --normalize)
+    * with the exact scalar q85 reports on. */
+  def normalizedCol(t: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(t,
       "[\\t\\n\\r\\x0B\\x0C]", " "),
       "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
       " {2,}", " "))
+
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val norm = normalizedCol(t)
     docs.select(col("doc_id"),
       length(t).as("n_chars_raw"),
       norm.as("text_norm"),

@@ -648,4 +648,59 @@ class CorpusMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/corpus")
       .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("--normalize cleans in place BEFORE dedup, audits per-source dirt, retires") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("corpus_main_norm").toString
+    val tmpIn = Files.createTempDirectory("corpus_norm_in").toString
+    val docs = spark.read.parquet(s"$input/documents.parquet")
+    // a whitespace MIRROR of a real doc under a foreign id: tab-indented,
+    // CRLF-terminated, every space doubled. Unnormalized, its shingles
+    // differ wholesale (split on ' ' even yields empty tokens), so dedup
+    // would keep both copies; normalized, the two are byte-identical.
+    val victim = docs.orderBy(col("doc_id")).limit(1)
+    val mirror = victim.withColumn("doc_id", lit(900001L))
+      .withColumn("text",
+        concat(lit("\t "), regexp_replace(col("text"), " ", "  "), lit(" \r\n")))
+      .withColumn("n_chars", length(col("text")))
+    docs.unionByName(mirror)
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    val victimId = victim.select("doc_id").as[Long].head()
+
+    CorpusMain.runWith(spark, tmpIn, out, normalize = true)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // no residual whitespace variants or runs anywhere in the corpus
+    assert(corpus.filter(col("text").rlike("[\\t\\r\\n\\x0B\\x0C]|  ")).count() == 0)
+    // the derived n_chars describes the text it sits next to
+    assert(corpus.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    // the mirror pair collapsed to ONE survivor — normalization ran
+    // before shingling, so the whitespace variant could not defeat dedup
+    val kept = corpus.filter(col("doc_id").isin(victimId, 900001L)).count()
+    assert(kept == 1L, s"exactly one of the mirror pair must survive, got $kept")
+    // per-source dirt report matches an independent recompute
+    val st = spark.read.parquet(s"$out/normalize_stats")
+      .select("source", "n_docs", "n_changed", "chars_removed")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val mirrorSrc = victim.select("source").as[String].head()
+    val inDocs = spark.read.parquet(s"$tmpIn/documents.parquet")
+    val perSrc = inDocs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(st.keySet == perSrc.keySet)
+    st.foreach { case (src, (_, n, chg, removed)) =>
+      assert(n == perSrc(src), s"$src doc count")
+      if (src == mirrorSrc) {
+        assert(chg >= 1L, s"$src must report the dirtied mirror changed")
+        assert(removed > 0L, s"$src must report removed characters")
+      }
+    }
+    // the testdata itself is single-space clean: only the mirror changed
+    assert(st.values.map(_._3).sum == 1L)
+
+    // a rerun WITHOUT the flag keeps both variants and retires the report
+    CorpusMain.runWith(spark, tmpIn, out)
+    assert(!new java.io.File(s"$out/normalize_stats").exists())
+    assert(spark.read.parquet(s"$out/corpus")
+      .filter(col("doc_id").isin(victimId, 900001L)).count() == 2L,
+      "unnormalized whitespace variants must evade shingle dedup (the point)")
+  }
 }
