@@ -48,6 +48,10 @@ import graft.sources.{Jsonl, Warehouse}
   *     Composition publishes in LONG form ((lang, source) rows), not
   *     q61's wide matrix: a published artifact must not grow a column per
   *     source.
+  *   - `span_cut/` (with `--cut-spans N`) — the duplicated-passage cut
+  *     (q82, Lee et al. 2021) applied to dedup survivors: every affected
+  *     doc's coverage stats AND its cut text, the published patch the
+  *     corpus text is then read back from (fully-covered docs drop);
   *   - `normalize_stats/` (with `--normalize true`) — the per-source dirt
   *     report of the whitespace/control cleanup (q85's pass applied in
   *     place, BEFORE shingling so whitespace variants cannot defeat
@@ -59,8 +63,8 @@ import graft.sources.{Jsonl, Warehouse}
   *     split/mix/budget, so reviewing it biases nothing).
   *
   * Every stage is one of the oracle-checked operators (q52, q85, q51, q31,
-  * q39, q55, q57, q49, q50, q60, q71) — this main only composes and publishes
-  * them. Stage order is cheapest-reduction-first: mixing is a hash
+  * q39, q82, q55, q57, q49, q50, q60, q71) — this main only composes and
+  * publishes them. Stage order is cheapest-reduction-first: mixing is a hash
   * filter (no data examined), normalization is a per-row rewrite ahead of
   * everything that reads text, decontamination touches shingles once,
   * dedup pays the banded self-join only over what survives both, and the
@@ -82,14 +86,14 @@ object CorpusMain {
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
-      "[--normalize true|false]"
+      "[--normalize true|false] [--cut-spans N]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
-        "normalize"),
+        "normalize", "cut-spans"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -119,6 +123,7 @@ object CorpusMain {
     val exportJsonl = Cli.toBoolean(args, "export-jsonl", usage).getOrElse(false)
     val keepBest = Cli.toBoolean(args, "keep-best", usage).getOrElse(false)
     val normalize = Cli.toBoolean(args, "normalize", usage).getOrElse(false)
+    val cutSpans = Cli.toInt(args, "cut-spans", usage)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -140,7 +145,8 @@ object CorpusMain {
       stats,
       reviewSample,
       keepBest,
-      normalize)
+      normalize,
+      cutSpans)
     finally spark.stop()
   }
 
@@ -182,8 +188,11 @@ object CorpusMain {
       stats: Boolean = false,
       reviewSample: Option[Int] = None,
       keepBest: Boolean = false,
-      normalize: Boolean = false): Unit = {
+      normalize: Boolean = false,
+      cutSpans: Option[Int] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
+    require(cutSpans.forall(_ >= 2),
+      s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
     require(reviewSample.forall(_ >= 1),
       s"review-sample must be >= 1, got ${reviewSample.get}")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
@@ -228,7 +237,7 @@ object CorpusMain {
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
-      chunkStride, stats, reviewSample, keepBest, normalize)
+      chunkStride, stats, reviewSample, keepBest, normalize, cutSpans)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -248,7 +257,8 @@ object CorpusMain {
       stats: Boolean = false,
       reviewSample: Option[Int] = None,
       keepBest: Boolean = false,
-      normalize: Boolean = false): Unit = {
+      normalize: Boolean = false,
+      cutSpans: Option[Int] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -364,6 +374,35 @@ object CorpusMain {
             // (the stale vector audit, if any, is retired post-publish)
             textDeduped
         }
+        // duplicated-PASSAGE cutting (q82, Lee et al. 2021) AFTER doc-level
+        // dedup (the passes are complementary: dedup drops whole near-dup
+        // docs, this cuts the verbatim passages shared by docs different
+        // enough to both survive) and BEFORE quota/budget (both rank and
+        // sample by quality/token totals, which change when spans are
+        // cut). The audit IS the patch source: affected docs' stats AND
+        // text_clean publish at span_cut/, are read back, and the corpus
+        // text comes from exactly the published patch — the same
+        // evidence-then-read-back protocol as every other stage. A doc
+        // whose every token was covered (dup_frac = 1) carries no novel
+        // text and is dropped; its audit row is the record of that.
+        val spanCut = cutSpans match {
+          case Some(nGram) =>
+            Warehouse.replaceDir(
+              DedupOps.spanDedup(deduped, nGram)
+                .filter(col("n_covered") > 0),
+              s"$output/span_cut")
+            val patch = spark.read.parquet(s"$output/span_cut")
+              .select(col("doc_id"), col("text_clean"))
+            val patched = deduped
+              .join(patch, Seq("doc_id"), "left")
+              .withColumn("text", coalesce(col("text_clean"), col("text")))
+              .drop("text_clean")
+              .filter(length(col("text")) > 0)
+            if (patched.columns.contains("n_chars"))
+              patched.withColumn("n_chars", length(col("text")))
+            else patched
+          case None => deduped
+        }
         // per-domain quota AFTER dedup (dedup changes per-source counts,
         // so a pre-dedup cut would under-fill every domain that had
         // duplicates), audited first like every other drop: the kept
@@ -373,11 +412,11 @@ object CorpusMain {
         val capped = quota match {
           case Some(q) =>
             Warehouse.replaceDir(
-              TextOps.domainQuota(deduped, q), s"$output/domain_quota")
-            deduped.join(
+              TextOps.domainQuota(spanCut, q), s"$output/domain_quota")
+            spanCut.join(
               spark.read.parquet(s"$output/domain_quota").select("doc_id"),
               Seq("doc_id"), "left_semi")
-          case None => deduped
+          case None => spanCut
         }
         // token budget LAST of the drops, over what every earlier stage
         // kept: rate mixing, dedup, and the quota all change per-source
@@ -431,6 +470,7 @@ object CorpusMain {
         if (!keepBest || embeddings.isEmpty)
           Warehouse.retireDir(spark, s"$output/embed_canonical_map")
         if (!normalize) Warehouse.retireDir(spark, s"$output/normalize_stats")
+        if (cutSpans.isEmpty) Warehouse.retireDir(spark, s"$output/span_cut")
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")

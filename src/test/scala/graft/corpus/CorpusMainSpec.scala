@@ -467,7 +467,9 @@ class CorpusMainSpec extends SparkSpec {
         exportJsonl = true,
         publishIndex = Some("all_flags_idx"),
         publishVectorIndex = Some("all_flags_vec_idx"),
-        publishVectors = Some("all_flags_vecs"))
+        publishVectors = Some("all_flags_vecs"),
+        normalize = true,
+        cutSpans = Some(8))
       val corpus = spark.read.parquet(s"$out/corpus")
       val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids.nonEmpty)
@@ -480,7 +482,7 @@ class CorpusMainSpec extends SparkSpec {
       assert(corpus.groupBy("source").count()
         .collect().forall(_.getLong(1) <= 5L), "quota breached")
       for (audit <- Seq("near_dup_pairs", "domain_quota", "embed_dup_pairs",
-          "token_budget"))
+          "token_budget", "normalize_stats", "span_cut"))
         assert(new java.io.File(s"$out/$audit").exists(), s"$audit missing")
       // the quota and budget audits and the corpus agree exactly (the
       // over-total budget keeps every quota survivor, with null cuts)
@@ -513,7 +515,7 @@ class CorpusMainSpec extends SparkSpec {
       CorpusMain.runWith(spark, input, out)
       for (stale <- Seq("contaminated", "domain_quota", "embed_dup_pairs",
           "token_budget", "corpus_jsonl", "examples", "corpus_stats",
-          "composition"))
+          "composition", "normalize_stats", "span_cut"))
         assert(!new java.io.File(s"$out/$stale").exists(), s"$stale must retire")
     } finally
       for (t <- Seq("all_flags_idx", "all_flags_vec_idx", "all_flags_vecs"))
@@ -702,5 +704,48 @@ class CorpusMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/corpus")
       .filter(col("doc_id").isin(victimId, 900001L)).count() == 2L,
       "unnormalized whitespace variants must evade shingle dedup (the point)")
+  }
+
+  test("--cut-spans removes shared passages from dedup SURVIVORS, audited and reversible") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("corpus_main_spans").toString
+    val tmpIn = Files.createTempDirectory("corpus_spans_in").toString
+    // two docs sharing a verbatim 10-token passage inside otherwise
+    // disjoint 30-token bodies: Jaccard far below the near-dup threshold,
+    // so BOTH survive doc-level dedup — exactly the case span-cutting is
+    // for. Doc 3 is the shared passage alone: fully covered, must drop.
+    val passage = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, "s", (1 to 30).map(i => s"alpha$i").mkString(" ") + " " + passage),
+      (2L, "s", passage + " " + (1 to 30).map(i => s"beta$i").mkString(" ")),
+      (3L, "s", passage),
+      (4L, "s", (1 to 20).map(i => s"gamma$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    docsDf.write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+
+    CorpusMain.runWith(spark, tmpIn, out, cutSpans = Some(8))
+    val corpus = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // all four survive dedup (precondition), but 3 is fully covered
+    assert(corpus.keySet == Set(1L, 2L, 4L),
+      s"fully-duplicated doc must drop: ${corpus.keySet}")
+    assert(!corpus(1L).contains("shared") && !corpus(2L).contains("shared"),
+      "the shared passage must be cut from both carriers")
+    assert(corpus(1L).contains("alpha30") && corpus(2L).contains("beta1"),
+      "novel text must survive the cut")
+    assert(corpus(4L) == docsDf.filter(col("doc_id") === 4).select("text").as[String].head(),
+      "an unaffected doc must pass through byte-identical")
+    // the audit carries stats AND the patch text for affected docs only
+    val audit = spark.read.parquet(s"$out/span_cut")
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    assert(audit.keySet == Set(1L, 2L, 3L))
+    assert(audit(3L) == 1.0, s"the passage-only doc is fully covered: $audit")
+    // a rerun WITHOUT the flag restores the passages and retires the audit
+    CorpusMain.runWith(spark, tmpIn, out)
+    assert(!new java.io.File(s"$out/span_cut").exists())
+    val again = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(again.keySet == Set(1L, 2L, 3L, 4L))
+    assert(again(1L).contains("shared1"))
   }
 }
