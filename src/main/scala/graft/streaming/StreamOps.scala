@@ -124,6 +124,51 @@ object StreamOps {
         })
   }
 
+  /** State of [[labelModeProgress]]: the per-key label histogram — bounded
+    * by label cardinality, never by event count. */
+  case class ModeState(counts: Map[String, Long])
+
+  /** Streaming twin of the batch majority vote
+    * ([[graft.queries.EventOps.labelMode]], q89): maintains a per-key
+    * label histogram and emits `(key, mode_label, n_mode, n_seen)`
+    * whenever the WINNING (label, count) pair moves — the live
+    * label-aggregation view of an annotation stream. The tie rule is the
+    * batch operator's stated one (max count, then lexicographically
+    * smallest label), and the winning pair only changes when a row is
+    * emitted, so after ANY prefix of the log the key's latest emission
+    * (highest `n_seen` — the strictly-increasing per-key event count at
+    * emission time) carries exactly the batch operator's (mode_label,
+    * n_mode) over that prefix: the stream == batch pin. The restored
+    * state's mode seeds the comparison, so a batch boundary alone never
+    * re-emits. Ordering follows [[sinceLastSignup]]'s in-order-log
+    * assumption.
+    */
+  def labelModeProgress(events: Dataset[(Long, java.sql.Timestamp, Long, String)])(
+      implicit spark: SparkSession): Dataset[(Long, String, Long, Long)] = {
+    import spark.implicits._
+    def modeOf(counts: Map[String, Long]): Option[(String, Long)] =
+      if (counts.isEmpty) None
+      else Some(counts.minBy { case (l, c) => (-c, l) })
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[ModeState]) => {
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          var seen = counts.valuesIterator.sum
+          var last = modeOf(counts)
+          val out = it.toSeq.sortBy(e => (epochMicros(e._2), e._3)).flatMap { e =>
+            counts = counts.updated(e._4, counts.getOrElse(e._4, 0L) + 1L)
+            seen += 1L
+            val m = modeOf(counts)
+            if (m != last) { last = m; m.map(p => (user, p._1, p._2, seen)) }
+            else None
+          }
+          state.update(ModeState(counts))
+          out.iterator
+        })
+  }
+
   /** State of [[anomalyProgress]]: the open (not yet scored) epoch-day, its
     * running count, and the trailing completed-day counts (oldest first,
     * at most `baseline` entries) — O(baseline) per event type. */

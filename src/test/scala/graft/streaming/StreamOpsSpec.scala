@@ -100,6 +100,68 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("labelModeProgress: cross-batch histogram, tie rule, latest emission == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamOps.labelModeProgress(in.toDS())
+    val q = out.toDF("user_id", "mode_label", "n_mode", "n_seen")
+      .writeStream.format("memory").queryName("labelmode").outputMode("append").start()
+    // user 1: b, then a (tie at 1-1 flips to the smaller label), then b
+    // twice across the batch boundary (retakes and extends), then a (no
+    // flip — no emission). user 2: one label, one emission.
+    val b1 = Seq((1L, ts(1), 1L, "b"), (1L, ts(2), 2L, "a"), (2L, ts(3), 5L, "c"))
+    val b2 = Seq((1L, ts(4), 3L, "b"), (1L, ts(5), 4L, "b"), (1L, ts(6), 6L, "a"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, mode_label, n_mode, n_seen FROM labelmode")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, "b", 1L, 1L), // first event wins outright
+        (1L, "a", 1L, 2L), // 1-1 tie flips to the smaller label
+        (1L, "b", 2L, 3L), // b retakes
+        (1L, "b", 3L, 4L), // and extends; the trailing 'a' emits nothing
+        (2L, "c", 1L, 1L)), rows.toString) // n_seen is per-KEY, not global
+      // the latest emission per user == the batch operator over the log
+      val latest = rows.groupBy(_._1).map { case (u, rs) =>
+        val r = rs.maxBy(_._4); u -> ((r._2, r._3)) }
+      val batch = graft.queries.EventOps.labelMode(
+          (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type"))
+        .select("user_id", "mode_label", "n_mode")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest == batch, s"stream $latest != batch $batch")
+    } finally q.stop()
+  }
+
+  test("labelModeProgress: latest emission == batch on a randomized two-batch log") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(89)
+    val labels = Vector("a", "b", "c", "d")
+    val all = (1 to 240).map(i =>
+      (rnd.nextInt(5).toLong + 1L, ts(i), i.toLong, labels(rnd.nextInt(labels.size))))
+    val (b1, b2) = all.splitAt(120)
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamOps.labelModeProgress(in.toDS())
+      .toDF("user_id", "mode_label", "n_mode", "n_seen")
+      .writeStream.format("memory").queryName("labelmode_rnd").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val latest = spark.sql(
+          "SELECT user_id, mode_label, n_mode, n_seen FROM labelmode_rnd")
+        .as[(Long, String, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          val r = rs.maxBy(_._4); u -> ((r._2, r._3)) }
+      val batch = graft.queries.EventOps.labelMode(
+          all.toDF("user_id", "ts", "event_id", "event_type"))
+        .select("user_id", "mode_label", "n_mode")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest == batch)
+    } finally q.stop()
+  }
+
   test("funnelProgress keeps sub-millisecond precision: a 500us gap is strictly after") {
     implicit val sqlCtx = spark.sqlContext
     // the events table ships micros — same epoch MILLI, different micros.
