@@ -18,7 +18,7 @@ object Bench {
   private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
     "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate",
-    "q74_canonical_pick", "q81_dup_stats")
+    "q74_canonical_pick", "q81_dup_stats", "q92_dup_rate_by_source")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
@@ -129,7 +129,10 @@ object Bench {
     ("q87_bloom_decontaminate", 1.1, 1.8),
     ("q88_decay_score", 0.4, 0.8),
     ("q89_label_mode", 0.3, 0.6),
-    ("q90_cooccurrence", 0.85, 1.4))
+    ("q90_cooccurrence", 0.85, 1.4),
+    ("q91_gap_histogram", 0.55, 1.1),
+    ("q92_dup_rate_by_source", 4.2, 6.0),
+    ("q93_url_canonicalize", 0.2, 0.5))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -137,7 +140,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q90; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q93; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

@@ -722,6 +722,51 @@ object DedupOps {
       .agg(count(lit(1)).as("n_components"))
   }
 
+  /** Per-source duplication report (q92) — [[dupStats]]'s sibling at
+    * SOURCE granularity, and [[sourceOverlap]]'s at DOC granularity: for
+    * every source, how many of its docs sit in a near-dup pair
+    * (`dup_rate` = that fraction), and how its pair endpoints split
+    * between within-source pairs (a feed re-publishing itself — fix the
+    * crawler) and cross-source pairs (two feeds scraping the same sites —
+    * fix the mix). A within pair is attributed once to its source; a
+    * cross pair once to EACH side.
+    *
+    * Shape at scale: rides the LSH pair producer (pairs are a few percent
+    * of docs at real dup rates); two pair-sized equi-joins attach sources,
+    * one distinct over pair participants, and every aggregation is
+    * map-side-combinable at source granularity. The corpus itself is
+    * touched once for the per-source doc counts. `dup_rate` is one
+    * division of exact longs. */
+  def dupRateBySource(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val withSrc = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+    val perSource = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    val contrib = withSrc.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("source"), lit(1L).as("w"), lit(0L).as("c"))
+      .unionByName(withSrc.filter(col("src_a") =!= col("src_b"))
+        .select(col("src_a").as("source"), lit(0L).as("w"), lit(1L).as("c")))
+      .unionByName(withSrc.filter(col("src_a") =!= col("src_b"))
+        .select(col("src_b").as("source"), lit(0L).as("w"), lit(1L).as("c")))
+      .groupBy(col("source"))
+      .agg(sum(col("w")).as("n_within_pairs"), sum(col("c")).as("n_cross_pairs"))
+    perSource
+      .join(dupDocs, Seq("source"), "left")
+      .join(contrib, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_within_pairs"), lit(0L)).as("n_within_pairs"),
+        coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"),
+        (coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+          / col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   /** Cross-source overlap matrix (q84): for every unordered pair of
     * sources, how many DISTINCT word-3-gram shingles they share — the
     * provenance-leakage diagnostic read BEFORE mixing crawls: a hot pair
@@ -952,6 +997,12 @@ object DedupOps {
       sourceOverlap(Tables.documents(s, dir))
     },
 
+    // Per-source duplication report (see dupRateBySource).
+    "q92_dup_rate_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      dupRateBySource(docs, minhashNearDup(shingled(s, dir)))
+    },
+
     // Exact duplicated-substring spans, cut at 8-token resolution
     // (see spanDedup).
     "q82_span_dedup" -> { (s, dir) =>
@@ -1061,6 +1112,45 @@ object DedupOps {
       s"""$shingleCte,
          $minhashCandCte
          $minhashPairsSelect""",
+    // pairs from the q31 machinery; within pairs attributed once, cross
+    // pairs once per side; dup_rate is one division of exact longs
+    "q92_dup_rate_by_source" ->
+      s"""$shingleCte,
+         $minhashCandCte,
+         pairs AS ($minhashPairsSelect),
+         withsrc AS (
+           SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+           FROM pairs p
+           JOIN documents da ON p.doc_a = da.doc_id
+           JOIN documents db ON p.doc_b = db.doc_id),
+         per_source AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         dup_docs AS (
+           SELECT d.source, count(*) AS n_dup_docs FROM (
+             SELECT doc_a AS doc_id FROM pairs
+             UNION SELECT doc_b AS doc_id FROM pairs) u
+           JOIN documents d ON u.doc_id = d.doc_id GROUP BY 1),
+         contrib AS (
+           SELECT source,
+             CAST(sum(w) AS BIGINT) AS n_within_pairs,
+             CAST(sum(c) AS BIGINT) AS n_cross_pairs
+           FROM (
+             SELECT src_a AS source, 1 AS w, 0 AS c FROM withsrc
+             WHERE src_a = src_b
+             UNION ALL
+             SELECT src_a, 0, 1 FROM withsrc WHERE src_a <> src_b
+             UNION ALL
+             SELECT src_b, 0, 1 FROM withsrc WHERE src_a <> src_b) t
+           GROUP BY 1)
+         SELECT p.source, p.n_docs,
+           COALESCE(d.n_dup_docs, 0) AS n_dup_docs,
+           COALESCE(ct.n_within_pairs, 0) AS n_within_pairs,
+           COALESCE(ct.n_cross_pairs, 0) AS n_cross_pairs,
+           CAST(COALESCE(d.n_dup_docs, 0) AS DOUBLE)
+             / CAST(p.n_docs AS DOUBLE) AS dup_rate
+         FROM per_source p
+         LEFT JOIN dup_docs d ON p.source = d.source
+         LEFT JOIN contrib ct ON p.source = ct.source""",
     "q38_components" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          $minhashCandCte,

@@ -562,6 +562,40 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Inter-arrival gap histogram (q91) — the arrival-process read over a
+    * behavioral log: per event type, the distribution of whole-second
+    * gaps between a user's consecutive events of that type, collapsed
+    * into power-of-two buckets (`floor(log2(gap+1))` — bucket b covers
+    * gaps [2^b - 1, 2^(b+1) - 2]). The table an ingestion planner reads
+    * to pick session gaps, watermark horizons, and polling cadences.
+    *
+    * Cross-engine determinism: gaps are integer seconds (the engine's
+    * whole-second epoch rule); log2 of an integer argument cannot sit
+    * within an ulp of an integer boundary below 2^31 (the nearest
+    * non-power-of-two approach is ~1e-9 at 2^31, seven orders above
+    * double ulp), so the floor is bit-stable across libms. Counts are
+    * exact longs; bucket bounds are shifted integers.
+    *
+    * Shape at scale: one window exchange on (user_id, event_type) — the
+    * lag is the only corpus-sized step — then a map-side-combinable count
+    * into a (types × ~32 buckets)-sized table. */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket", floor(log2(col("gap") + 1)).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        (expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).as("gap_lo"),
+        (expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 2).as("gap_hi"),
+        col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W2 first-row-per-group — the starter-derivation idiom (reference:
     // etl/players_on_court_at_start_of_period.py:73-88).
@@ -795,7 +829,10 @@ object EventOps {
 
     // Session-level event-type co-occurrence (see sessionCooccurrence).
     "q90_cooccurrence" -> { (s, dir) =>
-      sessionCooccurrence(Tables.events(s, dir)) })
+      sessionCooccurrence(Tables.events(s, dir)) },
+
+    // Inter-arrival gap histogram (see gapHistogram).
+    "q91_gap_histogram" -> { (s, dir) => gapHistogram(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -1228,5 +1265,23 @@ object EventOps {
          FROM t a JOIN t b
            ON a.user_id = b.user_id AND a.session_no = b.session_no
            AND a.event_type < b.event_type
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    // whole-second integer gaps, log2 floor (bit-stable below 2^31 — see
+    // gapHistogram's scaladoc), shifted-integer bucket bounds
+    "q91_gap_histogram" ->
+      """WITH g AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+         b AS (
+           SELECT event_type,
+             CAST(floor(log2(gap + 1)) AS INTEGER) AS bucket
+           FROM g WHERE gap IS NOT NULL)
+         SELECT event_type, bucket,
+           (CAST(1 AS BIGINT) << bucket) - 1 AS gap_lo,
+           (CAST(1 AS BIGINT) << (bucket + 1)) - 2 AS gap_hi,
+           count(*) AS n
+         FROM b GROUP BY 1, 2""")
 }

@@ -869,6 +869,61 @@ object TextOps {
                  ' ' || chr(13) || chr(10)
             ELSE text END"""
 
+  /** URL extraction + canonicalization (q93) — the crawl-pipeline URL
+    * cleanup: pull the first URL out of each document, then canonicalize
+    * it the way a crawl deduper keys pages — scheme and host lowercased,
+    * `utm_*` tracking parameters stripped from the query (dangling `&`
+    * mended), the fragment dropped (it never reaches the server). Output
+    * is (doc_id, host, path, canonical); docs with no URL report nulls.
+    * Grouping by `host` (or by `canonical`) downstream is URL-keyed crawl
+    * dedup — the cheap first pass before any content hash.
+    *
+    * All regexes live in the Java/RE2 common subset (explicit classes,
+    * no backrefs in patterns, no group refs in replacements — q63's
+    * portability rule), so the DuckDB oracle matches byte-for-byte.
+    *
+    * Shape at scale: a pure per-row scalar chain — zero shuffles, whole
+    * stage codegen over a (doc_id, text)-pruned scan, the same shape as
+    * [[redact]] and [[normalizeText]]. */
+  def urlCanonicalize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val raw = regexp_extract(col(textCol), "url=(\\S+)", 1)
+    // regexp_extract returns "" on no match; surface nulls instead
+    val url = when(raw === "", lit(null)).otherwise(raw)
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val cleanQuery = regexp_replace(
+      regexp_replace(query, "(^|&)utm_[^&]*", ""), "^&+", "")
+    docs.select(col("doc_id"), host.as("host"), path.as("path"),
+      concat(scheme, lit("://"), host, path,
+        when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery)))
+        .as("canonical"))
+  }
+
+  /** The synthetic corpus carries no URLs, so the q93 demo query
+    * deterministically appends one per doc — uppercase scheme, mixed-case
+    * host, utm params in leading AND trailing positions around a keeper,
+    * and a fragment — so the canonicalization exercises every rule and
+    * the oracle mirrors the same injection SQL. */
+  private def withSyntheticUrl(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        lit(" url=HTTP://WWW.Site"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM/p"), (col("doc_id") % 5).cast("string"),
+        lit("/d"), col("doc_id").cast("string"),
+        lit("?utm_source=feed"), (col("doc_id") % 3).cast("string"),
+        lit("&id="), col("doc_id").cast("string"),
+        lit("&utm_medium=rss#s"), (col("doc_id") % 4).cast("string")))
+
+  private val SyntheticUrlSql =
+    """text || ' url=HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+       '.Example.COM/p' || CAST(doc_id % 5 AS VARCHAR) ||
+       '/d' || CAST(doc_id AS VARCHAR) ||
+       '?utm_source=feed' || CAST(doc_id % 3 AS VARCHAR) ||
+       '&id=' || CAST(doc_id AS VARCHAR) ||
+       '&utm_medium=rss#s' || CAST(doc_id % 4 AS VARCHAR)"""
+
   private val DefaultNgramN = 2
   private val DefaultNgramK = 30
 
@@ -1074,6 +1129,11 @@ object TextOps {
     // (see normalizeText).
     "q85_normalize" -> { (s, dir) =>
       normalizeText(withSyntheticMess(Tables.documents(s, dir))) },
+
+    // URL canonicalization over a synthetically URL-tagged corpus
+    // (see urlCanonicalize).
+    "q93_url_canonicalize" -> { (s, dir) =>
+      urlCanonicalize(withSyntheticUrl(Tables.documents(s, dir))) },
 
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
@@ -1330,6 +1390,29 @@ object TextOps {
            length(text_norm) AS n_chars_norm,
            text_norm <> t0 AS changed
          FROM n""",
+    // same injection, same regex chain; DuckDB regexp_extract returns ''
+    // on no match like Spark, but the injection guarantees a match, so
+    // the NULLIF mirror of the Spark-side null surface never fires here
+    "q93_url_canonicalize" ->
+      s"""WITH inj AS (
+           SELECT doc_id, $SyntheticUrlSql AS t FROM documents),
+         u AS (
+           SELECT doc_id, NULLIF(regexp_extract(t, 'url=(\\S+)', 1), '') AS url
+           FROM inj),
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS clean_query
+           FROM u)
+         SELECT doc_id, host, path,
+           scheme || '://' || host || path ||
+             (CASE WHEN clean_query = '' THEN ''
+                   ELSE '?' || clean_query END) AS canonical
+         FROM p""",
     "q64_ngram_topk" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
          b AS (

@@ -256,4 +256,30 @@ class DedupOpsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("s1", "s2", 1L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
+
+  test("dupRateBySource: within once, cross once per side, exact rates, zero rows kept") {
+    val docs = Seq(
+      (1L, "sA"), (2L, "sA"), (3L, "sA"), (4L, "sA"), // sA: 4 docs
+      (5L, "sB"), (6L, "sB"),                         // sB: 2 docs
+      (7L, "sC"))                                     // sC: clean source
+      .toDF("doc_id", "source")
+    // pairs: (1,2) within sA; (3,5) cross sA-sB; doc 4, 6, 7 untouched
+    val pairs = Seq((1L, 2L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupRateBySource(docs, pairs)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("sA") == (("sA", 4L, 3L, 1L, 1L, 0.75)), got("sA").toString)
+    assert(got("sB") == (("sB", 2L, 1L, 0L, 1L, 0.5)))
+    assert(got("sC") == (("sC", 1L, 0L, 0L, 0L, 0.0)),
+      "a clean source must still report a zero row")
+  }
+
+  test("dupRateBySource: a doc in many pairs counts once toward dup_rate") {
+    val docs = Seq((1L, "s"), (2L, "s"), (3L, "s"), (4L, "s"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupRateBySource(docs, pairs)
+      .as[(String, Long, Long, Long, Long, Double)].collect().head
+    assert(got == (("s", 4L, 3L, 3L, 0L, 0.75)), got.toString)
+  }
 }

@@ -518,6 +518,33 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
   }
 
+  test("gapHistogram: power-of-two buckets with exact integer bounds") {
+    val events = ev(
+      (1, 1, 100, "a"), (2, 1, 100, "a"),   // gap 0  -> bucket 0 [0, 0]
+      (3, 1, 101, "a"),                      // gap 1  -> bucket 1 [1, 2]
+      (4, 1, 104, "a"),                      // gap 3  -> bucket 2 [3, 6]
+      (5, 1, 111, "a"),                      // gap 7  -> bucket 3 [7, 14]
+      (6, 1, 118, "a"),                      // gap 7  -> bucket 3 again
+      (7, 1, 200, "b"), (8, 2, 300, "b"))    // different type/user: no gap
+    val got = EventOps.gapHistogram(events)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      ("a", 0) -> ((0L, 0L, 1L)),
+      ("a", 1) -> ((1L, 2L, 1L)),
+      ("a", 2) -> ((3L, 6L, 1L)),
+      ("a", 3) -> ((7L, 14L, 2L))), got.toString)
+  }
+
+  test("gapHistogram: one corpus exchange for the lag, histogram-sized agg") {
+    val events = ev((1, 1, 100, "a"), (2, 1, 200, "a"))
+    val plan = EventOps.gapHistogram(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
+
   test("sessionCooccurrence: the set agg rides the session exchange, no self-join") {
     val events = ev((1, 1, 100, "a"), (2, 1, 200, "b"))
     val plan = EventOps.sessionCooccurrence(events)

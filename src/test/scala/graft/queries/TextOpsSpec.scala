@@ -632,6 +632,30 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan) // pure per-row scan
   }
 
+  test("urlCanonicalize: case, utm stripping in every position, fragment drop, null surface") {
+    val d = Seq(
+      (1L, "x url=HTTP://WWW.A.COM/p?id=1#frag"),       // case + fragment
+      (2L, "x url=http://a.com/p?utm_s=1&id=2"),        // utm FIRST, keeper after
+      (3L, "x url=http://a.com/p?id=3&utm_s=1"),        // utm last
+      (4L, "x url=http://a.com/p?utm_a=1&utm_b=2"),     // utm ONLY: no '?'
+      (5L, "x url=http://a.com/p?utm_a=1&id=5&utm_b=2"),// utm both sides
+      (6L, "no link here"),                             // no URL: nulls
+      (7L, "x url=https://B.com"))                      // empty path, no query
+      .toDF("doc_id", "text")
+    val got = TextOps.urlCanonicalize(d)
+      .as[(Long, Option[String], Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, Some("www.a.com"), Some("/p"), Some("http://www.a.com/p?id=1"))))
+    assert(got(2L)._4 == Some("http://a.com/p?id=2"))
+    assert(got(3L)._4 == Some("http://a.com/p?id=3"))
+    assert(got(4L)._4 == Some("http://a.com/p"), "utm-only query must drop the '?'")
+    assert(got(5L)._4 == Some("http://a.com/p?id=5"))
+    assert(got(6L) == ((6L, None, None, None)))
+    assert(got(7L)._4 == Some("https://b.com"))
+    val plan = TextOps.urlCanonicalize(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // pure per-row scan
+  }
+
   test("lmFamiliarity plan: the count join builds post-agg, no cartesian, three exchanges") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     noAutoBroadcast {
