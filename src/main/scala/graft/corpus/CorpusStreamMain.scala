@@ -77,15 +77,27 @@ object CorpusStreamMain {
       benchSet: Option[DataFrame] = None,
       minHits: Long = 1L,
       broadcastBench: Boolean = true,
-      corpusIndex: Option[DataFrame] = None): DataFrame = {
+      corpusIndex: Option[DataFrame] = None,
+      normalize: Boolean = false): DataFrame = {
     // same guards as the batch twin (CorpusMain.runWith): a threshold
     // without its stage must fail loudly, programmatically too
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(minHits == 1L || benchSet.nonEmpty,
       s"minHits=$minHits was given without a benchSet to threshold")
-    val mixed =
+    val raw0 =
       if (mixRates.isEmpty && mixDefault == "ff") batch
       else TextOps.mixFilter(batch, mixRates, mixDefault)
+    // normalization parity with the batch twin: a corpus published under
+    // CorpusMain --normalize holds CLEAN text, so an arriving whitespace
+    // variant of a curated page only collides with the gate's index if
+    // the batch is normalized the same way BEFORE shingling — an
+    // un-normalized gate over a normalized corpus is a duplicate leak.
+    // (Same Column, so the two sides cannot drift.)
+    val mixed = if (!normalize) raw0 else {
+      val n = raw0.withColumn("text", TextOps.normalizedCol(col("text")))
+      if (n.columns.contains("n_chars")) n.withColumn("n_chars", length(col("text")))
+      else n
+    }
     val mixedSh = DedupOps.shingledOf(mixed)
     // decontamination drops ids from BOTH frames via the same anti-join,
     // so the gate reuses the one shingle pass instead of re-shingling the
@@ -134,7 +146,8 @@ object CorpusStreamMain {
       checkpoint: String, mixRates: Seq[(String, String)] = Seq.empty,
       mixDefault: String = "ff", benchSet: Option[DataFrame] = None,
       minHits: Long = 1L, broadcastBench: Boolean = true,
-      decode: Option[(DataFrame, Long) => DataFrame] = None): StreamingQuery =
+      decode: Option[(DataFrame, Long) => DataFrame] = None,
+      normalize: Boolean = false): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -142,7 +155,8 @@ object CorpusStreamMain {
         val ids = docs.select("doc_id")
         val curated = state.vectorGate(
           curateBatch(docs, state.corpusSh, mixRates, mixDefault, benchSet,
-            minHits, broadcastBench, corpusIndex = Some(state.probeIdx(ids, id))),
+            minHits, broadcastBench, corpusIndex = Some(state.probeIdx(ids, id)),
+            normalize = normalize),
           ids, id)
         publishBatch(curated, output, id)
         // absorb from the PUBLISHED directory — the on-disk truth, which
@@ -183,7 +197,8 @@ object CorpusStreamMain {
       "[--recursive true|false] [--format parquet|jsonl] " +
       "[--embeddings <parquet> | --vectors-table <table>] [--cos-threshold D] " +
       "[--index-table <table>] [--shingles-table <table>] " +
-      "[--vector-index-table <table>] [--max-files-per-trigger N]\n" +
+      "[--vector-index-table <table>] [--max-files-per-trigger N] " +
+      "[--normalize true|false]\n" +
       "   or: graft.corpus.CorpusStreamMain --compact-state true " +
       "--output <dir> --index-table <table> --shingles-table <table> " +
       "[--vector-index-table <table> " +
@@ -193,7 +208,7 @@ object CorpusStreamMain {
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "index-table",
         "shingles-table", "vector-index-table", "vectors-table",
-        "max-files-per-trigger", "compact-state"),
+        "max-files-per-trigger", "compact-state", "normalize"),
       required = Set("output"),
       usage = usage)
     val compactMode = Cli.toBoolean(args, "compact-state", usage).getOrElse(false)
@@ -204,7 +219,7 @@ object CorpusStreamMain {
     if (compactMode) {
       val streamOnly = Seq("input", "corpus", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
-        "format", "cos-threshold", "max-files-per-trigger")
+        "format", "cos-threshold", "max-files-per-trigger", "normalize")
       for (f <- streamOnly if args.contains(f)) {
         System.err.println(s"--$f is a streaming flag: meaningless with --compact-state")
         sys.exit(2)
@@ -283,6 +298,9 @@ object CorpusStreamMain {
     // keeps per-batch publish/absorb cost flat.
     val maxFiles = Cli.toLong(args, "max-files-per-trigger", usage).getOrElse(256L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
+    // parity flag: pass it whenever the corpus was published under
+    // CorpusMain --normalize (see curateBatch's normalization note)
+    val normalize = Cli.toBoolean(args, "normalize", usage).getOrElse(false)
     val format = args.getOrElse("format", "parquet")
     if (format != "parquet" && format != "jsonl") {
       System.err.println(s"bad --format value '$format' (want parquet|jsonl)")
@@ -359,7 +377,7 @@ object CorpusStreamMain {
       }
       val q = start(incoming, state, output, args("checkpoint"),
         rates, args.getOrElse("mix-default", "ff"), benchSet, minHits,
-        broadcastBench, decode)
+        broadcastBench, decode, normalize)
       q.awaitTermination()
     } finally spark.stop()
   }

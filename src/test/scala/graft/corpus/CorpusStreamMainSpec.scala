@@ -95,6 +95,39 @@ class CorpusStreamMainSpec extends SparkSpec {
       s"a dup of a doc accepted in an earlier batch must drop: $b2")
   }
 
+  test("--normalize parity: a whitespace variant of a curated page drops only WITH the flag") {
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus is published CLEAN (what CorpusMain --normalize yields);
+    // the incoming variant is the same page tab-indented, CRLF-terminated,
+    // spaces doubled — unnormalized its shingles differ wholesale, so an
+    // un-normalized gate over a normalized corpus is a duplicate leak
+    val variant = "\t alpha  beta  gamma  delta  epsilon  zeta  eta  theta \r\n"
+    for (flag <- Seq(false, true)) {
+      val out = Files.createTempDirectory(s"stream_norm_$flag").toString
+      val ckpt = Files.createTempDirectory(s"stream_norm_ckpt_$flag").toString
+      val state = GateState.build(corpusDf)
+      val in = MemoryStream[(Long, String, String)]
+      val q = CorpusStreamMain.start(
+        in.toDF().toDF("doc_id", "source", "text"), state, out, ckpt,
+        normalize = flag)
+      try {
+        in.addData(
+          (50L, "src0", variant),
+          (51L, "src0", "a genuinely novel body of words unlike all others"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$out/batch=0")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      if (flag) {
+        assert(got.keySet == Set(51L),
+          s"normalized gate must catch the whitespace variant: ${got.keySet}")
+        assert(!got(51L).contains("  "), "published text must be the clean form")
+      } else
+        assert(got.keySet == Set(50L, 51L),
+          "unnormalized, the variant's shingles miss the index (the leak the flag closes)")
+    }
+  }
+
   test("file-source restart resumes from checkpoint AND re-arms the gate with published docs") {
     val root = Files.createTempDirectory("stream_gate_restart").toString
     val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
