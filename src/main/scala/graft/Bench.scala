@@ -131,8 +131,10 @@ object Bench {
     ("q89_label_mode", 0.3, 0.6),
     ("q90_cooccurrence", 0.85, 1.4),
     ("q91_gap_histogram", 0.55, 1.1),
-    ("q92_dup_rate_by_source", 4.2, 6.0),
-    ("q93_url_canonicalize", 0.2, 0.5))
+    ("q92_dup_rate_by_source", 4.5, 6.6),
+    ("q93_url_canonicalize", 0.2, 0.5),
+    ("q94_url_dedup", 0.28, 0.6),
+    ("q95_burst_detect", 0.4, 0.9))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -140,7 +142,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q93; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q95; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

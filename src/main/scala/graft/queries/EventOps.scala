@@ -596,6 +596,39 @@ object EventOps {
         col("n"))
   }
 
+  /** Burst detection (q95) — the bot / broken-SDK screen over a
+    * behavioral log: per user, the maximum number of events inside ANY
+    * trailing `windowSeconds` window (a RANGE frame over whole epoch
+    * seconds — every event is scored with its own arrival as the window's
+    * right edge, so the max is exact, not bucketed), flagged against
+    * `threshold`. The canonical pre-training filter for behavioral data:
+    * a user whose peak rate is physiologically impossible is a bot, and
+    * their events poison engagement features (q88) and funnels alike.
+    *
+    * Cross-engine determinism: the frame is RANGE over an integer key
+    * (same peer semantics both engines), counts and the max are exact
+    * longs.
+    *
+    * Shape at scale: one shuffle on user_id shared by the window and the
+    * final aggregation (q88's shape). The RANGE frame is computed in one
+    * pass over each user's sorted events with a sliding lower bound —
+    * state is O(window contents), bounded by the burst itself. */
+  def burstScore(events: DataFrame, windowSeconds: Long = 60L,
+      threshold: Long = 30L): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-(windowSeconds - 1), Window.currentRow)
+    events
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("in_window")).as("max_burst"))
+      .select(col("user_id"), col("n_events"), col("max_burst"),
+        (col("max_burst") >= threshold).as("bursty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W2 first-row-per-group — the starter-derivation idiom (reference:
     // etl/players_on_court_at_start_of_period.py:73-88).
@@ -832,7 +865,12 @@ object EventOps {
       sessionCooccurrence(Tables.events(s, dir)) },
 
     // Inter-arrival gap histogram (see gapHistogram).
-    "q91_gap_histogram" -> { (s, dir) => gapHistogram(Tables.events(s, dir)) })
+    "q91_gap_histogram" -> { (s, dir) => gapHistogram(Tables.events(s, dir)) },
+
+    // Burst detection — a day window at threshold 3 so the sparse
+    // synthetic log (events ~10h apart per user) exercises both flags.
+    "q95_burst_detect" -> { (s, dir) =>
+      burstScore(Tables.events(s, dir), windowSeconds = 86400L, threshold = 3L) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -1283,5 +1321,20 @@ object EventOps {
            (CAST(1 AS BIGINT) << bucket) - 1 AS gap_lo,
            (CAST(1 AS BIGINT) << (bucket + 1)) - 2 AS gap_hi,
            count(*) AS n
-         FROM b GROUP BY 1, 2""")
+         FROM b GROUP BY 1, 2""",
+    // RANGE frame over integer seconds — identical peer semantics both
+    // engines; counts and max are exact longs
+    "q95_burst_detect" ->
+      """WITH s AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         w AS (
+           SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS in_window
+           FROM s)
+         SELECT user_id, count(*) AS n_events,
+           CAST(max(in_window) AS BIGINT) AS max_burst,
+           max(in_window) >= 3 AS bursty
+         FROM w GROUP BY 1""")
 }

@@ -924,6 +924,40 @@ object TextOps {
        '&id=' || CAST(doc_id AS VARCHAR) ||
        '&utm_medium=rss#s' || CAST(doc_id % 4 AS VARCHAR)"""
 
+  /** URL-keyed crawl dedup (q94) — the cheap first dedup pass of any crawl
+    * pipeline, run on [[urlCanonicalize]]'s output BEFORE any content
+    * hash: group by canonical URL, keep the min-doc_id fetch as survivor,
+    * report the group size. Different fetches of the same canonical URL
+    * are re-crawls by construction; content-level dedup (q30-q33) then
+    * only pays for what this pass could not key. URL-less docs can't be
+    * URL-keyed and pass through as their own survivor.
+    *
+    * Shape at scale: ONE map-side-combinable aggregation keyed by
+    * canonical — the min/count partials absorb re-crawl runs before the
+    * shuffle, so the exchange carries ~distinct URLs, not fetches. */
+  def urlDedup(canon: DataFrame): DataFrame =
+    canon
+      .withColumn("k", coalesce(col("canonical"),
+        concat(lit("doc:"), col("doc_id").cast("string"))))
+      .groupBy(col("k"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("k").as("canonical"), col("survivor_id"), col("n_fetches"))
+
+  /** q94's injection: unlike q93's per-doc-unique URL, the path and the
+    * surviving query param are keyed by doc_id % 40, so ~n/40 fetches
+    * collide on each canonical — real re-crawl shape. */
+  private def withSyntheticSharedUrl(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        lit(" url=http://WWW.Example.COM/p/"), (col("doc_id") % 40).cast("string"),
+        lit("?utm_campaign=x&ref="), (col("doc_id") % 40).cast("string"),
+        lit("#top")))
+
+  private val SyntheticSharedUrlSql =
+    """text || ' url=http://WWW.Example.COM/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+       '?utm_campaign=x&ref=' || CAST(doc_id % 40 AS VARCHAR) || '#top'"""
+
   private val DefaultNgramN = 2
   private val DefaultNgramK = 30
 
@@ -1134,6 +1168,10 @@ object TextOps {
     // (see urlCanonicalize).
     "q93_url_canonicalize" -> { (s, dir) =>
       urlCanonicalize(withSyntheticUrl(Tables.documents(s, dir))) },
+
+    // URL-keyed crawl dedup over colliding re-crawl URLs (see urlDedup).
+    "q94_url_dedup" -> { (s, dir) =>
+      urlDedup(urlCanonicalize(withSyntheticSharedUrl(Tables.documents(s, dir)))) },
 
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
@@ -1413,6 +1451,33 @@ object TextOps {
              (CASE WHEN clean_query = '' THEN ''
                    ELSE '?' || clean_query END) AS canonical
          FROM p""",
+    // the colliding injection + the same canonicalization, then one
+    // min/count group per canonical; COALESCE mirrors the URL-less
+    // pass-through key (never fires under this injection)
+    "q94_url_dedup" ->
+      s"""WITH inj AS (
+           SELECT doc_id, $SyntheticSharedUrlSql AS t FROM documents),
+         u AS (
+           SELECT doc_id, NULLIF(regexp_extract(t, 'url=(\\S+)', 1), '') AS url
+           FROM inj),
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS clean_query
+           FROM u),
+         c AS (
+           SELECT doc_id,
+             scheme || '://' || host || path ||
+               (CASE WHEN clean_query = '' THEN ''
+                     ELSE '?' || clean_query END) AS canonical
+           FROM p)
+         SELECT COALESCE(canonical, 'doc:' || CAST(doc_id AS VARCHAR)) AS canonical,
+           min(doc_id) AS survivor_id, count(*) AS n_fetches
+         FROM c GROUP BY 1""",
     "q64_ngram_topk" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
          b AS (

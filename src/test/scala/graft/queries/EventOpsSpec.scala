@@ -545,6 +545,31 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
   }
 
+  test("burstScore: exact trailing-window max, edges inclusive, per-user isolation") {
+    val events = ev(
+      // user 1: 3 events inside one 60s window (t=0,30,59 — 59s span,
+      // inclusive edges), then a lone event far away
+      (1, 1, 0, "a"), (2, 1, 30, "a"), (3, 1, 59, "a"), (4, 1, 1000, "a"),
+      // user 2: two events exactly 60s apart — OUTSIDE a 60s trailing
+      // window (range is [t-59, t]), so max burst stays 1
+      (5, 2, 0, "a"), (6, 2, 60, "a"))
+    val got = EventOps.burstScore(events, windowSeconds = 60L, threshold = 3L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 3L, true)), got(1L).toString)
+    assert(got(2L) == ((2L, 2L, 1L, false)),
+      "a gap equal to the window must not count as inside it")
+  }
+
+  test("burstScore is ONE exchange: range window and agg share user_id") {
+    val events = ev((1, 1, 10, "a"), (2, 1, 20, "a"))
+    val plan = EventOps.burstScore(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("sessionCooccurrence: the set agg rides the session exchange, no self-join") {
     val events = ev((1, 1, 100, "a"), (2, 1, 200, "b"))
     val plan = EventOps.sessionCooccurrence(events)

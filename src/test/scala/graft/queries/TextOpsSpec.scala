@@ -656,6 +656,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan) // pure per-row scan
   }
 
+  test("urlDedup: min-id survivor per canonical, URL-less docs pass through") {
+    val d = Seq(
+      (3L, "x url=http://a.com/p?utm_s=1&id=7"), // same canonical as doc 5
+      (5L, "x url=HTTP://A.COM/p?id=7#frag"),    // case/utm/fragment variants
+      (8L, "x url=http://a.com/q?id=7"),         // different path: own group
+      (9L, "no link at all"))                    // URL-less: own survivor
+      .toDF("doc_id", "text")
+    val got = TextOps.urlDedup(TextOps.urlCanonicalize(d))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("http://a.com/p?id=7") == ((3L, 2L)),
+      "variants must collapse to the min-id fetch")
+    assert(got("http://a.com/q?id=7") == ((8L, 1L)))
+    assert(got("doc:9") == ((9L, 1L)), "URL-less docs keep themselves")
+    // one exchange: the canonical group — the per-row chain adds none
+    val plan = TextOps.urlDedup(TextOps.urlCanonicalize(d))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("lmFamiliarity plan: the count join builds post-agg, no cartesian, three exchanges") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     noAutoBroadcast {
