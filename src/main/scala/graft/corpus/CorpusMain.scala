@@ -48,6 +48,10 @@ import graft.sources.{Jsonl, Warehouse}
   *     Composition publishes in LONG form ((lang, source) rows), not
   *     q61's wide matrix: a published artifact must not grow a column per
   *     source.
+  *   - `url_dedup/` (with `--url-dedup true`, inputs carrying a `url`
+  *     column) — every re-crawl DROPPED by URL-keyed dedup (q94's pass,
+  *     run before any shingling so content dedup never pays for
+  *     re-crawls), with its canonical URL and the surviving fetch;
   *   - `span_cut/` (with `--cut-spans N`) — the duplicated-passage cut
   *     (q82, Lee et al. 2021) applied to dedup survivors: every affected
   *     doc's coverage stats AND its cut text, the published patch the
@@ -62,9 +66,9 @@ import graft.sources.{Jsonl, Warehouse}
   *     of unrelated sources (its md5 coordinate is independent of
   *     split/mix/budget, so reviewing it biases nothing).
   *
-  * Every stage is one of the oracle-checked operators (q52, q85, q51, q31,
-  * q39, q82, q55, q57, q49, q50, q60, q71) — this main only composes and
-  * publishes them. Stage order is cheapest-reduction-first: mixing is a hash
+  * Every stage is one of the oracle-checked operators (q52, q85, q94,
+  * q51, q31, q39, q82, q55, q57, q49, q50, q60, q71) — this main only
+  * composes and publishes them. Stage order is cheapest-reduction-first: mixing is a hash
   * filter (no data examined), normalization is a per-row rewrite ahead of
   * everything that reads text, decontamination touches shingles once,
   * dedup pays the banded self-join only over what survives both, and the
@@ -86,14 +90,14 @@ object CorpusMain {
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
-      "[--normalize true|false] [--cut-spans N]"
+      "[--normalize true|false] [--cut-spans N] [--url-dedup true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
-        "normalize", "cut-spans"),
+        "normalize", "cut-spans", "url-dedup"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -124,6 +128,7 @@ object CorpusMain {
     val keepBest = Cli.toBoolean(args, "keep-best", usage).getOrElse(false)
     val normalize = Cli.toBoolean(args, "normalize", usage).getOrElse(false)
     val cutSpans = Cli.toInt(args, "cut-spans", usage)
+    val urlDedup = Cli.toBoolean(args, "url-dedup", usage).getOrElse(false)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -146,7 +151,8 @@ object CorpusMain {
       reviewSample,
       keepBest,
       normalize,
-      cutSpans)
+      cutSpans,
+      urlDedup)
     finally spark.stop()
   }
 
@@ -189,7 +195,8 @@ object CorpusMain {
       reviewSample: Option[Int] = None,
       keepBest: Boolean = false,
       normalize: Boolean = false,
-      cutSpans: Option[Int] = None): Unit = {
+      cutSpans: Option[Int] = None,
+      urlDedup: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
@@ -237,7 +244,8 @@ object CorpusMain {
       minHits, embeddings, cosThreshold, broadcastBench, exportJsonl,
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
-      chunkStride, stats, reviewSample, keepBest, normalize, cutSpans)
+      chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
+      urlDedup)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -258,7 +266,8 @@ object CorpusMain {
       reviewSample: Option[Int] = None,
       keepBest: Boolean = false,
       normalize: Boolean = false,
-      cutSpans: Option[Int] = None): Unit = {
+      cutSpans: Option[Int] = None,
+      urlDedup: Boolean = false): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -292,7 +301,33 @@ object CorpusMain {
       if (c.columns.contains("n_chars")) c.withColumn("n_chars", length(col("text")))
       else c
     }
-    val shAll = DedupOps.shingledOf(cleaned).persist()
+    // URL-keyed dedup (q94) directly after normalization and BEFORE any
+    // shingling: re-crawls of the same canonical URL are duplicates by
+    // construction, and dropping them here means the (much costlier)
+    // shingle machinery never sees them — cheapest-reduction-first.
+    // Needs a `url` column (a crawl dump's fetch URL); the synthetic
+    // documents table has none, so the stage is opt-in. The audit lists
+    // every DROPPED doc with its canonical URL and the surviving fetch
+    // (reversible + explainable, canonical_map's shape), and membership
+    // is read back from it like every other drop.
+    val urlDeduped = if (!urlDedup) cleaned else {
+      require(cleaned.columns.contains("url"),
+        "--url-dedup needs a url column in the input (the crawl fetch URL)")
+      val canon = cleaned.select(col("doc_id"),
+        TextOps.canonicalUrlCol(col("url")).as("canonical"))
+      val survivors = canon.filter(col("canonical").isNotNull)
+        .groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("survivor_id"))
+      Warehouse.replaceDir(
+        canon.join(survivors, "canonical")
+          .filter(col("doc_id") =!= col("survivor_id"))
+          .select(col("doc_id"), col("canonical"), col("survivor_id")),
+        s"$output/url_dedup")
+      cleaned.join(
+        spark.read.parquet(s"$output/url_dedup").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+    val shAll = DedupOps.shingledOf(urlDeduped).persist()
     try {
       // decontamination, audited BEFORE the drop is applied: reading the
       // published audit back both avoids recomputing the overlap and makes
@@ -310,12 +345,12 @@ object CorpusMain {
           Warehouse.replaceDir(hits, s"$output/contaminated")
           val drop = spark.read.parquet(s"$output/contaminated")
             .filter(col("n_hits") >= minHits).select("doc_id")
-          (cleaned.join(drop, Seq("doc_id"), "left_anti"),
+          (urlDeduped.join(drop, Seq("doc_id"), "left_anti"),
             shAll.join(drop, Seq("doc_id"), "left_anti"))
         case None =>
           // (the stale `contaminated` audit, if any, is retired AFTER the
           // new corpus publishes — see the post-publish block)
-          (cleaned, shAll)
+          (urlDeduped, shAll)
       }
       val pairs = DedupOps.minhashNearDup(sh).persist()
       try {
@@ -471,6 +506,7 @@ object CorpusMain {
           Warehouse.retireDir(spark, s"$output/embed_canonical_map")
         if (!normalize) Warehouse.retireDir(spark, s"$output/normalize_stats")
         if (cutSpans.isEmpty) Warehouse.retireDir(spark, s"$output/span_cut")
+        if (!urlDedup) Warehouse.retireDir(spark, s"$output/url_dedup")
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")

@@ -889,16 +889,35 @@ object TextOps {
     val raw = regexp_extract(col(textCol), "url=(\\S+)", 1)
     // regexp_extract returns "" on no match; surface nulls instead
     val url = when(raw === "", lit(null)).otherwise(raw)
+    docs.select(col("doc_id"),
+      hostOf(url).as("host"),
+      pathOf(url).as("path"),
+      canonicalUrlCol(url).as("canonical"))
+  }
+
+  private def hostOf(url: Column): Column = {
+    val h = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    // a scheme-less or host-less string is not a canonicalizable URL:
+    // null, never a '://'-prefixed fragment
+    when(h === "", lit(null)).otherwise(h)
+  }
+
+  private def pathOf(url: Column): Column =
+    when(hostOf(url).isNull, lit(null))
+      .otherwise(regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+
+  /** [[urlCanonicalize]]'s normalization as a reusable Column over a URL
+    * VALUE (a crawl dump's `url` column — CorpusMain --url-dedup): null
+    * for anything without a parseable scheme://host. */
+  def canonicalUrlCol(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
-    val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
-    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val query = regexp_extract(url, "\\?([^#]*)", 1)
     val cleanQuery = regexp_replace(
       regexp_replace(query, "(^|&)utm_[^&]*", ""), "^&+", "")
-    docs.select(col("doc_id"), host.as("host"), path.as("path"),
-      concat(scheme, lit("://"), host, path,
-        when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery)))
-        .as("canonical"))
+    when(hostOf(url).isNull, lit(null)).otherwise(
+      concat(scheme, lit("://"), hostOf(url), pathOf(url),
+        when(cleanQuery === "", lit(""))
+          .otherwise(concat(lit("?"), cleanQuery))))
   }
 
   /** The synthetic corpus carries no URLs, so the q93 demo query

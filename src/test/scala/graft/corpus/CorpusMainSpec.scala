@@ -706,6 +706,46 @@ class CorpusMainSpec extends SparkSpec {
       "unnormalized whitespace variants must evade shingle dedup (the point)")
   }
 
+  test("--url-dedup drops re-crawls by canonical URL before shingling, audited and reversible") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("corpus_main_url").toString
+    val tmpIn = Files.createTempDirectory("corpus_url_in").toString
+    // docs 1 and 2: SAME canonical URL (utm/case variants), DIFFERENT
+    // text — shingle dedup would never pair them, so a drop proves the
+    // URL key did it. doc 3: own URL. doc 4: unparseable URL — kept.
+    Seq(
+      (1L, "s", (1 to 20).map(i => s"alpha$i").mkString(" "),
+        "http://A.com/p?id=1&utm_s=x"),
+      (2L, "s", (1 to 20).map(i => s"beta$i").mkString(" "),
+        "HTTP://a.COM/p?utm_m=y&id=1"),
+      (3L, "s", (1 to 20).map(i => s"gamma$i").mkString(" "),
+        "http://a.com/q?id=2"),
+      (4L, "s", (1 to 20).map(i => s"delta$i").mkString(" "), "not a url"))
+      .toDF("doc_id", "source", "text", "url")
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+
+    CorpusMain.runWith(spark, tmpIn, out, urlDedup = true)
+    val kept = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"re-crawl must drop by URL key: $kept")
+    val audit = spark.read.parquet(s"$out/url_dedup")
+      .as[(Long, String, Long)].collect()
+    assert(audit.toSeq == Seq((2L, "http://a.com/p?id=1", 1L)),
+      s"the audit names the dropped fetch, its canonical, its survivor: ${audit.toSeq}")
+
+    // a flagless rerun restores the re-crawl and retires the audit
+    CorpusMain.runWith(spark, tmpIn, out)
+    assert(!new java.io.File(s"$out/url_dedup").exists())
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+
+    // asking for URL dedup without a url column is a configuration bug
+    val e = intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, out, urlDedup = true)
+    }
+    assert(e.getMessage.contains("url column"))
+  }
+
   test("--cut-spans removes shared passages from dedup SURVIVORS, audited and reversible") {
     import spark.implicits._
     val out = Files.createTempDirectory("corpus_main_spans").toString

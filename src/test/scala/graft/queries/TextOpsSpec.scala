@@ -640,7 +640,8 @@ class TextOpsSpec extends SparkSpec {
       (4L, "x url=http://a.com/p?utm_a=1&utm_b=2"),     // utm ONLY: no '?'
       (5L, "x url=http://a.com/p?utm_a=1&id=5&utm_b=2"),// utm both sides
       (6L, "no link here"),                             // no URL: nulls
-      (7L, "x url=https://B.com"))                      // empty path, no query
+      (7L, "x url=https://B.com"),                      // empty path, no query
+      (8L, "x url=not-a-url"))                          // scheme-less: nulls
       .toDF("doc_id", "text")
     val got = TextOps.urlCanonicalize(d)
       .as[(Long, Option[String], Option[String], Option[String])].collect()
@@ -652,6 +653,8 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5L)._4 == Some("http://a.com/p?id=5"))
     assert(got(6L) == ((6L, None, None, None)))
     assert(got(7L)._4 == Some("https://b.com"))
+    assert(got(8L) == ((8L, None, None, None)),
+      "a scheme-less token is not a canonicalizable URL")
     val plan = TextOps.urlCanonicalize(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan) // pure per-row scan
   }
