@@ -134,7 +134,8 @@ object Bench {
     ("q92_dup_rate_by_source", 4.5, 6.6),
     ("q93_url_canonicalize", 0.2, 0.5),
     ("q94_url_dedup", 0.28, 0.6),
-    ("q95_burst_detect", 0.4, 0.9))
+    ("q95_burst_detect", 0.4, 0.9),
+    ("q96_topk_per_source", 0.65, 1.1))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -142,7 +143,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q95; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q96; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

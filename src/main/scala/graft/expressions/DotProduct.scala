@@ -11,9 +11,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 /** Native Catalyst dot product over two array<double> columns, with
   * whole-stage codegen (`doGenCode`) — the hot kernel of the similarity
   * search module as a first-class expression instead of an interpreted
-  * higher-order-function chain (SURVEY.md §4 lists this as the one
-  * worthwhile custom-expression extension; the relational surface needs
-  * none).
+  * higher-order-function chain (the relational surface needs no custom
+  * expressions; the engine's other two are [[BloomMightContain]] — the
+  * sketch probe — and [[TopKByScore]] — the bounded-heap aggregate).
   *
   * Semantics: strict left-to-right fold `acc += a(i) * b(i)` from 0.0 —
   * the exact order of `aggregate(zip_with(a, b, _*_), 0d, _+_)` and of

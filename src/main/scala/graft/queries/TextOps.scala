@@ -977,6 +977,30 @@ object TextOps {
     """text || ' url=http://WWW.Example.COM/p/' || CAST(doc_id % 40 AS VARCHAR) ||
        '?utm_campaign=x&ref=' || CAST(doc_id % 40 AS VARCHAR) || '#top'"""
 
+  private val TopKDefault = 3
+
+  /** Per-source top-k by quality via the native bounded-heap aggregate
+    * (q96) — the same "k best docs per domain" read as q55, rebuilt on
+    * `graft_topk` ([[graft.expressions.TopKByScore]]): aggregation state
+    * is O(k) per group and combines map-side, so no partition ever sorts
+    * (or holds) a whole domain — the window form's failure mode on a
+    * single-domain crawl, solved structurally instead of by q56's
+    * histogram workaround. Ranks by quality descending, ties to the
+    * lower doc_id (the aggregate's stated total order), exploded back to
+    * one row per kept doc with its 1-based rank.
+    *
+    * Shape at scale: ONE map-side-combinable aggregation keyed by
+    * source; the exchange carries k-bounded buffers, never doc rows. */
+  def topKPerSource(docs: DataFrame, k: Int = TopKDefault): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(col("source"), col("doc_id"), qualityExpr.as("q"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_topk", col("q"), col("doc_id"), lit(k)).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("doc_id"), col("col.score").as("quality"))
+  }
+
   private val DefaultNgramN = 2
   private val DefaultNgramK = 30
 
@@ -1192,6 +1216,10 @@ object TextOps {
     "q94_url_dedup" -> { (s, dir) =>
       urlDedup(urlCanonicalize(withSyntheticSharedUrl(Tables.documents(s, dir)))) },
 
+    // Per-source top-k by quality via the bounded-heap native aggregate
+    // (see topKPerSource).
+    "q96_topk_per_source" -> { (s, dir) => topKPerSource(Tables.documents(s, dir)) },
+
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
 
@@ -1287,6 +1315,17 @@ object TextOps {
          SELECT doc_id, source, n_tokens, "offset",
            CAST(floor("offset" / $DefaultCapacity.0) AS BIGINT) AS bin
          FROM c""",
+    // row_number mirror of the heap aggregate's stated total order
+    // (quality DESC, doc_id ASC) — the sketch-free literal form
+    "q96_topk_per_source" ->
+      s"""WITH $QualityCteSql,
+         r AS (
+           SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC) AS rk
+           FROM qq)
+         SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, quality
+         FROM r WHERE rk <= $TopKDefault""",
     "q45_tfidf_terms" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

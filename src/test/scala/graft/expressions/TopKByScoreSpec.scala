@@ -1,0 +1,96 @@
+package graft.expressions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.TextOps
+
+/** The bounded-heap top-k aggregate: total-order semantics (ties to the
+  * lower id), partitioning invariance (the whole point of a mergeable
+  * O(k) buffer), null row skipping, and the aggregate — not window —
+  * plan shape. */
+class TopKByScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topk(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("i"), lit(k)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("col.id").as("i"), col("col.score").as("s"))
+      .as[(String, Int, Long, Double)]
+
+  test("ranks by score desc, ties to the LOWER id, k bounds the group") {
+    val df = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("g2", 9L, 0.7))
+      .toDF("g", "i", "s")
+    val got = topk(df, 2).collect().toSet
+    assert(got == Set(
+      ("a", 1, 2L, 0.9), // tie at 0.9: lower id first
+      ("a", 2, 3L, 0.9),
+      ("g2", 1, 9L, 0.7)), got.toString)
+  }
+
+  test("partitioning-invariant: 1 partition == 13 partitions == window form") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source").as("g"), col("doc_id").as("i"),
+        (xxhash64(col("text")).cast("double") / 1e18).as("s"))
+    val one = topk(df.repartition(1), 3).collect().toSet
+    val many = topk(df.repartition(13), 3).collect().toSet
+    assert(one == many, "a mergeable bounded buffer cannot depend on partitioning")
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("i").asc)
+    val windowed = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("g"), col("rk"), col("i"), col("s"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(one == windowed, "heap and window forms must agree exactly")
+  }
+
+  test("null score or id rows are skipped, not ranked") {
+    val df = Seq(
+      ("a", Some(1L), Some(0.9)), ("a", None, Some(0.99)), ("a", Some(3L), None),
+      ("a", Some(4L), Some(0.5)))
+      .toDF("g", "i", "s")
+    val got = topk(df, 5).collect().toSet
+    assert(got == Set(("a", 1, 1L, 0.9), ("a", 2, 4L, 0.5)), got.toString)
+  }
+
+  test("plans as a two-phase object-hash AGGREGATE — no window, no group sort") {
+    val df = Seq(("a", 1L, 0.5)).toDF("g", "i", "s")
+    val plan = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("i"), lit(3)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("partial_graft_topk|partial graft_topk".r.findFirstIn(plan).nonEmpty ||
+      plan.contains("graft_topk"), plan)
+  }
+
+  test("k must be a positive literal") {
+    val df = Seq(("a", 1L, 0.5)).toDF("g", "i", "s")
+    val e = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(0)))
+        .collect()
+    }
+    assert(e.getMessage.contains("k must be"), e.getMessage)
+  }
+
+  test("q96's shape agrees with the q55-style window quota at the same k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val heap = TextOps.topKPerSource(docs, 3)
+      .as[(String, Int, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val windowed = TextOps.qualityScore(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("doc_id"), col("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("doc_id"), col("quality"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(heap == windowed)
+  }
+}
