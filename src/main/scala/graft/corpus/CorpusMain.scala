@@ -90,21 +90,23 @@ object CorpusMain {
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
-      "[--normalize true|false] [--cut-spans N] [--url-dedup true|false]"
+      "[--normalize true|false] [--cut-spans N] [--url-dedup true|false] " +
+      "[--quota-heap true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
-        "normalize", "cut-spans", "url-dedup"),
+        "normalize", "cut-spans", "url-dedup", "quota-heap"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings",
         "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings",
-        "publish-vectors" -> "embeddings", "chunk-stride" -> "chunk"))
+        "publish-vectors" -> "embeddings", "chunk-stride" -> "chunk",
+        "quota-heap" -> "quota"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -129,6 +131,7 @@ object CorpusMain {
     val normalize = Cli.toBoolean(args, "normalize", usage).getOrElse(false)
     val cutSpans = Cli.toInt(args, "cut-spans", usage)
     val urlDedup = Cli.toBoolean(args, "url-dedup", usage).getOrElse(false)
+    val quotaHeap = Cli.toBoolean(args, "quota-heap", usage).getOrElse(false)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -152,7 +155,8 @@ object CorpusMain {
       keepBest,
       normalize,
       cutSpans,
-      urlDedup)
+      urlDedup,
+      quotaHeap)
     finally spark.stop()
   }
 
@@ -196,10 +200,13 @@ object CorpusMain {
       keepBest: Boolean = false,
       normalize: Boolean = false,
       cutSpans: Option[Int] = None,
-      urlDedup: Boolean = false): Unit = {
+      urlDedup: Boolean = false,
+      quotaHeap: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
+    require(!quotaHeap || quota.nonEmpty,
+      "quota-heap was given without a quota to compute")
     require(reviewSample.forall(_ >= 1),
       s"review-sample must be >= 1, got ${reviewSample.get}")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
@@ -245,7 +252,7 @@ object CorpusMain {
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
       chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
-      urlDedup)
+      urlDedup, quotaHeap)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -267,7 +274,8 @@ object CorpusMain {
       keepBest: Boolean = false,
       normalize: Boolean = false,
       cutSpans: Option[Int] = None,
-      urlDedup: Boolean = false): Unit = {
+      urlDedup: Boolean = false,
+      quotaHeap: Boolean = false): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -444,10 +452,17 @@ object CorpusMain {
         // (doc_id, source, quality, rk) rows land on disk, are read back,
         // and the corpus keeps exactly the audited ids — provably
         // consistent with the evidence, same protocol as contamination
+        // --quota-heap swaps the window form for the bounded-heap
+        // aggregate (q96's graft_topk) — IDENTICAL cut (same total
+        // order), O(k) state per domain instead of a per-domain
+        // partition sort: the switch to flip when one domain dominates
+        // the corpus and the window's sort partition would hold it whole
         val capped = quota match {
           case Some(q) =>
             Warehouse.replaceDir(
-              TextOps.domainQuota(spanCut, q), s"$output/domain_quota")
+              if (quotaHeap) TextOps.domainQuotaHeap(spanCut, q)
+              else TextOps.domainQuota(spanCut, q),
+              s"$output/domain_quota")
             spanCut.join(
               spark.read.parquet(s"$output/domain_quota").select("doc_id"),
               Seq("doc_id"), "left_semi")

@@ -130,6 +130,19 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** [[domainQuota]] on the bounded-heap aggregate ([[topKPerSource]] /
+    * q96's `graft_topk`): identical output — same total order, same
+    * columns, rk as long — computed with O(k) state per domain instead of
+    * a per-domain partition sort. The third quota form, and the
+    * structurally scale-proof one: [[domainQuota]] when domains are many
+    * and small, [[domainQuotaByThreshold]] when an approximate histogram
+    * cut is acceptable on a degenerate domain, this when the cut must be
+    * EXACT and a domain may be enormous. */
+  def domainQuotaHeap(docs: DataFrame, k: Int = DefaultQuota): DataFrame =
+    topKPerSource(docs, k)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("rk").cast("long").as("rk"))
+
   /** [[domainQuota]] for the degenerate-domain crawl (q56): the same cut
     * — each source capped at its `k` best by (quality DESC, doc_id ASC) —
     * computed WITHOUT sorting whole domains. [[domainQuota]]'s one window

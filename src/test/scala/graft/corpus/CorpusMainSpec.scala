@@ -706,6 +706,27 @@ class CorpusMainSpec extends SparkSpec {
       "unnormalized whitespace variants must evade shingle dedup (the point)")
   }
 
+  test("--quota-heap publishes the identical corpus and audit as the window quota") {
+    import spark.implicits._
+    val outW = Files.createTempDirectory("corpus_quota_w").toString
+    val outH = Files.createTempDirectory("corpus_quota_h").toString
+    CorpusMain.runWith(spark, input, outW, quota = Some(5))
+    CorpusMain.runWith(spark, input, outH, quota = Some(5), quotaHeap = true)
+    def corpusIds(o: String) = spark.read.parquet(s"$o/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    def audit(o: String) = spark.read.parquet(s"$o/domain_quota")
+      .select("doc_id", "source", "quality", "rk")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(corpusIds(outH) == corpusIds(outW))
+    assert(audit(outH) == audit(outW),
+      "the heap path must leave byte-equal evidence, not just the same corpus")
+    // the flag without a quota is a configuration bug
+    val e = intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, outH, quotaHeap = true)
+    }
+    assert(e.getMessage.contains("quota-heap"))
+  }
+
   test("--url-dedup drops re-crawls by canonical URL before shingling, audited and reversible") {
     import spark.implicits._
     val out = Files.createTempDirectory("corpus_main_url").toString

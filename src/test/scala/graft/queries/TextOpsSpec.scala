@@ -679,6 +679,19 @@ class TextOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("domainQuotaHeap == domainQuota exactly, with no Window in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val window = TextOps.domainQuota(docs, 4)
+      .as[(Long, String, Double, Long)].collect().toSet
+    val heap = TextOps.domainQuotaHeap(docs, 4)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(heap == window, "the two quota forms must make the identical cut")
+    val plan = TextOps.domainQuotaHeap(docs, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("lmFamiliarity plan: the count join builds post-agg, no cartesian, three exchanges") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     noAutoBroadcast {
