@@ -57,14 +57,7 @@ case class TopKByScore(
   @transient private lazy val k: Int =
     kExpr.eval().asInstanceOf[Number].intValue()
 
-  // "a is worse than b": lower score, or same score with the higher id.
-  // The priority queue dequeues its MAXIMUM, so order by worseness.
-  private object WorstFirst extends Ordering[(Double, Long)] {
-    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1) // lower score = worse = larger
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = worse
-    }
-  }
+  private def WorstFirst = TopKByScore.WorstFirst
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](WorstFirst)
@@ -135,4 +128,18 @@ case class TopKByScore(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopKByScore =
     copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+}
+
+object TopKByScore {
+  /** The aggregate's total order, "worse first": lower score is worse;
+    * at equal score the higher id is worse. A better element compares
+    * LESS-THAN a worse one, so an ascending sort is best-first and a
+    * max-priority-queue's head is the worst kept element. Shared with the
+    * streaming tracker twin so the two cannot drift. */
+  object WorstFirst extends Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 }

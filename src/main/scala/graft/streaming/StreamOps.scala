@@ -169,6 +169,56 @@ object StreamOps {
         })
   }
 
+  /** State of [[topKProgress]]: the k-bounded kept set (best first) and
+    * the per-group event count — O(k) per group, the streaming mirror of
+    * [[graft.expressions.TopKByScore]]'s aggregation buffer. */
+  case class TopKState(items: Seq[(Double, Long)], seen: Long)
+
+  /** Streaming twin of the bounded-heap top-k aggregate (q96's
+    * `graft_topk`): maintains each group's k best (score, id) pairs under
+    * the aggregate's EXACT total order (`TopKByScore.WorstFirst` — shared,
+    * so the two cannot drift) and, whenever a micro-batch CHANGES a
+    * group's kept set, emits the full current ranking as
+    * `(group, rank, id, score, n_seen)` rows — the live leaderboard.
+    * `n_seen` (the per-group event count at emission) is strictly
+    * increasing, so a group's rows at its max n_seen ARE the batch
+    * aggregate's answer over everything delivered so far: the
+    * stream == batch pin. Top-k is order-insensitive, so no within-batch
+    * sort is needed and late/out-of-order delivery cannot change the
+    * converged answer — only when it surfaces. */
+  def topKProgress(rows: Dataset[(String, Long, Double)], k: Int = 3)(
+      implicit spark: SparkSession): Dataset[(String, Int, Long, Double, Long)] = {
+    import spark.implicits._
+    import graft.expressions.TopKByScore.WorstFirst
+    require(k >= 1, s"k must be >= 1, got $k")
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (g: String, it: Iterator[(String, Long, Double)],
+         state: GroupState[TopKState]) => {
+          val st = state.getOption.getOrElse(TopKState(Seq.empty, 0L))
+          val buf = scala.collection.mutable.PriorityQueue
+            .empty[(Double, Long)](WorstFirst)
+          st.items.foreach(buf.enqueue(_))
+          var seen = st.seen
+          var changed = false
+          it.foreach { e =>
+            seen += 1L
+            val item = (e._3, e._2)
+            if (buf.size < k) { buf.enqueue(item); changed = true }
+            else if (WorstFirst.compare(item, buf.head) < 0) {
+              buf.dequeue(); buf.enqueue(item); changed = true
+            }
+          }
+          val sorted = buf.toArray.sorted(WorstFirst).toSeq // best first
+          state.update(TopKState(sorted, seen))
+          if (!changed) Iterator.empty
+          else sorted.iterator.zipWithIndex.map { case ((s, i), idx) =>
+            (g, idx + 1, i, s, seen)
+          }
+        })
+  }
+
   /** State of [[anomalyProgress]]: the open (not yet scored) epoch-day, its
     * running count, and the trailing completed-day counts (oldest first,
     * at most `baseline` entries) — O(baseline) per event type. */

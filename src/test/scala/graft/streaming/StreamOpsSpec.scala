@@ -162,6 +162,72 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKProgress: emits only on kept-set change, latest emission == batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.topKProgress(in.toDS(), k = 2)
+      .toDF("g", "rk", "id", "s", "n_seen")
+      .writeStream.format("memory").queryName("topk").outputMode("append").start()
+    try {
+      // batch 1: two entries fill the heap
+      in.addData(("a", 1L, 0.5), ("a", 2L, 0.9))
+      q.processAllAvailable()
+      // batch 2: a WORSE entry changes nothing (no emission), then check
+      in.addData(("a", 3L, 0.1))
+      q.processAllAvailable()
+      val afterWorse = spark.sql("SELECT max(n_seen) FROM topk WHERE g = 'a'")
+        .collect().head.getLong(0)
+      assert(afterWorse == 2L, "a non-improving batch must emit nothing")
+      // batch 3: a better entry displaces the weakest
+      in.addData(("a", 4L, 0.7))
+      q.processAllAvailable()
+      val latest = spark.sql(
+          "SELECT rk, id, s FROM topk WHERE g = 'a' AND n_seen = 4 ORDER BY rk")
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(latest == Seq((1, 2L, 0.9), (2, 4L, 0.7)), latest.toString)
+      // == the batch aggregate over everything delivered
+      val batch = Seq(("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.1), ("a", 4L, 0.7))
+        .toDF("g", "i", "s")
+        .groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(2)).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).as("rk"), col("col.id"), col("col.score"))
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(latest == batch, s"stream latest $latest != batch $batch")
+    } finally q.stop()
+  }
+
+  test("topKProgress: randomized two-batch stream converges to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(96)
+    val all = (1 to 200).map(i =>
+      (s"g${rnd.nextInt(4)}", i.toLong, math.floor(rnd.nextDouble() * 100) / 100))
+    val (b1, b2) = all.splitAt(100)
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.topKProgress(in.toDS(), k = 3)
+      .toDF("g", "rk", "id", "s", "n_seen")
+      .writeStream.format("memory").queryName("topk_rnd").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.sql("SELECT g, rk, id, s, n_seen FROM topk_rnd")
+        .as[(String, Int, Long, Double, Long)].collect()
+      val latest = rows.groupBy(_._1).map { case (g, rs) =>
+        val mx = rs.map(_._5).max
+        g -> rs.filter(_._5 == mx).sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+      }
+      val batch = all.toDF("g", "i", "s")
+        .groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(3)).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rk"), col("col.id"), col("col.score"))
+        .as[(String, Int, Long, Double)].collect()
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
+      assert(latest == batch)
+    } finally q.stop()
+  }
+
   test("funnelProgress keeps sub-millisecond precision: a 500us gap is strictly after") {
     implicit val sqlCtx = spark.sqlContext
     // the events table ships micros — same epoch MILLI, different micros.
