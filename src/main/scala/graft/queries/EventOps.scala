@@ -629,6 +629,36 @@ object EventOps {
         (col("max_burst") >= threshold).as("bursty"))
   }
 
+  /** Ingestion freshness report (q98) — the feed-health read an operator
+    * checks before trusting any downstream metric: per event type, the
+    * first/last arrival, total volume, the volume inside the type's own
+    * trailing day (anchored at ITS last event — a feed is judged against
+    * itself, and the per-type window anchor shares the aggregation's
+    * exchange, q88's pattern), the active span in whole days, and the
+    * per-active-day rate (one division of exact longs; a single-day span
+    * reports its count over one day rather than dividing by zero).
+    *
+    * Shape at scale: one shuffle on event_type shared by the window and
+    * the aggregation; output is types-sized. */
+  def freshness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val daysSpan = floor((unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+      .cast("double") / lit(86400e6)) + 1
+    events
+      .select(col("event_type"), col("ts"))
+      .withColumn("anchor", max(col("ts")).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(when(unix_micros(col("anchor")) - unix_micros(col("ts"))
+          < 86400000000L, 1L).otherwise(0L)).as("n_last_day"))
+      .withColumn("span_days", daysSpan.cast("long"))
+      .withColumn("per_day",
+        col("n_events").cast("double") / col("span_days").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W2 first-row-per-group — the starter-derivation idiom (reference:
     // etl/players_on_court_at_start_of_period.py:73-88).
@@ -870,7 +900,10 @@ object EventOps {
     // Burst detection — a day window at threshold 3 so the sparse
     // synthetic log (events ~10h apart per user) exercises both flags.
     "q95_burst_detect" -> { (s, dir) =>
-      burstScore(Tables.events(s, dir), windowSeconds = 86400L, threshold = 3L) })
+      burstScore(Tables.events(s, dir), windowSeconds = 86400L, threshold = 3L) },
+
+    // Ingestion freshness report (see freshness).
+    "q98_freshness" -> { (s, dir) => freshness(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -1336,5 +1369,25 @@ object EventOps {
          SELECT user_id, count(*) AS n_events,
            CAST(max(in_window) AS BIGINT) AS max_burst,
            max(in_window) >= 3 AS bursty
-         FROM w GROUP BY 1""")
+         FROM w GROUP BY 1""",
+    // per-type self-anchored trailing day, integer span, one division
+    "q98_freshness" ->
+      """WITH a AS (
+           SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type) AS anchor
+           FROM events),
+         g AS (
+           SELECT event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN epoch_us(anchor) - epoch_us(ts) < 86400000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day
+           FROM a GROUP BY 1)
+         SELECT event_type, first_ts, last_ts, n_events, n_last_day,
+           CAST(floor(CAST(epoch_us(last_ts) - epoch_us(first_ts) AS DOUBLE)
+                / 86400000000.0) + 1 AS BIGINT) AS span_days,
+           CAST(n_events AS DOUBLE) /
+             CAST(CAST(floor(CAST(epoch_us(last_ts) - epoch_us(first_ts) AS DOUBLE)
+                  / 86400000000.0) + 1 AS BIGINT) AS DOUBLE) AS per_day
+         FROM g""")
 }

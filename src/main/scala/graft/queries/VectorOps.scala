@@ -176,6 +176,13 @@ object VectorOps {
       kmeansCells(vecs(s, dir), KmeansK, KmeansIters)
     },
 
+    // Cluster-purity report over the trained cells (see clusterPurity).
+    "q97_cluster_purity" -> { (s, dir) =>
+      clusterPurity(vecs(s, dir),
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        KmeansK, KmeansIters)
+    },
+
     // The vector-space ingest gate run in batch (the embedding twin of
     // q48's text gate): odd vec_ids play the incoming crawl batch, even
     // vec_ids the curated corpus; incoming vectors probe the corpus's
@@ -462,6 +469,39 @@ object VectorOps {
   private val KmeansIters = 2
   private val KmeansScale = 1000L
 
+  /** Cluster-purity report (q97) — the clustering-quality readout a
+    * curation pipeline runs after training (q46) to decide whether the
+    * cells are usable for stratified sampling, dedup bucketing, or IVF
+    * search: per trained cluster, its size, its majority label (the
+    * embeddings table's ground-truth `label`), the majority's count, and
+    * the purity share. Tie rule is the engine's canonical one (most
+    * frequent, then the SMALLEST label — q89's stated rule at cluster
+    * granularity), so the report is deterministic, not argmax luck.
+    *
+    * Shape at scale: the assignment is the trained-centroid broadcast
+    * argmax (q47's front half — the corpus never shuffles for it); the
+    * purity fold is two map-side-combinable aggregations at
+    * (cluster, label) then cluster granularity, exactly [[graft.queries
+    * .EventOps.labelMode]]'s shape; purity is one division of exact
+    * longs. */
+  def clusterPurity(n: DataFrame, labels: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val assigned = assignToCentroids(n.filter(col("nrm") > 0),
+      kmeansCentroids(n, k, iters))
+    val counts = assigned.select(col("vec_id"), col("cluster"))
+      .join(labels, "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("cluster"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lbl"))).as("m"),
+        sum(col("cnt")).as("n_vecs"))
+      .select(col("cluster"), col("n_vecs"),
+        col("m.lbl").as("majority_label"),
+        (-col("m.nc")).as("n_majority"),
+        ((-col("m.nc")).cast("double") / col("n_vecs").cast("double"))
+          .as("purity"))
+  }
+
   /** Lloyd's k-means over (vec_id, e, nrm) rows with cosine assignment and
     * fixed-point centroid updates — the trainer that turns q36's
     * "first-k-vectors" centroid stand-in into real training.
@@ -686,6 +726,7 @@ object VectorOps {
          WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) > 0""",
     "q37_hyperplane_lsh" -> hyperplaneOracle,
     "q46_kmeans" -> kmeansOracle,
+    "q97_cluster_purity" -> clusterPurityOracle,
     // same oracle by design: the bucketed exact kernel has the same
     // candidate universe (pairs sharing >= 1 band) and bit-identical
     // cosines (same fold order) as the banded equi-join form
@@ -757,6 +798,26 @@ object VectorOps {
   private lazy val kmeansOracle: String =
     s"""$kmeansChain
        SELECT cluster, dim, value, n_members FROM m$KmeansIters"""
+
+  /** q97: the trained chain + one more rebuild/assign, then q89's
+    * max-count-join + min(label) mirror of the stated majority tie rule. */
+  private lazy val clusterPurityOracle: String =
+    s"""$kmeansChain,
+       ${rebuildSql(s"m$KmeansIters", "centf")},
+       ${assignSql("nz", "centf", "af")},
+       j AS (
+         SELECT a.cluster, v.label
+         FROM af a JOIN embeddings v ON a.vec_id = v.vec_id),
+       c AS (SELECT cluster, label, count(*) AS cnt FROM j GROUP BY 1, 2),
+       m AS (
+         SELECT cluster, max(cnt) AS n_majority,
+           CAST(sum(cnt) AS BIGINT) AS n_vecs
+         FROM c GROUP BY 1)
+       SELECT m.cluster, m.n_vecs, min(c.label) AS majority_label,
+         m.n_majority,
+         CAST(m.n_majority AS DOUBLE) / CAST(m.n_vecs AS DOUBLE) AS purity
+       FROM c JOIN m ON c.cluster = m.cluster AND c.cnt = m.n_majority
+       GROUP BY m.cluster, m.n_vecs, m.n_majority"""
 
   /** SQL mirror of the 16-bit hyperplane signature ([[lshBands]]'s sig
     * column) over a vector column `e` — same md5-derived signs, so the

@@ -570,6 +570,31 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("freshness: self-anchored trailing day, inclusive span, rate division") {
+    val events = ev(
+      // type a: 3 events over 2 days + 1s; only the last is inside ITS
+      // trailing day (the others are exactly >= 24h older than the anchor)
+      (1, 1, 0, "a"), (2, 2, Day, "a"), (3, 3, 2 * Day + 1, "a"),
+      // type b: a single event — span 1 day, per_day = its count
+      (4, 4, 500, "b"))
+    val got = EventOps.freshness(events)
+      .select(col("event_type"), col("n_events"), col("n_last_day"),
+        col("span_days"), col("per_day"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 1L, 3L, 1.0)), got("a").toString)
+    assert(got("b") == (("b", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("freshness is ONE exchange: the per-type anchor shares the agg's hash") {
+    val events = ev((1, 1, 10, "a"), (2, 1, 20, "b"))
+    val plan = EventOps.freshness(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("sessionCooccurrence: the set agg rides the session exchange, no self-join") {
     val events = ev((1, 1, 100, "a"), (2, 1, 200, "b"))
     val plan = EventOps.sessionCooccurrence(events)

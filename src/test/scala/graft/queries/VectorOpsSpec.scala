@@ -132,4 +132,40 @@ class VectorOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 0L, 1L -> 1L, 13L -> 1L))
   }
+
+  test("clusterPurity: hand fixture — majority, stated tie rule, exact shares") {
+    import spark.implicits._
+    // two obvious clusters on the axes; labels chosen so cluster x has a
+    // 2-2 TIE (must break to the smaller label) and cluster y a majority
+    val n = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0),  // seeds (vec_id < k)
+      2L -> Array(1.0, 0.1), 3L -> Array(1.0, -0.1), 4L -> Array(0.9, 0.05),
+      5L -> Array(0.1, 1.0), 6L -> Array(-0.05, 1.0))
+      .toDF("vec_id", "e")
+      .withColumn("nrm", VectorSim.norm(col("e")))
+    val labels = Seq(
+      (0L, 7), (2L, 7), (3L, 5), (4L, 5),  // cluster 0: 7,7,5,5 -> tie -> 5
+      (1L, 9), (5L, 9), (6L, 2))           // cluster 1: 9,9,2 -> 9
+      .toDF("vec_id", "label")
+    val got = VectorOps.clusterPurity(n, labels, k = 2, iters = 2)
+      .as[(Long, Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 4L, 5, 2L, 0.5)), s"tie must break low: ${got(0L)}")
+    assert(got(1L) == ((1L, 3L, 9, 2L, 2.0 / 3.0)), got(1L).toString)
+  }
+
+  test("clusterPurity on real embeddings: partition of the nonzero universe") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.select(col("vec_id"),
+        VectorSim.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorSim.norm(col("e")))
+    val got = VectorOps.clusterPurity(n,
+      emb.select(col("vec_id"), col("label")), k = 4, iters = 2)
+      .as[(Long, Long, Int, Long, Double)].collect()
+    val universe = n.filter(col("nrm") > 0).count()
+    assert(got.map(_._2).sum == universe,
+      "every nonzero-norm vector lands in exactly one cluster's count")
+    assert(got.forall(r => r._4 <= r._2 && r._5 > 0.0 && r._5 <= 1.0))
+  }
 }
