@@ -67,6 +67,60 @@ object Relational {
           count(lit(1)).as("count_order"))
     },
 
+    // Multi-join analytic report, TPC-H Q10 shape (q99): top customers by
+    // RETURNED-item revenue — the fact table filters at the scan
+    // (l_returnflag pushed), flows through two fact-dimension equi-joins
+    // driven by the shrunk side, picks up the nation name by broadcast,
+    // and ends in one grouped decimal-exact aggregation + TakeOrdered(20).
+    // At 100 TB: the returnflag filter cuts the lineitem scan ~4x before
+    // any wire; the orders/customer joins shuffle the filtered fact once
+    // each on their keys; the driver receives 20 rows.
+    "q99_returns_topk" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+            .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // Six-table join, TPC-H Q5 shape (q100): revenue from orders a
+    // customer placed with a supplier of their OWN nation, rolled up per
+    // (region, nation). The c_nationkey = s_nationkey predicate rides the
+    // supplier equi-join; nation and region are broadcast lookups; the
+    // fact shuffles once per fact-sized join key and the rollup is
+    // (regions x nations)-sized — the canonical star-join rollup at any
+    // scale.
+    "q100_local_volume" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+            .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // P1/P4: projection pruning + pushed predicates (SURVEY §2.2 P1, P4).
     "q02_project_filter" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -262,6 +316,32 @@ object Relational {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+    "q99_returns_topk" ->
+      """SELECT c_custkey, c_name, n_name,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+           AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q100_local_volume" ->
+      """SELECT r_name, n_name,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+           AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
     "q02_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
          WHERE l_returnflag = 'R' AND l_quantity > 45""",

@@ -113,4 +113,22 @@ class PlanSpec extends SparkSpec {
     val gen = p.linesIterator.filter(_.contains("Generate")).mkString
     assert(!gen.contains("aggregate"), "generator re-evaluates the signature: " + gen)
   }
+
+  test("q99: returnflag reaches the scan, nation broadcasts, top-20 is TakeOrdered") {
+    val p = planHintOnly("q99_returns_topk")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      "the fact filter must cut the scan before any join:\n" + p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100: six tables, equi-joins only, broadcast lookups, rollup-sized agg") {
+    val p = planHintOnly("q100_local_volume")
+    // nation + region broadcast by hint; the c/s nationkey predicate must
+    // ride the supplier equi-join, never a nested-loop filter
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin".r.findAllIn(p).size == 3, p)
+  }
 }
