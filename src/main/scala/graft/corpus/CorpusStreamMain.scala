@@ -49,6 +49,14 @@ import graft.sources.{Jsonl, Warehouse}
   * budget) and later, better documents could never displace them
   * (published batches are immutable). Both caps belong to the periodic
   * batch re-curation over the whole corpus, not the ingest gate.
+  * Also deliberately absent: URL-keyed dedup (`--url-dedup`). At the
+  * gate, a re-crawl with UNCHANGED content is already caught by the
+  * text probe, and a re-crawl whose content CHANGED is new material
+  * that should pass — dropping it on the URL key would freeze every
+  * page at its first crawl. URL-keyed dedup therefore belongs to the
+  * batch re-curation, where `--keep-best` can rank the fetches of one
+  * canonical URL and keep the best (or newest) rather than the first
+  * to arrive.
   */
 object CorpusStreamMain {
 

@@ -477,6 +477,30 @@ class EventOpsSpec extends SparkSpec {
     assert(got == (1250L + 2500L + 125L) / 1000.0)
   }
 
+  test("decayScore matches an independent BigInt reference on a randomized log") {
+    val rnd = new scala.util.Random(88)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(6).toLong + 1,
+        rnd.nextInt(40).toLong * Day / 2 + rnd.nextInt(1000), // half-day grid + jitter
+        math.floor(rnd.nextDouble() * 2000) / 100)            // exact centi-values
+    }
+    val got = EventOps.decayScore(evv(rows: _*))
+      .select(col("user_id"), col("decay_score"))
+      .as[(Long, Double)].collect().toMap
+    // reference: exact integer arithmetic end to end, one final division
+    val expected = rows.groupBy(_._2).map { case (u, es) =>
+      val anchor = es.map(_._3).max
+      val raw = es.map { e =>
+        val age = (anchor - e._3) / Day // whole days, integer floor
+        if (age < 16)
+          BigInt(math.floor(e._4 * 1000).toLong) * BigInt(1L << (15 - age).toInt)
+        else BigInt(0)
+      }.sum
+      u -> raw.toDouble / 32768000.0
+    }
+    assert(got == expected, "the operator must equal the literal definition")
+  }
+
   test("decayScore is ONE exchange: the window anchor and the agg share it") {
     val events = evv((1, 1, 10, 1.0), (2, 1, 20, 2.0))
     val plan = EventOps.decayScore(events)
