@@ -139,7 +139,8 @@ object Bench {
     ("q97_cluster_purity", 1.45, 2.2),
     ("q98_freshness", 0.35, 0.7),
     ("q99_returns_topk", 1.2, 2.0),
-    ("q100_local_volume", 0.95, 1.5))
+    ("q100_local_volume", 0.95, 1.5),
+    ("q101_quality_calibrated", 0.55, 1.0))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -147,7 +148,7 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q100; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q101; " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +

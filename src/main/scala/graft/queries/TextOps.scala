@@ -1014,6 +1014,31 @@ object TextOps {
         col("col.id").as("doc_id"), col("col.score").as("quality"))
   }
 
+  /** Per-source quality calibration (q101) — the comparability pass a
+    * heterogeneous-mix threshold needs: the raw quality scalar (q41) is
+    * NOT comparable across sources (a boilerplate-heavy crawl's best doc
+    * can score below a clean feed's worst), so a single global cut keeps
+    * whatever the easiest source emits. Rank-normalizing within each
+    * source (`q_pr` = percent_rank over (quality ASC, doc_id ASC) — the
+    * deterministic tie order, a singleton source calibrates to 0.0)
+    * makes "keep the top 30% of every source" one global `q_pr >= 0.7`
+    * filter.
+    *
+    * Cross-engine determinism: percent_rank is (rank-1)/(n-1), one
+    * division of exact ints under a tie-free total order.
+    *
+    * Shape at scale: ONE window exchange hash-partitioned by source with
+    * a local per-source sort — q55's shape and q55's degenerate-domain
+    * caveat: a corpus one source dominates takes the histogram (q56) or
+    * heap (q96) form of its downstream cut instead. */
+  def calibratedQuality(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .withColumn("q_pr", percent_rank().over(w))
+  }
+
   private val DefaultNgramN = 2
   private val DefaultNgramK = 30
 
@@ -1233,6 +1258,10 @@ object TextOps {
     // (see topKPerSource).
     "q96_topk_per_source" -> { (s, dir) => topKPerSource(Tables.documents(s, dir)) },
 
+    // Per-source quality calibration (see calibratedQuality).
+    "q101_quality_calibrated" -> { (s, dir) =>
+      calibratedQuality(Tables.documents(s, dir)) },
+
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
 
@@ -1328,6 +1357,14 @@ object TextOps {
          SELECT doc_id, source, n_tokens, "offset",
            CAST(floor("offset" / $DefaultCapacity.0) AS BIGINT) AS bin
          FROM c""",
+    // percent_rank shares its definition across engines; the (quality,
+    // doc_id) order is tie-free, so the division is of exact ints
+    "q101_quality_calibrated" ->
+      s"""WITH $QualityCteSql
+         SELECT doc_id, source, quality,
+           percent_rank() OVER (PARTITION BY source
+             ORDER BY quality ASC, doc_id ASC) AS q_pr
+         FROM qq""",
     // row_number mirror of the heap aggregate's stated total order
     // (quality DESC, doc_id ASC) — the sketch-free literal form
     "q96_topk_per_source" ->

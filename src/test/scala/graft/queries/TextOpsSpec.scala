@@ -679,6 +679,25 @@ class TextOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("calibratedQuality: per-source percent_rank, singleton = 0, one exchange") {
+    val d = Seq(
+      (1L, "sA", "the a the a"),          // high stop ratio: low quality
+      (2L, "sA", "meaningful longer words present here"),
+      (3L, "sA", "middle quality words go here now"),
+      (4L, "sB", "a lone document"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.calibratedQuality(d)
+      .select(col("doc_id"), col("q_pr")).as[(Long, Double)].collect().toMap
+    // sA ranks its three docs 0, 0.5, 1 in quality order; sB's singleton
+    // calibrates to 0.0 — and crucially the MAPPING is within-source
+    assert(got(4L) == 0.0, s"singleton source must calibrate to 0: $got")
+    assert(Set(got(1L), got(2L), got(3L)) == Set(0.0, 0.5, 1.0), got.toString)
+    assert(got(1L) == 0.0, "the stopword-heavy doc must rank lowest in its source")
+    val plan = TextOps.calibratedQuality(d).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("domainQuotaHeap == domainQuota exactly, with no Window in the plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val window = TextOps.domainQuota(docs, 4)
