@@ -52,6 +52,10 @@ import graft.sources.{Jsonl, Warehouse}
   *     column) — every re-crawl DROPPED by URL-keyed dedup (q94's pass,
   *     run before any shingling so content dedup never pays for
   *     re-crawls), with its canonical URL and the surviving fetch;
+  *   - `quality_floor/` (with `--quality-floor P`) — the per-source
+  *     floor's dropped docs (each source sheds exactly floor(P·n) of its
+  *     OWN worst — source-relative, so a weak source is trimmed, never
+  *     wiped out by a global threshold) with quality/rank/size evidence;
   *   - `span_cut/` (with `--cut-spans N`) — the duplicated-passage cut
   *     (q82, Lee et al. 2021) applied to dedup survivors: every affected
   *     doc's coverage stats AND its cut text, the published patch the
@@ -91,14 +95,15 @@ object CorpusMain {
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
       "[--normalize true|false] [--cut-spans N] [--url-dedup true|false] " +
-      "[--quota-heap true|false]"
+      "[--quota-heap true|false] [--quality-floor D]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
-        "normalize", "cut-spans", "url-dedup", "quota-heap"),
+        "normalize", "cut-spans", "url-dedup", "quota-heap",
+        "quality-floor"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -132,6 +137,7 @@ object CorpusMain {
     val cutSpans = Cli.toInt(args, "cut-spans", usage)
     val urlDedup = Cli.toBoolean(args, "url-dedup", usage).getOrElse(false)
     val quotaHeap = Cli.toBoolean(args, "quota-heap", usage).getOrElse(false)
+    val qualityFloor = Cli.toDouble(args, "quality-floor", usage)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -156,7 +162,8 @@ object CorpusMain {
       normalize,
       cutSpans,
       urlDedup,
-      quotaHeap)
+      quotaHeap,
+      qualityFloor)
     finally spark.stop()
   }
 
@@ -201,12 +208,15 @@ object CorpusMain {
       normalize: Boolean = false,
       cutSpans: Option[Int] = None,
       urlDedup: Boolean = false,
-      quotaHeap: Boolean = false): Unit = {
+      quotaHeap: Boolean = false,
+      qualityFloor: Option[Double] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
     require(!quotaHeap || quota.nonEmpty,
       "quota-heap was given without a quota to compute")
+    require(qualityFloor.forall(p => p >= 0 && p < 1),
+      s"quality-floor must be in [0, 1), got ${qualityFloor.get}")
     require(reviewSample.forall(_ >= 1),
       s"review-sample must be >= 1, got ${reviewSample.get}")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
@@ -252,7 +262,7 @@ object CorpusMain {
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
       chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
-      urlDedup, quotaHeap)
+      urlDedup, quotaHeap, qualityFloor)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -275,7 +285,8 @@ object CorpusMain {
       normalize: Boolean = false,
       cutSpans: Option[Int] = None,
       urlDedup: Boolean = false,
-      quotaHeap: Boolean = false): Unit = {
+      quotaHeap: Boolean = false,
+      qualityFloor: Option[Double] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -452,6 +463,25 @@ object CorpusMain {
         // (doc_id, source, quality, rk) rows land on disk, are read back,
         // and the corpus keeps exactly the audited ids — provably
         // consistent with the evidence, same protocol as contamination
+        // --quality-floor AFTER span-cutting (quality must describe the
+        // text that publishes) and BEFORE the quota (shed each source's
+        // worst fraction first, then cap what remains): drops exactly
+        // floor(p * n_src) docs per source — source-RELATIVE, so a weak
+        // source sheds its own worst rather than being wiped out by a
+        // global threshold (q101's calibration argument as a stage); the
+        // count-based cut keeps a singleton source's only doc at any p.
+        // Evidence-first like every drop: the dropped rows with their
+        // quality/rank/source-size publish at quality_floor/, membership
+        // reads back from it.
+        val floored = qualityFloor match {
+          case Some(p) =>
+            Warehouse.replaceDir(
+              TextOps.qualityFloorDrops(spanCut, p), s"$output/quality_floor")
+            spanCut.join(
+              spark.read.parquet(s"$output/quality_floor").select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          case None => spanCut
+        }
         // --quota-heap swaps the window form for the bounded-heap
         // aggregate (q96's graft_topk) — IDENTICAL cut (same total
         // order), O(k) state per domain instead of a per-domain
@@ -460,13 +490,13 @@ object CorpusMain {
         val capped = quota match {
           case Some(q) =>
             Warehouse.replaceDir(
-              if (quotaHeap) TextOps.domainQuotaHeap(spanCut, q)
-              else TextOps.domainQuota(spanCut, q),
+              if (quotaHeap) TextOps.domainQuotaHeap(floored, q)
+              else TextOps.domainQuota(floored, q),
               s"$output/domain_quota")
-            spanCut.join(
+            floored.join(
               spark.read.parquet(s"$output/domain_quota").select("doc_id"),
               Seq("doc_id"), "left_semi")
-          case None => spanCut
+          case None => floored
         }
         // token budget LAST of the drops, over what every earlier stage
         // kept: rate mixing, dedup, and the quota all change per-source
@@ -522,6 +552,8 @@ object CorpusMain {
         if (!normalize) Warehouse.retireDir(spark, s"$output/normalize_stats")
         if (cutSpans.isEmpty) Warehouse.retireDir(spark, s"$output/span_cut")
         if (!urlDedup) Warehouse.retireDir(spark, s"$output/url_dedup")
+        if (qualityFloor.isEmpty)
+          Warehouse.retireDir(spark, s"$output/quality_floor")
         if (quota.isEmpty) Warehouse.retireDir(spark, s"$output/domain_quota")
         if (tokenBudget.isEmpty) Warehouse.retireDir(spark, s"$output/token_budget")
         if (!exportJsonl) Warehouse.retireDir(spark, s"$output/corpus_jsonl")

@@ -1039,6 +1039,30 @@ object TextOps {
       .withColumn("q_pr", percent_rank().over(w))
   }
 
+  /** Per-source quality floor (CorpusMain --quality-floor): the DROPPED
+    * rows when each source sheds its worst `p` fraction — exactly
+    * `floor(p * n_src)` docs per source (count-based, NOT a percent_rank
+    * cut: `q_pr >= p` would drop every singleton source's only doc, which
+    * always calibrates to 0). Rank-from-worst over the tie-free
+    * (quality ASC, doc_id ASC) order; `floor(p * n)` is a deterministic
+    * double multiply + floor on exact ints. Returned rows carry the
+    * evidence (quality, rank-from-worst, source size) — the audit
+    * CorpusMain publishes and reads membership back from.
+    *
+    * Shape at scale: ONE window exchange on source (row_number and the
+    * source-count share it), q55/q101's shape and caveat. */
+  def qualityFloorDrops(docs: DataFrame, p: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p >= 0 && p < 1, s"quality floor must be in [0, 1), got $p")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .withColumn("rn_worst", row_number().over(w).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn_worst") <= floor(lit(p) * col("n_src")))
+  }
+
   private val DefaultNgramN = 2
   private val DefaultNgramK = 30
 

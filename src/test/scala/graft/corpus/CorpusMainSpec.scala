@@ -706,6 +706,38 @@ class CorpusMainSpec extends SparkSpec {
       "unnormalized whitespace variants must evade shingle dedup (the point)")
   }
 
+  test("--quality-floor sheds each source's own worst, audited and reversible") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("corpus_floor").toString
+    CorpusMain.runWith(spark, input, out, qualityFloor = Some(0.2))
+    val dropped = spark.read.parquet(s"$out/quality_floor")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    val droppedIds = dropped.select("doc_id").as[Long].collect().toSet
+    assert(droppedIds.nonEmpty && droppedIds.intersect(corpusIds).isEmpty,
+      "every audited drop must be absent from the corpus")
+    // the floor is source-relative: within each source the dropped docs'
+    // qualities sit at or below every published doc's quality
+    val worstKept = corpus.join(
+        spark.read.parquet(s"$input/documents.parquet").select("doc_id"),
+        "doc_id")
+    val minKeptBySrc = graft.queries.TextOps.calibratedQuality(worstKept)
+      .groupBy(col("source")).agg(min(col("quality")).as("minq"))
+      .as[(String, Double)].collect().toMap
+    dropped.select("source", "quality").as[(String, Double)].collect()
+      .foreach { case (src, q) =>
+        assert(q <= minKeptBySrc(src),
+          s"$src dropped a doc ($q) better than a kept one (${minKeptBySrc(src)})")
+      }
+    // flagless rerun restores and retires
+    CorpusMain.runWith(spark, input, out)
+    assert(!new java.io.File(s"$out/quality_floor").exists())
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+      .intersect(droppedIds) == droppedIds,
+      "the floor's drops must return without the flag")
+  }
+
   test("--quota-heap publishes the identical corpus and audit as the window quota") {
     import spark.implicits._
     val outW = Files.createTempDirectory("corpus_quota_w").toString

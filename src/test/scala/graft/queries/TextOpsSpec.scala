@@ -698,6 +698,29 @@ class TextOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("qualityFloorDrops: exactly floor(p*n) per source, worst first, singletons safe") {
+    val d = Seq(
+      (1L, "sA", "the a the a"),                       // sA's worst
+      (2L, "sA", "the a the a the"),                   // sA's 2nd worst
+      (3L, "sA", "meaningful longer words present here"),
+      (4L, "sA", "different meaningful words also here"),
+      (5L, "sB", "the the the the"))                   // singleton, and globally worst
+      .toDF("doc_id", "source", "text")
+    val drops = TextOps.qualityFloorDrops(d, 0.3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // sA: floor(0.3 * 4) = 1 -> drops only its worst; sB: floor(0.3) = 0
+    // -> the singleton survives even though it is the corpus's worst doc
+    assert(drops == Set(1L), s"source-relative floor: $drops")
+    val half = TextOps.qualityFloorDrops(d, 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(half == Set(1L, 2L), s"floor(0.5*4)=2 from sA, none from sB: $half")
+    assert(TextOps.qualityFloorDrops(d, 0.0).count() == 0)
+    val plan = TextOps.qualityFloorDrops(d, 0.3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("domainQuotaHeap == domainQuota exactly, with no Window in the plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val window = TextOps.domainQuota(docs, 4)
