@@ -469,7 +469,8 @@ class CorpusMainSpec extends SparkSpec {
         publishVectorIndex = Some("all_flags_vec_idx"),
         publishVectors = Some("all_flags_vecs"),
         normalize = true,
-        cutSpans = Some(8))
+        cutSpans = Some(8),
+        qualityFloor = Some(0.1))
       val corpus = spark.read.parquet(s"$out/corpus")
       val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids.nonEmpty)
@@ -482,7 +483,7 @@ class CorpusMainSpec extends SparkSpec {
       assert(corpus.groupBy("source").count()
         .collect().forall(_.getLong(1) <= 5L), "quota breached")
       for (audit <- Seq("near_dup_pairs", "domain_quota", "embed_dup_pairs",
-          "token_budget", "normalize_stats", "span_cut"))
+          "token_budget", "normalize_stats", "span_cut", "quality_floor"))
         assert(new java.io.File(s"$out/$audit").exists(), s"$audit missing")
       // the quota and budget audits and the corpus agree exactly (the
       // over-total budget keeps every quota survivor, with null cuts)
@@ -515,7 +516,7 @@ class CorpusMainSpec extends SparkSpec {
       CorpusMain.runWith(spark, input, out)
       for (stale <- Seq("contaminated", "domain_quota", "embed_dup_pairs",
           "token_budget", "corpus_jsonl", "examples", "corpus_stats",
-          "composition", "normalize_stats", "span_cut"))
+          "composition", "normalize_stats", "span_cut", "quality_floor"))
         assert(!new java.io.File(s"$out/$stale").exists(), s"$stale must retire")
     } finally
       for (t <- Seq("all_flags_idx", "all_flags_vec_idx", "all_flags_vecs"))
