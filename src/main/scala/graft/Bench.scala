@@ -18,7 +18,8 @@ object Bench {
   private val stagedQueries = Seq("q31_minhash_lsh", "q32_simhash",
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
     "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate",
-    "q74_canonical_pick", "q81_dup_stats", "q92_dup_rate_by_source")
+    "q74_canonical_pick", "q81_dup_stats", "q87_bloom_decontaminate",
+    "q92_dup_rate_by_source")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed

@@ -95,7 +95,8 @@ object CorpusMain {
       "[--publish-shingles <table>] [--chunk N] [--chunk-stride N] " +
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
       "[--normalize true|false] [--cut-spans N] [--url-dedup true|false] " +
-      "[--quota-heap true|false] [--quality-floor D]"
+      "[--quota-heap true|false] [--quality-floor D] " +
+      "[--floor-threshold true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
@@ -103,7 +104,7 @@ object CorpusMain {
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
         "normalize", "cut-spans", "url-dedup", "quota-heap",
-        "quality-floor"),
+        "quality-floor", "floor-threshold"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -111,7 +112,7 @@ object CorpusMain {
     for (orphan <- Seq("cos-threshold" -> "embeddings",
         "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings",
         "publish-vectors" -> "embeddings", "chunk-stride" -> "chunk",
-        "quota-heap" -> "quota"))
+        "quota-heap" -> "quota", "floor-threshold" -> "quality-floor"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -138,6 +139,7 @@ object CorpusMain {
     val urlDedup = Cli.toBoolean(args, "url-dedup", usage).getOrElse(false)
     val quotaHeap = Cli.toBoolean(args, "quota-heap", usage).getOrElse(false)
     val qualityFloor = Cli.toDouble(args, "quality-floor", usage)
+    val floorThreshold = Cli.toBoolean(args, "floor-threshold", usage).getOrElse(false)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -163,7 +165,8 @@ object CorpusMain {
       cutSpans,
       urlDedup,
       quotaHeap,
-      qualityFloor)
+      qualityFloor,
+      floorThreshold)
     finally spark.stop()
   }
 
@@ -209,7 +212,8 @@ object CorpusMain {
       cutSpans: Option[Int] = None,
       urlDedup: Boolean = false,
       quotaHeap: Boolean = false,
-      qualityFloor: Option[Double] = None): Unit = {
+      qualityFloor: Option[Double] = None,
+      floorThreshold: Boolean = false): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
@@ -217,6 +221,8 @@ object CorpusMain {
       "quota-heap was given without a quota to compute")
     require(qualityFloor.forall(p => p >= 0 && p < 1),
       s"quality-floor must be in [0, 1), got ${qualityFloor.get}")
+    require(!floorThreshold || qualityFloor.nonEmpty,
+      "floor-threshold was given without a quality-floor to compute")
     require(reviewSample.forall(_ >= 1),
       s"review-sample must be >= 1, got ${reviewSample.get}")
     require(quota.forall(_ >= 1), s"quota must be >= 1, got ${quota.get}")
@@ -262,7 +268,7 @@ object CorpusMain {
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
       chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
-      urlDedup, quotaHeap, qualityFloor)
+      urlDedup, quotaHeap, qualityFloor, floorThreshold)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -286,7 +292,8 @@ object CorpusMain {
       cutSpans: Option[Int] = None,
       urlDedup: Boolean = false,
       quotaHeap: Boolean = false,
-      qualityFloor: Option[Double] = None): Unit = {
+      qualityFloor: Option[Double] = None,
+      floorThreshold: Boolean = false): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -473,10 +480,19 @@ object CorpusMain {
         // Evidence-first like every drop: the dropped rows with their
         // quality/rank/source-size publish at quality_floor/, membership
         // reads back from it.
+        // --floor-threshold swaps the window form for the histogram cut
+        // (qualityFloorByThreshold) — IDENTICAL dropped set (monotone
+        // binning, equivalence pinned in TextOpsSpec), histogram-sized
+        // windows instead of a per-source partition sort: the switch to
+        // flip when one source dominates the corpus, same lever as
+        // --quota-heap for the quota (the audit then carries no rn_worst
+        // — the global per-source rank IS the sort being avoided)
         val floored = qualityFloor match {
           case Some(p) =>
             Warehouse.replaceDir(
-              TextOps.qualityFloorDrops(spanCut, p), s"$output/quality_floor")
+              if (floorThreshold) TextOps.qualityFloorByThreshold(spanCut, p)
+              else TextOps.qualityFloorDrops(spanCut, p),
+              s"$output/quality_floor")
             spanCut.join(
               spark.read.parquet(s"$output/quality_floor").select("doc_id"),
               Seq("doc_id"), "left_anti")

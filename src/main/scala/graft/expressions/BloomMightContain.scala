@@ -40,7 +40,14 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, BinaryType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // Reject a null literal HERE so both execution paths agree: without
+        // this, the interpreted path silently null-propagates per row while
+        // the codegen path throws at planning time inside the lazy
+        // deserialize — same rule as Spark's own BloomFilterMightContain.
+        if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_might_contain requires a non-null bloom literal")
+        else TypeCheckResult.TypeCheckSuccess
       case (LongType, BinaryType) =>
         TypeCheckResult.TypeCheckFailure(
           "graft_might_contain requires a foldable (literal) bloom argument")

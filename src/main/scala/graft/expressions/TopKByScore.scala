@@ -45,7 +45,11 @@ case class TopKByScore(
   override def checkInputDataTypes(): TypeCheckResult =
     (score.dataType, id.dataType, kExpr.dataType) match {
       case (DoubleType, LongType, IntegerType) if kExpr.foldable =>
-        if (k >= 1) TypeCheckResult.TypeCheckSuccess
+        // A foldable null (lit(null).cast("int")) must be a clean
+        // TypeCheckFailure, not an NPE from the lazy `k` during analysis.
+        if (kExpr.eval() == null)
+          TypeCheckResult.TypeCheckFailure("graft_topk: k must be a non-null literal")
+        else if (k >= 1) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"graft_topk: k must be >= 1, got $k")
       case (DoubleType, LongType, IntegerType) =>
         TypeCheckResult.TypeCheckFailure("graft_topk: k must be a literal")

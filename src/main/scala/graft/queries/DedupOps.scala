@@ -623,7 +623,15 @@ object DedupOps {
     * combinable per-doc count. `broadcastBench = true` composes too (the
     * bloom then just cuts hash-probe work), but the broadcast regime is
     * [[contamination]]'s home turf — this operator exists for the shuffle
-    * regime. */
+    * regime.
+    *
+    * Caching contract: the bench shingle set is `persist()`ed here (it is
+    * read three times — sized, sketched, joined) and is NOT unpersisted
+    * before return, because the returned DataFrame still references it
+    * lazily. The caller owns the release: call
+    * `spark.catalog.clearCache()` (what Bench/Verify do between queries)
+    * or unpersist via the catalog once the result is consumed — otherwise
+    * the cached bench set lives for the session. */
   def contaminationBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
       fpp: Double = 0.01, broadcastBench: Boolean = false,
       expectedItems: Option[Long] = None): DataFrame = {

@@ -1044,8 +1044,15 @@ object TextOps {
     * `floor(p * n_src)` docs per source (count-based, NOT a percent_rank
     * cut: `q_pr >= p` would drop every singleton source's only doc, which
     * always calibrates to 0). Rank-from-worst over the tie-free
-    * (quality ASC, doc_id ASC) order; `floor(p * n)` is a deterministic
-    * double multiply + floor on exact ints. Returned rows carry the
+    * (quality ASC, doc_id ASC) order; the cut count is
+    * `floor(p * n + 1e-9)` — the epsilon guards the boundary where p*n is
+    * mathematically an integer but the double product rounds just below
+    * it (p=0.29, n=100 gives 28.999999999999996; the documented contract
+    * is 29 drops, and 1e-9 is far below the 1-ulp error of any feasible
+    * p*n while far above nothing — n would need to exceed ~4e7/ulp(p) for
+    * a legitimate sub-integer product to sit within it). Same guard in
+    * [[qualityFloorByThreshold]], so the two forms cannot disagree at
+    * boundaries. Returned rows carry the
     * evidence (quality, rank-from-worst, source size) — the audit
     * CorpusMain publishes and reads membership back from.
     *
@@ -1060,7 +1067,78 @@ object TextOps {
       .withColumn("rn_worst", row_number().over(w).cast("long"))
       .withColumn("n_src",
         count(lit(1)).over(Window.partitionBy(col("source"))))
-      .filter(col("rn_worst") <= floor(lit(p) * col("n_src")))
+      .filter(col("rn_worst") <= floorCutCount(col("n_src"), p))
+  }
+
+  /** `floor(p * n)` with the boundary guard both floor forms share — see
+    * [[qualityFloorDrops]]'s scaladoc for why the epsilon is correct. */
+  private def floorCutCount(n: Column, p: Double): Column =
+    floor(lit(p) * n + lit(1e-9))
+
+  /** [[qualityFloorDrops]] for the degenerate-source corpus — the same
+    * lever [[domainQuotaByThreshold]] is for [[domainQuota]], pointed at
+    * the floor: the window form sorts each source inside ONE partition,
+    * so a corpus one source dominates pays a single-task sort of nearly
+    * the whole corpus. Here the bottom `floor(p * n_src)` docs are found
+    * by histogram instead:
+    *   1. bin each doc's quality into `bins` equal-width buckets (the
+    *      monotone binning [[domainQuotaByThreshold]] uses — quality is
+    *      in [0, 1] by construction, 1.0 clamps into the top bin);
+    *   2. aggregate the per-(source, bin) histogram — the only
+    *      corpus-wide shuffle, map-side combinable, ≤ sources × bins
+    *      rows — and its per-source total `n_src`;
+    *   3. per source, walk bins from the BOTTOM to the boundary bin where
+    *      the cumulative count first reaches the cut `floor(p·n_src)`
+    *      (the shared [[floorCutCount]] guard, so the two forms cannot
+    *      disagree at p·n integer boundaries) — windows over HISTOGRAM
+    *      rows, never documents;
+    *   4. drop every doc strictly BELOW its source's boundary bin, and
+    *      rank ascending only WITHIN the boundary bin — a window whose
+    *      input is already cut to ~1/bins of the source — for the
+    *      remaining drop seats.
+    * The per-source (boundary bin, seats, n_src) table is one row per
+    * source and broadcast; the documents themselves are never shuffled.
+    * Binning is monotone in quality, so the dropped set is EXACTLY the
+    * window form's (TextOpsSpec pins the equivalence, ties included);
+    * only `rn_worst` is not produced — the global per-source rank is
+    * precisely the sort this variant exists to avoid. Wired as
+    * CorpusMain's `--floor-threshold` switch on the `--quality-floor`
+    * stage. */
+  def qualityFloorByThreshold(docs: DataFrame, p: Double,
+      bins: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p >= 0 && p < 1, s"quality floor must be in [0, 1), got $p")
+    require(bins >= 2, s"need >= 2 histogram bins, got $bins")
+    val scored = docs
+      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .withColumn("bin",
+        least(floor(col("quality") * bins).cast("long"), lit(bins - 1L)))
+    val hist = scored.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val withCut = hist
+      .withColumn("n_src", sum(col("n")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("cut", floorCutCount(col("n_src"), p))
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the LOWEST bin whose from-the-bottom cumulative reaches the cut;
+    // seats = what the cut leaves after every doc in the bins below it
+    val boundary = withCut.filter(col("cut") >= 1 && col("cum") >= col("cut"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("bin").asc)))
+      .filter(col("r") === 1)
+      .select(col("source"), col("bin").as("bbin"), col("n_src"),
+        (col("cut") - (col("cum") - col("n"))).as("seats"))
+    val withB = scored.join(broadcast(boundary), Seq("source"), "inner")
+    val below = withB.filter(col("bin") < col("bbin"))
+    val atBoundary = withB.filter(col("bin") === col("bbin"))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").asc, col("doc_id").asc)))
+      .filter(col("rb") <= col("seats"))
+    below.select("doc_id", "source", "quality", "n_src")
+      .unionByName(atBoundary.select("doc_id", "source", "quality", "n_src"))
   }
 
   private val DefaultNgramN = 2

@@ -760,6 +760,30 @@ class CorpusMainSpec extends SparkSpec {
     assert(e.getMessage.contains("quota-heap"))
   }
 
+  test("--floor-threshold publishes the identical corpus and drop set as the window floor") {
+    import spark.implicits._
+    val outW = Files.createTempDirectory("corpus_floor_w").toString
+    val outT = Files.createTempDirectory("corpus_floor_t").toString
+    CorpusMain.runWith(spark, input, outW, qualityFloor = Some(0.2))
+    CorpusMain.runWith(spark, input, outT, qualityFloor = Some(0.2),
+      floorThreshold = true)
+    def corpusIds(o: String) = spark.read.parquet(s"$o/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // the histogram audit carries no rn_worst (the global per-source rank
+    // IS the sort being avoided) — compare the columns both forms publish
+    def audit(o: String) = spark.read.parquet(s"$o/quality_floor")
+      .select("doc_id", "source", "quality", "n_src")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(corpusIds(outT) == corpusIds(outW))
+    assert(audit(outT) == audit(outW),
+      "the histogram path must shed exactly the window path's drops")
+    // the flag without a floor is a configuration bug
+    val e = intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, input, outT, floorThreshold = true)
+    }
+    assert(e.getMessage.contains("floor-threshold"))
+  }
+
   test("--url-dedup drops re-crawls by canonical URL before shingling, audited and reversible") {
     import spark.implicits._
     val out = Files.createTempDirectory("corpus_main_url").toString

@@ -40,6 +40,25 @@ class BloomMightContainSpec extends SparkSpec {
     assert(exprNull.eval(null) == null)
   }
 
+  test("a NULL bloom literal fails type-check on BOTH paths, never null-propagates") {
+    // Without the check, the interpreted path silently returns null per
+    // row while codegen throws at planning — the paths must agree, and
+    // they agree by rejecting at analysis (Spark's own
+    // BloomFilterMightContain rule).
+    val e = intercept[Exception] {
+      Seq(1L).toDF("h")
+        .select(call_function("graft_might_contain", col("h"),
+          lit(null).cast("binary")).as("m"))
+        .collect()
+    }
+    assert(e.getMessage.contains("non-null bloom literal"), e.getMessage)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val check = BloomMightContain(Literal(1L),
+      Literal.create(null, BinaryType)).checkInputDataTypes()
+    assert(check.isFailure, "direct expression construction must fail too")
+  }
+
   test("registered for SQL via GraftExtensions") {
     val bytes = bloomOf(Seq(7L))
     val got = Seq(7L, 1234567L).toDF("h")

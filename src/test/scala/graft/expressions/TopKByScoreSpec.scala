@@ -78,6 +78,18 @@ class TopKByScoreSpec extends SparkSpec {
     assert(e.getMessage.contains("k must be"), e.getMessage)
   }
 
+  test("a foldable NULL k is a clean type-check failure, not an analysis NPE") {
+    val df = Seq(("a", 1L, 0.5)).toDF("g", "i", "s")
+    val e = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("i"),
+          lit(null).cast("int")))
+        .collect()
+    }
+    assert(e.getMessage.contains("non-null literal"), e.getMessage)
+    assert(!e.isInstanceOf[NullPointerException], e.toString)
+  }
+
   test("q96's shape agrees with the q55-style window quota at the same k") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val heap = TextOps.topKPerSource(docs, 3)

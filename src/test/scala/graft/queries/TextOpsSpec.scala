@@ -721,6 +721,69 @@ class TextOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("qualityFloorDrops: floor(p*n) boundary where the double product rounds low") {
+    // p=0.29, n=100: 0.29*100 = 28.999999999999996 in double — the
+    // epsilon guard must yield the mathematical floor, 29 drops.
+    val d = (0L until 100L).map { i =>
+      val stops = Seq.fill((i % 13).toInt)("the")
+      val body = Seq.fill(2 + (i % 7).toInt)(s"w${i % 17}")
+      (i, "s", (stops ++ body).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    assert(TextOps.qualityFloorDrops(d, 0.29).count() == 29,
+      "p*n integer boundaries must cut the mathematical floor")
+    assert(TextOps.qualityFloorByThreshold(d, 0.29).count() == 29,
+      "both floor forms share the boundary guard")
+  }
+
+  test("qualityFloorByThreshold == qualityFloorDrops on a skewed corpus, no document-scale window") {
+    // one degenerate source holding almost everything (the case the
+    // variant exists for), one small source, one singleton. Texts repeat
+    // so equal qualities TIE inside a bin — the doc_id tiebreak must
+    // match the window form's exactly.
+    val docs = ((0L until 200L).map { i =>
+      val stops = Seq.fill((i % 7).toInt)("the")
+      val body = Seq.fill(3 + (i % 5).toInt)(s"tok${i % 11}")
+      (i, "big", (stops ++ body).mkString(" "))
+    } ++ Seq(
+      (900L, "small", "alpha beta gamma delta"),
+      (901L, "small", "one two three"),
+      (902L, "small", "the the the the"),
+      (910L, "solo", "the the the the the"))).toDF("doc_id", "source", "text")
+    for (p <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val viaWindow = TextOps.qualityFloorDrops(docs, p)
+        .select("doc_id", "source", "quality", "n_src")
+        .as[(Long, String, Double, Long)].collect().toSet
+      val viaThreshold = TextOps.qualityFloorByThreshold(docs, p)
+        .select("doc_id", "source", "quality", "n_src")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(viaThreshold == viaWindow,
+        s"p=$p histogram cut must drop exactly the window cut's rows:\n" +
+          s"window - threshold: ${viaWindow -- viaThreshold}\n" +
+          s"threshold - window: ${viaThreshold -- viaWindow}")
+      assert(!viaThreshold.exists(_._1 == 910L),
+        s"p=$p: the count-based floor keeps a singleton source's only doc")
+    }
+    assert(TextOps.qualityFloorByThreshold(docs, 0.0).count() == 0)
+    // the plan property that IS the operator: every window runs over
+    // histogram rows (below an Aggregate) or over one boundary bin (below
+    // a bin filter) — never over a whole source of documents
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val plan = TextOps.qualityFloorByThreshold(docs, 0.3)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "the threshold cut still windows (just never over a source)")
+    wins.foreach { w =>
+      val guarded = w.child.collectFirst {
+        case a: Aggregate => a
+        case f: Filter if f.condition.references.exists(r =>
+          Set("bin", "bbin", "cum")(r.name)) => f
+      }.nonEmpty
+      assert(guarded, s"document-scale window in the threshold plan:\n$w")
+    }
+    intercept[IllegalArgumentException] { TextOps.qualityFloorByThreshold(docs, 1.0) }
+    intercept[IllegalArgumentException] { TextOps.qualityFloorByThreshold(docs, 0.3, bins = 1) }
+  }
+
   test("domainQuotaHeap == domainQuota exactly, with no Window in the plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val window = TextOps.domainQuota(docs, 4)
