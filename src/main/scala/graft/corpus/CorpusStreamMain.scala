@@ -210,13 +210,15 @@ object CorpusStreamMain {
       "   or: graft.corpus.CorpusStreamMain --compact-state true " +
       "--output <dir> --index-table <table> --shingles-table <table> " +
       "[--vector-index-table <table> " +
-      "--embeddings <parquet> | --vectors-table <table>]"
+      "--embeddings <parquet> | --vectors-table <table>] " +
+      "[--require-vector-coverage true|false]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "index-table",
         "shingles-table", "vector-index-table", "vectors-table",
-        "max-files-per-trigger", "compact-state", "normalize"),
+        "max-files-per-trigger", "compact-state", "normalize",
+        "require-vector-coverage"),
       required = Set("output"),
       usage = usage)
     val compactMode = Cli.toBoolean(args, "compact-state", usage).getOrElse(false)
@@ -242,6 +244,12 @@ object CorpusStreamMain {
           "(--embeddings or --vectors-table) to band-hash the tail batches")
         sys.exit(2)
       }
+      if (args.contains("require-vector-coverage") &&
+          !args.contains("vector-index-table")) {
+        System.err.println("--require-vector-coverage is meaningless " +
+          "without --vector-index-table (no vector side to cover)")
+        sys.exit(2)
+      }
       val spark = graft.Sessions.local("graft-gate-compact")
       try {
         val vectors = args.get("embeddings").map(p =>
@@ -251,7 +259,9 @@ object CorpusStreamMain {
           .orElse(args.get("vectors-table").map(spark.table))
         val n = GateState.compactState(spark, args("output"),
           args("index-table"), args("shingles-table"),
-          args.get("vector-index-table"), vectors)
+          args.get("vector-index-table"), vectors,
+          requireVectorCoverage = Cli.toBoolean(args,
+            "require-vector-coverage", usage).getOrElse(false))
         System.err.println(s"[compact-state] folded $n batch(es) into the at-rest gate tables")
       } finally spark.stop()
       return

@@ -194,6 +194,8 @@ final class GateState private (
 
 object GateState {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(GateState.getClass)
+
   /** Build the gate state at stream startup.
     *
     * `corpus`: the curated static corpus — (doc_id, text) at minimum.
@@ -333,6 +335,18 @@ object GateState {
     * (vec_id, e, nrm) source the gate runs with); the vec_id-bucketed
     * vectors TABLE is not appended to here — it is maintained upstream,
     * since it must already cover a doc before the gate can verify it.
+    * That coverage contract is CHECKED, not assumed: a tail doc with no
+    * vectors row compacts with no vector-index row, and after the next
+    * [[resume]] (which trusts the manifest and skips the batch) it is
+    * unguarded on the vector side for good — a silent narrowing of the
+    * gate. Uncovered ids are counted and logged as an error with
+    * samples; with `requireVectorCoverage = true` the compaction fails
+    * instead of proceeding. The default reports rather than fails
+    * because an embedding-less doc can be LEGITIMATE — [[vectorGate]]
+    * passes such docs untouched, so compacting one adds no exposure the
+    * running gate didn't already accept; only the operator can tell a
+    * legitimately-unembedded doc from a misconfigured (stale, wrong)
+    * vectors source, and the loud count is what lets them.
     * `numBuckets` must match the tables' bucket count (Spark fails
     * loudly on a mismatch). At the next corpus re-curation the tables
     * are rebuilt from the published corpus and the batch dirs retire —
@@ -341,7 +355,8 @@ object GateState {
       indexTable: String, shinglesTable: String,
       vectorIndexTable: Option[String] = None,
       vectors: Option[DataFrame] = None,
-      numBuckets: Int = 32): Int = {
+      numBuckets: Int = 32,
+      requireVectorCoverage: Boolean = false): Int = {
     require(vectorIndexTable.isEmpty || vectors.nonEmpty,
       "vectorIndexTable was given without vectors to band-hash")
     Warehouse.recover(spark, output)
@@ -369,6 +384,27 @@ object GateState {
         DedupOps.corpusBandIndex(DedupOps.shingledOf(idxDocs)),
         indexTable, Seq("b", "v"), numBuckets)
       vectorIndexTable.foreach { vt =>
+        // the coverage check the scaladoc promises: uncovered = tail ids
+        // with no vectors row. One tiny-id-set anti-join; the sample cap
+        // keeps the driver collect bounded however bad the misconfig is.
+        val uncovered = tailIds.join(
+          vectors.get.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val sample = uncovered.select("doc_id").limit(11)
+          .collect().map(_.getLong(0))
+        if (sample.nonEmpty) {
+          val n = uncovered.count()
+          val shown = sample.take(10).mkString(", ") +
+            (if (sample.length > 10) ", …" else "")
+          val msg = s"gate compaction: $n tail doc(s) have no row in the " +
+            s"vectors source (sample: $shown) — they will compact with NO " +
+            "vector-index row and, once the manifest marks their batch, " +
+            "stay unguarded on the vector side until the next re-curation. " +
+            "Legitimate only if these docs never had embeddings; a stale " +
+            "or wrong vectors source looks exactly like this."
+          if (requireVectorCoverage) throw new IllegalStateException(msg)
+          log.error(msg)
+        }
         val tailVecs = vectors.get
           .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
           .join(spark.table(vt).select(col("corpus_id").as("vec_id")),

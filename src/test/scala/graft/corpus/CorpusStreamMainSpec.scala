@@ -666,6 +666,52 @@ class CorpusStreamMainSpec extends SparkSpec {
     }
   }
 
+  test("compaction with a vector-less tail doc is loud: strict mode fails, default reports and proceeds") {
+    val out = Files.createTempDirectory("stream_gate_compact_cov").toString
+    // batch 0 publishes a doc with NO row in the vectors source — the
+    // silent-narrowing case: it would compact with no vector-index row
+    // and be unguarded on the vector side after the manifest lands
+    val published = Seq(
+      (500L, "uncovered accepted document with no embedding row at all"))
+      .toDF("doc_id", "text")
+    published.coalesce(1).write.parquet(s"$out/batch=0")
+    val vecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0)))
+    val corpusSh = DedupOps.shingledOf(corpusDf)
+    DedupOps.writeCorpusBandIndex(corpusSh, "cmpc_idx", numBuckets = 8)
+    DedupOps.writeCorpusShingles(corpusSh, "cmpc_sh", numBuckets = 8)
+    graft.queries.VectorOps.writeVectorBandIndex(
+      vecs.join(corpusDf.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"),
+      "cmpc_vidx", numBuckets = 8)
+    try {
+      // strict: fail BEFORE the manifest publishes, naming the gap
+      val e = intercept[IllegalStateException] {
+        GateState.compactState(spark, out, "cmpc_idx", "cmpc_sh",
+          Some("cmpc_vidx"), Some(vecs), numBuckets = 8,
+          requireVectorCoverage = true)
+      }
+      assert(e.getMessage.contains("no row in the vectors source")
+        && e.getMessage.contains("500"), e.getMessage)
+      assert(GateState.compactedBatchIds(spark, out).isEmpty,
+        "a strict failure must not mark the batch compacted")
+      // default: reports (log) and proceeds — and a rerun after the
+      // strict abort must not double-append (the per-table guards)
+      assert(GateState.compactState(spark, out, "cmpc_idx", "cmpc_sh",
+        Some("cmpc_vidx"), Some(vecs), numBuckets = 8) == 1)
+      assert(GateState.compactedBatchIds(spark, out) == Set(0L))
+      assert(spark.table("cmpc_sh").filter(col("doc_id") === 500L).count() > 0,
+        "the text side still compacts (one fold, despite the aborted strict run)")
+      assert(spark.table("cmpc_vidx").filter(col("corpus_id") === 500L).count() == 0,
+        "an uncovered doc has no vector-index rows to append — the reported gap")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cmpc_idx")
+      spark.sql("DROP TABLE IF EXISTS cmpc_sh")
+      spark.sql("DROP TABLE IF EXISTS cmpc_vidx")
+    }
+  }
+
   test("absorbedStats reports per-batch absorbed growth (gate observability)") {
     val out = Files.createTempDirectory("stream_gate_stats").toString
     val state = GateState.build(corpusDf)
