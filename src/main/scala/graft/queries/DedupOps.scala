@@ -836,7 +836,13 @@ object DedupOps {
     * set — never a self-join; and coverage expansion is a bounded
     * generate (n rows per marked gram) collapsed by a doc-keyed
     * collect_set whose result is bounded by document length. The cleaning
-    * rewrite is a per-row lambda over the token array. */
+    * rewrite is per-row and LINEAR in document length: uncovered
+    * positions come from `array_except(sequence(1, len), cov)` — Spark
+    * evaluates array_except with a hash set, O(len + |cov|) — and each
+    * kept token is an O(1) `element_at`. (A filter-with-array_contains
+    * lambda here would scan `cov` once per token: O(len²) on a heavily
+    * duplicated long document — a 100k-token fully-covered doc would pay
+    * ~10^10 comparisons in one task.) */
   def spanDedup(docs: DataFrame, n: Int = SpanGram): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     val toks = docs.select(col("doc_id"), col("text"),
@@ -863,8 +869,9 @@ object DedupOps {
         size(col("cov")).as("n_covered"),
         (size(col("cov")).cast("double") / size(col("w")).cast("double"))
           .as("dup_frac"),
-        array_join(filter(col("w"),
-          (t, i) => !array_contains(col("cov"), i + 1)), " ").as("text_clean"))
+        array_join(transform(
+          array_except(sequence(lit(1), size(col("w"))), col("cov")),
+          i => element_at(col("w"), i)), " ").as("text_clean"))
   }
 
   // q62 defaults — interpolated into the oracle SQL like q49's cuts

@@ -228,6 +228,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(5L) == ((5L, 3, 0, 0.0, "s1 s2 s3")))
   }
 
+  test("spanDedup: a heavily-covered LONG doc cleans in linear time, order preserved") {
+    // 40k tokens of one repeated 8-gram: fully covered. The old
+    // filter/array_contains lambda was O(len x |cov|) = 1.6e9 comparisons
+    // on this row alone; the array_except rewrite is O(len). The test is
+    // a correctness pin (the timing curve lives in SCALING.md) but it
+    // would also time out spectacularly under a quadratic regression.
+    val longDup = Seq.fill(5000)("p1 p2 p3 p4 p5 p6 p7 p8").mkString(" ")
+    // unique head + 2k-repeat middle + unique tail: the kept tokens must
+    // come back in document order, exactly head ++ tail
+    val head = (1 to 12).map(i => s"h$i").mkString(" ")
+    val tail = (1 to 12).map(i => s"t$i").mkString(" ")
+    val mixed = head + " " +
+      Seq.fill(2000)("m1 m2 m3 m4 m5 m6 m7 m8").mkString(" ") + " " + tail
+    val d = Seq((1L, longDup), (2L, mixed)).toDF("doc_id", "text")
+    val got = DedupOps.spanDedup(d)
+      .as[(Long, Int, Int, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 40000, 40000, 1.0, "")))
+    assert(got(2L)._2 == 16024 && got(2L)._3 == 16000,
+      s"only the repeated middle is covered: ${got(2L)}")
+    assert(got(2L)._5 == s"$head $tail",
+      "kept tokens must preserve document order across the cut")
+  }
+
   test("spanDedup plans equi-joins only — no cartesian, no nested-loop") {
     val d = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
     val plan = DedupOps.spanDedup(d).queryExecution.executedPlan.toString
