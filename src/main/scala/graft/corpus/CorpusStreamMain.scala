@@ -211,16 +211,54 @@ object CorpusStreamMain {
       "--output <dir> --index-table <table> --shingles-table <table> " +
       "[--vector-index-table <table> " +
       "--embeddings <parquet> | --vectors-table <table>] " +
-      "[--require-vector-coverage true|false]"
+      "[--require-vector-coverage true|false]\n" +
+      "   or: graft.corpus.CorpusStreamMain --purge-docs id0,id1,... " +
+      "--output <dir> [--index-table <table>] [--shingles-table <table>] " +
+      "[--vector-index-table <table>] [--vectors-table <table>]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "corpus", "output", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "index-table",
         "shingles-table", "vector-index-table", "vectors-table",
         "max-files-per-trigger", "compact-state", "normalize",
-        "require-vector-coverage"),
+        "require-vector-coverage", "purge-docs"),
       required = Set("output"),
       usage = usage)
+    // --purge-docs is the erasure maintenance run: scrub the named docs
+    // out of the at-rest gate tables and the published batch dirs
+    // (GateState.purgeDocs) — the composition that makes a corpus
+    // deleteWhere an actual erasure. Offline like --compact-state.
+    args.get("purge-docs").foreach { rawIds =>
+      val streamOnly = Seq("input", "corpus", "checkpoint", "mix",
+        "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
+        "format", "embeddings", "cos-threshold", "max-files-per-trigger",
+        "normalize", "compact-state", "require-vector-coverage")
+      for (f <- streamOnly if args.contains(f)) {
+        System.err.println(s"--$f is meaningless with --purge-docs")
+        sys.exit(2)
+      }
+      val ids = try rawIds.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong)
+      catch { case _: NumberFormatException =>
+        System.err.println(s"--purge-docs wants comma-separated doc ids, got '$rawIds'")
+        sys.exit(2); Seq.empty[Long]
+      }
+      if (ids.isEmpty) {
+        System.err.println("--purge-docs wants at least one doc id")
+        sys.exit(2)
+      }
+      val spark = graft.Sessions.local("graft-gate-purge")
+      try {
+        val report = GateState.purgeDocs(spark, ids,
+          args.get("index-table"), args.get("shingles-table"),
+          args.get("vector-index-table"), args.get("vectors-table"),
+          output = Some(args("output")))
+        report.toSeq.sortBy(_._1).foreach { case (store, (files, rows)) =>
+          System.err.println(s"[purge-docs] $store: $rows row(s) across $files file(s)")
+        }
+      } finally spark.stop()
+      return
+    }
     val compactMode = Cli.toBoolean(args, "compact-state", usage).getOrElse(false)
     // --compact-state is an offline maintenance run over the published
     // batch dirs and the at-rest tables: every streaming-only flag is

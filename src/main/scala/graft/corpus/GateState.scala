@@ -420,6 +420,74 @@ object GateState {
     }
   }
 
+  /** Erasure for the gate's DERIVED state — what makes
+    * [[graft.sources.Warehouse.deleteWhere]] on the corpus an actual
+    * right-to-be-forgotten delete instead of a cosmetic one. The gate's
+    * at-rest tables store each document in derived-but-reconstructible
+    * form: the shingles table holds its raw overlapping word n-grams
+    * (the text, re-readable), the band-index and vector-index tables its
+    * signatures, the vectors table its embedding — and the stream's
+    * published `batch=<id>` directories hold the full text verbatim.
+    * Deleting the corpus row alone leaves all of that on disk until the
+    * next full re-curation. This helper rewrites the doc's rows out of
+    * every named store, [[graft.sources.Warehouse.deleteWhere]]-style
+    * (file-granularity, crash-safe, rewrites only hit files): on the
+    * doc_id-bucketed shingles/vectors tables that is O(1) files per doc;
+    * on the (b, v)-bucketed index tables, O(bands) files.
+    *
+    * Pass every store the deployment actually maintains — a store left
+    * unnamed is a store left unscrubbed (the require below only stops
+    * the all-empty no-op call). `output` additionally scrubs the
+    * published batch directories (one pruned scan per directory; batch
+    * dirs are micro-batch sized). The compaction manifest needs no
+    * rewrite: it holds batch ids, not document data, and [[resume]]
+    * correctly skips a compacted batch whose purged doc now exists
+    * nowhere — which is exactly the post-purge contract: the gate no
+    * longer remembers the doc, and a near-identical re-submission is
+    * ACCEPTED (CorpusStreamMainSpec pins it).
+    *
+    * Idempotent: a rerun finds no matching rows and rewrites nothing
+    * (every entry reports (0, 0)). Same single-maintenance-writer
+    * assumption as deleteWhere/compactState — run it with the stream
+    * down or between batch publishes. Returns per-store
+    * (filesRewritten, rowsDeleted). */
+  def purgeDocs(spark: SparkSession, ids: Seq[Long],
+      indexTable: Option[String] = None,
+      shinglesTable: Option[String] = None,
+      vectorIndexTable: Option[String] = None,
+      vectorsTable: Option[String] = None,
+      output: Option[String] = None,
+      maxConcurrentFiles: Int = 8): Map[String, (Int, Long)] = {
+    require(ids.nonEmpty, "need at least one doc id to purge")
+    require(indexTable.nonEmpty || shinglesTable.nonEmpty ||
+      vectorIndexTable.nonEmpty || vectorsTable.nonEmpty || output.nonEmpty,
+      "nothing to purge: name at least one gate table or the stream output")
+    val idList = ids.distinct
+    def purgeTable(t: String, idCol: String): (String, (Int, Long)) = {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString
+      val r = Warehouse.deleteWhere(spark, loc,
+        col(idCol).isin(idList.map(Long.box): _*), maxConcurrentFiles)
+      // the rewrite happened under the catalog's feet — drop its cached
+      // file listing so the next read sees the purged files
+      spark.catalog.refreshTable(t)
+      t -> r
+    }
+    val tables =
+      shinglesTable.map(purgeTable(_, "doc_id")).toSeq ++
+        indexTable.map(purgeTable(_, "corpus_id")) ++
+        vectorIndexTable.map(purgeTable(_, "corpus_id")) ++
+        vectorsTable.map(purgeTable(_, "vec_id"))
+    val batches = output.toSeq.flatMap { out =>
+      publishedBatchDirs(spark, out).map { case (id, p) =>
+        s"batch=$id" -> Warehouse.deleteWhere(spark, p.toString,
+          col("doc_id").isin(idList.map(Long.box): _*), maxConcurrentFiles)
+      }
+    }
+    (tables ++ batches).toMap
+  }
+
   /** Batch ids already folded into the at-rest tables — the compaction
     * manifest, a tiny one-column parquet published crash-safely under the
     * stream output root (underscore-prefixed: invisible to parquet

@@ -512,6 +512,15 @@ object Warehouse {
     * hit files — on a [[clustered]]/bucketed-by-user layout, O(1) files
     * per user.
     *
+    * Scope caveat — this deletes from ONE directory table; it does not
+    * know about derived stores. In particular, the streaming ingest
+    * gate's at-rest state holds each corpus document in reconstructible
+    * form (raw n-gram text in the shingles table, signatures in the
+    * band/vector index tables, the embedding in the vectors table, full
+    * text in published batch dirs): an erasure against the corpus is
+    * complete only when composed with
+    * [[graft.corpus.GateState.purgeDocs]] over those stores.
+    *
     * Crash safety is the directory swap's protocol at FILE granularity:
     * the filtered replacement is staged to a hidden `.del-<name>` sibling
     * dir, the original renames aside to `.<name>.old`, the staged part
@@ -534,6 +543,26 @@ object Warehouse {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, dir)
+    // a dir a previous delete emptied of data files (every row matched)
+    // is a valid no-op target, not a schema-inference crash — the case a
+    // RERUN of the same erasure hits (GateState.purgeDocs idempotence)
+    val qualified = fs.makeQualified(target).toUri.getPath
+    def isDataFile(p: Path): Boolean = {
+      var cur = p
+      var visible = !cur.getName.startsWith("_") && !cur.getName.startsWith(".")
+      cur = cur.getParent
+      while (visible && cur != null && cur.toUri.getPath != qualified) {
+        if (cur.getName.startsWith("_") || cur.getName.startsWith("."))
+          visible = false
+        cur = cur.getParent
+      }
+      visible
+    }
+    val fileIt = fs.listFiles(target, true)
+    var hasData = false
+    while (!hasData && fileIt.hasNext)
+      hasData = isDataFile(fileIt.next().getPath)
+    if (!hasData) return (0, 0L)
     val affected = spark.read.parquet(dir).filter(predicate)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()

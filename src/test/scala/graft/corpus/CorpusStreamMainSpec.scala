@@ -666,6 +666,95 @@ class CorpusStreamMainSpec extends SparkSpec {
     }
   }
 
+  test("erasure composes: purgeDocs scrubs tables + batch dirs, then a near-dup re-submission is ACCEPTED") {
+    val root = Files.createTempDirectory("stream_gate_purge").toString
+    val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    val vecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0),
+      10L -> Seq(0.0, 1.0, 0.0, 0.0),   // accepted, compacted, then ERASED
+      98L -> Seq(0.0, 0.0, 1.0, 0.0),   // re-submission: text near-dup of 10
+      99L -> Seq(0.0, 2.0, 0.0, 0.0)))  // re-submission: vector-dup of 10
+    Seq((10L, "src0", "first crawl delivers this clean document"))
+      .toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/crawl0")
+    val state0 = GateState.resume(spark, corpusDf, out, vectors = Some((vecs, 0.9)))
+    val q = CorpusStreamMain.start(
+      spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        .parquet(inDir), state0, out, ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    val corpusSh = DedupOps.shingledOf(corpusDf)
+    DedupOps.writeCorpusBandIndex(corpusSh, "prg_idx", numBuckets = 8)
+    DedupOps.writeCorpusShingles(corpusSh, "prg_sh", numBuckets = 8)
+    graft.queries.VectorOps.writeVectorBandIndex(
+      vecs.join(corpusDf.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"),
+      "prg_vidx", numBuckets = 8)
+    graft.sources.Warehouse.writeBucketed(vecs, "prg_vecs", "vec_id", 8)
+    try {
+      assert(GateState.compactState(spark, out, "prg_idx", "prg_sh",
+        Some("prg_vidx"), Some(vecs), numBuckets = 8) == 1)
+      // doc 10 now lives ONLY in derived form: tables + its batch dir
+      def gateKeeps(rows: Seq[(Long, String, String)]): Set[Long] = {
+        val st = GateState.resume(spark, corpusDf, out,
+          vectors = Some((spark.table("prg_vecs"), 0.9)),
+          baseIndex = Some(spark.table("prg_idx")),
+          baseShingles = Some(spark.table("prg_sh")),
+          baseVecIndex = Some(spark.table("prg_vidx")))
+        val b = rows.toDF("doc_id", "source", "text")
+        val ids = b.select("doc_id")
+        try st.vectorGate(
+            CorpusStreamMain.curateBatch(b, st.corpusSh,
+              corpusIndex = Some(st.probeIdx(ids, 5L))), ids, 5L)
+          .select("doc_id").as[Long].collect().toSet
+        finally st.close()
+      }
+      val resub = Seq(
+        (98L, "src1", "first crawl delivers this clean document"),
+        (99L, "src1", "wholly unrelated phrasing sharing not one shingle here"))
+      // control: pre-purge, the gate remembers 10 on BOTH sides
+      assert(gateKeeps(resub).isEmpty,
+        "pre-purge both re-submissions must drop (text dup + vector dup of 10)")
+      // the erasure: corpus-side deleteWhere has no corpus row to kill
+      // here (10 arrived via the stream) — the derived state IS the test
+      val report = GateState.purgeDocs(spark, Seq(10L),
+        indexTable = Some("prg_idx"), shinglesTable = Some("prg_sh"),
+        vectorIndexTable = Some("prg_vidx"), vectorsTable = Some("prg_vecs"),
+        output = Some(out))
+      assert(report("prg_sh")._2 > 0 && report("prg_idx")._2 > 0
+        && report("prg_vidx")._2 > 0 && report("prg_vecs")._2 == 1
+        && report("batch=0")._2 == 1,
+        s"every store must shed the doc's rows: $report")
+      // (a) no store still holds doc 10
+      assert(spark.table("prg_sh").filter(col("doc_id") === 10L).count() == 0)
+      assert(spark.table("prg_idx").filter(col("corpus_id") === 10L).count() == 0)
+      assert(spark.table("prg_vidx").filter(col("corpus_id") === 10L).count() == 0)
+      assert(spark.table("prg_vecs").filter(col("vec_id") === 10L).count() == 0)
+      assert(!new java.io.File(s"$out/batch=0").listFiles()
+        .exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")),
+        "the published batch dir must shed the doc's text file")
+      // untouched docs survive the rewrite
+      assert(spark.table("prg_sh").filter(col("doc_id") === 1000L).count() > 0,
+        "purge must not take innocent rows with it")
+      // (b) the gate no longer remembers 10: both re-submissions accept
+      assert(gateKeeps(resub) == Set(98L, 99L),
+        "post-purge the near-identical re-submissions must be ACCEPTED")
+      // (c) rerun is a no-op
+      val rerun = GateState.purgeDocs(spark, Seq(10L),
+        indexTable = Some("prg_idx"), shinglesTable = Some("prg_sh"),
+        vectorIndexTable = Some("prg_vidx"), vectorsTable = Some("prg_vecs"),
+        output = Some(out))
+      assert(rerun.values.forall(_ == ((0, 0L))), s"rerun must rewrite nothing: $rerun")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS prg_idx")
+      spark.sql("DROP TABLE IF EXISTS prg_sh")
+      spark.sql("DROP TABLE IF EXISTS prg_vidx")
+      spark.sql("DROP TABLE IF EXISTS prg_vecs")
+    }
+  }
+
   test("compaction with a vector-less tail doc is loud: strict mode fails, default reports and proceeds") {
     val out = Files.createTempDirectory("stream_gate_compact_cov").toString
     // batch 0 publishes a doc with NO row in the vectors source — the

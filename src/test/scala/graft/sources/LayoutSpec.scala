@@ -356,6 +356,17 @@ class LayoutSpec extends SparkSpec {
     assert(n2 == 5L && spark.read.parquet(dir).count() == 45)
   }
 
+  test("deleteWhere on a dir a previous delete emptied is a (0,0) no-op, not a schema crash") {
+    val dir = tmp()
+    spark.range(10).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val (_, n1) = Warehouse.deleteWhere(spark, dir, col("id") >= 0)
+    assert(n1 == 10L, "everything matches: the lone file drops")
+    // only _SUCCESS (and hidden files) remain — a rerun of the same
+    // erasure (purgeDocs idempotence) must see nothing to do, not die
+    // inferring a schema from zero data files
+    assert(Warehouse.deleteWhere(spark, dir, col("id") >= 0) == ((0, 0L)))
+  }
+
   test("deleteWhere heals a stranded file-level .old before running (recover-first)") {
     val dir = tmp()
     spark.range(100).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
