@@ -141,7 +141,9 @@ object Bench {
     ("q98_freshness", 0.35, 0.7),
     ("q99_returns_topk", 1.2, 2.0),
     ("q100_local_volume", 0.95, 1.5),
-    ("q101_quality_calibrated", 0.55, 1.0))
+    ("q101_quality_calibrated", 0.55, 1.0),
+    // round-11 addition (local best-of-2 range, short history)
+    ("q102_top_terms_per_source", 0.3, 0.9))
 
   private[graft] val RetimeFactor = 2.0
 

@@ -1014,6 +1014,35 @@ object TextOps {
         col("col.id").as("doc_id"), col("col.score").as("quality"))
   }
 
+  private val TermTopKDefault = 5
+
+  /** Per-source top-k terms by term frequency (q102) — the
+    * source-granular slice of the vocabulary table (q59 is the corpus
+    * rollup): for each source, the `k` most frequent terms with their
+    * counts. This is `graft_topk` with a STRING id — the widened input
+    * path ([[graft.expressions.TopKByScore]] takes any numeric score
+    * and a bigint-or-string id), because real quota keys are terms and
+    * URLs, not synthetic longs. Ranking is (tf desc, term asc) — the
+    * aggregate's stated total order under binary-UTF-8 string compare,
+    * which DuckDB's default collation mirrors on this ASCII vocabulary.
+    *
+    * Shape at scale: two map-side-combinable aggregations — the
+    * (source, term) count collapses repeats before its exchange, then
+    * the per-source heap moves k-bounded buffers, never term rows. No
+    * partition ever sorts a source's vocabulary (the window form's
+    * failure mode when one crawl dominates the mix). The count rides
+    * the aggregate's double score exactly (tf < 2^53 by a wide margin). */
+  def topTermsPerSource(docs: DataFrame, k: Int = TermTopKDefault): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(col("source"), explode(tokens).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_topk", col("tf"), col("term"), lit(k)).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("term"), col("col.score").cast("long").as("tf"))
+  }
+
   /** Per-source quality calibration (q101) — the comparability pass a
     * heterogeneous-mix threshold needs: the raw quality scalar (q41) is
     * NOT comparable across sources (a boilerplate-heavy crawl's best doc
@@ -1364,6 +1393,11 @@ object TextOps {
     "q101_quality_calibrated" -> { (s, dir) =>
       calibratedQuality(Tables.documents(s, dir)) },
 
+    // Per-source top-k terms via the string-id heap aggregate
+    // (see topTermsPerSource).
+    "q102_top_terms_per_source" -> { (s, dir) =>
+      topTermsPerSource(Tables.documents(s, dir)) },
+
     // Corpus bigram top-k (see ngramTopK).
     "q64_ngram_topk" -> { (s, dir) => ngramTopK(Tables.documents(s, dir)) },
 
@@ -1478,6 +1512,20 @@ object TextOps {
            FROM qq)
          SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, quality
          FROM r WHERE rk <= $TopKDefault""",
+    // row_number mirror of the string-id heap's total order (tf DESC,
+    // term ASC — binary compare matches DuckDB on this ASCII vocabulary)
+    "q102_top_terms_per_source" ->
+      s"""WITH t AS (
+           SELECT source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         g AS (SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT source, term, tf,
+             row_number() OVER (PARTITION BY source
+               ORDER BY tf DESC, term ASC) AS rk
+           FROM g)
+         SELECT source, CAST(rk AS INTEGER) AS rk, term, CAST(tf AS BIGINT) AS tf
+         FROM r WHERE rk <= $TermTopKDefault""",
     "q45_tfidf_terms" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -90,6 +90,76 @@ class TopKByScoreSpec extends SparkSpec {
     assert(!e.isInstanceOf[NullPointerException], e.toString)
   }
 
+  test("string ids rank with ties to the lexicographically LOWER id") {
+    val df = Seq(
+      ("a", "zebra", 0.9), ("a", "apple", 0.9), ("a", "mid", 0.5),
+      ("a", "last", 0.1), ("g2", "only", 0.7))
+      .toDF("g", "i", "s")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("i"), lit(2)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("col.id").as("i"), col("col.score").as("s"))
+      .as[(String, Int, String, Double)].collect().toSet
+    assert(got == Set(
+      ("a", 1, "apple", 0.9), // tie at 0.9: lower string first
+      ("a", 2, "zebra", 0.9),
+      ("g2", 1, "only", 0.7)), got.toString)
+  }
+
+  test("string-id buffers survive the partial-aggregate shuffle (partitioning-invariant)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("source AS g", "concat('d', doc_id) AS i",
+        "CAST(xxhash64(text) AS DOUBLE) / 1e18 AS s")
+    def run(parts: Int) = df.repartition(parts).groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("i"), lit(3)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.id"), col("col.score"))
+      .as[(String, Int, String, Double)].collect().toSet
+    assert(run(1) == run(13),
+      "a serialized string-id buffer must merge identically under any partitioning")
+  }
+
+  test("any numeric score widens to double (int counts, float, decimal)") {
+    val df = Seq(("a", 1L, 7), ("a", 2L, 9), ("a", 3L, 9)).toDF("g", "i", "n")
+    def top(scoreCol: org.apache.spark.sql.Column) =
+      df.groupBy(col("g"))
+        .agg(call_function("graft_topk", scoreCol, col("i"), lit(2)).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id"), col("col.score"))
+        .as[(Long, Double)].collect().toSet
+    val expect = Set((2L, 9.0), (3L, 9.0))
+    assert(top(col("n")) == expect)                      // int
+    assert(top(col("n").cast("float")) == expect)        // float
+    assert(top(col("n").cast("decimal(10,2)")) == expect) // decimal
+  }
+
+  test("an unsupported id type is a clean type-check failure") {
+    val df = Seq(("a", 0.5, 0.9)).toDF("g", "i", "s")
+    val e = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(2)))
+        .collect()
+    }
+    assert(e.getMessage.contains("bigint|string"), e.getMessage)
+  }
+
+  test("q102's string-id heap agrees with the window form per source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val heap = TextOps.topTermsPerSource(docs, 5)
+      .as[(String, Int, String, Long)].collect().toSet
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tf").desc, col("term").asc)
+    val windowed = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("term"), col("tf"))
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(heap == windowed)
+  }
+
   test("q96's shape agrees with the q55-style window quota at the same k") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val heap = TextOps.topKPerSource(docs, 3)
