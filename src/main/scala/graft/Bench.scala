@@ -142,8 +142,11 @@ object Bench {
     ("q99_returns_topk", 1.2, 2.0),
     ("q100_local_volume", 0.95, 1.5),
     ("q101_quality_calibrated", 0.55, 1.0),
-    // round-11 addition (local best-of-2 range, short history)
-    ("q102_top_terms_per_source", 0.3, 0.9))
+    // round-11 additions (local best-of-2 ranges, short history)
+    ("q102_top_terms_per_source", 0.3, 0.9),
+    ("q103_funnel_collapsed", 0.45, 1.0),
+    ("q104_decay_skew_safe", 0.45, 1.0),
+    ("q105_burst_skew_safe", 0.4, 0.9))
 
   private[graft] val RetimeFactor = 2.0
 

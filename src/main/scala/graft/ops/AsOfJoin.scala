@@ -107,14 +107,24 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-  /** Forward match: running first over (ts, right-LAST, tie) ascending
-    * with a following frame — equal-ts right rows sort after the left row
-    * (1 - __tag flips the tag), so "at-or-after" includes them. */
+  /** Forward match: the mirror of [[backExpr]] under the REVERSED total
+    * order — running last over (ts, right-last, tie) all-descending with
+    * a preceding frame. Equal-ts right rows sort after the left row in
+    * ascending terms (1 - __tag flips the tag), so "at-or-after" includes
+    * them, and the running last picks the nearest at-or-after right row.
+    *
+    * Phrased as a PRECEDING frame deliberately: it is sequence-reversal-
+    * identical to `first(...).over(rowsBetween(currentRow,
+    * unboundedFollowing))`, but Spark evaluates [unboundedPreceding,
+    * currentRow] frames incrementally (add-only) while a
+    * [currentRow, unboundedFollowing] frame is RE-AGGREGATED from the
+    * moving lower bound at every row — O(rows²) on a hot key (measured:
+    * tools/ProfSkew, SCALING.md skew note). */
   private def fwdExpr(keyCols: Seq[String]): Column =
-    first(col("__p"), ignoreNulls = true).over(Window
+    last(col("__p"), ignoreNulls = true).over(Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, (lit(1) - col("__tag")).asc, col("__tie").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      .orderBy(col("__ts").desc, (lit(1) - col("__tag")).desc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** The shared tagged union: left rows (__tag 1) interleaved with right
     * rows (__tag 0) carrying the payload struct — which also captures the

@@ -126,6 +126,32 @@ object EventOps {
         steps.indices.drop(1).map(i => min(col(s"qual_$i")).as(s"t_$i")): _*)
   }
 
+  /** Skew pre-pass for the funnel (q103 = q65 over this): collapse exact
+    * duplicate `(user_id, event_type, ts)` rows to one, keeping the
+    * minimum event_id. Semantics-preserving for [[funnel]] /
+    * [[funnelLatency]] at ANY gap bound: every `run_i` is a prefix-min of
+    * qualifying timestamps under the (ts, event_id) order, so a duplicate
+    * contributes the same qual value as its kept twin and removing it
+    * shifts no other row out of (or into) any prefix — pinned against the
+    * uncollapsed funnel in EventOpsSpec, bot fixture included.
+    *
+    * Why this is the skew lever: the funnel's running-min chain is
+    * inherently sequential per user — salting cannot split a window and
+    * AQE's skew handling only rewrites JOINS — so the only structural
+    * defense against a bot user (10^5x median events) is to shrink the
+    * hot partition BELOW the key exchange. This aggregation's map-side
+    * partial collapses the bot's replayed spam inside each scan task;
+    * the window exchange then carries distinct (user, type, ts) rows,
+    * bounded by the bot's distinct action-seconds, not its event count.
+    * The residual hot partition (a bot spamming DISTINCT timestamps) is
+    * irreducible for exact funnel semantics — screen those upstream with
+    * [[burstScore]]'s flag (the measured rule in SCALING.md's skew note). */
+  def collapseFunnelEvents(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"), col("ts"))
+      .agg(min(col("event_id")).as("event_id"))
+
   /** Funnel step-latency profile (q83): for every adjacent step pair, how
     * long completing users took — count, min/max/sum and the MEDIAN of the
     * step-(i-1)→step-i latency, over exactly the users [[funnel]] counts as
@@ -505,6 +531,52 @@ object EventOps {
         (col("raw").cast("double") / lit(denom.toDouble)).as("decay_score"))
   }
 
+  /** [[decayScore]] without the window (q104, same output): the per-user
+    * anchor (`max(ts)`) is computed as a map-side-combinable aggregate and
+    * broadcast-joined back, so the event table never hash-partitions by
+    * user_id at all — both remaining aggregations collapse a hot user
+    * inside each scan task before their exchange (partial HashAggregate),
+    * leaving every shuffle O(partitions x users) regardless of skew.
+    *
+    * Why a variant exists: the one-exchange window shape ([[decayScore]])
+    * is optimal on a balanced key distribution — ONE pass, one shuffle —
+    * but a bot user (10^5x median events) lands its whole log in one
+    * window task, which must SORT and buffer it (WindowExec), the
+    * straggler AQE cannot touch (skew rewrites apply to joins only, and
+    * salting cannot split a window). This shape trades a second scan of
+    * the (pruned, 3-column) event table for skew immunity: the measured
+    * crossover is in SCALING.md's skew note.
+    *
+    * The anchor table is users-sized; at a user cardinality past the
+    * broadcast threshold, drop the hint — the shuffle hash join still
+    * streams the hot partition (probe is per-row, no sort, no buffering),
+    * which measured ~2x better than the window on the bot fixture. */
+  def decayScoreSkewSafe(events: DataFrame, capDays: Int = DecayCapDays): DataFrame = {
+    require(capDays >= 1 && capDays <= 62, s"capDays must be in [1,62], got $capDays")
+    val anchors = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("anchor_ts"))
+    val aged = events
+      .select(col("user_id"), col("ts"), col("value"))
+      .join(broadcast(anchors), Seq("user_id"))
+      .withColumn("age_days",
+        floor((unix_micros(col("anchor_ts")) - unix_micros(col("ts")))
+          .cast("double") / lit(86400e6)).cast("int"))
+      .withColumn("term", expr(
+        s"""CASE WHEN age_days < $capDays
+           |     THEN CAST(floor(value * $DecayUnitScale) AS BIGINT)
+           |          * shiftleft(CAST(1 AS BIGINT), ${capDays - 1} - age_days)
+           |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    val denom = (1L << (capDays - 1)) * DecayUnitScale
+    aged.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("age_days") < capDays, 1L).otherwise(0L)).as("n_recent"),
+        max(col("ts")).as("last_ts"),
+        sum(col("term")).as("raw"))
+      .select(col("user_id"), col("n_events"), col("n_recent"), col("last_ts"),
+        (col("raw").cast("double") / lit(denom.toDouble)).as("decay_score"))
+  }
+
   /** Per-key label mode / majority vote (q89) — the label-aggregation pass
     * of an annotation or weak-supervision pipeline: per key, the most
     * frequent label, ties broken to the lexicographically smallest (a
@@ -605,25 +677,71 @@ object EventOps {
     * a user whose peak rate is physiologically impossible is a bot, and
     * their events poison engagement features (q88) and funnels alike.
     *
-    * Cross-engine determinism: the frame is RANGE over an integer key
-    * (same peer semantics both engines), counts and the max are exact
-    * longs.
+    * Cross-engine determinism: the frame arithmetic is RANGE over an
+    * integer key (same peer semantics both engines), counts and the max
+    * are exact longs.
     *
     * Shape at scale: one shuffle on user_id shared by the window and the
-    * final aggregation (q88's shape). The RANGE frame is computed in one
-    * pass over each user's sorted events with a sliding lower bound —
-    * state is O(window contents), bounded by the burst itself. */
+    * final aggregation (q88's shape). The trailing count is computed as
+    * the DIFFERENCE OF TWO RUNNING SUMS — `cum(sec) − cum(sec − w)` —
+    * rather than a literal sliding RANGE frame, because Spark cannot
+    * retract from a non-invertible aggregate: a sliding frame re-counts
+    * its contents at every frame move, O(frame × moves) per user (a
+    * planted one-day bot at 10^5× median events extrapolates to HOURS in
+    * one task — measured curve in SCALING.md's skew note), while both
+    * running sums are add-only expanding frames Spark evaluates
+    * incrementally, O(n) per user, and they share one WindowExec. */
   def burstScore(events: DataFrame, windowSeconds: Long = 60L,
       threshold: Long = 30L): DataFrame = {
     require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
-    val w = Window.partitionBy(col("user_id"))
+    def trailing(bound: Long) = Window.partitionBy(col("user_id"))
       .orderBy(col("sec"))
-      .rangeBetween(-(windowSeconds - 1), Window.currentRow)
+      .rangeBetween(Window.unboundedPreceding, bound)
     events
       .select(col("user_id"), col("ts").cast("long").as("sec"))
-      .withColumn("in_window", count(lit(1)).over(w))
+      .withColumn("in_window",
+        sum(lit(1L)).over(trailing(Window.currentRow)) -
+          coalesce(sum(lit(1L)).over(trailing(-windowSeconds)), lit(0L)))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
+        max(col("in_window")).as("max_burst"))
+      .select(col("user_id"), col("n_events"), col("max_burst"),
+        (col("max_burst") >= threshold).as("bursty"))
+  }
+
+  /** [[burstScore]] with the window input pre-collapsed to per-second
+    * counts (q105, same output): events sharing an epoch second are RANGE
+    * peers, so the trailing-window count at any of them equals the sum of
+    * per-second counts over the same range — the window can run over
+    * distinct `(user_id, sec)` rows carrying a count instead of raw
+    * events. Exact, not approximate.
+    *
+    * Why this is the burst query's skew lever: the pathological input IS
+    * a burst — a bot emitting thousands of events per second — and that
+    * is exactly what the per-second aggregation collapses map-side,
+    * inside each scan task, before any exchange (its shuffle key
+    * (user_id, sec) also spreads one user across partitions). The window
+    * task then sorts at most `span-seconds` rows per user (86,400/day)
+    * no matter how hard the bot hammers: the hot partition's size is
+    * bounded by TIME, not traffic. The trailing sum uses [[burstScore]]'s
+    * difference-of-running-sums form for the same O(n)-per-user reason.
+    * Measured before/after on a planted bot in SCALING.md's skew note. */
+  def burstScoreSkewSafe(events: DataFrame, windowSeconds: Long = 60L,
+      threshold: Long = 30L): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    val perSec = events
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .groupBy(col("user_id"), col("sec"))
+      .agg(count(lit(1)).as("c"))
+    def trailing(bound: Long) = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(Window.unboundedPreceding, bound)
+    perSec
+      .withColumn("in_window",
+        sum(col("c")).over(trailing(Window.currentRow)) -
+          coalesce(sum(col("c")).over(trailing(-windowSeconds)), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
         max(col("in_window")).as("max_burst"))
       .select(col("user_id"), col("n_events"), col("max_burst"),
         (col("max_burst") >= threshold).as("bursty"))
@@ -839,6 +957,11 @@ object EventOps {
     // Ordered-funnel analysis (see funnel): view -> click -> purchase.
     "q65_funnel" -> { (s, dir) => funnel(Tables.events(s, dir)) },
 
+    // q65 over the duplicate-collapsed log — the funnel's skew pre-pass
+    // (see collapseFunnelEvents); oracle-identical to q65 by construction.
+    "q103_funnel_collapsed" -> { (s, dir) =>
+      funnel(collapseFunnelEvents(Tables.events(s, dir))) },
+
     // Retention cohorts (see retention): first-event week x active week.
     "q66_retention" -> { (s, dir) => retention(Tables.events(s, dir)) },
 
@@ -887,6 +1010,11 @@ object EventOps {
     // Recency-decayed per-user engagement (see decayScore).
     "q88_decay_score" -> { (s, dir) => decayScore(Tables.events(s, dir)) },
 
+    // q88 rebuilt windowless — the decay feature's skew-immune shape
+    // (see decayScoreSkewSafe); oracle-identical to q88.
+    "q104_decay_skew_safe" -> { (s, dir) =>
+      decayScoreSkewSafe(Tables.events(s, dir)) },
+
     // Majority-vote label aggregation (see labelMode).
     "q89_label_mode" -> { (s, dir) => labelMode(Tables.events(s, dir)) },
 
@@ -901,6 +1029,12 @@ object EventOps {
     // synthetic log (events ~10h apart per user) exercises both flags.
     "q95_burst_detect" -> { (s, dir) =>
       burstScore(Tables.events(s, dir), windowSeconds = 86400L, threshold = 3L) },
+
+    // q95 over per-second pre-collapsed counts — the burst query's
+    // skew-immune shape (see burstScoreSkewSafe); oracle-identical to q95.
+    "q105_burst_skew_safe" -> { (s, dir) =>
+      burstScoreSkewSafe(Tables.events(s, dir), windowSeconds = 86400L,
+        threshold = 3L) },
 
     // Ingestion freshness report (see freshness).
     "q98_freshness" -> { (s, dir) => freshness(Tables.events(s, dir)) })
@@ -928,7 +1062,7 @@ object EventOps {
             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           FROM numbered GROUP BY user_id, session_no)"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q15_first_per_key" ->
       """SELECT user_id, event_id, event_type, ts FROM (
            SELECT user_id, event_id, event_type, ts,
@@ -1390,4 +1524,15 @@ object EventOps {
              CAST(CAST(floor(CAST(epoch_us(last_ts) - epoch_us(first_ts) AS DOUBLE)
                   / 86400000000.0) + 1 AS BIGINT) AS DOUBLE) AS per_day
          FROM g""")
+
+  /** The skew-safe variants (q103/q104/q105) are output-identical to
+    * their window-form originals BY CONSTRUCTION (the scaladocs carry the
+    * equivalence arguments; EventOpsSpec pins them on a planted-bot
+    * fixture), so they share the originals' oracle text verbatim — the
+    * driver independently hash-checks that the restructured plans produce
+    * the same rows. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q103_funnel_collapsed" -> oraclesBase("q65_funnel"),
+    "q104_decay_skew_safe" -> oraclesBase("q88_decay_score"),
+    "q105_burst_skew_safe" -> oraclesBase("q95_burst_detect"))
 }

@@ -629,4 +629,78 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
   }
+
+  /** A log with a planted bot: user 999 replays the same few actions
+    * thousands of times (duplicate (type, ts) spam plus per-second
+    * hammering), dwarfing the organic users — the 10^5x-median shape the
+    * skew-safe variants exist for, shrunk to fixture scale. */
+  private def botLog(): DataFrame = {
+    val rnd = new scala.util.Random(911)
+    val organic = (1 to 400).map { i =>
+      (i.toLong, (i % 7 + 1).toLong, rnd.nextInt(2 * Day.toInt).toLong,
+        Seq("view", "click", "purchase", "other")(rnd.nextInt(4)),
+        math.floor(rnd.nextDouble() * 500) / 100)
+    }
+    val bot = (1 to 6000).map { i =>
+      // 10 distinct seconds x 3 types, replayed 200x each: collapses 600x
+      (10000L + i, 999L, (100 + (i % 10) * 5).toLong,
+        Seq("view", "click", "purchase")(i % 3),
+        math.floor(rnd.nextDouble() * 500) / 100)
+    }
+    (organic ++ bot).map { case (id, u, t, ty, v) => (id, u, ts(t), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  test("skew-safe variants equal their originals on the planted-bot log") {
+    val e = botLog()
+    // q103: collapse is invisible to the funnel, deadline or not
+    val plain = EventOps.funnel(e).collect().toSeq
+    val collapsed = EventOps.funnel(EventOps.collapseFunnelEvents(e)).collect().toSeq
+    assert(collapsed == plain, "collapse changed the funnel census")
+    val gPlain = EventOps.funnel(e, maxGapSeconds = Some(30L)).collect().toSeq
+    val gColl = EventOps.funnel(EventOps.collapseFunnelEvents(e),
+      maxGapSeconds = Some(30L)).collect().toSeq
+    assert(gColl == gPlain, "collapse changed the windowed funnel census")
+    // q104: the windowless decay is bit-identical (exact-int algebra)
+    val d0 = EventOps.decayScore(e).collect().toSet
+    val d1 = EventOps.decayScoreSkewSafe(e).collect().toSet
+    assert(d1 == d0, "windowless decay diverged from the window form")
+    // q105: the per-second collapse is invisible to the burst census
+    val b0 = EventOps.burstScore(e, windowSeconds = 20L, threshold = 5L)
+      .collect().toSet
+    val b1 = EventOps.burstScoreSkewSafe(e, windowSeconds = 20L, threshold = 5L)
+      .collect().toSet
+    assert(b1 == b0, "per-second collapse diverged from the event-level window")
+  }
+
+  test("decayScoreSkewSafe: no window, broadcast anchor join, combinable aggs only") {
+    val plan = EventOps.decayScoreSkewSafe(evv((1, 1, 10, 1.0), (2, 1, 20, 2.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // both shuffles move PARTIAL aggregates (skew collapses map-side);
+    // the raw event table never hash-partitions by user_id
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("burstScoreSkewSafe: the window's input is the per-second aggregate") {
+    val plan = EventOps.burstScoreSkewSafe(ev((1, 1, 10, "a"), (2, 1, 20, "a")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // exchange 1: (user_id, sec) — spreads a hot user across partitions;
+    // exchange 2: user_id for the window + final agg (shared). The raw
+    // log only ever crosses the wire pre-collapsed.
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, sec".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("collapseFunnelEvents feeds the funnel window an aggregate, not the raw log") {
+    val plan = EventOps.funnel(EventOps.collapseFunnelEvents(
+      ev((1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"))))
+      .queryExecution.executedPlan.toString
+    // the collapse's exchange keys on (user_id, event_type, ts) — the
+    // spam-spreading key; the window exchange then moves collapsed rows
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, event_type".r
+      .findAllIn(plan).length == 1, plan)
+  }
 }
