@@ -24,10 +24,17 @@ object Bench {
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
   // across rounds 6-9 after discarding runs independently adjudicated as
-  // machine noise (r9's recorded artifact) plus this round's local runs
-  // (q54-q56 are newer and carry shorter history). Committed beside
-  // BASELINE.md as BENCH_ENVELOPE.json — BenchEnvelopeSpec pins that the
-  // file and this table never drift. Twice in nine rounds the single
+  // machine noise (r9's recorded artifact) plus later rounds' local runs.
+  // Round 11 re-derived every lo as min(previous lo, 0.9x the best of
+  // three same-code full runs) — the r10 verdict found 28 lo bands set
+  // from loaded-box measurements sitting above the clean steady state,
+  // so lo now brackets every fast observation on record; hi bands are
+  // untouched (they are the retime thresholds and reflect CLEAN-box
+  // uppers — the same three runs also demonstrated 71.5->105.3 s
+  // same-code total variance under transient host stalls, adjudicated by
+  // the retime pass, see SCALING.md's r11 envelope note). Committed
+  // beside BASELINE.md as BENCH_ENVELOPE.json — BenchEnvelopeSpec pins
+  // that the file and this table never drift. Twice in nine rounds the single
   // recorded bench run misled (r7: a REAL systemic regression — JIT code
   // cache exhaustion; r9: pure transient machine load), so the bench now
   // adjudicates itself: any query observed above RetimeFactor x hi is
@@ -38,45 +45,45 @@ object Bench {
   // r7 signal (real regression); one that collapses into the band is the
   // r9 signal (noise, already self-corrected in the total).
   private[graft] val envelope: Seq[(String, Double, Double)] = Seq(
-    ("q01_pricing_summary", 0.55, 0.85),
+    ("q01_pricing_summary", 0.47, 0.85),
     ("q02_project_filter", 0.15, 0.25),
     ("q03_filter_in_contains", 0.09, 0.15),
     ("q04_join_agg", 0.8, 1.3),
-    ("q05_join_semi", 0.25, 0.35),
-    ("q06_join_anti", 0.23, 0.3),
-    ("q07_broadcast_dims", 0.95, 1.3),
-    ("q08_distinct", 0.13, 0.2),
-    ("q09_union", 0.11, 0.18),
-    ("q10_except", 0.26, 0.36),
+    ("q05_join_semi", 0.2, 0.35),
+    ("q06_join_anti", 0.21, 0.3),
+    ("q07_broadcast_dims", 0.89, 1.3),
+    ("q08_distinct", 0.12, 0.2),
+    ("q09_union", 0.1, 0.18),
+    ("q10_except", 0.22, 0.36),
     ("q11_window_topn", 0.25, 0.5),
-    ("q12_sort_limit", 0.17, 0.45),
-    ("q13_key_multiplicity", 0.35, 0.5),
-    ("q14_id_synth", 0.13, 0.2),
+    ("q12_sort_limit", 0.16, 0.45),
+    ("q13_key_multiplicity", 0.3, 0.5),
+    ("q14_id_synth", 0.1, 0.2),
     ("q15_first_per_key", 0.22, 0.45),
-    ("q16_sessionize", 0.34, 0.45),
-    ("q17_collect_types", 0.19, 0.3),
+    ("q16_sessionize", 0.31, 0.45),
+    ("q17_collect_types", 0.15, 0.3),
     ("q18_asof_signup", 0.25, 0.5),
-    ("q19_json_roundtrip", 0.36, 0.5),
-    ("q20_clock_math", 0.2, 0.3),
+    ("q19_json_roundtrip", 0.33, 0.5),
+    ("q20_clock_math", 0.17, 0.3),
     ("q21_season_parse", 0.26, 0.5),
     ("q22_stint_agg", 0.36, 0.45),
     ("q23_stateful_scan", 0.26, 0.35),
-    ("q24_first_match", 0.16, 0.22),
+    ("q24_first_match", 0.15, 0.22),
     ("q25_interval_join", 0.39, 0.55),
-    ("q26_composite_delta", 0.53, 0.7),
-    ("q27_rollup_totals", 0.44, 0.5),
-    ("q28_lsh_bucketed_exact", 0.4, 0.8),
+    ("q26_composite_delta", 0.49, 0.7),
+    ("q27_rollup_totals", 0.36, 0.5),
+    ("q28_lsh_bucketed_exact", 0.37, 0.8),
     ("q29_repetition", 0.47, 0.6),
-    ("q30_dedup_exact", 0.15, 0.25),
+    ("q30_dedup_exact", 0.13, 0.25),
     ("q31_minhash_lsh", 1.1, 1.5),
     ("q32_simhash", 1.15, 1.4),
-    ("q33_ngram_jaccard", 1.95, 2.85),
-    ("q34_cosine_neardup", 0.26, 0.4),
-    ("q35_ann_topk", 0.29, 0.5),
-    ("q36_ivf_topk", 0.4, 0.55),
-    ("q37_hyperplane_lsh", 0.8, 0.95),
+    ("q33_ngram_jaccard", 1.57, 2.85),
+    ("q34_cosine_neardup", 0.23, 0.4),
+    ("q35_ann_topk", 0.21, 0.5),
+    ("q36_ivf_topk", 0.26, 0.55),
+    ("q37_hyperplane_lsh", 0.64, 0.95),
     ("q38_components", 1.5, 2.95),
-    ("q39_dedupe_corpus", 1.75, 1.95),
+    ("q39_dedupe_corpus", 1.67, 1.95),
     ("q40_token_count", 0.14, 0.22),
     ("q41_quality_score", 0.18, 0.25),
     ("q42_lang_id", 0.18, 0.22),
@@ -90,7 +97,7 @@ object Bench {
     ("q50_pack_windows", 0.13, 0.2),
     ("q51_decontaminate", 0.45, 0.55),
     ("q52_corpus_mix", 0.11, 0.17),
-    ("q53_embed_dedup", 3.6, 4.7),
+    ("q53_embed_dedup", 3.19, 4.7),
     ("q54_vector_gate", 0.6, 0.8),
     ("q55_domain_quota", 0.24, 0.45),
     ("q56_domain_quota_threshold", 0.5, 1.1),
@@ -105,48 +112,48 @@ object Bench {
     // re-splitting text per element) — 2.5-3.3 band dropped ~4x
     ("q64_ngram_topk", 0.5, 1.2),
     ("q65_funnel", 0.4, 0.8),
-    ("q66_retention", 0.5, 0.8),
-    ("q67_rolling_actives", 0.7, 1.2),
-    ("q68_change_intervals", 0.7, 1.1),
-    ("q69_top_paths", 0.9, 1.5),
-    ("q70_key_skew", 0.45, 0.85),
-    ("q71_stratified_sample", 0.45, 0.85),
-    ("q72_attribution", 0.5, 1.0),
+    ("q66_retention", 0.33, 0.8),
+    ("q67_rolling_actives", 0.44, 1.2),
+    ("q68_change_intervals", 0.48, 1.1),
+    ("q69_top_paths", 0.82, 1.5),
+    ("q70_key_skew", 0.27, 0.85),
+    ("q71_stratified_sample", 0.19, 0.85),
+    ("q72_attribution", 0.38, 1),
     // round-10 additions (local best-of-2 ranges, short history)
-    ("q73_lm_score", 1.2, 2.0),
-    ("q74_canonical_pick", 2.0, 3.8),
-    ("q75_daily_anomaly", 0.3, 0.8),
-    ("q76_semantic_dedup", 0.55, 1.3),
+    ("q73_lm_score", 1.14, 2),
+    ("q74_canonical_pick", 2, 3.8),
+    ("q75_daily_anomaly", 0.23, 0.8),
+    ("q76_semantic_dedup", 0.52, 1.3),
     ("q77_soft_quality", 0.35, 0.8),
-    ("q78_length_quantiles", 0.25, 0.7),
-    ("q79_asof_next", 0.5, 1.0),
-    ("q80_windowed_funnel", 0.45, 1.0),
-    ("q81_dup_stats", 2.0, 3.5),
+    ("q78_length_quantiles", 0.16, 0.7),
+    ("q79_asof_next", 0.29, 1),
+    ("q80_windowed_funnel", 0.35, 1),
+    ("q81_dup_stats", 1.89, 3.5),
     ("q82_span_dedup", 1.3, 2.2),
     ("q83_funnel_latency", 0.35, 0.9),
-    ("q84_source_overlap", 1.1, 2.0),
-    ("q85_normalize", 0.2, 0.6),
+    ("q84_source_overlap", 1.1, 2),
+    ("q85_normalize", 0.18, 0.6),
     ("q86_incremental_agg", 0.25, 0.7),
-    ("q87_bloom_decontaminate", 1.1, 1.8),
-    ("q88_decay_score", 0.4, 0.8),
-    ("q89_label_mode", 0.3, 0.6),
-    ("q90_cooccurrence", 0.85, 1.4),
-    ("q91_gap_histogram", 0.55, 1.1),
-    ("q92_dup_rate_by_source", 4.5, 6.6),
+    ("q87_bloom_decontaminate", 0.85, 1.8),
+    ("q88_decay_score", 0.29, 0.8),
+    ("q89_label_mode", 0.22, 0.6),
+    ("q90_cooccurrence", 0.81, 1.4),
+    ("q91_gap_histogram", 0.52, 1.1),
+    ("q92_dup_rate_by_source", 2.53, 6.6),
     ("q93_url_canonicalize", 0.2, 0.5),
     ("q94_url_dedup", 0.28, 0.6),
-    ("q95_burst_detect", 0.4, 0.9),
-    ("q96_topk_per_source", 0.65, 1.1),
-    ("q97_cluster_purity", 1.45, 2.2),
-    ("q98_freshness", 0.35, 0.7),
-    ("q99_returns_topk", 1.2, 2.0),
-    ("q100_local_volume", 0.95, 1.5),
-    ("q101_quality_calibrated", 0.55, 1.0),
+    ("q95_burst_detect", 0.29, 0.9),
+    ("q96_topk_per_source", 0.22, 1.1),
+    ("q97_cluster_purity", 0.81, 2.2),
+    ("q98_freshness", 0.27, 0.7),
+    ("q99_returns_topk", 0.87, 2),
+    ("q100_local_volume", 0.74, 1.5),
+    ("q101_quality_calibrated", 0.25, 1),
     // round-11 additions (local best-of-2 ranges, short history)
-    ("q102_top_terms_per_source", 0.3, 0.9),
-    ("q103_funnel_collapsed", 0.45, 1.0),
-    ("q104_decay_skew_safe", 0.45, 1.0),
-    ("q105_burst_skew_safe", 0.4, 0.9))
+    ("q102_top_terms_per_source", 0.16, 0.9),
+    ("q103_funnel_collapsed", 0.4, 1),
+    ("q104_decay_skew_safe", 0.26, 1),
+    ("q105_burst_skew_safe", 0.33, 0.9))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -154,7 +161,8 @@ object Bench {
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10 locals for q54-q101; " +
+      "sf0.1 local[32], rounds 6-9 plus round-10/11 locals; lo re-derived " +
+      "in round 11 as min(prior lo, 0.9x best of three same-code runs); " +
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +
