@@ -68,6 +68,11 @@ case class BloomMightContain(left: Expression, right: Expression)
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
   }
 
+  // `bytes` (the per-row evaluation of the literal child, a cheap value
+  // fetch — BinaryExpression evaluates both children before calling this)
+  // is deliberately ignored in favor of the once-deserialized lazy bloom;
+  // the codegen path skips the child evaluation entirely, which is the
+  // only cost difference between the two paths.
   override def nullSafeEval(h: Any, bytes: Any): Any =
     bloom.mightContainLong(h.asInstanceOf[Long])
 

@@ -219,6 +219,80 @@ object StreamOps {
         })
   }
 
+  /** State of [[burstProgress]]: the trailing-window per-second counts
+    * (ascending secs, only those within `windowSeconds` of the newest),
+    * their running sum, the running burst max, and the per-user event
+    * count — O(windowSeconds) entries per user at ANY traffic rate, the
+    * same time-not-traffic state bound the batch skew-safe form (q105)
+    * gets from its per-second collapse. */
+  case class BurstState(window: Seq[(Long, Long)], inWindow: Long,
+      maxBurst: Long, seen: Long)
+
+  /** Streaming twin of the batch burst detector
+    * ([[graft.queries.EventOps.burstScore]], q95): per user, the live
+    * maximum number of events inside any trailing `windowSeconds` window,
+    * emitted as `(user_id, n_seen, max_burst, bursty)` whenever the max
+    * GROWS — the moment a bot crosses `threshold` the flag flips in-flight,
+    * instead of in the next batch re-curation.
+    *
+    * Stream == batch: events are processed in (event-time micros,
+    * event_id) order; at the LAST event of each distinct second the
+    * sliding sum equals the batch RANGE frame's peer-inclusive
+    * `in_window` for every event of that second, and intermediate values
+    * are never larger — so the running max equals the batch max over any
+    * prefix, and the latest emission per user carries exactly the batch
+    * row's (max_burst, bursty) (n_seen ≤ n_events when the max was set
+    * before the last event; the spec pins the census). Eviction is
+    * `sec <= current - windowSeconds` — the frame's exact left edge (a
+    * gap equal to the window does NOT count as inside, the batch edge
+    * rule).
+    *
+    * Ordering: in-order-log assumption ([[sinceLastSignup]]); a row older
+    * than its user's newest processed second is DROPPED (its trailing
+    * window is partially evicted and its peers are already scored —
+    * recovering it exactly is the batch pass's job, the
+    * [[anomalyProgress]] late-data rule). */
+  def burstProgress(events: Dataset[(Long, java.sql.Timestamp, Long)],
+      windowSeconds: Long = 60L, threshold: Long = 30L)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long, Boolean)] = {
+    import spark.implicits._
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[BurstState]) => {
+          val st = state.getOption.getOrElse(BurstState(Seq.empty, 0L, 0L, 0L))
+          val window = scala.collection.mutable.ArrayDeque.from(st.window)
+          var inWindow = st.inWindow
+          var maxBurst = st.maxBurst
+          var seen = st.seen
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Boolean)]
+          it.toSeq.sortBy(e => (epochMicros(e._2), e._3)).foreach { e =>
+            val sec = Math.floorDiv(epochMicros(e._2), 1000000L)
+            val newest = window.lastOption.map(_._1).getOrElse(Long.MinValue)
+            if (sec >= newest) { // in order; older rows drop (scaladoc)
+              while (window.nonEmpty && window.head._1 <= sec - windowSeconds) {
+                inWindow -= window.removeHead()._2
+              }
+              if (sec == newest) {
+                val (s0, c0) = window.removeLast()
+                window.append((s0, c0 + 1L))
+              } else window.append((sec, 1L))
+              inWindow += 1L
+              seen += 1L
+              if (inWindow > maxBurst) {
+                maxBurst = inWindow
+                out += ((user, seen, maxBurst, maxBurst >= threshold))
+              }
+            }
+          }
+          state.update(BurstState(window.toSeq, inWindow, maxBurst, seen))
+          out.iterator
+        })
+  }
+
   /** State of [[anomalyProgress]]: the open (not yet scored) epoch-day, its
     * running count, and the trailing completed-day counts (oldest first,
     * at most `baseline` entries) — O(baseline) per event type. */

@@ -197,6 +197,62 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burstProgress: edge-exact trailing max across batches, flag flips in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamOps.burstProgress(in.toDS(), windowSeconds = 60L, threshold = 3L)
+      .toDF("user_id", "n_seen", "max_burst", "bursty")
+      .writeStream.format("memory").queryName("burst").outputMode("append").start()
+    try {
+      // batch 1: user 1 at secs 0,30 (burst 2); user 2 at sec 0
+      in.addData((1L, ts(0), 1L), (1L, ts(30), 2L), (2L, ts(0), 5L))
+      q.processAllAvailable()
+      // batch 2: user 1's sec 59 lands inside [0,59] -> burst 3, flag
+      // flips; user 2's sec 60 is a gap EQUAL to the window -> still 1
+      // (the batch edge rule), so no emission for user 2
+      in.addData((1L, ts(59), 3L), (2L, ts(60), 6L))
+      q.processAllAvailable()
+      // batch 3: user 1 far away -> window evicted, burst 1 < max, silent
+      in.addData((1L, ts(1000), 4L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT user_id, n_seen, max_burst, bursty FROM burst ORDER BY user_id, n_seen")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(rows == Seq(
+        (1L, 1L, 1L, false), (1L, 2L, 2L, false), (1L, 3L, 3L, true),
+        (2L, 1L, 1L, false)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("burstProgress: randomized two-batch stream == batch q95 census") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(95)
+    // bursty-ish traffic: small second range so windows overlap heavily
+    val all = (1 to 300).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(200).toLong), i.toLong))
+      .sortBy(e => (e._2.getTime, e._3)) // in-order log (the stated assumption)
+    val (b1, b2) = all.splitAt(150)
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamOps.burstProgress(in.toDS(), windowSeconds = 45L, threshold = 20L)
+      .toDF("user_id", "n_seen", "max_burst", "bursty")
+      .writeStream.format("memory").queryName("burst_rnd").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val latest = spark.sql("SELECT user_id, max_burst, bursty FROM burst_rnd")
+        .as[(Long, Long, Boolean)].collect()
+        .groupBy(_._1).map { case (u, rs) => u -> {
+          val m = rs.map(_._2).max; (m, rs.find(_._2 == m).get._3)
+        }}
+      val batch = graft.queries.EventOps.burstScore(
+          all.toDF("user_id", "ts", "event_id"), windowSeconds = 45L, threshold = 20L)
+        .select(col("user_id"), col("max_burst"), col("bursty"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest == batch, s"stream $latest != batch $batch")
+    } finally q.stop()
+  }
+
   test("topKProgress: randomized two-batch stream converges to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(96)
