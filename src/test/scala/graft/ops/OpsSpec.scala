@@ -100,6 +100,52 @@ class OpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("AsOfJoin forward/nearest match a brute-force reference on a randomized log") {
+    // pins the r11 frame rewrite (reversed-order running last in place of
+    // the following-frame running first) beyond the fixtures: duplicates,
+    // shared timestamps across sides, keys missing one side entirely
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 150).map(i =>
+      ((rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(60).toLong), i.toLong))
+    val right = (1 to 120).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(60).toLong), 1000L + i))
+    val leftDf = left.toDF("k", "ts", "lid")
+    val rightDf = right.toDF("k", "rts", "payload").withColumn("tie", col("payload"))
+    def reference(pickFwd: Boolean): Map[Long, Option[Long]] =
+      left.map { case (k, t, lid) =>
+        val cands = right.filter(_._1 == k)
+        val m =
+          if (pickFwd) cands.filter(_._2.getTime >= t.getTime)
+            .sortBy(r => (r._2.getTime, r._3)).headOption
+          else cands.filter(_._2.getTime <= t.getTime)
+            .sortBy(r => (-r._2.getTime, -r._3)).headOption
+        lid -> m.map(_._3)
+      }.toMap
+    val fwd = AsOfJoin.forward(leftDf, rightDf, Seq("k"), "ts", "rts", "tie",
+        Seq("payload"))
+      .select(col("lid"), col("asof_payload")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(fwd == reference(pickFwd = true), "forward diverged from brute force")
+    val back = reference(pickFwd = false)
+    val nearest = AsOfJoin.nearest(leftDf, rightDf, Seq("k"), "ts", "rts", "tie",
+        Seq("payload"))
+      .select(col("lid"), col("asof_payload")).as[(Long, Option[Long])]
+      .collect().toMap
+    val nearestRef = left.map { case (k, t, lid) =>
+      val b = back(lid).map(p => right.find(r => r._1 == k && r._3 == p).get._2)
+      val f = fwd(lid).map(p => right.find(r => r._1 == k && r._3 == p).get._2)
+      lid -> ((b, f) match {
+        case (None, None) => None
+        case (Some(_), None) => back(lid)
+        case (None, Some(_)) => fwd(lid)
+        case (Some(bt), Some(ft)) =>
+          if (t.getTime - bt.getTime <= ft.getTime - t.getTime) back(lid)
+          else fwd(lid)
+      })
+    }.toMap
+    assert(nearest == nearestRef, "nearest diverged from brute force")
+  }
+
   test("Shingles.wordNGrams yields an empty array (not a crash) for inputs shorter than n") {
     import graft.ops.Shingles
     val got = Seq(Seq("a", "b"), Seq("a", "b", "c"))

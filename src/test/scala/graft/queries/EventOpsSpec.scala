@@ -585,6 +585,24 @@ class EventOpsSpec extends SparkSpec {
       "a gap equal to the window must not count as inside it")
   }
 
+  test("burstScore matches a brute-force trailing-window reference on a randomized log") {
+    // pins the r11 difference-of-running-sums rewrite beyond the oracle:
+    // heavy same-second duplication (RANGE peers) and window-edge gaps
+    val rnd = new scala.util.Random(955)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(120).toLong, "a"))
+    val w = 30L
+    val got = EventOps.burstScore(ev(rows: _*), windowSeconds = w, threshold = 4L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val expected = rows.groupBy(_._2).map { case (u, es) =>
+      val secs = es.map(_._3)
+      val maxBurst = secs.map(s => secs.count(t => t > s - w && t <= s)).max
+      u -> ((es.size.toLong, maxBurst.toLong, maxBurst >= 4L))
+    }
+    assert(got == expected, "the cumsum rewrite must equal the literal sliding count")
+  }
+
   test("burstScore is ONE exchange: range window and agg share user_id") {
     val events = ev((1, 1, 10, "a"), (2, 1, 20, "a"))
     val plan = EventOps.burstScore(events)
