@@ -577,6 +577,58 @@ object EventOps {
         (col("raw").cast("double") / lit(denom.toDouble)).as("decay_score"))
   }
 
+  private val DefaultWinsorPct = 10
+
+  /** Per-key value winsorization (q106) — the outlier-clipping hygiene
+    * pass run before aggregating behavioral values into features: a
+    * fat-fingered client or a bot (q95's quarry) can put a single
+    * absurd `value` on a user and poison every downstream mean; clipping
+    * each user's values into [lo, hi] = their own [pct, 100−pct]
+    * ranked-row percentiles bounds the damage while keeping the row.
+    * Reports, per user: the bounds, raw and winsorized sums, and how many
+    * rows clipped at each end — the winsorized mean is one division away,
+    * and a high clip count is itself a bot signal.
+    *
+    * Cross-engine determinism (q78's rule): the cut index is PURE INTEGER
+    * arithmetic — k_lo = ceil(pct·n/100) = (pct·n + 99) div 100, k_hi =
+    * n + 1 − k_lo — under the tie-free (value, event_id) order, so both
+    * engines pick the same physical rows; picking and clipping are
+    * comparisons only (exact on doubles), and the sums aggregate
+    * decimal(18,4) casts with one final double cast (q01's money rule).
+    * A single-event user degenerates to lo = hi = its value, zero clips.
+    *
+    * Shape at scale: ONE exchange. The ranked row, the partition count,
+    * and the bound picks are stacked window aggregates over the same
+    * user_id hash partitioning (the ordered sort satisfies the unordered
+    * specs), and the final aggregation rides that partitioning too —
+    * plan-pinned no-join single-Exchange in EventOpsSpec. The hot-key
+    * cost is one linear sort-bound task (the r11 skew note's residual);
+    * every frame is whole-partition or expanding, never sliding. */
+  def winsorizedStats(events: DataFrame, pct: Int = DefaultWinsorPct): DataFrame = {
+    require(pct >= 1 && pct < 50, s"pct must be in [1, 50), got $pct")
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("v").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("value").as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k_lo", expr(s"($pct * n + 99) div 100"))
+      .withColumn("lo", max(when(col("rn") === col("k_lo"), col("v"))).over(wAll))
+      .withColumn("hi", max(when(col("rn") === col("n") + 1 - col("k_lo"),
+        col("v"))).over(wAll))
+      .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(dec(col("v"))).cast("double").as("sum_raw"),
+        sum(dec(col("cv"))).cast("double").as("sum_winsorized"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+  }
+
   /** Per-key label mode / majority vote (q89) — the label-aggregation pass
     * of an annotation or weak-supervision pipeline: per key, the most
     * frequent label, ties broken to the lexicographically smallest (a
@@ -1037,7 +1089,10 @@ object EventOps {
         threshold = 3L) },
 
     // Ingestion freshness report (see freshness).
-    "q98_freshness" -> { (s, dir) => freshness(Tables.events(s, dir)) })
+    "q98_freshness" -> { (s, dir) => freshness(Tables.events(s, dir)) },
+
+    // Per-user value winsorization (see winsorizedStats).
+    "q106_winsorize" -> { (s, dir) => winsorizedStats(Tables.events(s, dir)) })
 
   private val sessionCte =
     s"""WITH flagged AS (
@@ -1534,5 +1589,33 @@ object EventOps {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q103_funnel_collapsed" -> oraclesBase("q65_funnel"),
     "q104_decay_skew_safe" -> oraclesBase("q88_decay_score"),
-    "q105_burst_skew_safe" -> oraclesBase("q95_burst_detect"))
+    "q105_burst_skew_safe" -> oraclesBase("q95_burst_detect"),
+    // integer cut index under a tie-free order, comparison-only clipping,
+    // decimal sums with one final double cast (q78 + q01 rules)
+    "q106_winsorize" ->
+      s"""WITH r AS (
+           SELECT user_id, event_id, value AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         k AS (
+           SELECT user_id, event_id, v, rn, n,
+             ($DefaultWinsorPct * n + 99) // 100 AS k_lo
+           FROM r),
+         b AS (
+           SELECT user_id,
+             max(CASE WHEN rn = k_lo THEN v END) AS lo,
+             max(CASE WHEN rn = n + 1 - k_lo THEN v END) AS hi
+           FROM k GROUP BY 1)
+         SELECT k.user_id, count(*) AS n_events, b.lo, b.hi,
+           CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_raw,
+           CAST(sum(CAST(least(greatest(v, b.lo), b.hi) AS DECIMAL(18,4)))
+             AS DOUBLE) AS sum_winsorized,
+           CAST(sum(CASE WHEN v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi
+         FROM k JOIN b USING (user_id)
+         GROUP BY k.user_id, b.lo, b.hi""")
 }

@@ -648,6 +648,54 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
   }
 
+  test("winsorizedStats: ranked-row bounds, comparison-only clipping, clip counts") {
+    // user 1: 10 values 1..10 at pct=10 -> k_lo = 1, k_hi = 10: bounds are
+    // the extremes, nothing clips. At pct=20 -> k_lo = 2, k_hi = 9: one
+    // row clips at each end and the sums move by exactly the clip deltas.
+    val events = evv((1 to 10).map(i => (i.toLong, 1L, i.toLong, i.toDouble)): _*)
+    val relaxed = EventOps.winsorizedStats(events, pct = 10)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Long)].collect().head
+    assert(relaxed == ((1L, 10L, 1.0, 10.0, 55.0, 55.0, 0L, 0L)), relaxed.toString)
+    val tight = EventOps.winsorizedStats(events, pct = 20)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Long)].collect().head
+    assert(tight == ((1L, 10L, 2.0, 9.0, 55.0, 55.0, 1L, 1L)),
+      s"1->2 and 10->9: sum unchanged (+1-1), one clip each end: $tight")
+    // a single-event user degenerates to lo = hi = its value, zero clips
+    val lone = EventOps.winsorizedStats(evv((1, 7, 100, 3.25)), pct = 10)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Long)].collect().head
+    assert(lone == ((7L, 1L, 3.25, 3.25, 3.25, 3.25, 0L, 0L)), lone.toString)
+  }
+
+  test("winsorizedStats matches a brute-force reference on a randomized log") {
+    val rnd = new scala.util.Random(106)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(1000).toLong,
+        math.floor(rnd.nextDouble() * 10000) / 100))
+    val got = EventOps.winsorizedStats(evv(rows: _*), pct = 10)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val expected = rows.groupBy(_._2).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._4, e._1)).map(_._4)
+      val n = sorted.size
+      val kLo = (10 * n + 99) / 100
+      val (lo, hi) = (sorted(kLo - 1), sorted(n - kLo))
+      def cents(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val raw = es.map(e => cents(e._4)).sum
+      val win = es.map(e => cents(math.min(math.max(e._4, lo), hi))).sum
+      u -> ((u, n.toLong, lo, hi, raw.toDouble, win.toDouble,
+        es.count(_._4 < lo).toLong, es.count(_._4 > hi).toLong))
+    }
+    assert(got == expected, "winsorize must equal the literal ranked-row definition")
+  }
+
+  test("winsorizedStats is ONE exchange: windows, bound picks, and agg all share user_id") {
+    val plan = EventOps.winsorizedStats(evv((1, 1, 10, 1.0), (2, 1, 20, 2.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   /** A log with a planted bot: user 999 replays the same few actions
     * thousands of times (duplicate (type, ts) spam plus per-second
     * hammering), dwarfing the organic users — the 10^5x-median shape the
