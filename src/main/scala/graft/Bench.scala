@@ -154,7 +154,8 @@ object Bench {
     ("q103_funnel_collapsed", 0.4, 1),
     ("q104_decay_skew_safe", 0.26, 1),
     ("q105_burst_skew_safe", 0.33, 0.9),
-    ("q106_winsorize", 0.3, 0.9))
+    ("q106_winsorize", 0.3, 0.9),
+    ("q107_asof_nearest", 0.3, 1))
 
   private[graft] val RetimeFactor = 2.0
 

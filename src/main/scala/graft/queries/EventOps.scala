@@ -1059,6 +1059,24 @@ object EventOps {
           col("asof_pid").as("next_purchase_id"))
     },
 
+    // Nearest-in-time as-of join (q107): each signup matched to its
+    // NEAREST purchase by time, ties to the backward side — upgrades
+    // ops/AsOfJoin.nearest from spec-pinned to hash-checked. Same union
+    // shape as q79; both direction windows ride ONE user_id exchange.
+    "q107_asof_nearest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("pid"),
+          col("event_id"))
+      AsOfJoin.nearest(signups, purchases,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightTie = "event_id", payloadCols = Seq("pid"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_pid").as("nearest_purchase_id"))
+    },
+
     // Recency-decayed per-user engagement (see decayScore).
     "q88_decay_score" -> { (s, dir) => decayScore(Tables.events(s, dir)) },
 
@@ -1161,6 +1179,45 @@ object EventOps {
              AS next_purchase_id
            FROM u)
          SELECT event_id, user_id, ts, next_purchase_id FROM w WHERE tag = 1""",
+    // both direction matches via q79's window forms, then the nearest
+    // pick mirrors AsOfJoin.nearest's double arithmetic exactly:
+    // ts -> micros/1e6 double, back wins at lts-bts <= fts-lts
+    "q107_asof_nearest" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+             CASE WHEN event_type = 'purchase' THEN ts END AS pts,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS tag
+           FROM events WHERE event_type IN ('signup','purchase')),
+         w AS (
+           SELECT *,
+             last_value(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, tag ASC, pid ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_pid,
+             last_value(pts IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, tag ASC, pid ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+             first_value(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, (1 - tag) ASC, pid ASC NULLS FIRST
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_pid,
+             first_value(pts IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, (1 - tag) ASC, pid ASC NULLS FIRST
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+           FROM u)
+         SELECT event_id, user_id, ts,
+           CASE WHEN back_pid IS NULL THEN fwd_pid
+                WHEN fwd_pid IS NULL THEN back_pid
+                WHEN CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                     - CAST(epoch_us(back_ts) AS DOUBLE) / 1000000.0
+                  <= CAST(epoch_us(fwd_ts) AS DOUBLE) / 1000000.0
+                     - CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                THEN back_pid
+                ELSE fwd_pid END AS nearest_purchase_id
+         FROM w WHERE tag = 1""",
     "q19_json_roundtrip" ->
       """SELECT event_id, k, to_json({'k': k, 'k2': k2})::VARCHAR AS js FROM (
            SELECT event_id, CAST(props->>'k' AS INT) AS k,
