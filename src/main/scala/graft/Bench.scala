@@ -30,8 +30,8 @@ object Bench {
   // from loaded-box measurements sitting above the clean steady state,
   // so lo now brackets every fast observation on record; hi bands are
   // untouched (they are the retime thresholds and reflect CLEAN-box
-  // uppers — the same three runs also demonstrated 71.5->105.3 s
-  // same-code total variance (70.1 s on the fourth, clean closer) under transient host stalls, adjudicated by
+  // uppers — the same four runs also demonstrated 70.1->105.3 s
+  // same-code total variance under transient host stalls, adjudicated by
   // the retime pass, see SCALING.md's r11 envelope note). Committed
   // beside BASELINE.md as BENCH_ENVELOPE.json — BenchEnvelopeSpec pins
   // that the file and this table never drift. Twice in nine rounds the single
