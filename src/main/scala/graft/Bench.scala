@@ -160,7 +160,7 @@ object Bench {
     ("q104_decay_skew_safe", 0.26, 1),
     ("q105_burst_skew_safe", 0.33, 0.9),
     ("q106_winsorize", 0.3, 0.9),
-    ("q107_asof_nearest", 0.3, 1))
+    ("q107_asof_nearest", 0.5, 1.6))
 
   private[graft] val RetimeFactor = 2.0
 
