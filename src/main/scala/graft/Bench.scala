@@ -95,14 +95,14 @@ object Bench {
     ("q43_fingerprint", 0.24, 0.49),
     ("q44_array_exists", 0.08, 0.15),
     ("q45_tfidf_terms", 0.56, 0.93),
-    ("q46_kmeans", 0.55, 0.78),
-    ("q47_ivf_trained", 0.98, 1.1),
+    ("q46_kmeans", 0.54, 0.78),
+    ("q47_ivf_trained", 0.86, 1.1),
     ("q48_neardup_gate", 1.07, 1.7),
     ("q49_hash_split", 0.07, 0.12),
     ("q50_pack_windows", 0.13, 0.2),
     ("q51_decontaminate", 0.45, 0.67),
     ("q52_corpus_mix", 0.11, 0.17),
-    ("q53_embed_dedup", 3.19, 4.7),
+    ("q53_embed_dedup", 3.11, 4.7),
     ("q54_vector_gate", 0.6, 0.8),
     ("q55_domain_quota", 0.24, 0.45),
     ("q56_domain_quota_threshold", 0.5, 1.1),
@@ -115,52 +115,52 @@ object Bench {
     ("q63_redact", 0.4, 0.6),
     // r10: generate now materializes tokens before the lambda (was
     // re-splitting text per element) — 2.5-3.3 band dropped ~4x
-    ("q64_ngram_topk", 0.5, 1.2),
+    ("q64_ngram_topk", 0.45, 1.2),
     ("q65_funnel", 0.33, 0.8),
-    ("q66_retention", 0.32, 0.8),
-    ("q67_rolling_actives", 0.38, 1.2),
-    ("q68_change_intervals", 0.48, 1.1),
+    ("q66_retention", 0.28, 0.8),
+    ("q67_rolling_actives", 0.37, 1.2),
+    ("q68_change_intervals", 0.44, 1.1),
     ("q69_top_paths", 0.57, 1.5),
     ("q70_key_skew", 0.17, 0.85),
-    ("q71_stratified_sample", 0.16, 0.85),
-    ("q72_attribution", 0.31, 1),
+    ("q71_stratified_sample", 0.14, 0.85),
+    ("q72_attribution", 0.29, 1),
     // round-10 additions (local best-of-2 ranges, short history)
-    ("q73_lm_score", 1, 2),
+    ("q73_lm_score", 0.87, 2),
     ("q74_canonical_pick", 2, 3.8),
-    ("q75_daily_anomaly", 0.21, 0.8),
-    ("q76_semantic_dedup", 0.45, 1.3),
+    ("q75_daily_anomaly", 0.19, 0.8),
+    ("q76_semantic_dedup", 0.4, 1.3),
     ("q77_soft_quality", 0.34, 0.8),
     ("q78_length_quantiles", 0.16, 0.7),
-    ("q79_asof_next", 0.29, 1),
+    ("q79_asof_next", 0.27, 1),
     ("q80_windowed_funnel", 0.35, 1),
-    ("q81_dup_stats", 1.89, 3.5),
+    ("q81_dup_stats", 1.72, 3.5),
     ("q82_span_dedup", 1.3, 2.2),
-    ("q83_funnel_latency", 0.35, 0.9),
+    ("q83_funnel_latency", 0.34, 0.9),
     ("q84_source_overlap", 1.1, 2),
     ("q85_normalize", 0.18, 0.6),
     ("q86_incremental_agg", 0.25, 0.7),
-    ("q87_bloom_decontaminate", 0.85, 1.8),
-    ("q88_decay_score", 0.29, 0.8),
-    ("q89_label_mode", 0.2, 0.6),
+    ("q87_bloom_decontaminate", 0.76, 1.8),
+    ("q88_decay_score", 0.27, 0.8),
+    ("q89_label_mode", 0.18, 0.6),
     ("q90_cooccurrence", 0.6, 1.4),
-    ("q91_gap_histogram", 0.34, 1.1),
-    ("q92_dup_rate_by_source", 2.53, 6.6),
+    ("q91_gap_histogram", 0.31, 1.1),
+    ("q92_dup_rate_by_source", 2.27, 6.6),
     ("q93_url_canonicalize", 0.2, 0.5),
     ("q94_url_dedup", 0.28, 0.6),
-    ("q95_burst_detect", 0.29, 0.9),
-    ("q96_topk_per_source", 0.22, 1.1),
-    ("q97_cluster_purity", 0.81, 2.2),
-    ("q98_freshness", 0.27, 0.7),
-    ("q99_returns_topk", 0.87, 2),
+    ("q95_burst_detect", 0.24, 0.9),
+    ("q96_topk_per_source", 0.2, 1.1),
+    ("q97_cluster_purity", 0.8, 2.2),
+    ("q98_freshness", 0.22, 0.7),
+    ("q99_returns_topk", 0.82, 2),
     ("q100_local_volume", 0.7, 1.5),
-    ("q101_quality_calibrated", 0.24, 1),
+    ("q101_quality_calibrated", 0.23, 1),
     // round-11 additions (local best-of-2 ranges, short history)
     ("q102_top_terms_per_source", 0.16, 0.9),
     ("q103_funnel_collapsed", 0.4, 1),
     ("q104_decay_skew_safe", 0.26, 1),
     ("q105_burst_skew_safe", 0.33, 0.9),
     ("q106_winsorize", 0.3, 0.9),
-    ("q107_asof_nearest", 0.5, 1.6))
+    ("q107_asof_nearest", 0.37, 1.6))
 
   private[graft] val RetimeFactor = 2.0
 
