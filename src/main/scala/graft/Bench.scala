@@ -160,7 +160,8 @@ object Bench {
     ("q104_decay_skew_safe", 0.26, 1),
     ("q105_burst_skew_safe", 0.33, 0.9),
     ("q106_winsorize", 0.3, 0.9),
-    ("q107_asof_nearest", 0.37, 1.6))
+    ("q107_asof_nearest", 0.37, 1.6),
+    ("q108_incremental_extrema", 0.3, 1.2))
 
   private[graft] val RetimeFactor = 2.0
 

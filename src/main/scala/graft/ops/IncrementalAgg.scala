@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * incremental-view-maintenance algebra (inserts add, deletes subtract,
   * updates contribute their difference) that works for any aggregate with
   * an abelian-group structure (count, sum, and anything derived from them;
-  * NOT min/max, whose deletes need the base data back).
+  * min/max need the base back only for the keys a departure puts at risk —
+  * [[maintainExtrema]] implements that selective-recompute extension).
   *
   * At 100 TB the point is the asymptotics: refreshing a per-key rollup
   * over a slowly-changing fact estate costs O(|delta| + |MV|) — one
@@ -60,6 +61,90 @@ object IncrementalAgg {
         (coalesce(col(sumCol), lit(0).cast("decimal(18,4)")) +
           coalesce(col("_d_sum"), lit(0).cast("decimal(18,4)"))).as(sumCol)): _*)
       .filter(col(countCol) =!= 0)
+  }
+
+  /** [[maintain]] extended to (count, sum, min, max) — the non-group
+    * aggregates the plain algebra cannot maintain: an arriving value
+    * tightens an extremum incrementally (`least`/`greatest`), but a
+    * DEPARTING value that ties the current extremum leaves "second
+    * smallest/largest" unknowable from the MV alone. The standard IVM
+    * answer, implemented here: detect exactly the keys whose extremum is
+    * AT RISK (a departing old_value <= the view's min, or >= its max —
+    * anything else cannot move the bound) and recompute min/max for ONLY
+    * those keys from `base`, the POST-delta fact table (the state the
+    * warehouse holds once the CDC batch has landed — the natural
+    * co-resident of the CDC feed). count/sum stay algebraic for every
+    * key; no full rescan ever happens.
+    *
+    * Cost: O(|delta| + |MV|) for the algebra (maintain's bound), plus
+    * ONE semi-join-filtered aggregation of base whose OUTPUT is bounded
+    * by the at-risk key count (itself delta-bounded). The semi join's
+    * probe still reads base once; partition/bucket base on the key so
+    * dynamic pruning cuts that scan to the at-risk keys' files — and a
+    * delta that only inserts, or only deletes non-extremal rows, leaves
+    * the at-risk set empty, so nothing from base survives the semi join
+    * and no base row ever reaches an exchange.
+    *
+    * `mv` carries keyCols + countCol/sumCol/minCol/maxCol; `base`
+    * carries keyCols + `valueCol`. Negative-count corruption keys stay
+    * visible (maintain's rule); their extrema come from base, which at
+    * that point is the only trustworthy witness. */
+  def maintainExtrema(mv: DataFrame, cdc: DataFrame, base: DataFrame,
+      keyCols: Seq[String], valueCol: String = "v",
+      countCol: String = "n_rows", sumCol: String = "sum_value",
+      minCol: String = "min_value", maxCol: String = "max_value"): DataFrame = {
+    require(keyCols.nonEmpty, "maintainExtrema needs at least one key column")
+    val op = col("op")
+    val dCount: Column =
+      when(op === "insert", 1L).when(op === "delete", -1L)
+        .when(op === "update", 0L)
+        .otherwise(raise_error(concat(lit("unknown CDC op: "), op)))
+    val dSum: Column =
+      when(op === "insert", col("new_value"))
+        .when(op === "delete", -col("old_value"))
+        .otherwise(col("new_value") - col("old_value"))
+    val arriving = when(op =!= "delete", col("new_value"))
+    val departing = when(op =!= "insert", col("old_value"))
+    val delta = cdc.groupBy(keyCols.map(col): _*)
+      .agg(sum(dCount).as("_d_count"), sum(dSum).as("_d_sum"),
+        min(arriving).as("_ins_min"), max(arriving).as("_ins_max"),
+        min(departing).as("_dep_min"), max(departing).as("_dep_max"))
+    val merged = mv.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("_d_count"), lit(0L)))
+          .as(countCol),
+        (coalesce(col(sumCol), lit(0).cast("decimal(18,4)")) +
+          coalesce(col("_d_sum"), lit(0).cast("decimal(18,4)"))).as(sumCol),
+        least(col(minCol), col("_ins_min")).as("_cand_min"),
+        greatest(col(maxCol), col("_ins_max")).as("_cand_max"),
+        // a departure can only move a bound it reaches; a departure
+        // against a key the view never held (null mv bound) is the
+        // corruption case — base is the only trustworthy witness
+        (col("_dep_min").isNotNull &&
+          (col(minCol).isNull || col("_dep_min") <= col(minCol)))
+          .as("_risk_min"),
+        (col("_dep_max").isNotNull &&
+          (col(maxCol).isNull || col("_dep_max") >= col(maxCol)))
+          .as("_risk_max")): _*)
+      .filter(col(countCol) =!= 0)
+    val risky = merged.filter(col("_risk_min") || col("_risk_max"))
+    val safe = merged.filter(!(col("_risk_min") || col("_risk_max")))
+      .select(keyCols.map(col) ++ Seq(col(countCol), col(sumCol),
+        col("_cand_min").as(minCol), col("_cand_max").as(maxCol)): _*)
+    val recomputed = base
+      .join(risky.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(valueCol)).as("_rc_min"), max(col(valueCol)).as("_rc_max"))
+    val repaired = risky
+      .join(recomputed, keyCols, "left")
+      .select(keyCols.map(col) ++ Seq(col(countCol), col(sumCol),
+        // only the at-risk bound takes the recomputed value; the other
+        // keeps its (still-valid) incremental candidate
+        when(col("_risk_min"), col("_rc_min")).otherwise(col("_cand_min"))
+          .as(minCol),
+        when(col("_risk_max"), col("_rc_max")).otherwise(col("_cand_max"))
+          .as(maxCol)): _*)
+    safe.unionByName(repaired)
   }
 
   private val AppliedMarker = "_applied_batch"

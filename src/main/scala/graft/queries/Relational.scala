@@ -281,6 +281,48 @@ object Relational {
           col("sum_price").cast("decimal(38,4)").cast("double").as("sum_price"))
     },
 
+    // Incremental MV maintenance WITH extrema (ops/IncrementalAgg
+    // .maintainExtrema): q86's CDC story extended to (count, sum, min,
+    // max) — the aggregates the plain algebra cannot maintain. Deletes
+    // and updates put a key's min/max at risk exactly when the departing
+    // value reaches the current bound; those keys (only) recompute their
+    // extrema from the POST-delta base, everything else stays algebraic.
+    // The oracle is the direct aggregate of the final state.
+    "q108_incremental_extrema" -> { (s, dir) =>
+      val keyed = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("v"))
+      val base = keyed.filter(col("o_orderkey") % 10 =!= 0)
+      val mv = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sum_price"),
+          min(col("v")).as("min_price"), max(col("v")).as("max_price"))
+      val cdc = keyed
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, "insert")
+            .when(col("o_orderkey") % 7 === 0, "delete")
+            .when(col("o_orderkey") % 13 === 0, "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("o_custkey"),
+          when(col("op") =!= "insert", col("v")).as("old_value"),
+          when(col("op") === "insert", col("v"))
+            .when(col("op") === "update", (col("v") + 1).cast("decimal(18,4)"))
+            .as("new_value"))
+      // the post-delta fact state — what the warehouse holds once the
+      // CDC batch has landed (maintainExtrema's base contract)
+      val post = keyed
+        .withColumn("v",
+          when(col("o_orderkey") % 10 === 0, col("v"))
+            .when(col("o_orderkey") % 13 === 0, (col("v") + 1).cast("decimal(18,4)"))
+            .otherwise(col("v")))
+        .filter(!(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0))
+      IncrementalAgg.maintainExtrema(mv, cdc, post, Seq("o_custkey"),
+          valueCol = "v", countCol = "n_orders", sumCol = "sum_price",
+          minCol = "min_price", maxCol = "max_price")
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("decimal(38,4)").cast("double").as("sum_price"),
+          col("min_price").cast("double").as("min_price"),
+          col("max_price").cast("double").as("max_price"))
+    },
+
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
     "q14_id_synth" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -306,6 +348,23 @@ object Relational {
            WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0))
          SELECT o_custkey, count(*) AS n_orders,
            CAST(CAST(sum(v) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price
+         FROM f GROUP BY 1""",
+    // q86's final-state aggregate with the extrema the selective
+    // recompute must land on
+    "q108_incremental_extrema" ->
+      """WITH f AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                  WHEN o_orderkey % 13 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS v
+           FROM orders
+           WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0))
+         SELECT o_custkey, count(*) AS n_orders,
+           CAST(CAST(sum(v) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price,
+           CAST(min(v) AS DOUBLE) AS min_price,
+           CAST(max(v) AS DOUBLE) AS max_price
          FROM f GROUP BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

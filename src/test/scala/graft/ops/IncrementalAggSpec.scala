@@ -90,6 +90,84 @@ class IncrementalAggSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("unknown CDC op")), messages(e).toString)
   }
 
+  private def mvExtOf(base: DataFrame): DataFrame =
+    base.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_value"),
+      min("v").as("min_value"), max("v").as("max_value"))
+
+  private def collectExt(df: DataFrame)
+      : Map[Long, (Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1),
+      r.getDecimal(2).setScale(4), r.getDecimal(3).setScale(4),
+      r.getDecimal(4).setScale(4))).toMap
+
+  /** The post-delta fact state for maintainExtrema's base contract. */
+  private def applyCdc(base: DataFrame,
+      delta: Seq[(String, Long, Option[String], Option[String])]): DataFrame = {
+    var rows = base.as[(Long, java.math.BigDecimal)].collect()
+      .map { case (k, v) => (k, v.setScale(4)) }.toBuffer
+    delta.foreach {
+      case ("insert", k, _, Some(n)) => rows += ((k, dec(n)))
+      case ("delete", k, Some(o), _) =>
+        val i = rows.indexOf((k, dec(o))); require(i >= 0); rows.remove(i); ()
+      case ("update", k, Some(o), Some(n)) =>
+        val i = rows.indexOf((k, dec(o))); require(i >= 0)
+        rows(i) = (k, dec(n))
+      case other => fail(s"bad delta row $other")
+    }
+    facts(rows.toSeq.map { case (k, v) => (k, v.toPlainString) }: _*)
+  }
+
+  test("maintainExtrema: bounds tighten on arrival, recompute only when a departure reaches one") {
+    val base = facts((1L, "10"), (1L, "2"), (1L, "5"),
+      (2L, "7"), (2L, "1"), (3L, "4"))
+    val delta = Seq[(String, Long, Option[String], Option[String])](
+      ("insert", 1L, None, Some("0.5")),   // new global min for key 1: incremental
+      ("delete", 2L, Some("1"), None),     // departs key 2's MIN: recompute path
+      ("update", 3L, Some("4"), Some("9")),// key 3's only row revalued: both bounds move
+      ("insert", 9L, None, Some("3")))     // brand-new key: bounds from arrivals
+    val post = applyCdc(base, delta)
+    val got = collectExt(IncrementalAgg.maintainExtrema(
+      mvExtOf(base), cdc(delta: _*), post, Seq("k")))
+    val want = collectExt(mvExtOf(post))
+    assert(got == want, s"got $got want $want")
+    assert(got(1L)._3 == dec("0.5") && got(1L)._4 == dec("10"))
+    assert(got(2L)._3 == dec("7"), "second-smallest must come back from base")
+    assert(got(9L)._3 == dec("3") && got(9L)._4 == dec("3"))
+  }
+
+  test("maintainExtrema: a non-extremal departure moves no bound (and matches recompute)") {
+    val base = facts((1L, "10"), (1L, "2"), (1L, "5"))
+    val delta = Seq[(String, Long, Option[String], Option[String])](
+      ("delete", 1L, Some("5"), None))
+    val post = applyCdc(base, delta)
+    val got = collectExt(IncrementalAgg.maintainExtrema(
+      mvExtOf(base), cdc(delta: _*), post, Seq("k")))
+    assert(got(1L) == ((2L, dec("12"), dec("2"), dec("10"))), got.toString)
+  }
+
+  test("maintainExtrema on a randomized CDC story agrees with full recompute") {
+    val rnd = new scala.util.Random(108)
+    val base = facts((1 to 200).map(i =>
+      (rnd.nextInt(12).toLong, s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")): _*)
+    val baseRows = base.as[(Long, java.math.BigDecimal)].collect()
+      .map { case (k, v) => (k, v.setScale(4)) }
+    // mix: deletes/updates target REAL base rows (sampled), inserts are new
+    val targets = rnd.shuffle(baseRows.toSeq).take(60)
+    val delta =
+      targets.take(30).map { case (k, v) =>
+        ("delete", k, Some(v.toPlainString), None) } ++
+      targets.drop(30).map { case (k, v) =>
+        ("update", k, Some(v.toPlainString),
+          Some(s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")) } ++
+      (1 to 25).map(_ => ("insert", rnd.nextInt(14).toLong, None,
+        Some(s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")))
+    val post = applyCdc(base, delta)
+    val got = collectExt(IncrementalAgg.maintainExtrema(
+      mvExtOf(base), cdc(delta: _*), post, Seq("k")))
+    val want = collectExt(mvExtOf(post))
+    assert(got == want, "selective extrema maintenance must equal full recompute")
+  }
+
   test("maintainAggBatch folds a CDC stream into an at-rest MV, exactly-once on replay") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
