@@ -161,7 +161,7 @@ object Bench {
     ("q105_burst_skew_safe", 0.33, 0.9),
     ("q106_winsorize", 0.3, 0.9),
     ("q107_asof_nearest", 0.37, 1.6),
-    ("q108_incremental_extrema", 0.3, 1.2))
+    ("q108_incremental_extrema", 0.69, 1.7))
 
   private[graft] val RetimeFactor = 2.0
 
