@@ -168,6 +168,18 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == want, "selective extrema maintenance must equal full recompute")
   }
 
+  test("maintainExtrema: base enters only through the at-risk semi join, no cartesian") {
+    val base = facts((1L, "10"), (1L, "2"))
+    val delta = Seq[(String, Long, Option[String], Option[String])](
+      ("delete", 1L, Some("2"), None))
+    val plan = IncrementalAgg.maintainExtrema(
+        mvExtOf(base), cdc(delta: _*), applyCdc(base, delta), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+    assert("LeftSemi".r.findAllIn(plan).length == 1,
+      s"base must be filtered by exactly one at-risk semi join: $plan")
+  }
+
   test("maintainAggBatch folds a CDC stream into an at-rest MV, exactly-once on replay") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
