@@ -67,7 +67,7 @@ object Bench {
     ("q15_first_per_key", 0.22, 0.45),
     ("q16_sessionize", 0.31, 0.45),
     ("q17_collect_types", 0.15, 0.3),
-    ("q18_asof_signup", 0.25, 0.5),
+    ("q18_asof_signup", 0.22, 0.5),
     ("q19_json_roundtrip", 0.33, 0.5),
     ("q20_clock_math", 0.17, 0.3),
     ("q21_season_parse", 0.26, 0.5),
@@ -77,7 +77,7 @@ object Bench {
     ("q25_interval_join", 0.39, 0.55),
     ("q26_composite_delta", 0.49, 0.7),
     ("q27_rollup_totals", 0.36, 0.5),
-    ("q28_lsh_bucketed_exact", 0.37, 0.8),
+    ("q28_lsh_bucketed_exact", 0.32, 0.8),
     ("q29_repetition", 0.47, 0.6),
     ("q30_dedup_exact", 0.13, 0.25),
     ("q31_minhash_lsh", 1.09, 1.5),
