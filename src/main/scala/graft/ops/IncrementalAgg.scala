@@ -195,4 +195,50 @@ object IncrementalAgg {
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     }
   }
+
+  /** [[maintainAggBatch]] for the extrema view: the `foreachBatch` fold
+    * that maintains an at-rest (count, sum, min, max) MV via
+    * [[maintainExtrema]]. `baseDir` is the POST-delta fact table read
+    * fresh each trigger for the at-risk extrema recompute — in a CDC
+    * topology the feed is emitted by the base table's own writer, so by
+    * the time a batch's CDC rows arrive the base already reflects them;
+    * wire this fold downstream of that writer, never ahead of it.
+    * Marker, replay-skip, and crash-safe swap are [[maintainAggBatch]]'s
+    * exactly-once discipline verbatim. */
+  def maintainExtremaBatch(mvDir: String, baseDir: String, keyCols: Seq[String],
+      valueCol: String = "v", countCol: String = "n_rows",
+      sumCol: String = "sum_value", minCol: String = "min_value",
+      maxCol: String = "max_value")(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Warehouse.recover(spark, mvDir)
+    val dir = new org.apache.hadoop.fs.Path(mvDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, AppliedMarker)
+    val applied: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      }
+    if (batchId <= applied) return // replayed micro-batch: already folded
+    val mv =
+      if (fs.exists(dir)) spark.read.parquet(mvDir)
+      else batch.select(keyCols.map(col): _*).limit(0)
+        .withColumn(countCol, lit(0L))
+        .withColumn(sumCol, lit(0).cast("decimal(38,4)"))
+        .withColumn(minCol, lit(null).cast("decimal(18,4)"))
+        .withColumn(maxCol, lit(null).cast("decimal(18,4)"))
+    val base = spark.read.parquet(baseDir)
+    val next = maintainExtrema(mv, batch.toDF(), base, keyCols,
+        valueCol, countCol, sumCol, minCol, maxCol)
+      .withColumn(sumCol, col(sumCol).cast("decimal(38,4)"))
+    graft.sources.Warehouse.replaceDirWith(spark, mvDir) { staging =>
+      next.write.parquet(staging)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 }

@@ -217,6 +217,57 @@ class IncrementalAggSpec extends SparkSpec {
     assert(next(1L) == ((3L, dec("104"))))
   }
 
+  test("maintainExtremaBatch folds a CDC stream into an extrema MV, exactly-once on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("mvext").toString
+    val mvDir = root + "/mv"
+    val baseDir = root + "/base"
+    // the base table is maintained by its own writer; here the test plays
+    // that role, landing each batch's post-state BEFORE the fold runs
+    def landBase(rows: (Long, String)*): Unit =
+      facts(rows: _*).write.mode("overwrite").parquet(baseDir)
+    val in = MemoryStream[(String, Long, Option[String], Option[String])]
+    val cdcStream = in.toDF().toDF("op", "k", "o", "n").select(col("op"), col("k"),
+      col("o").cast("decimal(18,4)").as("old_value"),
+      col("n").cast("decimal(18,4)").as("new_value"))
+    val q = cdcStream.writeStream
+      .foreachBatch(IncrementalAgg.maintainExtremaBatch(mvDir, baseDir, Seq("k")) _)
+      .start()
+    try {
+      landBase((1L, "2.5"), (2L, "4"))
+      in.addData(("insert", 1L, None, Some("2.5")), ("insert", 2L, None, Some("4")))
+      q.processAllAvailable()
+      landBase((1L, "2.5"), (1L, "1.5"), (2L, "6"), (3L, "9"))
+      in.addData(("insert", 1L, None, Some("1.5")),
+        ("update", 2L, Some("4"), Some("6")),
+        ("insert", 3L, None, Some("9")))
+      q.processAllAvailable()
+      // delete key 1's MIN: the at-risk recompute must consult base
+      landBase((1L, "2.5"), (2L, "6"), (3L, "9"))
+      in.addData(("delete", 1L, Some("1.5"), None))
+      q.processAllAvailable()
+    } finally q.stop()
+    def readMv() = collectExt(spark.read.parquet(mvDir)
+      .select(col("k"), col("n_rows"), col("sum_value").cast("decimal(18,4)"),
+        col("min_value"), col("max_value")))
+    val got = readMv()
+    assert(got == Map(
+      1L -> ((1L, dec("2.5"), dec("2.5"), dec("2.5"))),
+      2L -> ((1L, dec("6"), dec("6"), dec("6"))),
+      3L -> ((1L, dec("9"), dec("9"), dec("9")))), got.toString)
+    // a replayed micro-batch id must be a no-op (restart redelivery)
+    IncrementalAgg.maintainExtremaBatch(mvDir, baseDir, Seq("k"))(
+      cdc(("insert", 1L, None, Some("100"))), 0L)
+    assert(readMv() == got, "batch id 0 was already applied: replay must not double-fold")
+    // a genuinely NEW batch id applies and tightens the max incrementally
+    landBase((1L, "2.5"), (1L, "100"), (2L, "6"), (3L, "9"))
+    IncrementalAgg.maintainExtremaBatch(mvDir, baseDir, Seq("k"))(
+      cdc(("insert", 1L, None, Some("100"))), 99L)
+    val next = readMv()
+    assert(next(1L) == ((2L, dec("102.5"), dec("2.5"), dec("100"))), next.toString)
+  }
+
   test("the delta aggregates before the merge join — the MV side is never re-aggregated") {
     val mv = mvOf(facts((1L, "1"), (2L, "2")))
     val plan = IncrementalAgg.maintain(mv, cdc(("insert", 1L, None, Some("3"))), Seq("k"))
