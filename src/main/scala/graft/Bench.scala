@@ -165,6 +165,18 @@ object Bench {
 
   private[graft] val RetimeFactor = 2.0
 
+  /** The rounds-6-9 hi values the seven r11-loosened bands replaced —
+    * kept on record (and rendered into the committed envelope file) so
+    * the tighter gate can be restored the moment the host's ~1.2-1.5x
+    * steady-state drift is confirmed resolved: until then a real
+    * regression on these queries is only caught at the LOOSENED hi, and
+    * without this record the old bar would be unrecoverable. */
+  private[graft] val provisionalHi: Map[String, Double] = Map(
+    "q42_lang_id" -> 0.22, "q43_fingerprint" -> 0.28,
+    "q45_tfidf_terms" -> 0.65, "q46_kmeans" -> 0.65,
+    "q48_neardup_gate" -> 1.4, "q51_decontaminate" -> 0.55,
+    "q62_fuzzy_neardup" -> 0.8)
+
   /** The committed-file rendering of [[envelope]] — one source of truth;
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
@@ -174,9 +186,15 @@ object Bench {
       "noise-adjudicated runs excluded. Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +
-      "'retimed' field; the per-query value is min(observed, retimed)."
-    envelope.map { case (q, lo, hi) => s"""  "$q": {"lo": $lo, "hi": $hi}""" }
-      .mkString(s"""{\n  "_note": "$note",\n""", ",\n", "\n}\n")
+      "'retimed' field; the per-query value is min(observed, retimed). " +
+      "Entries carrying provisional_hi were loosened under the r11 host " +
+      "drift from that recorded pre-drift value; restore it once the " +
+      "drift is confirmed resolved."
+    envelope.map { case (q, lo, hi) =>
+      val prov = provisionalHi.get(q)
+        .map(p => s""", "provisional_hi": $p""").getOrElse("")
+      s"""  "$q": {"lo": $lo, "hi": $hi$prov}"""
+    }.mkString(s"""{\n  "_note": "$note",\n""", ",\n", "\n}\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -325,6 +343,12 @@ object Bench {
       js(q) + s""":{"observed":$obs,"retimed":$re,"hi":${envHigh(q)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"staged":$stagedJson,"retimed":$retimedJson,"sf":${js(sfDir)}}""")
+    // The driver archives only a bounded TAIL of stdout; at 100+ queries
+    // the full line above truncates mid-map and loses the headline (the
+    // r11 verdict: BENCH_r10/r11 carried no recoverable total). This
+    // compact trailer restates the adjudicated totals LAST, so any tail
+    // capture still carries a parseable summary.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${adjudicated.size},"failed":${failed.size},"flaky":${flaky.size},"retimed":${retimed.size},"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

@@ -109,6 +109,13 @@ object IncrementalAgg {
       .agg(sum(dCount).as("_d_count"), sum(dSum).as("_d_sum"),
         min(arriving).as("_ins_min"), max(arriving).as("_ins_max"),
         min(departing).as("_dep_min"), max(departing).as("_dep_max"))
+    // materialized ONCE (localCheckpoint, components()' block discipline):
+    // the merge is referenced below by both the at-risk key projection
+    // (feeding the semi join) and the final repair join — without
+    // materialization Spark re-evaluates the O(|delta|+|MV|) full-outer
+    // join per reference, so the merge actually ran ~3x per refresh at
+    // MV scale (the r11 advisory). Callers that fold this per micro-batch
+    // release the blocks after publishing ([[maintainExtremaBatch]]).
     val merged = mv.join(delta, keyCols, "full_outer")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col(countCol), lit(0L)) + coalesce(col("_d_count"), lit(0L)))
@@ -127,24 +134,22 @@ object IncrementalAgg {
           (col(maxCol).isNull || col("_dep_max") >= col(maxCol)))
           .as("_risk_max")): _*)
       .filter(col(countCol) =!= 0)
-    val risky = merged.filter(col("_risk_min") || col("_risk_max"))
-    val safe = merged.filter(!(col("_risk_min") || col("_risk_max")))
-      .select(keyCols.map(col) ++ Seq(col(countCol), col(sumCol),
-        col("_cand_min").as(minCol), col("_cand_max").as(maxCol)): _*)
+      .localCheckpoint(true)
     val recomputed = base
-      .join(risky.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .join(merged.filter(col("_risk_min") || col("_risk_max"))
+        .select(keyCols.map(col): _*), keyCols, "left_semi")
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(valueCol)).as("_rc_min"), max(col(valueCol)).as("_rc_max"))
-    val repaired = risky
-      .join(recomputed, keyCols, "left")
+    // one left join against the (delta-bounded, broadcast-able) recompute
+    // table repairs everything: safe rows see no recomputed match and
+    // keep their (still-valid) incremental candidates; only the at-risk
+    // bound takes the recomputed value
+    merged.join(recomputed, keyCols, "left")
       .select(keyCols.map(col) ++ Seq(col(countCol), col(sumCol),
-        // only the at-risk bound takes the recomputed value; the other
-        // keeps its (still-valid) incremental candidate
         when(col("_risk_min"), col("_rc_min")).otherwise(col("_cand_min"))
           .as(minCol),
         when(col("_risk_max"), col("_rc_max")).otherwise(col("_cand_max"))
           .as(maxCol)): _*)
-    safe.unionByName(repaired)
   }
 
   private val AppliedMarker = "_applied_batch"
@@ -234,11 +239,15 @@ object IncrementalAgg {
     val next = maintainExtrema(mv, batch.toDF(), base, keyCols,
         valueCol, countCol, sumCol, minCol, maxCol)
       .withColumn(sumCol, col(sumCol).cast("decimal(38,4)"))
-    graft.sources.Warehouse.replaceDirWith(spark, mvDir) { staging =>
+    try graft.sources.Warehouse.replaceDirWith(spark, mvDir) { staging =>
       next.write.parquet(staging)
       val out = fs.create(
         new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    } finally {
+      // release maintainExtrema's materialized merge — without this every
+      // micro-batch leaks an MV-sized localCheckpoint block
+      graft.ops.Checkpoints.rddsOf(next).foreach(_.unpersist(false))
     }
   }
 }

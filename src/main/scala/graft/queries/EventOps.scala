@@ -548,16 +548,20 @@ object EventOps {
     * crossover is in SCALING.md's skew note.
     *
     * The anchor table is users-sized; at a user cardinality past the
-    * broadcast threshold, drop the hint — the shuffle hash join still
+    * broadcast threshold, pass `broadcastAnchors = false` — the forced
+    * hint is a hard promise (Spark refuses, or the driver OOMs building
+    * the hash relation, exactly in the high-cardinality scenario this
+    * variant exists for), while the un-hinted shuffle hash join still
     * streams the hot partition (probe is per-row, no sort, no buffering),
     * which measured ~2x better than the window on the bot fixture. */
-  def decayScoreSkewSafe(events: DataFrame, capDays: Int = DecayCapDays): DataFrame = {
+  def decayScoreSkewSafe(events: DataFrame, capDays: Int = DecayCapDays,
+      broadcastAnchors: Boolean = true): DataFrame = {
     require(capDays >= 1 && capDays <= 62, s"capDays must be in [1,62], got $capDays")
     val anchors = events.groupBy(col("user_id"))
       .agg(max(col("ts")).as("anchor_ts"))
     val aged = events
       .select(col("user_id"), col("ts"), col("value"))
-      .join(broadcast(anchors), Seq("user_id"))
+      .join(if (broadcastAnchors) broadcast(anchors) else anchors, Seq("user_id"))
       .withColumn("age_days",
         floor((unix_micros(col("anchor_ts")) - unix_micros(col("ts")))
           .cast("double") / lit(86400e6)).cast("int"))

@@ -233,7 +233,12 @@ object StreamOps {
     * maximum number of events inside any trailing `windowSeconds` window,
     * emitted as `(user_id, n_seen, max_burst, bursty)` whenever the max
     * GROWS — the moment a bot crosses `threshold` the flag flips in-flight,
-    * instead of in the next batch re-curation.
+    * instead of in the next batch re-curation. Each batch pre-collapses a
+    * group's events to per-second counts before anything buffers or
+    * sorts, so per-batch memory is O(distinct seconds), never
+    * traffic-proportional, and a second emits at most once (its final
+    * count — the granularity the stream==batch argument below is stated
+    * at anyway).
     *
     * Stream == batch: events are processed in (event-time micros,
     * event_id) order; at the LAST event of each distinct second the
@@ -269,8 +274,20 @@ object StreamOps {
           var seen = st.seen
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Long, Long, Boolean)]
-          it.toSeq.sortBy(e => (epochMicros(e._2), e._3)).foreach { e =>
+          // pre-collapse to per-second counts BEFORE sorting: only the
+          // counts drive the state transition, so a bot group's batch
+          // costs O(distinct seconds) memory + sort, not O(events) — the
+          // same time-not-traffic bound the batch skew-safe form (q105)
+          // gets from its collapse, now applied to the per-batch buffer
+          // too (the r11 advisory's residual). A second's events land as
+          // ONE transition (and at most one emission), which is exactly
+          // the scaladoc's per-second equality point.
+          val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+          it.foreach { e =>
             val sec = Math.floorDiv(epochMicros(e._2), 1000000L)
+            counts(sec) = counts.getOrElse(sec, 0L) + 1L
+          }
+          counts.toSeq.sortBy(_._1).foreach { case (sec, c) =>
             val newest = window.lastOption.map(_._1).getOrElse(Long.MinValue)
             if (sec >= newest) { // in order; older rows drop (scaladoc)
               while (window.nonEmpty && window.head._1 <= sec - windowSeconds) {
@@ -278,10 +295,10 @@ object StreamOps {
               }
               if (sec == newest) {
                 val (s0, c0) = window.removeLast()
-                window.append((s0, c0 + 1L))
-              } else window.append((sec, 1L))
-              inWindow += 1L
-              seen += 1L
+                window.append((s0, c0 + c))
+              } else window.append((sec, c))
+              inWindow += c
+              seen += c
               if (inWindow > maxBurst) {
                 maxBurst = inWindow
                 out += ((user, seen, maxBurst, maxBurst >= threshold))

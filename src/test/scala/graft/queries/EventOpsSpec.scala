@@ -749,6 +749,22 @@ class EventOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("decayScoreSkewSafe: broadcastAnchors=false drops the hint, same rows") {
+    // the high-user-cardinality escape hatch: past the broadcast
+    // threshold the forced hint risks driver OOM, so the un-hinted form
+    // must exist AND agree bit-for-bit (exact-int algebra either way)
+    val e = botLog()
+    val hinted = EventOps.decayScoreSkewSafe(e).collect().toSet
+    val unhinted = EventOps.decayScoreSkewSafe(e, broadcastAnchors = false)
+    assert(unhinted.collect().toSet == hinted,
+      "un-hinted anchor join diverged from the broadcast form")
+    // the pin is that the HINT is gone (the planner is free to choose —
+    // AQE may still pick broadcast on a tiny fixture, and should)
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(EventOps.decayScoreSkewSafe(e).queryExecution.analyzed.toString
+      .contains("ResolvedHint"))
+  }
+
   test("burstScoreSkewSafe: the window's input is the per-second aggregate") {
     val plan = EventOps.burstScoreSkewSafe(ev((1, 1, 10, "a"), (2, 1, 20, "a")))
       .queryExecution.executedPlan.toString
