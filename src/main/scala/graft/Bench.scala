@@ -161,7 +161,10 @@ object Bench {
     ("q105_burst_skew_safe", 0.33, 0.9),
     ("q106_winsorize", 0.3, 0.9),
     ("q107_asof_nearest", 0.37, 1.6),
-    ("q108_incremental_extrema", 0.69, 1.7))
+    ("q108_incremental_extrema", 0.69, 1.7),
+    // round-12 additions (local best-of-2 ranges, short history)
+    ("q109_embed_dedup_lsh", 0.9, 2.6),
+    ("q110_incremental_distinct", 0.3, 1.2))
 
   private[graft] val RetimeFactor = 2.0
 

@@ -152,6 +152,75 @@ object IncrementalAgg {
           .as(maxCol)): _*)
   }
 
+  /** The third aggregate class a real rollup needs (after [[maintain]]'s
+    * abelian count/sum and [[maintainExtrema]]'s semi-maintainable
+    * min/max): count(DISTINCT value) — not algebraically maintainable (a
+    * departing value's multiplicity among the key's OTHER rows is
+    * unknowable from the count alone), and not bounded by the at-risk
+    * trick (EVERY delete puts the distinct count at risk). The standard
+    * IVM answer, implemented here: maintain a per-(key, value) SUPPORT
+    * table of multiplicities — delta-bounded updates, no base rescan
+    * ever — and derive the MV's distinct count from it
+    * ([[distinctCounts]]): a value counts iff its multiplicity != 0.
+    *
+    * `support` carries keyCols + valueCol + multCol (long, > 0 in a
+    * healthy table); `cdc` is [[maintain]]'s shape, with old_value /
+    * new_value over valueCol's domain (any type — strings included).
+    * Each refresh costs O(|delta| + |support|): one map-side-combinable
+    * aggregation of the CDC rows to (key, value) grain plus one keyed
+    * merge, exchange-free when the support table is bucketed on the
+    * (key…, value) join key ([[graft.sources.Warehouse.writeBucketed]]).
+    * The support table is bounded by the base's distinct (key, value)
+    * pairs — the price of an EXACT maintainable distinct count under
+    * deletes. (The sketch alternative, HLL, is insert-only: it cannot
+    * unsee a departed value; a deployment on an append-only feed can
+    * swap it in, but this operator exists for the full CDC regime.)
+    *
+    * A (key, value) whose multiplicity reaches 0 leaves the table; a
+    * NEGATIVE multiplicity (a delete for a value the table never held)
+    * is corruption evidence and is kept visible — [[maintain]]'s rule.
+    * Returns the updated support table. */
+  def maintainDistinctSupport(support: DataFrame, cdc: DataFrame,
+      keyCols: Seq[String], valueCol: String = "v",
+      multCol: String = "n_rows"): DataFrame = {
+    require(keyCols.nonEmpty,
+      "maintainDistinctSupport needs at least one key column")
+    val op = col("op")
+    // each CDC row contributes ±1 at one or two (key, value) points:
+    // insert +1 @ new, delete -1 @ old, update -1 @ old AND +1 @ new
+    val contrib =
+      when(op === "insert",
+        array(struct(col("new_value").as("pv"), lit(1L).as("d"))))
+      .when(op === "delete",
+        array(struct(col("old_value").as("pv"), lit(-1L).as("d"))))
+      .when(op === "update",
+        array(struct(col("old_value").as("pv"), lit(-1L).as("d")),
+          struct(col("new_value").as("pv"), lit(1L).as("d"))))
+      .otherwise(raise_error(concat(lit("unknown CDC op: "), op)))
+    val grain = keyCols :+ valueCol
+    val delta = cdc
+      .select(keyCols.map(col) :+ explode(contrib).as("c"): _*)
+      .select(keyCols.map(col) ++
+        Seq(col("c.pv").as(valueCol), col("c.d").as("_d")): _*)
+      .groupBy(grain.map(col): _*)
+      .agg(sum(col("_d")).as("_d_mult"))
+    support.join(delta, grain, "full_outer")
+      .select(grain.map(col) :+
+        (coalesce(col(multCol), lit(0L)) + coalesce(col("_d_mult"), lit(0L)))
+          .as(multCol): _*)
+      .filter(col(multCol) =!= 0)
+  }
+
+  /** The distinct-count MV a support table answers, one row per key:
+    * `n_distinct` (rows present = values with nonzero multiplicity) and
+    * `n_rows` (the summed multiplicities — [[maintain]]'s count, derived
+    * for free). Map-side-combinable; exchange-free on a key-bucketed
+    * support table. */
+  def distinctCounts(support: DataFrame, keyCols: Seq[String],
+      multCol: String = "n_rows", distinctCol: String = "n_distinct"): DataFrame =
+    support.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(distinctCol), sum(col(multCol)).as(multCol))
+
   private val AppliedMarker = "_applied_batch"
 
   /** Continuous aggregation: the `foreachBatch` fold that maintains an

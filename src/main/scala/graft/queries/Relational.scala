@@ -323,6 +323,36 @@ object Relational {
           col("max_price").cast("double").as("max_price"))
     },
 
+    // Incremental MV maintenance for count(DISTINCT) (ops/IncrementalAgg
+    // .maintainDistinctSupport): q86's CDC story over a VALUE domain
+    // (order priority; updates re-tag to a synthetic '<v>*' priority) —
+    // the aggregate neither the abelian algebra nor the at-risk trick
+    // covers. The per-(customer, priority) support table absorbs the
+    // delta at (key, value) grain; the published MV derives from it.
+    // The oracle is the direct distinct-count of the final state.
+    "q110_incremental_distinct" -> { (s, dir) =>
+      val keyed = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderpriority").as("v"))
+      val base = keyed.filter(col("o_orderkey") % 10 =!= 0)
+      val support = base.groupBy(col("o_custkey"), col("v"))
+        .agg(count(lit(1)).as("n_rows"))
+      val cdc = keyed
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, "insert")
+            .when(col("o_orderkey") % 7 === 0, "delete")
+            .when(col("o_orderkey") % 13 === 0, "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("o_custkey"),
+          when(col("op") =!= "insert", col("v")).as("old_value"),
+          when(col("op") === "insert", col("v"))
+            .when(col("op") === "update", concat(col("v"), lit("*")))
+            .as("new_value"))
+      IncrementalAgg.distinctCounts(
+        IncrementalAgg.maintainDistinctSupport(
+          support, cdc, Seq("o_custkey"), "v"),
+        Seq("o_custkey"))
+    },
+
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
     "q14_id_synth" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -365,6 +395,19 @@ object Relational {
            CAST(CAST(sum(v) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price,
            CAST(min(v) AS DOUBLE) AS min_price,
            CAST(max(v) AS DOUBLE) AS max_price
+         FROM f GROUP BY 1""",
+    // the final-state distinct-count the support-table maintenance must
+    // land on (same CDC partition as q86/q108, string value domain)
+    "q110_incremental_distinct" ->
+      """WITH f AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+                  WHEN o_orderkey % 13 = 0 THEN o_orderpriority || '*'
+                  ELSE o_orderpriority END AS v
+           FROM orders
+           WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0))
+         SELECT o_custkey, count(DISTINCT v) AS n_distinct,
+           count(*) AS n_rows
          FROM f GROUP BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

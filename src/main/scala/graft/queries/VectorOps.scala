@@ -163,6 +163,23 @@ object VectorOps {
         .select(col("doc_id").as("vec_id"), col("label"))
     },
 
+    // q53's 100x-SCALE plan as its own timed + oracled query: the pair
+    // producer is the hyperplane-LSH banded equi-join (q37's — cost =
+    // candidates, never all-pairs) feeding the same large-star/small-star
+    // collapse. q53 times the EXACT all-pairs kernel as its documented
+    // oracle-mirrorable stand-in; this entry times the plan CorpusMain
+    // actually ships at 100 TB, so the bench now measures the scale
+    // story's real shape. Its components cover the LSH pair set (recall
+    // traded by (bits, bands), q37's contract) — the oracle composes
+    // q37's banding CTEs with q53's recursive component collapse, so the
+    // banded candidate universe is shared by construction.
+    "q109_embed_dedup_lsh" -> { (s, dir) =>
+      val pairs = lshNearDup(vecs(s, dir), NearDupThreshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      DedupOps.componentsStar(pairs)
+        .select(col("doc_id").as("vec_id"), col("label"))
+    },
+
     // Centroid training for the IVF path: k rounds of Lloyd's algorithm
     // (spherical/cosine assignment, the same argmax rule as q36's assign),
     // with FIXED-POINT centroid accumulation — each element is quantized to
@@ -725,6 +742,7 @@ object VectorOps {
          FROM embeddings
          WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) > 0""",
     "q37_hyperplane_lsh" -> hyperplaneOracle,
+    "q109_embed_dedup_lsh" -> lshComponentsOracle,
     "q46_kmeans" -> kmeansOracle,
     "q97_cluster_purity" -> clusterPurityOracle,
     // same oracle by design: the bucketed exact kernel has the same
@@ -850,6 +868,36 @@ object VectorOps {
        JOIN n a ON a.vec_id = c.vec_a
        JOIN n b ON b.vec_id = c.vec_b
        WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold"""
+
+  /** The q109 oracle: q37's banded candidate + exact-verify CTEs feeding
+    * q53's recursive component collapse — the SQL mirror of the plan the
+    * 100 TB deployment ships (LSH-bucketed pair producer, star
+    * components), sharing the candidate universe with [[lshNearDup]] by
+    * construction. */
+  private lazy val lshComponentsOracle: String =
+    s"""${vecCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       sg AS (SELECT vec_id, e, nrm, $hyperplaneSigSql AS sig FROM n WHERE nrm > 0),
+       bands AS ($hyperplaneBandsSql),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       pairs AS (
+         SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
+         FROM cand c
+         JOIN n a ON a.vec_id = c.vec_a
+         JOIN n b ON b.vec_id = c.vec_b
+         WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $NearDupThreshold),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION
+         SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       reach AS (
+         SELECT src AS doc_id, src AS label FROM edges
+         UNION
+         SELECT e.dst AS doc_id, r.label AS label
+         FROM reach r JOIN edges e ON e.src = r.doc_id)
+       SELECT doc_id AS vec_id, min(label) AS label FROM reach GROUP BY doc_id"""
 
   /** The q54 oracle: the same signature/banding as q37's, split odd
     * (incoming) vs even (corpus) — candidates are cross-side band

@@ -277,4 +277,85 @@ class IncrementalAggSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length <= 4, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // --- distinct-count support table (q110) ---
+
+  private def sfacts(rows: (Long, String)*): DataFrame =
+    rows.toDF("k", "v")
+
+  private def supportOf(base: DataFrame): DataFrame =
+    base.groupBy("k", "v").agg(count(lit(1)).as("n_rows"))
+
+  private def scdc(rows: (String, Long, Option[String], Option[String])*): DataFrame =
+    rows.toDF("op", "k", "old_value", "new_value")
+
+  private def collectDistinct(df: DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("maintainDistinctSupport: a departing value's distinct count survives via multiplicity") {
+    val base = sfacts((1L, "a"), (1L, "a"), (1L, "b"), (2L, "x"))
+    val delta = scdc(
+      ("delete", 1L, Some("a"), None),       // one of two 'a's: distinct UNCHANGED
+      ("update", 2L, Some("x"), Some("y")),  // sole 'x' re-valued: still 1 distinct
+      ("insert", 1L, None, Some("c")),       // third distinct value for key 1
+      ("insert", 9L, None, Some("z")))       // brand-new key enters
+    val got = collectDistinct(IncrementalAgg.distinctCounts(
+      IncrementalAgg.maintainDistinctSupport(supportOf(base), delta, Seq("k")),
+      Seq("k")))
+    assert(got == Map(1L -> ((3L, 3L)), 2L -> ((1L, 1L)), 9L -> ((1L, 1L))),
+      got.toString)
+  }
+
+  test("maintainDistinctSupport: deleting a value's LAST row drops it from the count") {
+    val base = sfacts((1L, "a"), (1L, "b"))
+    val got = collectDistinct(IncrementalAgg.distinctCounts(
+      IncrementalAgg.maintainDistinctSupport(supportOf(base),
+        scdc(("delete", 1L, Some("b"), None)), Seq("k")),
+      Seq("k")))
+    assert(got == Map(1L -> ((1L, 1L))), got.toString)
+  }
+
+  test("maintainDistinctSupport on a randomized CDC story agrees with full recompute") {
+    val rnd = new scala.util.Random(110)
+    val vals = Array("a", "b", "c", "d", "e", "f")
+    val baseRows = (1 to 250).map(_ =>
+      (rnd.nextInt(10).toLong, vals(rnd.nextInt(vals.length))))
+    val targets = rnd.shuffle(baseRows).take(80)
+    val delta =
+      targets.take(40).map { case (k, v) => ("delete", k, Some(v), None) } ++
+      targets.drop(40).map { case (k, v) =>
+        ("update", k, Some(v), Some(vals(rnd.nextInt(vals.length)))) } ++
+      (1 to 30).map(_ => ("insert", rnd.nextInt(12).toLong, None,
+        Some(vals(rnd.nextInt(vals.length)))))
+    // replay the story row-by-row against a bag (the ground truth)
+    val bag = scala.collection.mutable.Buffer(baseRows: _*)
+    delta.foreach {
+      case ("insert", k, _, Some(n)) => bag += ((k, n))
+      case ("delete", k, Some(o), _) =>
+        val i = bag.indexOf((k, o)); require(i >= 0); bag.remove(i); ()
+      case ("update", k, Some(o), Some(n)) =>
+        val i = bag.indexOf((k, o)); require(i >= 0); bag(i) = (k, n)
+      case other => fail(s"bad delta row $other")
+    }
+    val got = collectDistinct(IncrementalAgg.distinctCounts(
+      IncrementalAgg.maintainDistinctSupport(supportOf(sfacts(baseRows: _*)),
+        scdc(delta.map(d => (d._1, d._2, d._3, d._4)): _*), Seq("k")),
+      Seq("k")))
+    val want = collectDistinct(sfacts(bag.toSeq: _*).groupBy("k")
+      .agg(countDistinct(col("v")).as("n_distinct"), count(lit(1)).as("n_rows")))
+    assert(got == want, "support-table maintenance must equal full recompute")
+  }
+
+  test("maintainDistinctSupport: unknown op is loud; phantom delete stays visible") {
+    val e = intercept[Exception] {
+      IncrementalAgg.maintainDistinctSupport(supportOf(sfacts((1L, "a"))),
+        scdc(("upsert", 1L, None, Some("b"))), Seq("k")).collect()
+    }
+    assert(messages(e).exists(_.contains("unknown CDC op")), messages(e).toString)
+    val sup = IncrementalAgg.maintainDistinctSupport(supportOf(sfacts()),
+      scdc(("delete", 7L, Some("ghost"), None)), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sup.toSeq == Seq((7L, "ghost", -1L)),
+      "corruption evidence must not be filtered away")
+  }
 }

@@ -52,6 +52,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(bucketed == global, "recall-complete buckets must reproduce the global kernel")
   }
 
+  test("q109: the timed plan never materializes the exact all-pairs join") {
+    // the 100x-scale point of the query: its pair producer is the banded
+    // equi-join — candidates only, no cartesian/block-nested-loop kernel
+    // anywhere in the plan (q53's exact producer is the stand-in this
+    // entry exists to NOT time)
+    val pairs = VectorOps.lshNearDup(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", VectorSim.norm(col("e"))), 0.4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan)
+    // and the full q109 components agree with componentsStar over the
+    // same pair set (composition smoke on real data)
+    val got = SparkEntry.queries("q109_embed_dedup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = DedupOps.componentsStar(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("q34: building the plan collects no data to the driver") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
