@@ -170,6 +170,99 @@ object CorpusMain {
     finally spark.stop()
   }
 
+  /** Erasure for the BATCH pipeline's published estate — the CorpusMain
+    * side of [[GateState.purgeDocs]], closing the loop the r11 review
+    * named: `deleteWhere` on `corpus/` composed with `purgeDocs` over the
+    * gate tables still leaves the erased doc's TEXT live in the side
+    * outputs until the next full re-curation — `examples/` carries
+    * `chunk_text` (the doc cut into training windows), `review_sample/`
+    * the full row, `span_cut/` the cut-passage text, and the
+    * `corpus_jsonl/` mirror everything — plus its ID across every audit
+    * (pairs, canonical maps, quota/budget/floor evidence). This helper
+    * rewrites the doc's rows out of EVERY published dir under `output`
+    * in one call, [[graft.sources.Warehouse.deleteWhere]]-style
+    * (file-granularity, crash-safe, only hit files rewrite; a dir the
+    * run never published is skipped):
+    *
+    *   - per-doc rows (`corpus`, `examples`, `review_sample`,
+    *     `span_cut`, `contaminated`, `domain_quota`, `token_budget`,
+    *     `quality_floor`) go by doc_id;
+    *   - lineage/audit rows NAMING the doc go too: `canonical_map` /
+    *     `embed_canonical_map` rows where it is either endpoint,
+    *     `near_dup_pairs` / `embed_dup_pairs` where it is either side,
+    *     `url_dedup` where it was dropped OR was the survivor;
+    *   - the `corpus_jsonl/` mirror (JSON — no file-granular rewrite)
+    *     re-derives from the purged corpus, and `corpus_stats/` +
+    *     `composition/` recompute over it, whenever corpus rows were
+    *     actually removed — so every audit keeps describing the corpus
+    *     on disk (the pipeline's own invariant).
+    *
+    * NOT covered, by design: `quarantine/` holds raw UNPARSEABLE lines
+    * (no doc_id to address; a quarantined line never entered the
+    * corpus), and `normalize_stats/` / the sketch stats are per-source
+    * aggregates carrying no per-doc rows (the stats recompute above
+    * keeps them honest). Gate tables published via `--publish-*` are
+    * CATALOG tables, not dirs under output — purge them with
+    * [[GateState.purgeDocs]]; a complete erasure is this call composed
+    * with that one (plus `deleteWhere` on any warehouse copies).
+    *
+    * Idempotent: a rerun finds no matching rows, rewrites nothing, and
+    * skips the mirror/stats re-derivation (every entry reports (0, 0)).
+    * Same single-maintenance-writer assumption as deleteWhere. Returns
+    * per-dir (filesRewritten, rowsDeleted); the mirror reports
+    * (1, corpusRowsPurged) when re-derived. */
+  def purgeCurated(spark: SparkSession, output: String, ids: Seq[Long],
+      maxConcurrentFiles: Int = 8): Map[String, (Int, Long)] = {
+    require(ids.nonEmpty, "need at least one doc id to purge")
+    val idList = ids.distinct.map(Long.box)
+    def hits(cols: String*): org.apache.spark.sql.Column =
+      cols.map(c => col(c).isin(idList: _*)).reduce(_ || _)
+    val targets: Seq[(String, Seq[String])] = Seq(
+      "corpus" -> Seq("doc_id"),
+      "examples" -> Seq("doc_id"),
+      "review_sample" -> Seq("doc_id"),
+      "span_cut" -> Seq("doc_id"),
+      "contaminated" -> Seq("doc_id"),
+      "domain_quota" -> Seq("doc_id"),
+      "token_budget" -> Seq("doc_id"),
+      "quality_floor" -> Seq("doc_id"),
+      "canonical_map" -> Seq("doc_id", "canonical_id"),
+      "embed_canonical_map" -> Seq("doc_id", "canonical_id"),
+      "near_dup_pairs" -> Seq("doc_a", "doc_b"),
+      "embed_dup_pairs" -> Seq("doc_a", "doc_b"),
+      "url_dedup" -> Seq("doc_id", "survivor_id"))
+    val root = new org.apache.hadoop.fs.Path(output)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swept = targets.flatMap { case (name, byCols) =>
+      val p = new org.apache.hadoop.fs.Path(root, name)
+      if (!fs.exists(p)) None
+      else Some(name -> Warehouse.deleteWhere(spark, p.toString,
+        hits(byCols: _*), maxConcurrentFiles))
+    }.toMap
+    val corpusPurged = swept.getOrElse("corpus", (0, 0L))._2
+    val mirror = new org.apache.hadoop.fs.Path(root, "corpus_jsonl")
+    val mirrorEntry =
+      if (!fs.exists(mirror)) None
+      else if (corpusPurged == 0) Some("corpus_jsonl" -> ((0, 0L)))
+      else {
+        Warehouse.replaceDirWith(spark, mirror.toString)(staging =>
+          spark.read.parquet(s"$output/corpus")
+            .write.partitionBy("split").json(staging))
+        Some("corpus_jsonl" -> ((1, corpusPurged)))
+      }
+    if (corpusPurged > 0 &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "corpus_stats"))) {
+      val pub = spark.read.parquet(s"$output/corpus")
+      Warehouse.replaceDir(
+        TextOps.approxCorpusStats(pub), s"$output/corpus_stats")
+      Warehouse.replaceDir(
+        pub.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
+        s"$output/composition")
+    }
+    swept ++ mirrorEntry
+  }
+
   /** The locked crawl-dump shape for `--format jsonl`: exactly the columns
     * the pipeline consumes (mix keys on source, dedup/pack on text,
     * split on doc_id) — inference over a large dump would cost a full

@@ -450,7 +450,10 @@ object GateState {
     * (every entry reports (0, 0)). Same single-maintenance-writer
     * assumption as deleteWhere/compactState — run it with the stream
     * down or between batch publishes. Returns per-store
-    * (filesRewritten, rowsDeleted). */
+    * (filesRewritten, rowsDeleted). The BATCH pipeline's published
+    * estate (corpus + text-bearing side outputs + audits) is the other
+    * half of a complete erasure:
+    * [[graft.corpus.CorpusMain.purgeCurated]]. */
   def purgeDocs(spark: SparkSession, ids: Seq[Long],
       indexTable: Option[String] = None,
       shinglesTable: Option[String] = None,

@@ -513,13 +513,18 @@ object Warehouse {
     * per user.
     *
     * Scope caveat — this deletes from ONE directory table; it does not
-    * know about derived stores. In particular, the streaming ingest
+    * know about derived stores. In particular: (a) the streaming ingest
     * gate's at-rest state holds each corpus document in reconstructible
     * form (raw n-gram text in the shingles table, signatures in the
     * band/vector index tables, the embedding in the vectors table, full
-    * text in published batch dirs): an erasure against the corpus is
-    * complete only when composed with
-    * [[graft.corpus.GateState.purgeDocs]] over those stores.
+    * text in published batch dirs) — compose with
+    * [[graft.corpus.GateState.purgeDocs]] over those stores; (b) the
+    * batch pipeline's side outputs carry the document's TEXT again
+    * (`examples/` chunk_text, `review_sample/` full rows, `span_cut/`
+    * cut-passage text, the `corpus_jsonl/` mirror) and its ID across
+    * every audit — compose with
+    * [[graft.corpus.CorpusMain.purgeCurated]] over the curation root.
+    * An erasure against the corpus is complete only with both.
     *
     * Crash safety is the directory swap's protocol at FILE granularity:
     * the filtered replacement is staged to a hidden `.del-<name>` sibling

@@ -866,4 +866,119 @@ class CorpusMainSpec extends SparkSpec {
     assert(again.keySet == Set(1L, 2L, 3L, 4L))
     assert(again(1L).contains("shared1"))
   }
+
+  test("erasure composes: purgeCurated leaves no trace of the doc in ANY published dir") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_purge_in").toString
+    val out = Files.createTempDirectory("corpus_purge_out").toString
+    // the target doc 1 (X) is wired into EVERY side output: a near-dup
+    // partner (2) it beats on quality (canonical_map names it), a shared
+    // 10-token passage with 3 (span_cut carries its cut text), a vector
+    // twin (5) it out-qualities (embed maps name it), a re-crawl (6) of
+    // its URL (url_dedup names it as survivor), and a verbatim bench
+    // copy (contaminated names it, min-hits high so it still publishes);
+    // 4/7/8 are innocent bystanders, 9 is the floor's designated victim
+    // token lengths are tuned so X's quality tops both its components:
+    // X's mean token length sits inside qualityExpr's [3, 6] bonus band
+    // (stopword-free -> quality 1.0), W pays a stopword tail, Z pays
+    // BOTH a stopword tail and 7-char tokens (mean > 6, no bonus)
+    val base = (1 to 48).map(i => f"xtok$i%02d").mkString(" ")
+    val passage = (1 to 10).map(i => s"shd$i").mkString(" ")
+    def body(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, "s", s"$base $passage zqx zrx", "http://a.example/x"),
+      (2L, "s", s"$base $passage the a", "http://a.example/w"),
+      (3L, "s", s"$passage ${body("vee", 30)}", "http://a.example/v"),
+      (4L, "s", body("uuu", 20), "http://a.example/u"),
+      (5L, "s", s"${body("zetword", 30)} the a of and", "http://a.example/z"),
+      (6L, "s", "recrawl of the same page body here", "http://a.example/x"),
+      (7L, "s", body("ppp", 20), "http://a.example/p"),
+      (8L, "s", body("qqq", 20), "http://a.example/q"),
+      (9L, "s", "the the the a a a of of and and", "http://a.example/t"))
+      .toDF("doc_id", "source", "text", "url")
+      .withColumn("lang", lit("en")) // composition aggregates (lang, source)
+    docsDf.write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    // bench: X verbatim under a foreign id (certain contamination hit)
+    docsDf.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmpIn/bench")
+    // vectors: X and Z share slot 0 (cosine 1); 3/4 get distinct slots
+    Seq((1L, 0), (5L, 0), (3L, 1), (4L, 2)).map { case (id, slot) =>
+      (id, Array.tabulate(64)(d => if (d == slot) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmpIn/emb")
+    CorpusMain.runWith(spark, tmpIn, out,
+      bench = Some(s"$tmpIn/bench"), minHits = 1000000L,
+      embeddings = Some(s"$tmpIn/emb"), keepBest = true,
+      cutSpans = Some(8), urlDedup = true, qualityFloor = Some(0.2),
+      quota = Some(100), tokenBudget = Some(1000000L),
+      chunk = Some(8), reviewSample = Some(100), exportJsonl = true,
+      stats = true)
+    // preconditions: X published, and every side output names it
+    val pre = spark.read.parquet(s"$out/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(pre.contains(1L), s"fixture must publish X: $pre")
+    assert(pre == Set(1L, 3L, 4L, 7L, 8L), pre.toString)
+    for (d <- Seq("examples", "review_sample", "span_cut", "canonical_map",
+        "embed_canonical_map", "near_dup_pairs", "embed_dup_pairs",
+        "contaminated", "domain_quota", "token_budget"))
+      assert(spark.read.parquet(s"$out/$d")
+        .filter(col(spark.read.parquet(s"$out/$d").columns
+          .find(Set("doc_id", "doc_a").contains).get) === 1L).count() > 0,
+        s"precondition: $d must name X")
+    assert(spark.read.parquet(s"$out/url_dedup")
+      .filter(col("survivor_id") === 1L).count() > 0)
+    assert(spark.read.parquet(s"$out/quality_floor")
+      .select("doc_id").as[Long].collect().toSet == Set(9L))
+
+    val report = CorpusMain.purgeCurated(spark, out, Seq(1L))
+    assert(report("corpus")._2 > 0 && report("examples")._2 > 0 &&
+      report("review_sample")._2 > 0 && report("span_cut")._2 > 0 &&
+      report("canonical_map")._2 > 0 && report("embed_canonical_map")._2 > 0 &&
+      report("near_dup_pairs")._2 > 0 && report("embed_dup_pairs")._2 > 0 &&
+      report("contaminated")._2 > 0 && report("domain_quota")._2 > 0 &&
+      report("token_budget")._2 > 0 && report("url_dedup")._2 > 0 &&
+      report("corpus_jsonl")._2 > 0, report.toString)
+
+    // the done definition: NO published dir still carries X's id (as a
+    // document reference) or ANY fragment of its text
+    val idCols = Set("doc_id", "canonical_id", "doc_a", "doc_b", "survivor_id")
+    val frags = Seq("zqx", "xtok07")
+    def traces(dir: java.io.File): Long = {
+      val df = if (dir.getName == "corpus_jsonl")
+        spark.read.json(dir.toString) else spark.read.parquet(dir.toString)
+      val preds =
+        df.schema.fields.filter(f => idCols.contains(f.name))
+          .map(f => col(f.name) === 1L) ++
+        df.schema.fields.filter(_.dataType ==
+            org.apache.spark.sql.types.StringType)
+          .flatMap(f => frags.map(fr => col(f.name).contains(fr)))
+      if (preds.isEmpty) 0L else df.filter(preds.reduce(_ || _)).count()
+    }
+    val dirs = new java.io.File(out).listFiles().filter(f =>
+      f.isDirectory && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(dirs.map(_.getName).toSet.contains("corpus_jsonl"))
+    dirs.foreach(d => assert(traces(d) == 0L,
+      s"${d.getName} still carries a trace of the purged doc"))
+
+    // innocent rows survive: the other published docs and their evidence
+    assert(spark.read.parquet(s"$out/corpus").select("doc_id")
+      .as[Long].collect().toSet == Set(3L, 4L, 7L, 8L))
+    assert(spark.read.parquet(s"$out/review_sample")
+      .filter(col("doc_id") === 3L).count() > 0)
+    assert(spark.read.parquet(s"$out/contaminated")
+      .filter(col("doc_id") === 2L).count() > 0,
+      "the near-dup partner's own contamination row must survive")
+    assert(spark.read.parquet(s"$out/quality_floor")
+      .filter(col("doc_id") === 9L).count() > 0)
+    // the mirror and the stats re-derived from the purged corpus
+    assert(spark.read.json(s"$out/corpus_jsonl").select("doc_id")
+      .as[Long].collect().toSet == Set(3L, 4L, 7L, 8L))
+    assert(spark.read.parquet(s"$out/composition")
+      .agg(sum(col("n_docs"))).as[Long].head() == 4L)
+
+    // rerun is a no-op on every store
+    val rerun = CorpusMain.purgeCurated(spark, out, Seq(1L))
+    assert(rerun.values.forall(_ == ((0, 0L))), s"rerun must rewrite nothing: $rerun")
+  }
 }
