@@ -310,6 +310,136 @@ object StreamOps {
         })
   }
 
+  /** A Greenwald–Khanna ε-approximate quantile summary: ascending
+    * `(v, g, delta)` tuples where `g` is the rank gap to the previous
+    * tuple and `delta` the rank uncertainty — the GK invariant
+    * `g + delta <= floor(2εn)` guarantees any φ-quantile query answers
+    * within ±εn RANKS of exact, while the summary holds
+    * O((1/ε)·log(εn)) tuples instead of n values (Greenwald & Khanna,
+    * SIGMOD 2001). Pure functions over immutable vectors so the spec
+    * pins the size bound and the rank guarantee directly; the band-less
+    * compress is the common simplification — same guarantee, slightly
+    * larger space constant. */
+  private[streaming] object Gk {
+    type T = Vector[(Double, Long, Long)]
+
+    /** Insert `v` into the summary (`n` = count BEFORE this insert). A
+      * new global min/max enters with delta 0 (its rank is exact);
+      * interior inserts take the full floor(2εn)−1 uncertainty. */
+    def insert(t: T, n: Long, eps: Double, v: Double): T = {
+      val i = t.indexWhere(_._1 > v)
+      if (t.isEmpty) Vector((v, 1L, 0L))
+      else if (i == 0) (v, 1L, 0L) +: t
+      else if (i < 0) t :+ ((v, 1L, 0L))
+      else {
+        val d = math.max(0L, math.floor(2 * eps * n).toLong - 1L)
+        (t.take(i) :+ ((v, 1L, d))) ++ t.drop(i)
+      }
+    }
+
+    /** Merge adjacent tuples whose combined coverage stays under the
+      * floor(2εn) budget, right-to-left; the extremes never merge away
+      * (their ranks anchor the summary). */
+    def compress(t: T, n: Long, eps: Double): T = {
+      if (t.size <= 2) t
+      else {
+        val budget = math.floor(2 * eps * n).toLong
+        val out = scala.collection.mutable.ArrayDeque[(Double, Long, Long)](t.last)
+        var i = t.size - 2
+        while (i >= 1) {
+          val (v, g, d) = t(i)
+          val (rv, rg, rd) = out.head
+          if (g + rg + rd < budget) out(0) = (rv, rg + g, rd)
+          else out.prepend((v, g, d))
+          i -= 1
+        }
+        out.prepend(t.head)
+        out.toVector
+      }
+    }
+
+    /** The stored value whose rank is within ±⌈εn⌉ of ceil(φ·n). */
+    def query(t: T, n: Long, eps: Double, phi: Double): Double = {
+      require(t.nonEmpty && n > 0, "empty summary has no quantiles")
+      val r = math.max(1L, math.ceil(phi * n).toLong)
+      val bound = math.ceil(eps * n).toLong
+      var rmin = 0L
+      var prev = t.head._1
+      var i = 0
+      while (i < t.size) {
+        val (v, g, d) = t(i)
+        rmin += g
+        if (rmin + d > r + bound) return prev
+        prev = v
+        i += 1
+      }
+      prev
+    }
+  }
+
+  /** State of [[quantileProgress]]: the per-key GK summary tuples, the
+    * running count, and the last emitted estimates — O((1/ε)·log(εn))
+    * entries per key at ANY traffic rate (the sketch's own bound; the
+    * spec pins it numerically), never value-proportional. */
+  case class QuantileState(vs: Seq[(Double, Long, Long)], n: Long,
+      emitted: Seq[Double])
+
+  /** Streaming per-key quantile tracker — the rank-based monitoring twin
+    * the tracker family (funnel/anomaly/label/top-k/burst) was missing,
+    * pairing with the batch winsorization pass (q106): per user, live
+    * ε-approximate estimates of `probs` quantiles over `value`, emitted
+    * as `(user_id, n_seen, quantiles)` at the end of any micro-batch in
+    * which an estimate MOVED — the live view of the distribution a batch
+    * percentile query can only produce in hindsight (e.g. watching a
+    * user's value p90 drift upward is the winsorization-bound alarm).
+    *
+    * Stream == batch within tolerance: after any prefix, each emitted
+    * estimate's EXACT rank among that user's values so far is within
+    * ±⌈εn⌉ of ceil(φ·n) (the GK guarantee; the spec pins it against a
+    * brute-force sort). Unlike the order-sensitive trackers, quantiles
+    * are permutation-invariant, so this one needs NO in-order-log
+    * assumption — late rows are simply absorbed.
+    *
+    * Scale: state is the sketch bound above (compress runs every
+    * 1/(2ε) inserts — amortized O(sketch) per event); one shuffle on
+    * user_id, the state store holds everything else. */
+  def quantileProgress(events: Dataset[(Long, java.sql.Timestamp, Double)],
+      probs: Seq[Double] = Seq(0.1, 0.5, 0.9), eps: Double = 0.01)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Seq[Double])] = {
+    import spark.implicits._
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs must sit in (0, 1), got $probs")
+    require(eps > 0 && eps < 0.5, s"eps must sit in (0, 0.5), got $eps")
+    val period = math.max(1L, math.floor(1.0 / (2 * eps)).toLong)
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[QuantileState]) => {
+          val st = state.getOption.getOrElse(QuantileState(Vector.empty, 0L, Seq.empty))
+          var t = st.vs.toVector
+          var n = st.n
+          var sinceCompress = 0L
+          it.foreach { e =>
+            t = Gk.insert(t, n, eps, e._3)
+            n += 1
+            sinceCompress += 1
+            if (sinceCompress >= period) {
+              t = Gk.compress(t, n, eps)
+              sinceCompress = 0
+            }
+          }
+          t = Gk.compress(t, n, eps)
+          if (n == st.n) Iterator.empty
+          else {
+            val qs = probs.map(Gk.query(t, n, eps, _))
+            state.update(QuantileState(t, n, qs))
+            if (qs == st.emitted) Iterator.empty
+            else Iterator.single((user, n, qs))
+          }
+        })
+  }
+
   /** State of [[anomalyProgress]]: the open (not yet scored) epoch-day, its
     * running count, and the trailing completed-day counts (oldest first,
     * at most `baseline` entries) — O(baseline) per event type. */

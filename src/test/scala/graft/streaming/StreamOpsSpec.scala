@@ -253,6 +253,89 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Gk sketch: sublinear summary with the ±εn rank guarantee") {
+    val rnd = new scala.util.Random(42)
+    val eps = 0.05
+    val vals = rnd.shuffle((1 to 5000).toVector).map(_.toDouble)
+    var t: StreamOps.Gk.T = Vector.empty
+    var n = 0L
+    vals.foreach { v =>
+      t = StreamOps.Gk.insert(t, n, eps, v); n += 1
+      if (n % 10 == 0) t = StreamOps.Gk.compress(t, n, eps)
+    }
+    t = StreamOps.Gk.compress(t, n, eps)
+    assert(t.size <= 150, s"summary must stay sublinear: ${t.size} tuples for $n")
+    // values are the distinct ints 1..5000, so exact rank(est) == est
+    for (phi <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = StreamOps.Gk.query(t, n, eps, phi)
+      val r = math.max(1L, math.ceil(phi * n).toLong)
+      assert(math.abs(est.toLong - r) <= math.ceil(eps * n).toLong,
+        s"phi=$phi est=$est target rank=$r")
+    }
+  }
+
+  test("quantileProgress: emits only when an estimate moves; constant stream is silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.quantileProgress(in.toDS(), probs = Seq(0.5, 0.9), eps = 0.05)
+      .toDF("user_id", "n_seen", "qs")
+      .writeStream.format("memory").queryName("quant").outputMode("append").start()
+    try {
+      in.addData((1 to 50).map(i => (1L, ts(i.toLong), 5.0)): _*)
+      q.processAllAvailable()
+      // more of the same value: every estimate stays put -> NO emission
+      in.addData((1 to 10).map(i => (1L, ts(100L + i), 5.0)): _*)
+      q.processAllAvailable()
+      // a new upper mass: p90 must move -> exactly one new emission
+      in.addData((1 to 60).map(i => (1L, ts(200L + i), 50.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_seen, qs FROM quant ORDER BY n_seen")
+        .as[(Long, Long, Seq[Double])].collect().toSeq
+      assert(rows.map(_._2) == Seq(50L, 120L), rows.toString)
+      assert(rows.head._3 == Seq(5.0, 5.0), rows.toString)
+      assert(rows(1)._3(1) == 50.0, "p90 must land in the new mass")
+    } finally q.stop()
+  }
+
+  test("quantileProgress: randomized two-batch estimates honor the GK rank tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(111)
+    val eps = 0.05
+    val all = (1 to 400).map(i =>
+      ((rnd.nextInt(3) + 1).toLong, ts(i.toLong),
+        math.floor(rnd.nextDouble() * 1000) / 10))
+    val (b1, b2) = all.splitAt(200)
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.quantileProgress(in.toDS(), probs = Seq(0.25, 0.5, 0.9),
+        eps = eps)
+      .toDF("user_id", "n_seen", "qs")
+      .writeStream.format("memory").queryName("quant_rnd")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // the latest emission per user carries the CURRENT estimates (a
+      // silent batch means they did not move), so each one's exact rank
+      // among ALL the user's values must sit inside the ±⌈εn⌉ bracket
+      val latest = spark.sql("SELECT user_id, n_seen, qs FROM quant_rnd")
+        .as[(Long, Long, Seq[Double])].collect()
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2)._3 }
+      val byUser = all.groupBy(_._1)
+      assert(latest.keySet == byUser.keySet)
+      latest.foreach { case (u, qs) =>
+        val vs = byUser(u).map(_._3).sorted
+        Seq(0.25, 0.5, 0.9).zip(qs).foreach { case (phi, est) =>
+          val r = math.max(1, math.ceil(phi * vs.size).toInt)
+          val bound = math.ceil(eps * vs.size).toInt
+          val lo = vs((r - bound - 1).max(0))
+          val hi = vs((r + bound - 1).min(vs.size - 1))
+          assert(est >= lo && est <= hi,
+            s"u=$u phi=$phi est=$est outside rank bracket [$lo, $hi]")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("topKProgress: randomized two-batch stream converges to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(96)
