@@ -270,6 +270,47 @@ object IncrementalAgg {
     }
   }
 
+  /** [[maintainAggBatch]] for the distinct-count view: the `foreachBatch`
+    * fold that maintains the at-rest (key, value) -> multiplicity SUPPORT
+    * table via [[maintainDistinctSupport]]. The support table IS the
+    * published artifact — the distinct-count MV derives from it on read
+    * ([[distinctCounts]] over the parquet, O(|support|)); publishing both
+    * under one marker would need a two-directory atomic swap the
+    * protocol deliberately does not promise. Marker, replay-skip, and
+    * crash-safe swap are [[maintainAggBatch]]'s exactly-once discipline
+    * verbatim; per trigger this costs O(|batch| + |support|). */
+  def maintainDistinctBatch(supportDir: String, keyCols: Seq[String],
+      valueCol: String = "v", multCol: String = "n_rows")(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Warehouse.recover(spark, supportDir)
+    val dir = new org.apache.hadoop.fs.Path(supportDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, AppliedMarker)
+    val applied: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      }
+    if (batchId <= applied) return // replayed micro-batch: already folded
+    val support =
+      if (fs.exists(dir)) spark.read.parquet(supportDir)
+      else batch
+        .select(keyCols.map(col) :+ col("new_value").as(valueCol): _*)
+        .limit(0)
+        .withColumn(multCol, lit(0L))
+    val next = maintainDistinctSupport(support, batch.toDF(), keyCols,
+      valueCol, multCol)
+    graft.sources.Warehouse.replaceDirWith(spark, supportDir) { staging =>
+      next.write.parquet(staging)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** [[maintainAggBatch]] for the extrema view: the `foreachBatch` fold
     * that maintains an at-rest (count, sum, min, max) MV via
     * [[maintainExtrema]]. `baseDir` is the POST-delta fact table read

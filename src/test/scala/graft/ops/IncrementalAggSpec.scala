@@ -346,6 +346,39 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == want, "support-table maintenance must equal full recompute")
   }
 
+  test("maintainDistinctBatch folds a CDC stream into an at-rest support table, exactly-once on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val supDir = java.nio.file.Files.createTempDirectory("sup").toString + "/support"
+    val in = MemoryStream[(String, Long, Option[String], Option[String])]
+    val cdcStream = in.toDF().toDF("op", "k", "old_value", "new_value")
+    val q = cdcStream.writeStream
+      .foreachBatch(IncrementalAgg.maintainDistinctBatch(supDir, Seq("k")) _)
+      .start()
+    try {
+      in.addData(("insert", 1L, None, Some("a")), ("insert", 1L, None, Some("a")),
+        ("insert", 1L, None, Some("b")))
+      q.processAllAvailable()
+      // one of the two 'a's departs (distinct count survives via
+      // multiplicity), 'b' re-values to 'c'
+      in.addData(("delete", 1L, Some("a"), None),
+        ("update", 1L, Some("b"), Some("c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def readCounts() = collectDistinct(IncrementalAgg.distinctCounts(
+      spark.read.parquet(supDir), Seq("k")))
+    val got = readCounts()
+    assert(got == Map(1L -> ((2L, 2L))), got.toString)
+    // a replayed micro-batch id must be a no-op (restart redelivery)
+    IncrementalAgg.maintainDistinctBatch(supDir, Seq("k"))(
+      scdc(("insert", 1L, None, Some("z"))), 0L)
+    assert(readCounts() == got, "batch id 0 was already applied: replay must not double-fold")
+    // a genuinely NEW batch id applies
+    IncrementalAgg.maintainDistinctBatch(supDir, Seq("k"))(
+      scdc(("insert", 1L, None, Some("z"))), 99L)
+    assert(readCounts()(1L) == ((3L, 3L)))
+  }
+
   test("maintainDistinctSupport: unknown op is loud; phantom delete stays visible") {
     val e = intercept[Exception] {
       IncrementalAgg.maintainDistinctSupport(supportOf(sfacts((1L, "a"))),
