@@ -192,10 +192,14 @@ object CorpusMain {
     *     `near_dup_pairs` / `embed_dup_pairs` where it is either side,
     *     `url_dedup` where it was dropped OR was the survivor;
     *   - the `corpus_jsonl/` mirror (JSON — no file-granular rewrite)
-    *     re-derives from the purged corpus, and `corpus_stats/` +
-    *     `composition/` recompute over it, whenever corpus rows were
-    *     actually removed — so every audit keeps describing the corpus
-    *     on disk (the pipeline's own invariant).
+    *     re-derives from the purged corpus whenever the MIRROR ITSELF
+    *     still carries any of the ids (counted directly, not inferred
+    *     from this run's corpus delete — so a crash mid-purge, or a
+    *     caller who ran `deleteWhere` on `corpus/` first, is healed by
+    *     the rerun instead of silently skipped), and `corpus_stats/` +
+    *     `composition/` recompute whenever the composition row count
+    *     disagrees with the live corpus — every audit keeps describing
+    *     the corpus on disk (the pipeline's own invariant).
     *
     * NOT covered, by design: `quarantine/` holds raw UNPARSEABLE lines
     * (no doc_id to address; a quarantined line never entered the
@@ -240,27 +244,73 @@ object CorpusMain {
         hits(byCols: _*), maxConcurrentFiles))
     }.toMap
     val corpusPurged = swept.getOrElse("corpus", (0, 0L))._2
+    // the mirror keys its re-derivation on ITS OWN hit count, never on
+    // this run's corpus delete count: a crash (or a caller running
+    // deleteWhere on corpus/ first) can leave corpus rows already gone
+    // while the mirror still carries the doc's full text — gating on
+    // corpusPurged would then skip the rewrite and report (0, 0), silent
+    // erasure non-compliance. Counting the mirror's hits directly makes
+    // the rerun-no-op contract TRUE instead of assumed.
     val mirror = new org.apache.hadoop.fs.Path(root, "corpus_jsonl")
+    def mirrorHasData: Boolean = {
+      val it = fs.listFiles(mirror, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith(".") && !n.startsWith("_")
+      }
+      found
+    }
     val mirrorEntry =
       if (!fs.exists(mirror)) None
-      else if (corpusPurged == 0) Some("corpus_jsonl" -> ((0, 0L)))
+      // a mirror a previous purge emptied (corpus fully erased) is a
+      // valid (0, 0) target, not a schema-inference crash
+      else if (!mirrorHasData) Some("corpus_jsonl" -> ((0, 0L)))
       else {
-        Warehouse.replaceDirWith(spark, mirror.toString)(staging =>
-          spark.read.parquet(s"$output/corpus")
-            .write.partitionBy("split").json(staging))
-        Some("corpus_jsonl" -> ((1, corpusPurged)))
+        val mirrorHits = spark.read.json(mirror.toString)
+          .filter(hits("doc_id")).count()
+        if (mirrorHits == 0) Some("corpus_jsonl" -> ((0, 0L)))
+        else {
+          exportJsonlMirror(spark, output)
+          Some("corpus_jsonl" -> ((1, mirrorHits)))
+        }
       }
-    if (corpusPurged > 0 &&
-        fs.exists(new org.apache.hadoop.fs.Path(root, "corpus_stats"))) {
-      val pub = spark.read.parquet(s"$output/corpus")
-      Warehouse.replaceDir(
-        TextOps.approxCorpusStats(pub), s"$output/corpus_stats")
-      Warehouse.replaceDir(
-        pub.groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
-        s"$output/composition")
+    // stats carry no per-doc rows to count, so their staleness check is
+    // the composition row-count vs the live corpus (cheap: composition
+    // is (lang, source)-sized) — this also heals a crash between the
+    // corpus delete and the stats recompute
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "corpus_stats"))) {
+      val stale = corpusPurged > 0 || mirrorEntry.exists(_._2._2 > 0) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "composition")) || {
+          val counted = spark.read.parquet(s"$output/composition")
+            .agg(coalesce(sum(col("n_docs")), lit(0L))).collect()(0).getLong(0)
+          counted != spark.read.parquet(s"$output/corpus").count()
+        }
+      if (stale) publishStats(spark, output)
     }
     swept ++ mirrorEntry
+  }
+
+  /** The JSONL mirror of the PUBLISHED corpus — one definition shared by
+    * the pipeline's `--export-jsonl` stage and [[purgeCurated]]'s
+    * re-derivation, so the purge can never rewrite the mirror into a
+    * shape the pipeline no longer publishes. */
+  private def exportJsonlMirror(spark: SparkSession, output: String): Unit =
+    Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
+      spark.read.parquet(s"$output/corpus")
+        .write.partitionBy("split").json(staging))
+
+  /** The sketch-statistics + long-form composition reports over the
+    * PUBLISHED corpus — shared by the `--stats` stage and
+    * [[purgeCurated]] (same no-drift argument as the mirror). */
+  private def publishStats(spark: SparkSession, output: String): Unit = {
+    val pub = spark.read.parquet(s"$output/corpus")
+    Warehouse.replaceDir(
+      TextOps.approxCorpusStats(pub), s"$output/corpus_stats")
+    Warehouse.replaceDir(
+      pub.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
+      s"$output/composition")
   }
 
   /** The locked crawl-dump shape for `--format jsonl`: exactly the columns
@@ -677,10 +727,7 @@ object CorpusMain {
         // format tokenizer/trainer tooling consumes — derived from the
         // PUBLISHED parquet (so it can never diverge from it), swapped in
         // whole via the same crash-safe protocol
-        if (exportJsonl)
-          Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
-            spark.read.parquet(s"$output/corpus")
-              .write.partitionBy("split").json(staging))
+        if (exportJsonl) exportJsonlMirror(spark, output)
         // fixed-length training examples (q60's windows), derived from the
         // PUBLISHED corpus like the jsonl mirror, so examples and corpus
         // can never diverge. Stride defaults to the chunk size (disjoint
@@ -711,16 +758,7 @@ object CorpusMain {
         // from-published rule): one-row sketch statistics plus the
         // long-form (lang, source) composition — counts and token totals
         // from one low-cardinality map-side-combinable aggregation
-        if (stats) {
-          val pub = spark.read.parquet(s"$output/corpus")
-          Warehouse.replaceDir(
-            TextOps.approxCorpusStats(pub), s"$output/corpus_stats")
-          Warehouse.replaceDir(
-            pub.groupBy(col("lang"), col("source"))
-              .agg(count(lit(1)).as("n_docs"),
-                sum(col("n_tokens")).as("n_tokens")),
-            s"$output/composition")
-        }
+        if (stats) publishStats(spark, output)
         // optional at-rest gate index: the (b, v)-bucketed band-index
         // table the STREAMING twin loads via --index-table — derived from
         // the PUBLISHED parquet (so it can never diverge from the corpus

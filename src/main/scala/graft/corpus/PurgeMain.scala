@@ -53,6 +53,14 @@ object PurgeMain {
       }
     }
     val maxFiles = Cli.toInt(args, "max-concurrent-files", usage).getOrElse(8)
+    // validated HERE, not left to deleteWhere's require mid-purge: a
+    // malformed value is a usage error and must exit 2 with the usage
+    // line (Cli's contract), not a stack trace after JVM startup
+    if (maxFiles < 1) {
+      System.err.println(s"bad --max-concurrent-files value '$maxFiles' (want >= 1)")
+      System.err.println(usage)
+      sys.exit(2)
+    }
     // an orphan tuning flag is always a config bug (CorpusMain's rule)
     if (args.contains("id-col") && !args.contains("table")) {
       System.err.println("--id-col was given without --table: it would be silently ignored")

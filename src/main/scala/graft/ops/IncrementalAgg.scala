@@ -88,7 +88,16 @@ object IncrementalAgg {
     * `mv` carries keyCols + countCol/sumCol/minCol/maxCol; `base`
     * carries keyCols + `valueCol`. Negative-count corruption keys stay
     * visible (maintain's rule); their extrema come from base, which at
-    * that point is the only trustworthy witness. */
+    * that point is the only trustworthy witness.
+    *
+    * Block-release contract: the merged (MV-sized) frame is lazily
+    * localCheckpoint'ed so it evaluates ONCE per refresh instead of once
+    * per downstream reference; the blocks pin at the first action on the
+    * returned frame and stay pinned until released. A one-shot caller
+    * can ignore this (session teardown frees them); a caller refreshing
+    * in a loop must release after consuming each result —
+    * `graft.ops.Checkpoints.rddsOf(result).foreach(_.unpersist(false))`
+    * — exactly what [[maintainExtremaBatch]] does per trigger. */
   def maintainExtrema(mv: DataFrame, cdc: DataFrame, base: DataFrame,
       keyCols: Seq[String], valueCol: String = "v",
       countCol: String = "n_rows", sumCol: String = "sum_value",
@@ -109,13 +118,15 @@ object IncrementalAgg {
       .agg(sum(dCount).as("_d_count"), sum(dSum).as("_d_sum"),
         min(arriving).as("_ins_min"), max(arriving).as("_ins_max"),
         min(departing).as("_dep_min"), max(departing).as("_dep_max"))
-    // materialized ONCE (localCheckpoint, components()' block discipline):
-    // the merge is referenced below by both the at-risk key projection
-    // (feeding the semi join) and the final repair join — without
-    // materialization Spark re-evaluates the O(|delta|+|MV|) full-outer
-    // join per reference, so the merge actually ran ~3x per refresh at
-    // MV scale (the r11 advisory). Callers that fold this per micro-batch
-    // release the blocks after publishing ([[maintainExtremaBatch]]).
+    // materialized ONCE (lazy localCheckpoint, components()' block
+    // discipline): the merge is referenced below by both the at-risk key
+    // projection (feeding the semi join) and the final repair join —
+    // without materialization Spark re-evaluates the O(|delta|+|MV|)
+    // full-outer join per reference, so the merge actually ran ~3x per
+    // refresh at MV scale (the r11 advisory). LAZY (eager = false) so
+    // building the plan stays side-effect-free (explain costs nothing);
+    // the blocks pin at the first action — see the scaladoc's release
+    // contract ([[maintainExtremaBatch]] honors it per trigger).
     val merged = mv.join(delta, keyCols, "full_outer")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col(countCol), lit(0L)) + coalesce(col("_d_count"), lit(0L)))
@@ -134,7 +145,7 @@ object IncrementalAgg {
           (col(maxCol).isNull || col("_dep_max") >= col(maxCol)))
           .as("_risk_max")): _*)
       .filter(col(countCol) =!= 0)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val recomputed = base
       .join(merged.filter(col("_risk_min") || col("_risk_max"))
         .select(keyCols.map(col): _*), keyCols, "left_semi")
@@ -223,18 +234,51 @@ object IncrementalAgg {
 
   private val AppliedMarker = "_applied_batch"
 
+  /** The shared exactly-once fold harness behind all three `foreachBatch`
+    * maintainers: recover the target dir, read the `_applied_batch`
+    * marker (an underscore file — invisible to parquet readers, and
+    * swapped atomically WITH the data it describes), SKIP a replayed
+    * micro-batch id, apply `next` to the current table (or `bootstrap`
+    * on first trigger), and publish result + new marker through the
+    * crash-safe directory swap. One definition, so a protocol fix
+    * (marker encoding, recover ordering, swap rules) cannot land in one
+    * fold and miss the others. A crash between the maintain and the
+    * swap leaves the old table + old marker — the replay re-applies
+    * cleanly. Any localCheckpoint blocks the maintained frame pinned are
+    * released after the publish (no-op for the checkpoint-free folds). */
+  private def foldExactlyOnce(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Long)(bootstrap: => DataFrame)(
+      next: DataFrame => DataFrame): Unit = {
+    graft.sources.Warehouse.recover(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, AppliedMarker)
+    val applied: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      }
+    if (batchId <= applied) return // replayed micro-batch: already folded
+    val cur = if (fs.exists(p)) spark.read.parquet(dir) else bootstrap
+    val out = next(cur)
+    try graft.sources.Warehouse.replaceDirWith(spark, dir) { staging =>
+      out.write.parquet(staging)
+      val w = fs.create(
+        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
+      try w.write(batchId.toString.getBytes("UTF-8")) finally w.close()
+    } finally {
+      graft.ops.Checkpoints.rddsOf(out).foreach(_.unpersist(false))
+    }
+  }
+
   /** Continuous aggregation: the `foreachBatch` fold that maintains an
     * at-rest MV parquet from a CDC micro-batch stream — wire it as
     * `cdcStream.writeStream.foreachBatch(IncrementalAgg.maintainAggBatch(
     * mvDir, keys))`. Each micro-batch applies [[maintain]] against the
-    * current MV and publishes the result with the crash-safe directory
-    * swap; `_applied_batch` (an underscore file — invisible to parquet
-    * readers, and swapped atomically WITH the data it describes) records
-    * the last applied batch id, so a replayed micro-batch after a restart
-    * is skipped instead of double-applied: exactly-once, the same
-    * batch-dir-swap discipline as CorpusStreamMain. A crash between the
-    * maintain and the swap leaves the old MV + old marker — the replay
-    * re-applies cleanly.
+    * current MV under [[foldExactlyOnce]]'s marker/replay-skip/swap
+    * discipline (the same batch-dir-swap exactly-once as
+    * CorpusStreamMain).
     *
     * Scale: per trigger this costs O(|batch| + |MV|) — the continuous
     * form of the same asymptotics, with the MV read fresh from disk each
@@ -242,33 +286,13 @@ object IncrementalAgg {
   def maintainAggBatch(mvDir: String, keyCols: Seq[String],
       countCol: String = "n_rows", sumCol: String = "sum_value")(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    graft.sources.Warehouse.recover(spark, mvDir)
-    val dir = new org.apache.hadoop.fs.Path(mvDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(dir, AppliedMarker)
-    val applied: Long =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-      }
-    if (batchId <= applied) return // replayed micro-batch: already folded
-    val mv =
-      if (fs.exists(dir)) spark.read.parquet(mvDir)
-      else batch.select(keyCols.map(col): _*).limit(0)
+      batchId: Long): Unit =
+    foldExactlyOnce(batch.sparkSession, mvDir, batchId)(
+      batch.select(keyCols.map(col): _*).limit(0)
         .withColumn(countCol, lit(0L))
-        .withColumn(sumCol, lit(0).cast("decimal(38,4)"))
-    val next = maintain(mv, batch.toDF(), keyCols, countCol, sumCol)
-      .withColumn(sumCol, col(sumCol).cast("decimal(38,4)"))
-    graft.sources.Warehouse.replaceDirWith(spark, mvDir) { staging =>
-      next.write.parquet(staging)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    }
-  }
+        .withColumn(sumCol, lit(0).cast("decimal(38,4)")))(mv =>
+      maintain(mv, batch.toDF(), keyCols, countCol, sumCol)
+        .withColumn(sumCol, col(sumCol).cast("decimal(38,4)")))
 
   /** [[maintainAggBatch]] for the distinct-count view: the `foreachBatch`
     * fold that maintains the at-rest (key, value) -> multiplicity SUPPORT
@@ -276,40 +300,17 @@ object IncrementalAgg {
     * published artifact — the distinct-count MV derives from it on read
     * ([[distinctCounts]] over the parquet, O(|support|)); publishing both
     * under one marker would need a two-directory atomic swap the
-    * protocol deliberately does not promise. Marker, replay-skip, and
-    * crash-safe swap are [[maintainAggBatch]]'s exactly-once discipline
-    * verbatim; per trigger this costs O(|batch| + |support|). */
+    * protocol deliberately does not promise. Per trigger this costs
+    * O(|batch| + |support|). */
   def maintainDistinctBatch(supportDir: String, keyCols: Seq[String],
       valueCol: String = "v", multCol: String = "n_rows")(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    graft.sources.Warehouse.recover(spark, supportDir)
-    val dir = new org.apache.hadoop.fs.Path(supportDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(dir, AppliedMarker)
-    val applied: Long =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-      }
-    if (batchId <= applied) return // replayed micro-batch: already folded
-    val support =
-      if (fs.exists(dir)) spark.read.parquet(supportDir)
-      else batch
-        .select(keyCols.map(col) :+ col("new_value").as(valueCol): _*)
+      batchId: Long): Unit =
+    foldExactlyOnce(batch.sparkSession, supportDir, batchId)(
+      batch.select(keyCols.map(col) :+ col("new_value").as(valueCol): _*)
         .limit(0)
-        .withColumn(multCol, lit(0L))
-    val next = maintainDistinctSupport(support, batch.toDF(), keyCols,
-      valueCol, multCol)
-    graft.sources.Warehouse.replaceDirWith(spark, supportDir) { staging =>
-      next.write.parquet(staging)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    }
-  }
+        .withColumn(multCol, lit(0L)))(support =>
+      maintainDistinctSupport(support, batch.toDF(), keyCols, valueCol, multCol))
 
   /** [[maintainAggBatch]] for the extrema view: the `foreachBatch` fold
     * that maintains an at-rest (count, sum, min, max) MV via
@@ -318,46 +319,23 @@ object IncrementalAgg {
     * topology the feed is emitted by the base table's own writer, so by
     * the time a batch's CDC rows arrive the base already reflects them;
     * wire this fold downstream of that writer, never ahead of it.
-    * Marker, replay-skip, and crash-safe swap are [[maintainAggBatch]]'s
-    * exactly-once discipline verbatim. */
+    * [[foldExactlyOnce]] also releases maintainExtrema's checkpointed
+    * merge after each publish — the per-trigger half of its block-release
+    * contract. */
   def maintainExtremaBatch(mvDir: String, baseDir: String, keyCols: Seq[String],
       valueCol: String = "v", countCol: String = "n_rows",
       sumCol: String = "sum_value", minCol: String = "min_value",
       maxCol: String = "max_value")(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    graft.sources.Warehouse.recover(spark, mvDir)
-    val dir = new org.apache.hadoop.fs.Path(mvDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(dir, AppliedMarker)
-    val applied: Long =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-      }
-    if (batchId <= applied) return // replayed micro-batch: already folded
-    val mv =
-      if (fs.exists(dir)) spark.read.parquet(mvDir)
-      else batch.select(keyCols.map(col): _*).limit(0)
+      batchId: Long): Unit =
+    foldExactlyOnce(batch.sparkSession, mvDir, batchId)(
+      batch.select(keyCols.map(col): _*).limit(0)
         .withColumn(countCol, lit(0L))
         .withColumn(sumCol, lit(0).cast("decimal(38,4)"))
         .withColumn(minCol, lit(null).cast("decimal(18,4)"))
-        .withColumn(maxCol, lit(null).cast("decimal(18,4)"))
-    val base = spark.read.parquet(baseDir)
-    val next = maintainExtrema(mv, batch.toDF(), base, keyCols,
-        valueCol, countCol, sumCol, minCol, maxCol)
-      .withColumn(sumCol, col(sumCol).cast("decimal(38,4)"))
-    try graft.sources.Warehouse.replaceDirWith(spark, mvDir) { staging =>
-      next.write.parquet(staging)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(staging, AppliedMarker), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    } finally {
-      // release maintainExtrema's materialized merge — without this every
-      // micro-batch leaks an MV-sized localCheckpoint block
-      graft.ops.Checkpoints.rddsOf(next).foreach(_.unpersist(false))
-    }
-  }
+        .withColumn(maxCol, lit(null).cast("decimal(18,4)")))(mv =>
+      maintainExtrema(mv, batch.toDF(),
+          batch.sparkSession.read.parquet(baseDir), keyCols,
+          valueCol, countCol, sumCol, minCol, maxCol)
+        .withColumn(sumCol, col(sumCol).cast("decimal(38,4)")))
 }

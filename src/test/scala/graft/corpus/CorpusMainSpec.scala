@@ -981,4 +981,32 @@ class CorpusMainSpec extends SparkSpec {
     val rerun = CorpusMain.purgeCurated(spark, out, Seq(1L))
     assert(rerun.values.forall(_ == ((0, 0L))), s"rerun must rewrite nothing: $rerun")
   }
+
+  test("purgeCurated heals a mirror orphaned by a corpus-first delete (crash window)") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_heal_in").toString
+    val out = Files.createTempDirectory("corpus_heal_out").toString
+    Seq(
+      (1L, "s", (1 to 25).map(i => s"alpha$i").mkString(" ")),
+      (2L, "s", (1 to 25).map(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    CorpusMain.runWith(spark, tmpIn, out, exportJsonl = true)
+    // the trap the mirror gating must survive: corpus rows are ALREADY
+    // gone (a caller ran deleteWhere first, or a purge crashed between
+    // the corpus rewrite and the mirror re-derivation) while the mirror
+    // still carries the doc's full text
+    graft.sources.Warehouse.deleteWhere(spark, s"$out/corpus",
+      col("doc_id") === 1L)
+    assert(spark.read.json(s"$out/corpus_jsonl")
+      .filter(col("doc_id") === 1L).count() == 1L, "precondition: mirror stale")
+    val report = CorpusMain.purgeCurated(spark, out, Seq(1L))
+    assert(report("corpus")._2 == 0L, report.toString)
+    assert(report("corpus_jsonl")._2 == 1L,
+      s"the mirror's own hit count must drive the re-derivation: $report")
+    assert(spark.read.json(s"$out/corpus_jsonl").select("doc_id")
+      .as[Long].collect().toSet == Set(2L))
+    val rerun = CorpusMain.purgeCurated(spark, out, Seq(1L))
+    assert(rerun.values.forall(_ == ((0, 0L))), rerun.toString)
+  }
 }
