@@ -176,7 +176,8 @@ object Bench {
     ("q108_incremental_extrema", 0.575, 1.7),
     // round-12 additions (local best-of-2 ranges, short history)
     ("q109_embed_dedup_lsh", 1.85, 2.89),
-    ("q110_incremental_distinct", 0.34, 0.75))
+    ("q110_incremental_distinct", 0.34, 0.75),
+    ("q111_semantic_decontaminate", 0.75, 1.2))
 
   private[graft] val RetimeFactor = 2.0
 

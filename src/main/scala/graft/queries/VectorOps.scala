@@ -46,6 +46,12 @@ object VectorOps {
   private val IvfK = 3
   private val NumCentroids = 8
   private val QueryMod = 50
+  // q111: docs with vec_id % 97 == 0 play the benchmark (q51's partition
+  // rule on the vector side); 0.3 probed at sf0.01: 24 corpus docs carry
+  // an exact-cosine bench neighbor (4 at the 0.4 near-dup bar — a
+  // decontamination threshold sits deliberately LOOSER than dedup's)
+  private val SemBenchMod = 97
+  private val SemDecontamThreshold = 0.3
 
   /** vec_id, e (array<double>), nrm. */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -213,6 +219,28 @@ object VectorOps {
       val corpus = n.filter(col("vec_id") % 2 === 0)
       lshNearDupAgainstIndex(incoming, vectorBandIndex(corpus), corpus,
         NearDupThreshold)
+    },
+
+    // SEMANTIC decontamination (q51's vector-space sibling): eval-set
+    // leakage that shingle overlap cannot catch — a PARAPHRASED benchmark
+    // item shares no 3-gram with its source but sits next to it in
+    // embedding space. Docs with vec_id % 97 == 0 play the benchmark
+    // (q51's partition rule); every other doc probes the benchmark's
+    // hyperplane band index and each candidate is verified by exact
+    // cosine — the audit reports (vec_id, n_hits, max_cos) per flagged
+    // doc, evidence-not-drop like q51 (the drop threshold applies
+    // downstream, so lowering it later needs no recompute). At 100 TB
+    // the benchmark index is tiny ((b, v)-keyed, broadcast-able or at
+    // rest via writeVectorBandIndex) and the corpus side never shuffles
+    // for the probe; cost = candidates, never |corpus| x |bench|.
+    "q111_semantic_decontaminate" -> { (s, dir) =>
+      val n = vecs(s, dir)
+      val corpus = n.filter(col("vec_id") % SemBenchMod =!= 0)
+      val bench = n.filter(col("vec_id") % SemBenchMod === 0)
+      lshNearDupAgainstIndex(corpus, vectorBandIndex(bench), bench,
+          SemDecontamThreshold)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
     },
 
     // F10 array-exists as a first-class Column HOF (SURVEY.md §2.7):
@@ -743,6 +771,7 @@ object VectorOps {
          WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > $HotThreshold)) > 0""",
     "q37_hyperplane_lsh" -> hyperplaneOracle,
     "q109_embed_dedup_lsh" -> lshComponentsOracle,
+    "q111_semantic_decontaminate" -> semanticDecontamOracle,
     "q46_kmeans" -> kmeansOracle,
     "q97_cluster_purity" -> clusterPurityOracle,
     // same oracle by design: the bucketed exact kernel has the same
@@ -898,6 +927,30 @@ object VectorOps {
          SELECT e.dst AS doc_id, r.label AS label
          FROM reach r JOIN edges e ON e.src = r.doc_id)
        SELECT doc_id AS vec_id, min(label) AS label FROM reach GROUP BY doc_id"""
+
+  /** The q111 oracle: q54's cross-side banding with q51's benchmark
+    * partition (`% 97`), aggregated to the per-doc audit — candidates
+    * are corpus-x-bench band collisions, each verified by exact cosine,
+    * then one count/max rollup per flagged doc (max over bit-identical
+    * doubles is engine-exact: it only PICKS a value). */
+  private lazy val semanticDecontamOracle: String =
+    s"""$vecCte,
+       sg AS (SELECT vec_id, e, nrm, $hyperplaneSigSql AS sig FROM n WHERE nrm > 0),
+       bands AS ($hyperplaneBandsSql),
+       cand AS (
+         SELECT DISTINCT x.vec_id, y.vec_id AS bench_id
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bv = y.bv
+         WHERE x.vec_id % $SemBenchMod <> 0 AND y.vec_id % $SemBenchMod = 0),
+       hit AS (
+         SELECT c.vec_id,
+           ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
+         FROM cand c
+         JOIN n a ON a.vec_id = c.vec_id
+         JOIN n b ON b.vec_id = c.bench_id
+         WHERE ${cosSql("a.e", "a.nrm", "b.e", "b.nrm")} >= $SemDecontamThreshold)
+       SELECT vec_id, count(*) AS n_hits, max(cos) AS max_cos
+       FROM hit GROUP BY vec_id"""
 
   /** The q54 oracle: the same signature/banding as q37's, split odd
     * (incoming) vs even (corpus) — candidates are cross-side band
