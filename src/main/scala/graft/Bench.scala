@@ -177,7 +177,8 @@ object Bench {
     // round-12 additions (local best-of-2 ranges, short history)
     ("q109_embed_dedup_lsh", 1.85, 2.89),
     ("q110_incremental_distinct", 0.34, 0.75),
-    ("q111_semantic_decontaminate", 0.75, 1.2))
+    ("q111_semantic_decontaminate", 0.75, 1.2),
+    ("q112_pps_token_sample", 0.4, 0.8))
 
   private[graft] val RetimeFactor = 2.0
 

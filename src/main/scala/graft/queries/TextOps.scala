@@ -485,6 +485,47 @@ object TextOps {
         col("tb_bucket"), col("tb_cut"))
   }
 
+  private val PpsStride = 200L
+
+  /** Probability-proportional-to-size systematic sampling (q112): pick
+    * documents with probability proportional to their TOKEN length — the
+    * eval/inspection sample whose token mass mirrors what the trainer
+    * actually consumes. A uniform doc sample ([[stratifiedSample]])
+    * under-represents long documents per token; the textbook PPS fix is
+    * exponential random keys (u^(1/w) order), but cross-engine
+    * float `pow`/`ln` can flip a boundary pick between engines — so
+    * this is the SYSTEMATIC form, pure integer arithmetic: lay each
+    * source's docs along its cumulative token axis (doc_id order —
+    * deterministic, growth of other sources moves nothing) and pick
+    * every doc whose token interval [cum_before+1, cum_before+n] covers
+    * a multiple of `stride`. A doc longer than the stride is picked
+    * with MULTIPLICITY (`n_picks` = multiples covered) — exactly the
+    * with-replacement PPS weight, and the audit a weighted-eval reader
+    * needs.
+    *
+    * Cross-engine determinism: the cumulative sum, the interval cover
+    * test, and `n_picks` are long additions and integer divisions —
+    * engine-exact by construction (the same reason q106 uses integer
+    * cut indexes).
+    *
+    * Shape at scale: one hash exchange on the source + a per-partition
+    * running sum (the [[packWindows]] stream shape — no self-join, no
+    * second pass); the same degenerate-single-source caveat and remedy
+    * as [[domainQuota]]. */
+  def ppsTokenSample(docs: DataFrame, stride: Long = PpsStride): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("n_picks",
+        expr(s"(cum_before + n_tokens) DIV ${stride}L - cum_before DIV ${stride}L"))
+      .filter(col("n_picks") > 0)
+  }
+
   /** Deterministic stratified sample (q71): a uniform, reproducible `k`
     * documents from EACH source — the eval-set / human-review-set
     * construction pass ([[TextOps.domainQuota]] picks each source's BEST k
@@ -1358,6 +1399,10 @@ object TextOps {
     "q58_boilerplate" -> { (s, dir) =>
       boilerplateSignals(Tables.documents(s, dir)) },
 
+    // Token-proportional systematic sampling (see ppsTokenSample).
+    "q112_pps_token_sample" -> { (s, dir) =>
+      ppsTokenSample(Tables.documents(s, dir)) },
+
     // Corpus vocabulary top-k (see vocabTopK).
     "q59_vocab_topk" -> { (s, dir) => vocabTopK(Tables.documents(s, dir)) },
 
@@ -1567,6 +1612,26 @@ object TextOps {
                ORDER BY quality DESC, doc_id) AS rk
            FROM qq)
          SELECT doc_id, source, quality FROM r WHERE rk <= $DefaultQuota""",
+    // the integer interval-cover test verbatim; window sum cast to
+    // BIGINT (DuckDB window sums of BIGINT promote to HUGEINT, which
+    // the driver's pandas compare cannot represent)
+    "q112_pps_token_sample" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum_before,
+           (cum_before + n_tokens) // $PpsStride
+             - cum_before // $PpsStride AS n_picks
+         FROM c
+         WHERE (cum_before + n_tokens) // $PpsStride
+             > cum_before // $PpsStride""",
     "q57_token_budget_mix" ->
       s"""WITH t AS (
            SELECT doc_id, source,

@@ -521,6 +521,33 @@ class TextOpsSpec extends SparkSpec {
       s"the gram count must map-side combine before the shuffle:\n$plan")
   }
 
+  test("ppsTokenSample: interval-cover picks, multiplicity, token-mass coverage, cross-source independence") {
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(doc(1, "a", 30), doc(2, "a", 450), doc(3, "a", 150),
+      doc(4, "b", 250)).toDF("doc_id", "source", "text")
+    val got = TextOps.ppsTokenSample(docs, stride = 200L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // source a's cumulative axis: doc1 [1,30] covers no multiple of 200;
+    // doc2 [31,480] covers 200 AND 400 (multiplicity 2 — the
+    // with-replacement PPS weight); doc3 [481,630] covers 600
+    assert(got == Set(
+      (2L, "a", 450L, 30L, 2L),
+      (3L, "a", 150L, 480L, 1L),
+      (4L, "b", 250L, 0L, 1L)), got.toString)
+    // token-mass coverage: per source, total picks == floor(total/stride)
+    assert(got.filter(_._2 == "a").map(_._5).sum == 630L / 200L)
+    // growth of ANOTHER source moves nothing (per-source axes)
+    val grown = docs.unionByName(Seq(doc(9, "b", 500)).toDF("doc_id", "source", "text"))
+    val aRows = TextOps.ppsTokenSample(grown, stride = 200L)
+      .filter(col("source") === "a").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(aRows == Set((2L, 2L), (3L, 1L)))
+    intercept[IllegalArgumentException] { TextOps.ppsTokenSample(docs, 0L) }
+  }
+
   test("stratifiedSample: exact k per source, deterministic, stable under unrelated growth") {
     val docs = (1L to 40L).map(i =>
       (i, if (i <= 30) "big" else "small", s"text $i"))
