@@ -30,6 +30,12 @@ import graft.sources.{Jsonl, Warehouse}
   *     the corpus so the evidence survives a mid-run crash; only docs at
   *     or above `--min-hits` (default 1) are actually dropped, so
   *     near-misses stay visible and a lower threshold needs no recompute;
+  *   - `semantic_contaminated/` (with `--semantic-bench`, requires
+  *     `--embeddings`) — q111's pass as a stage: every doc whose
+  *     embedding sits within `--semantic-threshold` cosine (default
+  *     0.3) of a benchmark vector — the paraphrased-leakage catch the
+  *     shingle pass cannot make — with its (n_hits, max_cos) evidence;
+  *     published before the drop applies, like `contaminated/`;
   *   - `domain_quota/` (with `--quota N`) — the kept (doc_id, source,
   *     quality, rk) rows of the per-domain cap, the evidence the corpus's
   *     membership is then read back from;
@@ -71,7 +77,7 @@ import graft.sources.{Jsonl, Warehouse}
   *     split/mix/budget, so reviewing it biases nothing).
   *
   * Every stage is one of the oracle-checked operators (q52, q85, q94,
-  * q51, q31, q39, q82, q55, q57, q49, q50, q60, q71) — this main only
+  * q51, q111, q31, q39, q82, q55, q57, q49, q50, q60, q71) — this main only
   * composes and publishes them. Stage order is cheapest-reduction-first: mixing is a hash
   * filter (no data examined), normalization is a per-row rewrite ahead of
   * everything that reads text, decontamination touches shingles once,
@@ -89,6 +95,7 @@ object CorpusMain {
       "[--token-budget N] " +
       "[--mix src0:ff,src1:7f] [--mix-default <hex-pair>] " +
       "[--embeddings <parquet>] [--cos-threshold D] " +
+      "[--semantic-bench <parquet>] [--semantic-threshold D] " +
       "[--broadcast-bench true|false] [--format parquet|jsonl] " +
       "[--export-jsonl true|false] [--publish-index <table>] " +
       "[--publish-vector-index <table>] [--publish-vectors <table>] " +
@@ -100,6 +107,7 @@ object CorpusMain {
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
+        "semantic-bench", "semantic-threshold",
         "format", "export-jsonl", "publish-index", "publish-vector-index",
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
@@ -110,6 +118,8 @@ object CorpusMain {
     // a tuning flag whose master stage is absent is always a config bug —
     // the same fail-loudly rule runWith applies to min-hits-without-bench
     for (orphan <- Seq("cos-threshold" -> "embeddings",
+        "semantic-threshold" -> "semantic-bench",
+        "semantic-bench" -> "embeddings",
         "broadcast-bench" -> "bench", "publish-vector-index" -> "embeddings",
         "publish-vectors" -> "embeddings", "chunk-stride" -> "chunk",
         "quota-heap" -> "quota", "floor-threshold" -> "quality-floor"))
@@ -131,6 +141,8 @@ object CorpusMain {
     val reviewSample = Cli.toInt(args, "review-sample", usage)
     val minHits = Cli.toLong(args, "min-hits", usage).getOrElse(1L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
+    val semanticThreshold =
+      Cli.toDouble(args, "semantic-threshold", usage).getOrElse(0.3)
     val broadcastBench = Cli.toBoolean(args, "broadcast-bench", usage).getOrElse(true)
     val exportJsonl = Cli.toBoolean(args, "export-jsonl", usage).getOrElse(false)
     val keepBest = Cli.toBoolean(args, "keep-best", usage).getOrElse(false)
@@ -166,7 +178,9 @@ object CorpusMain {
       urlDedup,
       quotaHeap,
       qualityFloor,
-      floorThreshold)
+      floorThreshold,
+      semanticBench = args.get("semantic-bench"),
+      semanticThreshold = semanticThreshold)
     finally spark.stop()
   }
 
@@ -227,6 +241,7 @@ object CorpusMain {
       "review_sample" -> Seq("doc_id"),
       "span_cut" -> Seq("doc_id"),
       "contaminated" -> Seq("doc_id"),
+      "semantic_contaminated" -> Seq("doc_id"),
       "domain_quota" -> Seq("doc_id"),
       "token_budget" -> Seq("doc_id"),
       "quality_floor" -> Seq("doc_id"),
@@ -356,7 +371,9 @@ object CorpusMain {
       urlDedup: Boolean = false,
       quotaHeap: Boolean = false,
       qualityFloor: Option[Double] = None,
-      floorThreshold: Boolean = false): Unit = {
+      floorThreshold: Boolean = false,
+      semanticBench: Option[String] = None,
+      semanticThreshold: Double = 0.3): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
@@ -389,6 +406,10 @@ object CorpusMain {
       "publish-vector-index was given without embeddings to index")
     require(publishVectors.isEmpty || embeddings.nonEmpty,
       "publish-vectors was given without embeddings to publish")
+    // the semantic pass probes the DOCS' embeddings against the bench's:
+    // without --embeddings there is nothing to probe with
+    require(semanticBench.isEmpty || embeddings.nonEmpty,
+      "semantic-bench was given without embeddings to probe with")
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
@@ -411,7 +432,8 @@ object CorpusMain {
       quarantineStaged = format == "jsonl", publishIndex, publishVectorIndex,
       publishVectors, quota, publishShingles, tokenBudget, chunk,
       chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
-      urlDedup, quotaHeap, qualityFloor, floorThreshold)
+      urlDedup, quotaHeap, qualityFloor, floorThreshold,
+      semanticBench, semanticThreshold)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -436,7 +458,9 @@ object CorpusMain {
       urlDedup: Boolean = false,
       quotaHeap: Boolean = false,
       qualityFloor: Option[Double] = None,
-      floorThreshold: Boolean = false): Unit = {
+      floorThreshold: Boolean = false,
+      semanticBench: Option[String] = None,
+      semanticThreshold: Double = 0.3): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -521,7 +545,39 @@ object CorpusMain {
           // new corpus publishes — see the post-publish block)
           (urlDeduped, shAll)
       }
-      val pairs = DedupOps.minhashNearDup(sh).persist()
+      // SEMANTIC decontamination (q111) beside the shingle pass: a
+      // PARAPHRASED benchmark item shares no shingle with its source but
+      // sits next to it in embedding space — the docs' vectors probe the
+      // bench's hyperplane band index (bench-sized — tiny — and the
+      // corpus side never shuffles for the probe), exact cosine verifies
+      // each candidate, and every flagged doc publishes with its
+      // (n_hits, max_cos) evidence BEFORE the drop applies — the same
+      // evidence-then-read-back protocol as `contaminated/`. Runs before
+      // dedup for the same cheapest-reduction-first reason: the probe
+      // costs candidates, the banded self-join costs the corpus.
+      val (sdocs, ssh): (DataFrame, DataFrame) = semanticBench match {
+        case Some(sb) =>
+          def prepped(path: String) = spark.read.parquet(path)
+            .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+            .withColumn("nrm", VectorSim.norm(col("e")))
+          val benchVecs = prepped(sb)
+          val corpusVecs = prepped(embeddings.get)
+            .join(docs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+          val hits = VectorOps.lshNearDupAgainstIndex(corpusVecs,
+              VectorOps.vectorBandIndex(benchVecs), benchVecs,
+              semanticThreshold)
+            .groupBy(col("vec_id"))
+            .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+            .select(col("vec_id").as("doc_id"), col("n_hits"), col("max_cos"))
+          Warehouse.replaceDir(hits, s"$output/semantic_contaminated")
+          val drop = spark.read.parquet(s"$output/semantic_contaminated")
+            .select("doc_id")
+          (docs.join(drop, Seq("doc_id"), "left_anti"),
+            sh.join(drop, Seq("doc_id"), "left_anti"))
+        case None => (docs, sh)
+      }
+      val pairs = DedupOps.minhashNearDup(ssh).persist()
       try {
         // audit first: if the run dies after this publish, the pair
         // evidence is on disk and a rerun recomputes the same corpus
@@ -544,7 +600,7 @@ object CorpusMain {
                 .filter(col("is_canonical")).select("doc_id"),
               Seq("doc_id"), "left_semi")
           }
-        val textDeduped = collapse(docs, pairs, star = false, "canonical_map")
+        val textDeduped = collapse(sdocs, pairs, star = false, "canonical_map")
         // vector pass AFTER the text pass, over its survivors only: the
         // double-dedup a production corpus run actually does. The pair
         // producer is the LSH-bucketed kernel (banded equi-join, never
@@ -704,6 +760,8 @@ object CorpusMain {
         if (quarantineStaged) Warehouse.publishStaged(spark, s"$output/quarantine")
         else Warehouse.retireDir(spark, s"$output/quarantine")
         if (bench.isEmpty) Warehouse.retireDir(spark, s"$output/contaminated")
+        if (semanticBench.isEmpty)
+          Warehouse.retireDir(spark, s"$output/semantic_contaminated")
         if (embeddings.isEmpty) Warehouse.retireDir(spark, s"$output/embed_dup_pairs")
         if (!keepBest) Warehouse.retireDir(spark, s"$output/canonical_map")
         if (!keepBest || embeddings.isEmpty)

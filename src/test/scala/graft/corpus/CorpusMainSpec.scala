@@ -982,6 +982,52 @@ class CorpusMainSpec extends SparkSpec {
     assert(rerun.values.forall(_ == ((0, 0L))), s"rerun must rewrite nothing: $rerun")
   }
 
+  test("--semantic-bench drops embedding-space eval leakage the shingle pass misses, audited and reversible") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_sem_in").toString
+    val out = Files.createTempDirectory("corpus_sem_out").toString
+    // doc 1 is a PARAPHRASE of a benchmark item: not one shared token
+    // (shingle decontamination is blind to it) but an identical
+    // embedding direction (cosine 1); docs 2/3 are innocent
+    Seq(
+      (1L, "s", (1 to 20).map(i => s"para$i").mkString(" ")),
+      (2L, "s", (1 to 20).map(i => s"inno$i").mkString(" ")),
+      (3L, "s", (1 to 20).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    def oneHot(slot: Int, scale: Float) =
+      Array.tabulate(64)(d => if (d == slot) scale else 0.0f)
+    Seq((1L, oneHot(0, 1.0f)), (2L, oneHot(1, 1.0f)), (3L, oneHot(2, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmpIn/emb")
+    // the bench vector is doc 1's direction SCALED (cosine exactly 1)
+    Seq((900001L, oneHot(0, 3.0f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmpIn/sem_bench")
+
+    CorpusMain.runWith(spark, tmpIn, out,
+      embeddings = Some(s"$tmpIn/emb"),
+      semanticBench = Some(s"$tmpIn/sem_bench"), semanticThreshold = 0.9)
+    assert(spark.read.parquet(s"$out/corpus").select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 3L),
+      "the paraphrase must drop, innocents publish")
+    val audit = spark.read.parquet(s"$out/semantic_contaminated")
+      .select("doc_id", "n_hits", "max_cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(audit == Seq((1L, 1L, 1.0)), audit.toString)
+
+    // the stage is opt-in: a semantic-bench without embeddings is a
+    // config bug, and a rerun WITHOUT the flag retires the audit and
+    // republishes the paraphrase
+    intercept[IllegalArgumentException] {
+      CorpusMain.runWith(spark, tmpIn, out,
+        semanticBench = Some(s"$tmpIn/sem_bench"))
+    }
+    CorpusMain.runWith(spark, tmpIn, out, embeddings = Some(s"$tmpIn/emb"))
+    assert(!new java.io.File(s"$out/semantic_contaminated").exists())
+    assert(spark.read.parquet(s"$out/corpus").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("purgeCurated heals a mirror orphaned by a corpus-first delete (crash window)") {
     import spark.implicits._
     val tmpIn = Files.createTempDirectory("corpus_heal_in").toString
