@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ops.VectorSim
-import graft.queries.{DedupOps, TextOps}
+import graft.queries.{DedupOps, TextOps, VectorOps}
 import graft.sources.{Jsonl, Warehouse}
 
 /** The corpus-ingest gate as a running stream: every arriving crawl batch
@@ -155,17 +155,40 @@ object CorpusStreamMain {
       mixDefault: String = "ff", benchSet: Option[DataFrame] = None,
       minHits: Long = 1L, broadcastBench: Boolean = true,
       decode: Option[(DataFrame, Long) => DataFrame] = None,
-      normalize: Boolean = false): StreamingQuery =
+      normalize: Boolean = false,
+      semanticBench: Option[DataFrame] = None,
+      semanticThreshold: Double = 0.3): StreamingQuery = {
+    // the semantic gate probes the BATCH docs' embeddings — without a
+    // vector side there is nothing to probe with (CorpusMain's rule)
+    require(semanticBench.isEmpty || state.hasVectors,
+      "semanticBench was given without a vector side to probe with")
+    // the benchmark is FIXED for the gate's lifetime (a benchmark never
+    // absorbs batches), so its band index builds once out here — unlike
+    // vectorGate, this transform carries no per-batch state and no
+    // replay asymmetry: pure stateless decontamination, q111 per batch
+    val semIdx = semanticBench.map(VectorOps.vectorBandIndex)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         val docs = decode.fold(b)(d => d(b, id))
         val ids = docs.select("doc_id")
-        val curated = state.vectorGate(
-          curateBatch(docs, state.corpusSh, mixRates, mixDefault, benchSet,
-            minHits, broadcastBench, corpusIndex = Some(state.probeIdx(ids, id)),
-            normalize = normalize),
-          ids, id)
+        val gated = curateBatch(docs, state.corpusSh, mixRates, mixDefault,
+          benchSet, minHits, broadcastBench,
+          corpusIndex = Some(state.probeIdx(ids, id)), normalize = normalize)
+        // semantic decontamination BEFORE the vector dedup gate
+        // (CorpusMain's placement): an eval paraphrase must never even
+        // compete to be a batch's canonical survivor
+        val decontaminated = (semanticBench, semIdx) match {
+          case (Some(bench), Some(idx)) =>
+            val incVecs = state.vectorsSource.get.join(
+              gated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+            val flagged = VectorOps.lshNearDupAgainstIndex(
+                incVecs, idx, bench, semanticThreshold)
+              .select(col("vec_id").as("doc_id")).distinct()
+            gated.join(flagged, Seq("doc_id"), "left_anti")
+          case _ => gated
+        }
+        val curated = state.vectorGate(decontaminated, ids, id)
         publishBatch(curated, output, id)
         // absorb from the PUBLISHED directory — the on-disk truth, which
         // also severs lineage back to the stream source
@@ -173,6 +196,7 @@ object CorpusStreamMain {
           .parquet(s"$output/batch=$id").select("doc_id", "text"))
       }
       .start()
+  }
 
   /** The jsonl `decode` step for [[start]]: split one micro-batch of raw
     * (`_line`, `_file`) rows into clean document rows and quarantine
@@ -206,7 +230,8 @@ object CorpusStreamMain {
       "[--embeddings <parquet> | --vectors-table <table>] [--cos-threshold D] " +
       "[--index-table <table>] [--shingles-table <table>] " +
       "[--vector-index-table <table>] [--max-files-per-trigger N] " +
-      "[--normalize true|false]\n" +
+      "[--normalize true|false] " +
+      "[--semantic-bench <parquet>] [--semantic-threshold D]\n" +
       "   or: graft.corpus.CorpusStreamMain --compact-state true " +
       "--output <dir> --index-table <table> --shingles-table <table> " +
       "[--vector-index-table <table> " +
@@ -221,7 +246,8 @@ object CorpusStreamMain {
         "format", "embeddings", "cos-threshold", "index-table",
         "shingles-table", "vector-index-table", "vectors-table",
         "max-files-per-trigger", "compact-state", "normalize",
-        "require-vector-coverage", "purge-docs"),
+        "require-vector-coverage", "purge-docs",
+        "semantic-bench", "semantic-threshold"),
       required = Set("output"),
       usage = usage)
     // --purge-docs is the erasure maintenance run: scrub the named docs
@@ -232,7 +258,8 @@ object CorpusStreamMain {
       val streamOnly = Seq("input", "corpus", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
         "format", "embeddings", "cos-threshold", "max-files-per-trigger",
-        "normalize", "compact-state", "require-vector-coverage")
+        "normalize", "compact-state", "require-vector-coverage",
+        "semantic-bench", "semantic-threshold")
       for (f <- streamOnly if args.contains(f)) {
         System.err.println(s"--$f is meaningless with --purge-docs")
         sys.exit(2)
@@ -267,7 +294,8 @@ object CorpusStreamMain {
     if (compactMode) {
       val streamOnly = Seq("input", "corpus", "checkpoint", "mix",
         "mix-default", "bench", "min-hits", "broadcast-bench", "recursive",
-        "format", "cos-threshold", "max-files-per-trigger", "normalize")
+        "format", "cos-threshold", "max-files-per-trigger", "normalize",
+        "semantic-bench", "semantic-threshold")
       for (f <- streamOnly if args.contains(f)) {
         System.err.println(s"--$f is a streaming flag: meaningless with --compact-state")
         sys.exit(2)
@@ -318,13 +346,14 @@ object CorpusStreamMain {
       sys.exit(2)
     }
     val hasVectorSide = args.contains("embeddings") || args.contains("vectors-table")
-    for (orphan <- Seq("cos-threshold", "vector-index-table"))
+    for (orphan <- Seq("cos-threshold", "vector-index-table", "semantic-bench"))
       if (args.contains(orphan) && !hasVectorSide) {
         System.err.println(
           s"--$orphan was given without --embeddings/--vectors-table: it would be silently ignored")
         sys.exit(2)
       }
-    for (orphan <- Seq("min-hits" -> "bench", "broadcast-bench" -> "bench"))
+    for (orphan <- Seq("min-hits" -> "bench", "broadcast-bench" -> "bench",
+        "semantic-threshold" -> "semantic-bench"))
       if (args.contains(orphan._1) && !args.contains(orphan._2)) {
         System.err.println(
           s"--${orphan._1} was given without --${orphan._2}: it would be silently ignored")
@@ -354,6 +383,8 @@ object CorpusStreamMain {
     // keeps per-batch publish/absorb cost flat.
     val maxFiles = Cli.toLong(args, "max-files-per-trigger", usage).getOrElse(256L)
     val cosThreshold = Cli.toDouble(args, "cos-threshold", usage).getOrElse(0.4)
+    val semanticThreshold =
+      Cli.toDouble(args, "semantic-threshold", usage).getOrElse(0.3)
     // parity flag: pass it whenever the corpus was published under
     // CorpusMain --normalize (see curateBatch's normalization note)
     val normalize = Cli.toBoolean(args, "normalize", usage).getOrElse(false)
@@ -431,9 +462,16 @@ object CorpusStreamMain {
             .option("maxFilesPerTrigger", maxFiles.toString)
             .parquet(args("input")), None)
       }
+      // --semantic-bench: the BENCHMARK's vectors, prepped like the
+      // vector side — the fixed probe target of the per-batch semantic
+      // decontamination gate (q111 as a stateless stream transform)
+      val semanticBench = args.get("semantic-bench").map(p =>
+        spark.read.parquet(p)
+          .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", VectorSim.norm(col("e"))))
       val q = start(incoming, state, output, args("checkpoint"),
         rates, args.getOrElse("mix-default", "ff"), benchSet, minHits,
-        broadcastBench, decode, normalize)
+        broadcastBench, decode, normalize, semanticBench, semanticThreshold)
       q.awaitTermination()
     } finally spark.stop()
   }

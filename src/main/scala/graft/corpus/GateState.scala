@@ -101,6 +101,11 @@ final class GateState private (
   /** Whether a vector side was configured (`--embeddings`). */
   def hasVectors: Boolean = vecSide.nonEmpty
 
+  /** The configured vectors source (prepped (vec_id, e, nrm) rows) — the
+    * lookup the stream-side SEMANTIC decontamination gate probes batch
+    * docs' embeddings out of (CorpusStreamMain `--semantic-bench`). */
+  private[corpus] def vectorsSource: Option[DataFrame] = vecSide.map(_._1)
+
   /** The vector-space gate over the batch `batchId`'s text-surviving
     * docs: drop every doc whose embedding near-duplicates (cosine >=
     * threshold) a corpus or previously-accepted vector

@@ -412,6 +412,46 @@ class CorpusStreamMainSpec extends SparkSpec {
       s"74 dups the vector of 71, accepted in an earlier batch: $b2")
   }
 
+  test("semantic gate: an embedding paraphrase of a BENCH item drops at the door") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream_gate_sem").toString
+    val ckpt = Files.createTempDirectory("stream_gate_sem_ckpt").toString
+    // incoming 80 is a PARAPHRASE of a benchmark item: text shares no
+    // shingle with anything, but its vector is colinear with the bench's
+    // (cos 1, identical signature); 81 is innocent on both sides
+    val vecs = vecsOf(Seq(
+      1000L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1001L -> Seq(0.0, 0.0, 0.0, 1.0),
+      80L -> Seq(0.0, 2.0, 0.0, 0.0),
+      81L -> Seq(0.0, 0.0, 1.0, 0.0)))
+    val bench = vecsOf(Seq(900001L -> Seq(0.0, 5.0, 0.0, 0.0)))
+    val rows = Seq(
+      (80L, "src0", "paraphrased benchmark content with entirely fresh words"),
+      (81L, "src0", "an innocent document body unrelated to anything else"))
+    def published(sem: Option[DataFrame]): Set[Long] = {
+      val o = Files.createTempDirectory("stream_gate_sem_run").toString
+      val c = Files.createTempDirectory("stream_gate_sem_ck").toString
+      val in = MemoryStream[(Long, String, String)]
+      val q = CorpusStreamMain.start(
+        in.toDF().toDF("doc_id", "source", "text"),
+        GateState.build(corpusDf, vectors = Some((vecs, 0.9))), o, c,
+        semanticBench = sem, semanticThreshold = 0.9)
+      try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+      spark.read.parquet(s"$o/batch=0").select("doc_id").as[Long].collect().toSet
+    }
+    assert(published(Some(bench)) == Set(81L),
+      "the paraphrase must drop; the innocent must publish")
+    assert(published(None) == Set(80L, 81L),
+      "without the semantic bench the paraphrase sails through (the gap the gate closes)")
+    // a semantic bench without a vector side has nothing to probe with
+    intercept[IllegalArgumentException] {
+      CorpusStreamMain.start(
+        spark.readStream.schema(rows.toDF("doc_id", "source", "text").schema)
+          .parquet(out),
+        GateState.build(corpusDf), out, ckpt, semanticBench = Some(bench))
+    }
+  }
+
   test("restart re-arms the VECTOR side: a vector-dup of a pre-restart accept drops") {
     val root = Files.createTempDirectory("stream_gate_vec_restart").toString
     val (inDir, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
