@@ -31,11 +31,14 @@ import graft.sources.{Jsonl, Warehouse}
   *     or above `--min-hits` (default 1) are actually dropped, so
   *     near-misses stay visible and a lower threshold needs no recompute;
   *   - `semantic_contaminated/` (with `--semantic-bench`, requires
-  *     `--embeddings`) — q111's pass as a stage: every doc whose
-  *     embedding sits within `--semantic-threshold` cosine (default
-  *     0.3) of a benchmark vector — the paraphrased-leakage catch the
-  *     shingle pass cannot make — with its (n_hits, max_cos) evidence;
-  *     published before the drop applies, like `contaminated/`;
+  *     `--embeddings`) — q111's pass as a stage: the paraphrased-leakage
+  *     catch the shingle pass cannot make. The audit keeps EVERY banded
+  *     candidate — (doc_id, n_cand, n_hits, max_cos), hits counted at
+  *     `--semantic-threshold` (default 0.3) — published BEFORE the drop
+  *     applies, and only the read-back drop applies the threshold
+  *     (max_cos >= t): near-misses stay visible and a lower threshold
+  *     later needs no recompute, down to the banding's recall floor;
+  *     docs with no vectors row pass unprobed, reported loudly;
   *   - `domain_quota/` (with `--quota N`) — the kept (doc_id, source,
   *     quality, rk) rows of the per-domain cap, the evidence the corpus's
   *     membership is then read back from;
@@ -88,6 +91,8 @@ import graft.sources.{Jsonl, Warehouse}
   * corpus no longer has).
   */
 object CorpusMain {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(CorpusMain.getClass)
 
   def main(argv: Array[String]): Unit = {
     val usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
@@ -410,6 +415,8 @@ object CorpusMain {
     // without --embeddings there is nothing to probe with
     require(semanticBench.isEmpty || embeddings.nonEmpty,
       "semantic-bench was given without embeddings to probe with")
+    require(semanticThreshold > -1 && semanticThreshold <= 1,
+      s"semantic-threshold must sit in (-1, 1], got $semanticThreshold")
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
@@ -557,22 +564,44 @@ object CorpusMain {
       // costs candidates, the banded self-join costs the corpus.
       val (sdocs, ssh): (DataFrame, DataFrame) = semanticBench match {
         case Some(sb) =>
-          def prepped(path: String) = spark.read.parquet(path)
-            .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
-            .withColumn("nrm", VectorSim.norm(col("e")))
-          val benchVecs = prepped(sb)
-          val corpusVecs = prepped(embeddings.get)
-            .join(docs.select(col("doc_id").as("vec_id")),
-              Seq("vec_id"), "left_semi")
+          val benchVecs = VectorSim.prepped(spark.read.parquet(sb))
+          val allVecs = VectorSim.prepped(spark.read.parquet(embeddings.get))
+          val corpusVecs = allVecs.join(
+            docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          // a doc with NO vectors row cannot be probed: for
+          // DECONTAMINATION a silent skip means eval leakage publishes
+          // (a stale embedding pipeline looks exactly like this), so the
+          // gap is reported loudly — compactState's coverage rule
+          val uncovered = docs.select(col("doc_id")).join(
+            allVecs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+          val sample = uncovered.limit(11).collect().map(_.getLong(0))
+          if (sample.nonEmpty) {
+            val shown = sample.take(10).mkString(", ") +
+              (if (sample.length > 10) ", …" else "")
+            log.error(s"semantic decontamination: doc(s) with no vectors " +
+              s"row pass UNPROBED (sample: $shown) — benchmark leakage " +
+              "among them publishes unchecked. Legitimate only if these " +
+              "docs never had embeddings; a stale or lagging vectors " +
+              "source looks exactly like this.")
+          }
+          // the audit keeps EVERY banded candidate (threshold -1 keeps
+          // all verified cosines) with per-doc candidate/hit counts and
+          // the max cosine; only the read-back drop applies the
+          // threshold — the `contaminated/` philosophy: near-misses stay
+          // visible, and a LOWER threshold later needs no recompute
+          // (down to the banding's recall floor — tightening recall
+          // itself still means a re-run)
           val hits = VectorOps.lshNearDupAgainstIndex(corpusVecs,
-              VectorOps.vectorBandIndex(benchVecs), benchVecs,
-              semanticThreshold)
+              VectorOps.vectorBandIndex(benchVecs), benchVecs, -1.0)
             .groupBy(col("vec_id"))
-            .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
-            .select(col("vec_id").as("doc_id"), col("n_hits"), col("max_cos"))
+            .agg(count(lit(1)).as("n_cand"),
+              sum((col("cos") >= semanticThreshold).cast("long")).as("n_hits"),
+              max(col("cos")).as("max_cos"))
+            .select(col("vec_id").as("doc_id"), col("n_cand"), col("n_hits"),
+              col("max_cos"))
           Warehouse.replaceDir(hits, s"$output/semantic_contaminated")
           val drop = spark.read.parquet(s"$output/semantic_contaminated")
-            .select("doc_id")
+            .filter(col("max_cos") >= semanticThreshold).select("doc_id")
           (docs.join(drop, Seq("doc_id"), "left_anti"),
             sh.join(drop, Seq("doc_id"), "left_anti"))
         case None => (docs, sh)
@@ -610,10 +639,8 @@ object CorpusMain {
         // unknown and star cycles converge in O(log d) regardless.
         val deduped = embeddings match {
           case Some(embPath) =>
-            val n = spark.read.parquet(embPath)
-              .select(col("vec_id").as("doc_id"),
-                VectorSim.toDouble(col("embedding")).as("e"))
-              .withColumn("nrm", VectorSim.norm(col("e")))
+            val n = VectorSim.prepped(spark.read.parquet(embPath))
+              .withColumnRenamed("vec_id", "doc_id")
               // only survivors' vectors matter: a pair whose side is
               // already text-deduped away must not drop a survivor, and
               // filtering BEFORE the banded join shrinks its input
@@ -840,9 +867,7 @@ object CorpusMain {
         // vectors side — and never has to persist the whole table either
         // (GateState persistVectors = false).
         if (publishVectorIndex.nonEmpty || publishVectors.nonEmpty) {
-          val prepped = spark.read.parquet(embeddings.get)
-            .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
-            .withColumn("nrm", VectorSim.norm(col("e")))
+          val prepped = VectorSim.prepped(spark.read.parquet(embeddings.get))
             .join(spark.read.parquet(s"$output/corpus")
               .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
           publishVectorIndex.foreach(VectorOps.writeVectorBandIndex(prepped, _))

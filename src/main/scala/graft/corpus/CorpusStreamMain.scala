@@ -60,6 +60,9 @@ import graft.sources.{Jsonl, Warehouse}
   */
 object CorpusStreamMain {
 
+  private val log =
+    org.slf4j.LoggerFactory.getLogger(CorpusStreamMain.getClass)
+
   /** One micro-batch's curation — pure batch logic, shared verbatim with
     * the spec's batch-equality oracle. `corpusSh` is the shingled curated
     * side (verification join); `corpusIndex` is the prebuilt band index
@@ -86,7 +89,8 @@ object CorpusStreamMain {
       minHits: Long = 1L,
       broadcastBench: Boolean = true,
       corpusIndex: Option[DataFrame] = None,
-      normalize: Boolean = false): DataFrame = {
+      normalize: Boolean = false,
+      semanticDrop: Option[DataFrame => DataFrame] = None): DataFrame = {
     // same guards as the batch twin (CorpusMain.runWith): a threshold
     // without its stage must fail loudly, programmatically too
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
@@ -118,6 +122,21 @@ object CorpusStreamMain {
           mixedSh.join(hot, Seq("doc_id"), "left_anti"))
       case None => (mixed, mixedSh)
     }
+    // SEMANTIC decontamination directly after the shingle pass — the
+    // batch twin's exact placement (CorpusMain: shingle decontam ->
+    // semantic decontam -> dedup), and the placement matters for more
+    // than symmetry: run any LATER and an eval paraphrase could first
+    // WIN an intra-batch near-dup collapse (dropping an innocent text
+    // twin that is semantically clean) and then be dropped itself —
+    // losing both docs where the batch twin publishes the innocent one
+    // (the r12 review's stream/batch-drift finding).
+    val (sdocs, sdocsSh) = semanticDrop match {
+      case Some(flaggedOf) =>
+        val flaggedIds = flaggedOf(decontaminated)
+        (decontaminated.join(flaggedIds, Seq("doc_id"), "left_anti"),
+          decontaminatedSh.join(flaggedIds, Seq("doc_id"), "left_anti"))
+      case None => (decontaminated, decontaminatedSh)
+    }
     // the gate emits verified (doc, corpus_doc) pairs; a doc matching
     // SEVERAL corpus docs must still drop exactly once, so the anti-join
     // keys on the distinct flagged ids. The corpus band index — the
@@ -125,11 +144,11 @@ object CorpusStreamMain {
     // repeated cost of an always-on gate, so a caller passes the prebuilt
     // persisted one; the default rebuilds it (small/batch use).
     val flagged = DedupOps
-      .nearDupAgainstIndex(decontaminatedSh,
+      .nearDupAgainstIndex(sdocsSh,
         corpusIndex.getOrElse(DedupOps.corpusBandIndex(corpusSh)), corpusSh)
       .select(col("doc_id")).distinct()
-    val survived = decontaminated.join(flagged, Seq("doc_id"), "left_anti")
-    val survivedSh = decontaminatedSh.join(flagged, Seq("doc_id"), "left_anti")
+    val survived = sdocs.join(flagged, Seq("doc_id"), "left_anti")
+    val survivedSh = sdocsSh.join(flagged, Seq("doc_id"), "left_anti")
     // intra-batch self-dedup: same pair producer + same collapse as the
     // batch twin's corpus-wide pass, restricted to this batch
     val pairs = DedupOps.minhashNearDup(survivedSh)
@@ -163,32 +182,51 @@ object CorpusStreamMain {
     require(semanticBench.isEmpty || state.hasVectors,
       "semanticBench was given without a vector side to probe with")
     // the benchmark is FIXED for the gate's lifetime (a benchmark never
-    // absorbs batches), so its band index builds once out here — unlike
-    // vectorGate, this transform carries no per-batch state and no
-    // replay asymmetry: pure stateless decontamination, q111 per batch
-    val semIdx = semanticBench.map(VectorOps.vectorBandIndex)
+    // absorbs batches), so its prepped rows AND its band index persist
+    // once out here — DataFrames are lazy, so without the persist every
+    // micro-batch would re-scan the bench parquet and re-fold the
+    // signatures forever (the benchSet persist's rationale, vector side).
+    // Unlike vectorGate, this transform carries no per-batch state and
+    // no replay asymmetry: pure stateless decontamination, q111 per
+    // batch, applied INSIDE curateBatch at the batch twin's exact
+    // position (after the shingle pass, before any dedup).
+    val semBench = semanticBench.map(_.persist())
+    val semIdx = semBench.map(b => VectorOps.vectorBandIndex(b).persist())
+    val semanticDrop = semBench.map { bench => (docs: DataFrame) =>
+      val incVecs = state.vectorsSource.get.join(
+        docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      // a batch doc with NO vectors row cannot be probed: for
+      // DECONTAMINATION a silent skip means eval leakage publishes (a
+      // stale embedding pipeline looks exactly like this), so the gap is
+      // reported loudly per batch — compactState's coverage rule
+      val uncovered = docs.select(col("doc_id"))
+        .join(state.vectorsSource.get.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      val sample = uncovered.limit(11).collect().map(_.getLong(0))
+      if (sample.nonEmpty) {
+        val shown = sample.take(10).mkString(", ") +
+          (if (sample.length > 10) ", …" else "")
+        log.error(s"semantic gate: batch doc(s) with no vectors row pass " +
+          s"UNPROBED (sample: $shown) — benchmark leakage among them " +
+          "publishes unchecked. Legitimate only if these docs never had " +
+          "embeddings; a stale or lagging vectors source looks exactly " +
+          "like this.")
+      }
+      VectorOps.lshNearDupAgainstIndex(incVecs, semIdx.get, bench,
+          semanticThreshold)
+        .select(col("vec_id").as("doc_id")).distinct()
+    }
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         val docs = decode.fold(b)(d => d(b, id))
         val ids = docs.select("doc_id")
-        val gated = curateBatch(docs, state.corpusSh, mixRates, mixDefault,
-          benchSet, minHits, broadcastBench,
-          corpusIndex = Some(state.probeIdx(ids, id)), normalize = normalize)
-        // semantic decontamination BEFORE the vector dedup gate
-        // (CorpusMain's placement): an eval paraphrase must never even
-        // compete to be a batch's canonical survivor
-        val decontaminated = (semanticBench, semIdx) match {
-          case (Some(bench), Some(idx)) =>
-            val incVecs = state.vectorsSource.get.join(
-              gated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-            val flagged = VectorOps.lshNearDupAgainstIndex(
-                incVecs, idx, bench, semanticThreshold)
-              .select(col("vec_id").as("doc_id")).distinct()
-            gated.join(flagged, Seq("doc_id"), "left_anti")
-          case _ => gated
-        }
-        val curated = state.vectorGate(decontaminated, ids, id)
+        val curated = state.vectorGate(
+          curateBatch(docs, state.corpusSh, mixRates, mixDefault,
+            benchSet, minHits, broadcastBench,
+            corpusIndex = Some(state.probeIdx(ids, id)),
+            normalize = normalize, semanticDrop = semanticDrop),
+          ids, id)
         publishBatch(curated, output, id)
         // absorb from the PUBLISHED directory — the on-disk truth, which
         // also severs lineage back to the stream source
@@ -318,10 +356,8 @@ object CorpusStreamMain {
       }
       val spark = graft.Sessions.local("graft-gate-compact")
       try {
-        val vectors = args.get("embeddings").map(p =>
-          spark.read.parquet(p)
-            .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
-            .withColumn("nrm", VectorSim.norm(col("e"))))
+        val vectors = args.get("embeddings")
+          .map(p => VectorSim.prepped(spark.read.parquet(p)))
           .orElse(args.get("vectors-table").map(spark.table))
         val n = GateState.compactState(spark, args("output"),
           args("index-table"), args("shingles-table"),
@@ -405,12 +441,9 @@ object CorpusStreamMain {
       // (vec_id, e, nrm) table CorpusMain --publish-vectors bucketed by
       // vec_id — read as-is and NOT persisted (the bucketed layout, not
       // executor memory, is what keeps the per-batch joins cheap).
-      val vectors = args.get("embeddings").map { p =>
-        (spark.read.parquet(p)
-          .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
-          .withColumn("nrm", VectorSim.norm(col("e"))),
-          cosThreshold)
-      }.orElse(args.get("vectors-table").map(t => (spark.table(t), cosThreshold)))
+      val vectors = args.get("embeddings")
+        .map(p => (VectorSim.prepped(spark.read.parquet(p)), cosThreshold))
+        .orElse(args.get("vectors-table").map(t => (spark.table(t), cosThreshold)))
       val persistVectors = !args.contains("vectors-table")
       // --index-table: the corpus band index AT REST (the (b, v)-bucketed
       // catalog table DedupOps.writeCorpusBandIndex wrote) — skips the
@@ -465,10 +498,8 @@ object CorpusStreamMain {
       // --semantic-bench: the BENCHMARK's vectors, prepped like the
       // vector side — the fixed probe target of the per-batch semantic
       // decontamination gate (q111 as a stateless stream transform)
-      val semanticBench = args.get("semantic-bench").map(p =>
-        spark.read.parquet(p)
-          .select(col("vec_id"), VectorSim.toDouble(col("embedding")).as("e"))
-          .withColumn("nrm", VectorSim.norm(col("e"))))
+      val semanticBench = args.get("semantic-bench")
+        .map(p => VectorSim.prepped(spark.read.parquet(p)))
       val q = start(incoming, state, output, args("checkpoint"),
         rates, args.getOrElse("mix-default", "ff"), benchSet, minHits,
         broadcastBench, decode, normalize, semanticBench, semanticThreshold)

@@ -19,6 +19,16 @@ object VectorSim {
   /** array<float> -> array<double> (each element exactly representable). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** The ONE definition of a raw (vec_id, embedding float-array) frame's
+    * prepped (vec_id, e: array<double>, nrm) shape — the input contract
+    * of every banded/exact kernel. Extracted because the triple was
+    * copy-pasted at six call sites across the corpus mains (the r12
+    * review's reuse finding): a drift in any copy would silently
+    * de-synchronize gate sides that must band identically. */
+  def prepped(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    raw.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
   /** Left-to-right fold of elementwise products — the portable HOF form;
     * kept as the executable specification of [[dot]]'s semantics. */
   def dotHof(a: Column, b: Column): Column =

@@ -228,8 +228,10 @@ object VectorOps {
     // (q51's partition rule); every other doc probes the benchmark's
     // hyperplane band index and each candidate is verified by exact
     // cosine — the audit reports (vec_id, n_hits, max_cos) per flagged
-    // doc, evidence-not-drop like q51 (the drop threshold applies
-    // downstream, so lowering it later needs no recompute). At 100 TB
+    // doc, evidence-not-drop like q51. (The pipeline STAGE widens this to
+    // every banded candidate so its read-back drop threshold can move
+    // without recompute; the query form reports at the probe threshold —
+    // the oracle-pinned operator semantics.) At 100 TB
     // the benchmark index is tiny ((b, v)-keyed, broadcast-able or at
     // rest via writeVectorBandIndex) and the corpus side never shuffles
     // for the probe; cost = candidates, never |corpus| x |bench|.

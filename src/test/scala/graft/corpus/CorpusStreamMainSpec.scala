@@ -418,16 +418,25 @@ class CorpusStreamMainSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("stream_gate_sem_ckpt").toString
     // incoming 80 is a PARAPHRASE of a benchmark item: text shares no
     // shingle with anything, but its vector is colinear with the bench's
-    // (cos 1, identical signature); 81 is innocent on both sides
+    // (cos 1, identical signature); 81 is innocent on both sides; 82 is
+    // a TEXT near-dup of 80 that is semantically clean — the ordering
+    // case: the semantic drop must run BEFORE intra-batch dedup, or 80
+    // first wins the collapse against 82 and then drops itself, losing
+    // both where the batch twin publishes 82
+    val para = (1 to 30).map(i => s"pzz$i").mkString(" ")
     val vecs = vecsOf(Seq(
       1000L -> Seq(1.0, 0.0, 0.0, 0.0),
       1001L -> Seq(0.0, 0.0, 0.0, 1.0),
       80L -> Seq(0.0, 2.0, 0.0, 0.0),
-      81L -> Seq(0.0, 0.0, 1.0, 0.0)))
+      81L -> Seq(0.0, 0.0, 1.0, 0.0),
+      // diagonal: cos 0.5 to every axis vector — semantically clean AND
+      // no vector-dup of the corpus or the batch
+      82L -> Seq(1.0, 1.0, 1.0, 1.0)))
     val bench = vecsOf(Seq(900001L -> Seq(0.0, 5.0, 0.0, 0.0)))
     val rows = Seq(
-      (80L, "src0", "paraphrased benchmark content with entirely fresh words"),
-      (81L, "src0", "an innocent document body unrelated to anything else"))
+      (80L, "src0", para),
+      (81L, "src0", "an innocent document body unrelated to anything else"),
+      (82L, "src0", s"$para qq"))
     def published(sem: Option[DataFrame]): Set[Long] = {
       val o = Files.createTempDirectory("stream_gate_sem_run").toString
       val c = Files.createTempDirectory("stream_gate_sem_ck").toString
@@ -439,10 +448,10 @@ class CorpusStreamMainSpec extends SparkSpec {
       try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
       spark.read.parquet(s"$o/batch=0").select("doc_id").as[Long].collect().toSet
     }
-    assert(published(Some(bench)) == Set(81L),
-      "the paraphrase must drop; the innocent must publish")
+    assert(published(Some(bench)) == Set(81L, 82L),
+      "the paraphrase must drop; the innocent AND its text twin must publish")
     assert(published(None) == Set(80L, 81L),
-      "without the semantic bench the paraphrase sails through (the gap the gate closes)")
+      "without the semantic bench the paraphrase sails through and wins the collapse")
     // a semantic bench without a vector side has nothing to probe with
     intercept[IllegalArgumentException] {
       CorpusStreamMain.start(
