@@ -131,4 +131,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert("SortMergeJoin".r.findAllIn(p).size == 3, p)
   }
+
+  test("q111: banded candidates only — no cartesian, no nested-loop, bench side joined by key") {
+    val p = plan("q111_semantic_decontaminate")
+    // the decontamination probe is the band equi-join + exact verify —
+    // the corpus never crosses the bench without a band collision
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // one final per-doc aggregation (partial + final pair on vec_id)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q112: the PPS pass is one source-keyed exchange — window and filter ride it") {
+    val p = plan("q112_pps_token_sample")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      "the cumulative axis must build on ONE source exchange:\n" + p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    // the scan reads only what the sample needs (doc_id, source, text)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      readSchema)
+  }
 }
