@@ -19,7 +19,7 @@ object Bench {
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
     "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate",
     "q74_canonical_pick", "q81_dup_stats", "q87_bloom_decontaminate",
-    "q92_dup_rate_by_source")
+    "q92_dup_rate_by_source", "q113_split_leakage")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
@@ -178,7 +178,8 @@ object Bench {
     ("q109_embed_dedup_lsh", 1.85, 2.89),
     ("q110_incremental_distinct", 0.34, 0.75),
     ("q111_semantic_decontaminate", 0.75, 1.2),
-    ("q112_pps_token_sample", 0.4, 0.8))
+    ("q112_pps_token_sample", 0.4, 0.8),
+    ("q113_split_leakage", 2.0, 3.9))
 
   private[graft] val RetimeFactor = 2.0
 

@@ -27,8 +27,10 @@ object TextOps {
 
   // q49/q50 defaults — interpolated into the oracle SQL so the two sides
   // cannot drift when a default changes
-  private val DefaultTrainUpper = "cc" // 204/256 ~ 80%
-  private val DefaultValUpper = "e6"   // +26/256 ~ 10%
+  // shared with DedupOps' split-leakage oracle (q113) so the split rule
+  // cannot drift between the splitter and its auditor
+  private[queries] val DefaultTrainUpper = "cc" // 204/256 ~ 80%
+  private[queries] val DefaultValUpper = "e6"   // +26/256 ~ 10%
   private val DefaultCapacity = 2048
   private val DefaultQuota = 10        // q55 per-domain cap
   private val DefaultSampleK = 25      // q71 per-source sample size
