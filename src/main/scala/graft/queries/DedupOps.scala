@@ -947,20 +947,18 @@ object DedupOps {
     // held-out set into training, and a within-split dedup can never see
     // it (FineWeb/Dolma-class pipelines dedup across splits for exactly
     // this). Rides the q31 pair producer (pairs are a few percent of
-    // docs at real dup rates); each pair is annotated with BOTH sides'
-    // deterministic splits (q49's md5 rule — the same Column, so the
-    // splitter and its auditor cannot drift) through two pair-sized
-    // broadcast-able joins, and only cross-split pairs survive. Empty
-    // output == the splits are leak-free at the near-dup threshold.
+    // docs at real dup rates); each side's deterministic split is q49's
+    // md5 rule computed IN PLACE on the pair's own id columns — the same
+    // Column, so the splitter and its auditor cannot drift, and ZERO
+    // joins (splitColumn's own no-rejoin rule: the split is a pure
+    // per-row function of the id, so joining a corpus-sized projection
+    // back would shuffle the corpus for a value the pair already
+    // carries). Only cross-split pairs survive; empty output == the
+    // splits are leak-free at the near-dup threshold.
     "q113_split_leakage" -> { (s, dir) =>
-      val pairs = minhashNearDup(shingled(s, dir))
-      val splits = Tables.documents(s, dir).select(col("doc_id"),
-        TextOps.splitColumn(col("doc_id")).as("split"))
-      pairs
-        .join(splits.select(col("doc_id").as("doc_a"),
-          col("split").as("split_a")), "doc_a")
-        .join(splits.select(col("doc_id").as("doc_b"),
-          col("split").as("split_b")), "doc_b")
+      minhashNearDup(shingled(s, dir))
+        .withColumn("split_a", TextOps.splitColumn(col("doc_a")))
+        .withColumn("split_b", TextOps.splitColumn(col("doc_b")))
         .filter(col("split_a") =!= col("split_b"))
         .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
           col("jaccard"))
@@ -1151,26 +1149,19 @@ object DedupOps {
       s"""$shingleCte,
          $minhashCandCte
          $minhashPairsSelect""",
-    // the q31 pair machinery + q49's split rule on both sides; only
-    // cross-split pairs survive
+    // the q31 pair machinery + q49's split rule (the SHARED SQL shape,
+    // TextOps.splitCaseSql) applied in place on both pair sides
     "q113_split_leakage" ->
       s"""$shingleCte,
          $minhashCandCte,
-         pairs AS ($minhashPairsSelect),
-         sp AS (
-           SELECT doc_id,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                    < '${TextOps.DefaultTrainUpper}' THEN 'train'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                    < '${TextOps.DefaultValUpper}' THEN 'val'
-                  ELSE 'test' END AS split
-           FROM documents)
-         SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
-           p.jaccard
-         FROM pairs p
-         JOIN sp sa ON sa.doc_id = p.doc_a
-         JOIN sp sb ON sb.doc_id = p.doc_b
-         WHERE sa.split <> sb.split""",
+         pairs AS ($minhashPairsSelect)
+         SELECT doc_a, doc_b,
+           ${TextOps.splitCaseSql("doc_a")} AS split_a,
+           ${TextOps.splitCaseSql("doc_b")} AS split_b,
+           jaccard
+         FROM pairs
+         WHERE ${TextOps.splitCaseSql("doc_a")}
+            <> ${TextOps.splitCaseSql("doc_b")}""",
     // pairs from the q31 machinery; within pairs attributed once, cross
     // pairs once per side; dup_rate is one division of exact longs
     "q92_dup_rate_by_source" ->

@@ -31,6 +31,14 @@ object TextOps {
   // cannot drift between the splitter and its auditor
   private[queries] val DefaultTrainUpper = "cc" // 204/256 ~ 80%
   private[queries] val DefaultValUpper = "e6"   // +26/256 ~ 10%
+
+  /** SQL mirror of [[splitColumn]] over an id EXPRESSION — one
+    * definition for the q49 oracle and DedupOps' q113 auditor, so the
+    * rule's SQL SHAPE (not just its cut constants) cannot drift. */
+  private[queries] def splitCaseSql(id: String): String =
+    s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '$DefaultTrainUpper' THEN 'train'
+              WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '$DefaultValUpper' THEN 'val'
+              ELSE 'test' END"""
   private val DefaultCapacity = 2048
   private val DefaultQuota = 10        // q55 per-domain cap
   private val DefaultSampleK = 25      // q71 per-source sample size
@@ -1523,9 +1531,7 @@ object TextOps {
     "q49_hash_split" ->
       s"""SELECT doc_id,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$DefaultTrainUpper' THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$DefaultValUpper' THEN 'val'
-                ELSE 'test' END AS split
+           ${splitCaseSql("doc_id")} AS split
          FROM documents""",
     "q50_pack_windows" ->
       s"""WITH t AS (
