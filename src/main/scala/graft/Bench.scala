@@ -179,7 +179,7 @@ object Bench {
     ("q110_incremental_distinct", 0.34, 0.75),
     ("q111_semantic_decontaminate", 0.75, 1.2),
     ("q112_pps_token_sample", 0.4, 0.8),
-    ("q113_split_leakage", 2.0, 3.9))
+    ("q113_split_leakage", 1.9, 3.9))
 
   private[graft] val RetimeFactor = 2.0
 
