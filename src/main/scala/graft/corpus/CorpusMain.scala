@@ -568,21 +568,28 @@ object CorpusMain {
           val allVecs = VectorSim.prepped(spark.read.parquet(embeddings.get))
           val corpusVecs = allVecs.join(
             docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-          // a doc with NO vectors row cannot be probed: for
+          // a doc with NO vectors row — or a ZERO-NORM one (the probe
+          // filters nrm > 0: a zero vector has no cosine to anything, so
+          // it can never reach the band join) — cannot be probed: for
           // DECONTAMINATION a silent skip means eval leakage publishes
-          // (a stale embedding pipeline looks exactly like this), so the
-          // gap is reported loudly — compactState's coverage rule
+          // (a stale embedding pipeline looks exactly like a missing
+          // row; a BROKEN one — all-zeros output — looks exactly like a
+          // zero norm), so both gaps are reported loudly —
+          // compactState's coverage rule
           val uncovered = docs.select(col("doc_id")).join(
-            allVecs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+            allVecs.filter(col("nrm") > 0).select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
           val sample = uncovered.limit(11).collect().map(_.getLong(0))
           if (sample.nonEmpty) {
             val shown = sample.take(10).mkString(", ") +
               (if (sample.length > 10) ", …" else "")
             log.error(s"semantic decontamination: doc(s) with no vectors " +
-              s"row pass UNPROBED (sample: $shown) — benchmark leakage " +
-              "among them publishes unchecked. Legitimate only if these " +
-              "docs never had embeddings; a stale or lagging vectors " +
-              "source looks exactly like this.")
+              s"row (or a zero-norm embedding) pass UNPROBED (sample: " +
+              s"$shown) — benchmark leakage among them publishes " +
+              "unchecked. Legitimate only if these docs never had " +
+              "embeddings; a stale or lagging vectors source (missing " +
+              "rows) or a broken embedding pipeline (all-zero vectors) " +
+              "looks exactly like this.")
           }
           // the audit keeps EVERY banded candidate (threshold -1 keeps
           // all verified cosines) with per-doc candidate/hit counts and

@@ -181,6 +181,12 @@ object CorpusStreamMain {
     // vector side there is nothing to probe with (CorpusMain's rule)
     require(semanticBench.isEmpty || state.hasVectors,
       "semanticBench was given without a vector side to probe with")
+    // CorpusMain.runWith's range guard, mirrored: a mistyped threshold
+    // (3, 30, ...) in the ALWAYS-ON gate would silently disable semantic
+    // decontamination — no cosine ever clears it, and eval leakage
+    // publishes unchecked for the gate's whole lifetime
+    require(semanticThreshold > -1 && semanticThreshold <= 1,
+      s"semantic-threshold must sit in (-1, 1], got $semanticThreshold")
     // the benchmark is FIXED for the gate's lifetime (a benchmark never
     // absorbs batches), so its prepped rows AND its band index persist
     // once out here — DataFrames are lazy, so without the persist every
@@ -195,22 +201,26 @@ object CorpusStreamMain {
     val semanticDrop = semBench.map { bench => (docs: DataFrame) =>
       val incVecs = state.vectorsSource.get.join(
         docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      // a batch doc with NO vectors row cannot be probed: for
-      // DECONTAMINATION a silent skip means eval leakage publishes (a
-      // stale embedding pipeline looks exactly like this), so the gap is
-      // reported loudly per batch — compactState's coverage rule
+      // a batch doc with NO vectors row — or a ZERO-NORM one (the probe
+      // filters nrm > 0, so a zero vector never reaches the band join)
+      // — cannot be probed: for DECONTAMINATION a silent skip means eval
+      // leakage publishes (a stale embedding pipeline looks exactly like
+      // a missing row; a broken all-zeros one exactly like a zero norm),
+      // so both gaps are reported loudly per batch — compactState's
+      // coverage rule
       val uncovered = docs.select(col("doc_id"))
-        .join(state.vectorsSource.get.select(col("vec_id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
+        .join(state.vectorsSource.get.filter(col("nrm") > 0)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
       val sample = uncovered.limit(11).collect().map(_.getLong(0))
       if (sample.nonEmpty) {
         val shown = sample.take(10).mkString(", ") +
           (if (sample.length > 10) ", …" else "")
-        log.error(s"semantic gate: batch doc(s) with no vectors row pass " +
-          s"UNPROBED (sample: $shown) — benchmark leakage among them " +
-          "publishes unchecked. Legitimate only if these docs never had " +
-          "embeddings; a stale or lagging vectors source looks exactly " +
-          "like this.")
+        log.error(s"semantic gate: batch doc(s) with no vectors row (or " +
+          s"a zero-norm embedding) pass UNPROBED (sample: $shown) — " +
+          "benchmark leakage among them publishes unchecked. Legitimate " +
+          "only if these docs never had embeddings; a stale or lagging " +
+          "vectors source (missing rows) or a broken embedding pipeline " +
+          "(all-zero vectors) looks exactly like this.")
       }
       VectorOps.lshNearDupAgainstIndex(incVecs, semIdx.get, bench,
           semanticThreshold)

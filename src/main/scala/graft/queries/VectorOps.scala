@@ -388,7 +388,14 @@ object VectorOps {
     * document on arrival. `corpus` supplies (vec_id, e, nrm) rows for the
     * exact-cosine verification of candidates; both joins are equi-joins
     * (band probe, then id lookup), so the plan is bucketed end-to-end —
-    * never all-pairs. */
+    * never all-pairs.
+    *
+    * Zero-norm incoming vectors are SKIPPED (nrm > 0 below — a zero
+    * vector has no cosine to anything), which for a decontamination
+    * caller means such a doc passes unprobed exactly like a doc with no
+    * vectors row at all: both gate mains fold zero-norm rows into their
+    * loud uncovered report for precisely this reason (an all-zeros
+    * embedding is the classic broken-pipeline symptom). */
   def lshNearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
       corpus: DataFrame, threshold: Double): DataFrame = {
     val inc = incoming.filter(col("nrm") > 0)

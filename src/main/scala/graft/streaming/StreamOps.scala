@@ -240,6 +240,13 @@ object StreamOps {
     * count — the granularity the stream==batch argument below is stated
     * at anyway).
     *
+    * Output-granularity change (r12): emission WAS per-event — an
+    * intermediate (n_seen, max_burst) row for every event that grew the
+    * max within a second — and is NOW per-second (one row per second
+    * that grows the max, carrying that second's final count). The
+    * latest row per user is unchanged, but a consumer that pinned the
+    * intra-second growth rows sees fewer, coarser emissions.
+    *
     * Stream == batch: events are processed in (event-time micros,
     * event_id) order; at the LAST event of each distinct second the
     * sliding sum equals the batch RANGE frame's peer-inclusive

@@ -459,6 +459,17 @@ class CorpusStreamMainSpec extends SparkSpec {
           .parquet(out),
         GateState.build(corpusDf), out, ckpt, semanticBench = Some(bench))
     }
+    // an out-of-range threshold (cosine lives in [-1, 1]) would silently
+    // disable the ALWAYS-ON semantic gate — no cosine ever clears 3 —
+    // so start() rejects it loudly, mirroring CorpusMain.runWith
+    for (bad <- Seq(3.0, 30.0, -1.0, 1.0001))
+      intercept[IllegalArgumentException] {
+        CorpusStreamMain.start(
+          spark.readStream.schema(rows.toDF("doc_id", "source", "text").schema)
+            .parquet(out),
+          GateState.build(corpusDf, vectors = Some((vecs, 0.9))), out, ckpt,
+          semanticBench = Some(bench), semanticThreshold = bad)
+      }
   }
 
   test("restart re-arms the VECTOR side: a vector-dup of a pre-restart accept drops") {
