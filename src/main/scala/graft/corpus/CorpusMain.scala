@@ -220,11 +220,19 @@ object CorpusMain {
     *     disagrees with the live corpus — every audit keeps describing
     *     the corpus on disk (the pipeline's own invariant).
     *
-    * NOT covered, by design: `quarantine/` holds raw UNPARSEABLE lines
-    * (no doc_id to address; a quarantined line never entered the
-    * corpus), and `normalize_stats/` / the sketch stats are per-source
-    * aggregates carrying no per-doc rows (the stats recompute above
-    * keeps them honest). Gate tables published via `--publish-*` are
+    *   - `quarantine/` rows whose raw line PARSES to one of the ids go
+    *     too ([[graft.sources.Jsonl.lineIdIn]] — the same schema-locked
+    *     parse as ingest): the quarantine channel is not only malformed
+    *     lines — a line that parsed as valid JSON and was quarantined
+    *     for a null in some OTHER required column carries a live doc_id
+    *     AND the subject's verbatim text (the raw line publishes by
+    *     design). Truly unparseable lines, and lines whose doc_id field
+    *     itself is null, have no id to address and stay — the honest
+    *     limit of id-keyed erasure.
+    *
+    * NOT covered, by design: `normalize_stats/` / the sketch stats are
+    * per-source aggregates carrying no per-doc rows (the stats recompute
+    * above keeps them honest). Gate tables published via `--publish-*` are
     * CATALOG tables, not dirs under output — purge them with
     * [[GateState.purgeDocs]]; a complete erasure is this call composed
     * with that one (plus `deleteWhere` on any warehouse copies).
@@ -263,6 +271,20 @@ object CorpusMain {
       else Some(name -> Warehouse.deleteWhere(spark, p.toString,
         hits(byCols: _*), maxConcurrentFiles))
     }.toMap
+    // the quarantine channel is addressed through its RAW line (its only
+    // columns are (line, file)): re-parse with the same locked schema the
+    // ingest used and delete rows whose parsed doc_id is in the purge set
+    // — parsed-but-null-quarantined lines carry a live id and the doc's
+    // verbatim text. deleteWhere's file-granularity rewrite applies
+    // unchanged; malformed / id-less lines evaluate FALSE (never null)
+    // under lineIdIn and survive.
+    val quarantineEntry = {
+      val p = new org.apache.hadoop.fs.Path(root, "quarantine")
+      if (!fs.exists(p)) None
+      else Some("quarantine" -> Warehouse.deleteWhere(spark, p.toString,
+        graft.sources.Jsonl.lineIdIn(col("line"), JsonlDocSchema, "doc_id", ids),
+        maxConcurrentFiles))
+    }
     val corpusPurged = swept.getOrElse("corpus", (0, 0L))._2
     // the mirror keys its re-derivation on ITS OWN hit count, never on
     // this run's corpus delete count: a crash (or a caller running
@@ -308,7 +330,7 @@ object CorpusMain {
         }
       if (stale) publishStats(spark, output)
     }
-    swept ++ mirrorEntry
+    swept ++ quarantineEntry ++ mirrorEntry
   }
 
   /** The JSONL mirror of the PUBLISHED corpus — one definition shared by

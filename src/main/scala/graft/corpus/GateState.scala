@@ -444,7 +444,11 @@ object GateState {
     * unnamed is a store left unscrubbed (the require below only stops
     * the all-empty no-op call). `output` additionally scrubs the
     * published batch directories (one pruned scan per directory; batch
-    * dirs are micro-batch sized). The compaction manifest needs no
+    * dirs are micro-batch sized) AND the per-batch quarantine dirs —
+    * a quarantined line that parsed as valid JSON with a null required
+    * field carries a live doc_id and the doc's verbatim text, so the
+    * purge re-parses each line and deletes the addressable ones (see
+    * the quarantine block below). The compaction manifest needs no
     * rewrite: it holds batch ids, not document data, and [[resume]]
     * correctly skips a compacted batch whose purged doc now exists
     * nowhere — which is exactly the post-purge contract: the gate no
@@ -493,7 +497,31 @@ object GateState {
           col("doc_id").isin(idList.map(Long.box): _*), maxConcurrentFiles)
       }
     }
-    (tables ++ batches).toMap
+    // the stream's per-batch quarantine dirs (`quarantine/batch=<id>`,
+    // columns (line, file)) hold raw JSONL lines — including VALID JSON
+    // quarantined only for a null in some other required column, which
+    // carries a live doc_id and the doc's verbatim text. Address them by
+    // re-parsing the line with the ingest's own parse projected to the
+    // id field ([[graft.sources.Jsonl.lineIdIn]] — the full ingest
+    // schema is corpus-derived at gate startup and not recorded here,
+    // but the id projection is its invariant part, and from_json field
+    // projection is the same parse). Malformed / id-less lines evaluate
+    // FALSE (never null) and survive — the honest limit of id-keyed
+    // erasure. One deleteWhere over the quarantine root sweeps every
+    // batch= partition at file granularity.
+    val quarantine = output.toSeq.flatMap { out =>
+      val q = new Path(s"$out/quarantine")
+      val fs = q.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(q)) None
+      else Some("quarantine" -> Warehouse.deleteWhere(spark, q.toString,
+        graft.sources.Jsonl.lineIdIn(col("line"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType))),
+          "doc_id", idList),
+        maxConcurrentFiles))
+    }
+    (tables ++ batches ++ quarantine).toMap
   }
 
   /** Batch ids already folded into the at-rest tables — the compaction

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -53,11 +53,7 @@ object Jsonl {
     // malformed lines surface through the corrupt column INSIDE the
     // parsed struct (from_json in PERMISSIVE mode), so parse state and
     // raw line coexist per row with no second read and no cache
-    val parseSchema = StructType(schema.fields :+
-      StructField(Corrupt, StringType, nullable = true))
-    val parsed = lines
-      .withColumn("_j", from_json(col("_line"), parseSchema,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)))
+    val parsed = lines.withColumn("_j", parse(col("_line"), schema))
     val broken = col("_j").isNull || col(s"_j.$Corrupt").isNotNull ||
       required.map(c => col(s"_j.$c").isNull).reduceOption(_ || _)
         .getOrElse(lit(false))
@@ -66,6 +62,44 @@ object Jsonl {
     val quarantine = parsed.filter(broken)
       .select(col("_line").as("line"), col("_file").as("file"))
     (good, quarantine)
+  }
+
+  /** THE parse — one definition behind [[read]], [[channels]], and
+    * [[lineIdIn]], so ingest and erasure can never disagree about what a
+    * raw line says: `from_json` in PERMISSIVE mode against `schema`
+    * widened with the internal corrupt-record column (malformed lines
+    * surface through it INSIDE the struct, so parse state and raw line
+    * coexist per row with no second read and no cache). */
+  private def parse(lineCol: Column, schema: StructType): Column =
+    from_json(lineCol, StructType(schema.fields :+
+        StructField(Corrupt, StringType, nullable = true)),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt))
+
+  /** Null-safe ERASURE predicate over a column of raw JSONL lines: TRUE
+    * iff the line parses (the same schema-locked PERMISSIVE [[parse]] as
+    * the ingest channels — one definition, so the purge addresses lines
+    * by exactly the id the pipeline would have read from them) to a row
+    * whose `idCol` is one of `ids`. The subtlety this helper exists for:
+    * quarantined lines include VALID JSON quarantined only for a null in
+    * some OTHER required column — those carry a live id and the
+    * document's verbatim text, so an erasure must reach them. A line
+    * that is malformed, or whose id field itself is null/absent, has no
+    * id to address and evaluates FALSE — never null, because this feeds
+    * `deleteWhere`'s `filter(!predicate)` keep-side rewrite, where a
+    * null would silently DELETE the unaddressable line it must keep.
+    * Matching deliberately ignores the corrupt flag on OTHER fields: if
+    * the id parses, the line is addressable, and erasure takes the
+    * maximal reading. */
+  def lineIdIn(lineCol: Column, schema: StructType, idCol: String,
+      ids: Seq[Long]): Column = {
+    validate(schema, None)
+    require(schema.fieldNames.contains(idCol),
+      s"lineIdIn: id column '$idCol' is not in the schema")
+    require(ids.nonEmpty, "lineIdIn: need at least one id")
+    coalesce(
+      parse(lineCol, schema).getField(idCol)
+        .isin(ids.distinct.map(Long.box): _*),
+      lit(false))
   }
 
   private def validate(schema: StructType,

@@ -1035,6 +1035,42 @@ class CorpusMainSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("purgeCurated reaches parsed-but-quarantined lines; unparseable lines survive") {
+    val root = Files.createTempDirectory("corpus_purge_quar").toString
+    val (in, out) = (s"$root/in", s"$root/out")
+    new java.io.File(s"$in/documents.jsonl").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in/documents.jsonl/dump.jsonl"),
+      java.util.List.of(
+        """{"doc_id": 1, "source": "src0", "text": "one clean document body with several words"}""",
+        // valid JSON quarantined only for a null required column: the
+        // raw line carries a LIVE doc_id and the subject's verbatim
+        // text — the erasure subclass the r12 review named
+        """{"doc_id": 2, "source": null, "text": "forgetme secret body text of the subject"}""",
+        """this line is not json at all""",
+        """{"doc_id": 3, "source": "src1", "text": "a second clean document body quite distinct"}"""))
+    CorpusMain.runWith(spark, in, out, format = "jsonl")
+    // precondition: both broken lines quarantined, doc 2's raw line on
+    // disk with its id and full text
+    val q0 = spark.read.parquet(s"$out/quarantine")
+      .select("line").collect().map(_.getString(0))
+    assert(q0.length == 2 && q0.exists(_.contains("forgetme")), q0.mkString("|"))
+
+    val report = CorpusMain.purgeCurated(spark, out, Seq(2L))
+    assert(report("quarantine")._1 >= 1 && report("quarantine")._2 == 1L,
+      report.toString)
+    // doc 2's addressable line is gone — id and text both; the truly
+    // unparseable line (no doc_id to address) survives
+    val q1 = spark.read.parquet(s"$out/quarantine")
+      .select("line").collect().map(_.getString(0))
+    assert(q1.length == 1 && q1.head.contains("not json"), q1.mkString("|"))
+    assert(!q1.exists(l => l.contains("forgetme") || l.contains("\"doc_id\": 2")))
+
+    // rerun: no-op on every store, quarantine included
+    val rerun = CorpusMain.purgeCurated(spark, out, Seq(2L))
+    assert(rerun.values.forall(_ == ((0, 0L))), rerun.toString)
+  }
+
   test("purgeCurated heals a mirror orphaned by a corpus-first delete (crash window)") {
     import spark.implicits._
     val tmpIn = Files.createTempDirectory("corpus_heal_in").toString

@@ -942,5 +942,17 @@ class CorpusStreamMainSpec extends SparkSpec {
       .select("line").as[String].collect().toSet
     assert(quarantined == Set("""this is not json at all""",
       """{"doc_id": 92, "source": "src0"}"""), quarantined.toString)
+
+    // erasure reaches the per-batch quarantine: doc 92's line is valid
+    // JSON with a live doc_id (quarantined only for the null text), so a
+    // purge must delete it; the unparseable line has no id to address
+    // and survives. Rerun is a no-op.
+    val report = GateState.purgeDocs(spark, Seq(92L), output = Some(out))
+    assert(report("quarantine")._2 == 1L, report.toString)
+    val left = spark.read.parquet(s"$out/quarantine")
+      .select("line").as[String].collect().toSeq
+    assert(left == Seq("""this is not json at all"""), left.toString)
+    val rerun = GateState.purgeDocs(spark, Seq(92L), output = Some(out))
+    assert(rerun("quarantine") == ((0, 0L)), rerun.toString)
   }
 }
