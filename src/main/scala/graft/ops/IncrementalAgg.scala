@@ -232,6 +232,93 @@ object IncrementalAgg {
     support.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as(distinctCol), sum(col(multCol)).as(multCol))
 
+  /** The fourth aggregate class a real serving layer needs (after
+    * [[maintain]]'s abelian count/sum, [[maintainExtrema]]'s at-risk
+    * min/max, and [[maintainDistinctSupport]]'s support-table distinct):
+    * per-key TOP-K — the k best (id, value) rows per key under the
+    * [[graft.expressions.TopKByScore]] total order (value descending,
+    * ties to the LOWER id). Min/max is the k = 1 special case, and the
+    * same IVM structure generalizes exactly as the r12 review predicted:
+    *
+    *   - ARRIVALS are algebraic: an insert (or the arriving half of an
+    *     update) can only improve a key's top-k, so folding the MV's
+    *     kept rows together with the arriving rows through the
+    *     `graft_topk` bounded-heap merge is exact — O(k) state per key,
+    *     map-side combinable, no base access;
+    *   - a DEPARTURE that misses every kept row cannot move the top-k
+    *     (it was already below the k-th kept value, and the post-delta
+    *     base only lost a non-contender), so it costs nothing;
+    *   - a departure that HITS a kept row (delete of a kept id, or
+    *     update re-scoring one) opens a slot whose refill — the (k+1)-th
+    *     best — the MV discarded, exactly [[maintainExtrema]]'s
+    *     "second-smallest is unknowable" problem generalized from 1 to
+    *     k: the key is AT RISK and recomputes its top-k from `base`,
+    *     the POST-delta fact table. Only those keys touch base.
+    *
+    * `mv` carries keyCols + `idCol` (bigint or string — graft_topk's id
+    * domain) + `valueCol` (numeric); `cdc` is [[maintain]]'s shape plus
+    * `idCol` (old_value/new_value carry the departing/arriving VALUE,
+    * the id names the row); `base` carries keyCols + idCol + valueCol.
+    * Returns the refreshed exploded MV — one row per kept (key, id,
+    * value), value widened to DOUBLE (graft_topk's buffer type, so the
+    * output is fold-stable: feeding it back as next refresh's `mv`
+    * round-trips). Cost: O(|delta| + |MV|) for the safe path (the
+    * at-risk probe is a delta-bounded broadcast semi/anti join) plus one
+    * semi-join-filtered aggregation of base whose OUTPUT is bounded by
+    * k x at-risk keys — bucket/partition base on the key so dynamic
+    * pruning cuts that scan's files, and a delta with no kept-row
+    * departures never reads base at all.
+    *
+    * Corruption visibility caveat (weaker than [[maintain]]'s negative
+    * count, stated honestly): a delete naming a (key, id) the MV never
+    * kept is indistinguishable from a legitimate below-threshold delete
+    * without consulting base, so it folds silently; deployments that
+    * need full delete auditing run [[maintain]]'s counts beside this
+    * (the intended pairing — one CDC feed, two views). A key whose
+    * at-risk recompute finds no base rows leaves the view (its group no
+    * longer exists). */
+  def maintainTopK(mv: DataFrame, cdc: DataFrame, base: DataFrame,
+      keyCols: Seq[String], k: Int, idCol: String = "id",
+      valueCol: String = "v"): DataFrame = {
+    require(keyCols.nonEmpty, "maintainTopK needs at least one key column")
+    require(k >= 1, s"maintainTopK needs k >= 1, got $k")
+    val op = col("op")
+    // evaluated per CDC row BEFORE the op-based routing below: an
+    // unknown op must fail the job loudly (maintain's rule), not fall
+    // through both filters and silently vanish from the fold
+    val checked = cdc.withColumn("_op",
+      when(op.isin("insert", "delete", "update"), op)
+        .otherwise(raise_error(concat(lit("unknown CDC op: "), op))))
+    val keyAndId = keyCols :+ idCol
+    val departing = checked.filter(col("_op") =!= "insert")
+      .select(keyAndId.map(col): _*)
+    // at-risk = keys where a departure hits a KEPT row; delta-bounded,
+    // so both the anti join (safe side) and semi join (base side) below
+    // broadcast it
+    val atRisk = mv.join(departing, keyAndId, "left_semi")
+      .select(keyCols.map(col): _*).distinct()
+    val arriving = checked.filter(col("_op") =!= "delete")
+      .select(keyCols.map(col) ++ Seq(col(idCol),
+        col("new_value").cast("double").as(valueCol)): _*)
+    def topK(rows: DataFrame): DataFrame = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(call_function("graft_topk",
+        col(valueCol), col(idCol), lit(k)).as("_top"))
+      .select(keyCols.map(col) :+ explode(col("_top")).as("_t"): _*)
+      .select(keyCols.map(col) ++
+        Seq(col("_t.id").as(idCol), col("_t.score").as(valueCol)): _*)
+    val safe = topK(
+      mv.select(keyCols.map(col) ++ Seq(col(idCol),
+          col(valueCol).cast("double").as(valueCol)): _*)
+        .unionByName(arriving)
+        .join(atRisk, keyCols, "left_anti"))
+    val recomputed = topK(
+      base.select(keyCols.map(col) ++ Seq(col(idCol),
+          col(valueCol).cast("double").as(valueCol)): _*)
+        .join(atRisk, keyCols, "left_semi"))
+    safe.unionByName(recomputed)
+  }
+
   private val AppliedMarker = "_applied_batch"
 
   /** The shared exactly-once fold harness behind all three `foreachBatch`
@@ -322,6 +409,22 @@ object IncrementalAgg {
     * [[foldExactlyOnce]] also releases maintainExtrema's checkpointed
     * merge after each publish — the per-trigger half of its block-release
     * contract. */
+  /** [[maintainAggBatch]] for the top-k view: the `foreachBatch` fold
+    * that maintains an at-rest exploded top-k MV via [[maintainTopK]].
+    * Same post-delta `baseDir` contract as [[maintainExtremaBatch]] —
+    * wire it downstream of the base table's own writer, never ahead of
+    * it. Per trigger: O(|batch| + |MV|) plus the at-risk keys' base
+    * aggregation. */
+  def maintainTopKBatch(mvDir: String, baseDir: String, keyCols: Seq[String],
+      k: Int, idCol: String = "id", valueCol: String = "v")(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit =
+    foldExactlyOnce(batch.sparkSession, mvDir, batchId)(
+      batch.select((keyCols :+ idCol).map(col): _*).limit(0)
+        .withColumn(valueCol, lit(null).cast("double")))(mv =>
+      maintainTopK(mv, batch.toDF(),
+        batch.sparkSession.read.parquet(baseDir), keyCols, k, idCol, valueCol))
+
   def maintainExtremaBatch(mvDir: String, baseDir: String, keyCols: Seq[String],
       valueCol: String = "v", countCol: String = "n_rows",
       sumCol: String = "sum_value", minCol: String = "min_value",

@@ -353,6 +353,47 @@ object Relational {
         Seq("o_custkey"))
     },
 
+    // Incremental MV maintenance for per-key TOP-K (ops/IncrementalAgg
+    // .maintainTopK): the fourth IVM class — q86's CDC story over the
+    // "3 best-priced orders per customer" serving view. Arrivals fold
+    // through the graft_topk bounded-heap merge; a delete/update hitting
+    // a KEPT row marks its key at-risk (maintainExtrema's trick
+    // generalized from 1 to k) and only those keys recompute from the
+    // post-delta base. The oracle is the direct row_number() top-3 of
+    // the final state under the same total order (value desc, ties to
+    // the lower id).
+    "q114_incremental_topk" -> { (s, dir) =>
+      val keyed = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("v"))
+      val base = keyed.filter(col("o_orderkey") % 10 =!= 0)
+      val mv = base.groupBy(col("o_custkey"))
+        .agg(call_function("graft_topk",
+          col("v"), col("o_orderkey"), lit(3)).as("t"))
+        .select(col("o_custkey"), explode(col("t")).as("t"))
+        .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+          col("t.score").as("v"))
+      val cdc = keyed
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, "insert")
+            .when(col("o_orderkey") % 7 === 0, "delete")
+            .when(col("o_orderkey") % 13 === 0, "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("o_custkey"), col("o_orderkey"),
+          when(col("op") =!= "insert", col("v")).as("old_value"),
+          when(col("op") === "insert", col("v"))
+            .when(col("op") === "update", (col("v") + 1).cast("decimal(18,4)"))
+            .as("new_value"))
+      // the post-delta fact state (maintainExtrema's base contract)
+      val post = keyed
+        .withColumn("v",
+          when(col("o_orderkey") % 10 === 0, col("v"))
+            .when(col("o_orderkey") % 13 === 0, (col("v") + 1).cast("decimal(18,4)"))
+            .otherwise(col("v")))
+        .filter(!(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0))
+      IncrementalAgg.maintainTopK(mv, cdc, post, Seq("o_custkey"),
+        k = 3, idCol = "o_orderkey", valueCol = "v")
+    },
+
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
     "q14_id_synth" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -409,6 +450,26 @@ object Relational {
          SELECT o_custkey, count(DISTINCT v) AS n_distinct,
            count(*) AS n_rows
          FROM f GROUP BY 1""",
+    // the final-state top-3 per customer under the SAME total order the
+    // bounded heap keeps (value desc, ties to the lower id) — the
+    // incremental fold must land on exactly these rows
+    "q114_incremental_topk" ->
+      """WITH f AS (
+           SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                  WHEN o_orderkey % 13 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS v
+           FROM orders
+           WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)),
+         r AS (
+           SELECT o_custkey, o_orderkey, v,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY v DESC, o_orderkey) AS rk
+           FROM f)
+         SELECT o_custkey, o_orderkey, CAST(v AS DOUBLE) AS v
+         FROM r WHERE rk <= 3""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

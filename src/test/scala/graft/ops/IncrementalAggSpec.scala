@@ -391,4 +391,151 @@ class IncrementalAggSpec extends SparkSpec {
     assert(sup.toSeq == Seq((7L, "ghost", -1L)),
       "corruption evidence must not be filtered away")
   }
+
+  // ---- per-key top-k (the fourth IVM class) ---------------------------
+
+  private def tfacts(rows: (Long, Long, String)*): DataFrame =
+    rows.toDF("k", "id", "v")
+      .select(col("k"), col("id"), col("v").cast("decimal(18,4)").as("v"))
+
+  private def topOf(base: DataFrame, kk: Int): DataFrame =
+    base.groupBy(col("k"))
+      .agg(call_function("graft_topk", col("v"), col("id"), lit(kk)).as("t"))
+      .select(col("k"), explode(col("t")).as("t"))
+      .select(col("k"), col("t.id").as("id"), col("t.score").as("v"))
+
+  private def tcdc(
+      rows: (String, Long, Long, Option[String], Option[String])*): DataFrame =
+    rows.toDF("op", "k", "id", "o", "n").select(col("op"), col("k"), col("id"),
+      col("o").cast("decimal(18,4)").as("old_value"),
+      col("n").cast("decimal(18,4)").as("new_value"))
+
+  private def collectTop(df: DataFrame): Map[Long, Set[(Long, Double)]] =
+    df.select(col("k"), col("id"), col("v").cast("double"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def applyTopCdc(base: DataFrame,
+      delta: Seq[(String, Long, Long, Option[String], Option[String])]): DataFrame = {
+    val deletes = delta.collect { case ("delete", k, id, _, _) => (k, id) }.toSet
+    val updates = delta.collect {
+      case ("update", k, id, _, Some(n)) => ((k, id), n) }.toMap
+    val inserts = delta.collect { case ("insert", k, id, _, Some(n)) => (k, id, n) }
+    val post = base.select(col("k"), col("id"), col("v").cast("string"))
+      .as[(Long, Long, String)].collect().toSeq
+      .filterNot { case (k, id, _) => deletes((k, id)) }
+      .map { case (k, id, v) => (k, id, updates.getOrElse((k, id), v)) } ++ inserts
+    tfacts(post: _*)
+  }
+
+  test("maintainTopK: arrivals fold via the heap; only a kept-row departure recomputes") {
+    // key 1 holds (10 -> 10.0, 20 -> 8.0) with 30 -> 5.0 discarded;
+    // key 2 holds its only row (40 -> 3.0)
+    val base = tfacts((1L, 10L, "10"), (1L, 20L, "8"), (1L, 30L, "5"),
+      (2L, 40L, "3"))
+    // delete key 1's KEPT 20: the slot refills with the discarded 30,
+    // which only the post-delta base remembers; key 2's insert is pure
+    // arrival algebra (no base access needed for it)
+    val delta = Seq[(String, Long, Long, Option[String], Option[String])](
+      ("delete", 1L, 20L, Some("8"), None),
+      ("insert", 2L, 50L, None, Some("9")))
+    val post = applyTopCdc(base, delta)
+    val got = collectTop(IncrementalAgg.maintainTopK(
+      topOf(base, 2), tcdc(delta: _*), post, Seq("k"), k = 2))
+    assert(got == Map(
+      1L -> Set((10L, 10.0), (30L, 5.0)),
+      2L -> Set((50L, 9.0), (40L, 3.0))), got.toString)
+  }
+
+  test("maintainTopK: a non-kept departure costs nothing and moves nothing") {
+    val base = tfacts((1L, 10L, "10"), (1L, 20L, "8"), (1L, 30L, "5"))
+    val delta = Seq[(String, Long, Long, Option[String], Option[String])](
+      ("delete", 1L, 30L, Some("5"), None))
+    val refreshed = IncrementalAgg.maintainTopK(
+      topOf(base, 2), tcdc(delta: _*), applyTopCdc(base, delta), Seq("k"), k = 2)
+    assert(collectTop(refreshed) == Map(1L -> Set((10L, 10.0), (20L, 8.0))))
+    // and the plan shape: never a cartesian, and the at-risk key set is
+    // BROADCAST into both the anti (safe side) and semi (base side)
+    // joins — delta-bounded, so neither corpus-sized side reshuffles for
+    // it. (The semi count is > 1 because atRisk's own mv-vs-departing
+    // probe is also a semi join, inlined into both referencing subtrees.)
+    val plan = refreshed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).nonEmpty,
+      s"base must be filtered by a broadcast at-risk semi join: $plan")
+  }
+
+  test("maintainTopK on a randomized CDC story agrees with full recompute") {
+    val rnd = new scala.util.Random(114)
+    val baseRows = (1 to 200).map(i => (rnd.nextInt(12).toLong, i.toLong,
+      s"${rnd.nextInt(100)}.${rnd.nextInt(100)}"))
+    val base = tfacts(baseRows: _*)
+    val targets = rnd.shuffle(baseRows).take(60)
+    val delta =
+      targets.take(30).map { case (k, id, v) =>
+        ("delete", k, id, Some(v), None) } ++
+      targets.drop(30).map { case (k, id, v) =>
+        ("update", k, id, Some(v),
+          Some(s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")) } ++
+      (1 to 25).map(i => ("insert", rnd.nextInt(14).toLong, 1000L + i, None,
+        Some(s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")))
+    val post = applyTopCdc(base, delta)
+    val got = collectTop(IncrementalAgg.maintainTopK(
+      topOf(base, 3), tcdc(delta: _*), post, Seq("k"), k = 3))
+    val want = collectTop(topOf(post, 3))
+    assert(got == want, "selective top-k maintenance must equal full recompute")
+  }
+
+  test("maintainTopK: unknown op fails the job loudly") {
+    val base = tfacts((1L, 10L, "10"))
+    val e = intercept[Exception] {
+      IncrementalAgg.maintainTopK(topOf(base, 2),
+        tcdc(("upsert", 1L, 11L, None, Some("5"))), base, Seq("k"), k = 2)
+        .collect()
+    }
+    assert(messages(e).exists(_.contains("unknown CDC op")), messages(e).toString)
+  }
+
+  test("maintainTopKBatch folds a CDC stream into an at-rest top-k MV, exactly-once on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("mvtopk").toString
+    val mvDir = root + "/mv"
+    val baseDir = root + "/base"
+    def landBase(rows: (Long, Long, String)*): Unit =
+      tfacts(rows: _*).write.mode("overwrite").parquet(baseDir)
+    val in = MemoryStream[(String, Long, Long, Option[String], Option[String])]
+    val cdcStream = in.toDF().toDF("op", "k", "id", "o", "n")
+      .select(col("op"), col("k"), col("id"),
+        col("o").cast("decimal(18,4)").as("old_value"),
+        col("n").cast("decimal(18,4)").as("new_value"))
+    val q = cdcStream.writeStream
+      .foreachBatch(
+        IncrementalAgg.maintainTopKBatch(mvDir, baseDir, Seq("k"), k = 2) _)
+      .start()
+    try {
+      landBase((1L, 10L, "10"), (1L, 20L, "8"), (1L, 30L, "5"))
+      in.addData(("insert", 1L, 10L, None, Some("10")),
+        ("insert", 1L, 20L, None, Some("8")),
+        ("insert", 1L, 30L, None, Some("5")))
+      q.processAllAvailable()
+      // delete the kept 20: the refill (30) lives only in base
+      landBase((1L, 10L, "10"), (1L, 30L, "5"))
+      in.addData(("delete", 1L, 20L, Some("8"), None))
+      q.processAllAvailable()
+    } finally q.stop()
+    def readMv() = collectTop(spark.read.parquet(mvDir))
+    val got = readMv()
+    assert(got == Map(1L -> Set((10L, 10.0), (30L, 5.0))), got.toString)
+    // a replayed micro-batch id must be a no-op (restart redelivery)
+    IncrementalAgg.maintainTopKBatch(mvDir, baseDir, Seq("k"), k = 2)(
+      tcdc(("insert", 1L, 40L, None, Some("100"))), 0L)
+    assert(readMv() == got, "batch id 0 was already applied: replay must not double-fold")
+    // a genuinely NEW batch id applies through the arrival algebra
+    landBase((1L, 10L, "10"), (1L, 30L, "5"), (1L, 40L, "100"))
+    IncrementalAgg.maintainTopKBatch(mvDir, baseDir, Seq("k"), k = 2)(
+      tcdc(("insert", 1L, 40L, None, Some("100"))), 99L)
+    assert(readMv() == Map(1L -> Set((40L, 100.0), (10L, 10.0))))
+  }
 }
