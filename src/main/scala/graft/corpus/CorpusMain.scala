@@ -108,7 +108,7 @@ object CorpusMain {
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
       "[--normalize true|false] [--cut-spans N] [--url-dedup true|false] " +
       "[--quota-heap true|false] [--quality-floor D] " +
-      "[--floor-threshold true|false]"
+      "[--floor-threshold true|false] [--audit-splits D]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
@@ -117,7 +117,7 @@ object CorpusMain {
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
         "normalize", "cut-spans", "url-dedup", "quota-heap",
-        "quality-floor", "floor-threshold"),
+        "quality-floor", "floor-threshold", "audit-splits"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -157,6 +157,7 @@ object CorpusMain {
     val quotaHeap = Cli.toBoolean(args, "quota-heap", usage).getOrElse(false)
     val qualityFloor = Cli.toDouble(args, "quality-floor", usage)
     val floorThreshold = Cli.toBoolean(args, "floor-threshold", usage).getOrElse(false)
+    val auditSplits = Cli.toDouble(args, "audit-splits", usage)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -185,7 +186,8 @@ object CorpusMain {
       qualityFloor,
       floorThreshold,
       semanticBench = args.get("semantic-bench"),
-      semanticThreshold = semanticThreshold)
+      semanticThreshold = semanticThreshold,
+      auditSplits = auditSplits)
     finally spark.stop()
   }
 
@@ -208,8 +210,10 @@ object CorpusMain {
     *     `quality_floor`) go by doc_id;
     *   - lineage/audit rows NAMING the doc go too: `canonical_map` /
     *     `embed_canonical_map` rows where it is either endpoint,
-    *     `near_dup_pairs` / `embed_dup_pairs` where it is either side,
-    *     `url_dedup` where it was dropped OR was the survivor;
+    *     `near_dup_pairs` / `embed_dup_pairs` / `split_leakage` where it
+    *     is either side, `url_dedup` where it was dropped OR was the
+    *     survivor (the `split_leakage_report/` aggregate then re-derives
+    *     from the purged evidence, like the stats);
     *   - the `corpus_jsonl/` mirror (JSON — no file-granular rewrite)
     *     re-derives from the purged corpus whenever the MIRROR ITSELF
     *     still carries any of the ids (counted directly, not inferred
@@ -262,6 +266,7 @@ object CorpusMain {
       "embed_canonical_map" -> Seq("doc_id", "canonical_id"),
       "near_dup_pairs" -> Seq("doc_a", "doc_b"),
       "embed_dup_pairs" -> Seq("doc_a", "doc_b"),
+      "split_leakage" -> Seq("doc_a", "doc_b"),
       "url_dedup" -> Seq("doc_id", "survivor_id"))
     val root = new org.apache.hadoop.fs.Path(output)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -330,6 +335,26 @@ object CorpusMain {
         }
       if (stale) publishStats(spark, output)
     }
+    // the split-leakage report is an aggregate of the pair EVIDENCE (no
+    // per-doc rows of its own), so like the stats it re-derives when its
+    // source moved: any purge hit on the corpus (share denominators) or
+    // the pair list, or — the crash-heal check — a summed pair count
+    // that disagrees with the live evidence (both sides pair-bounded,
+    // cheap). A purge that emptied the evidence re-derives to the empty
+    // report rather than leaving a stale one describing purged pairs.
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage_report")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage"))) {
+      val slPurged = swept.getOrElse("split_leakage", (0, 0L))._2
+      val stale = corpusPurged > 0 || slPurged > 0 || {
+        val reportPath = new org.apache.hadoop.fs.Path(root, "split_leakage_report")
+        val reported =
+          if (!dirHasData(fs, reportPath)) 0L
+          else spark.read.parquet(reportPath.toString)
+            .agg(coalesce(sum(col("n_pairs")), lit(0L))).collect()(0).getLong(0)
+        reported != readSplitLeakage(spark, output).count()
+      }
+      if (stale) publishSplitReport(spark, output)
+    }
     swept ++ quarantineEntry ++ mirrorEntry
   }
 
@@ -341,6 +366,47 @@ object CorpusMain {
     Warehouse.replaceDirWith(spark, s"$output/corpus_jsonl")(staging =>
       spark.read.parquet(s"$output/corpus")
         .write.partitionBy("split").json(staging))
+
+  /** The split-leakage summary (q115's shape) over the PUBLISHED corpus
+    * and the PUBLISHED pair evidence — one definition shared by the
+    * `--audit-splits` stage and [[purgeCurated]]'s re-derivation (the
+    * mirror/stats no-drift rule). A pair-evidence dir a purge emptied
+    * reads as zero pairs, not as a schema-inference crash. */
+  private def publishSplitReport(spark: SparkSession, output: String): Unit =
+    Warehouse.replaceDir(
+      DedupOps.splitLeakageReport(
+        spark.read.parquet(s"$output/corpus"),
+        readSplitLeakage(spark, output)),
+      s"$output/split_leakage_report")
+
+  private def readSplitLeakage(spark: SparkSession, output: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$output/split_leakage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && dirHasData(fs, p)) spark.read.parquet(p.toString)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_a", LongType),
+          StructField("doc_b", LongType), StructField("split_a", StringType),
+          StructField("split_b", StringType),
+          StructField("jaccard", DoubleType))))
+    }
+  }
+
+  /** Any visible (non-underscore, non-dot) data file under `p`? The
+    * guard every purge-time read needs: a dir a previous purge emptied
+    * of data files is a valid zero-row source, not an inference crash. */
+  private def dirHasData(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val n = it.next().getPath.getName
+      found = !n.startsWith(".") && !n.startsWith("_")
+    }
+    found
+  }
 
   /** The sketch-statistics + long-form composition reports over the
     * PUBLISHED corpus — shared by the `--stats` stage and
@@ -400,7 +466,8 @@ object CorpusMain {
       qualityFloor: Option[Double] = None,
       floorThreshold: Boolean = false,
       semanticBench: Option[String] = None,
-      semanticThreshold: Double = 0.3): Unit = {
+      semanticThreshold: Double = 0.3,
+      auditSplits: Option[Double] = None): Unit = {
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
@@ -439,6 +506,11 @@ object CorpusMain {
       "semantic-bench was given without embeddings to probe with")
     require(semanticThreshold > -1 && semanticThreshold <= 1,
       s"semantic-threshold must sit in (-1, 1], got $semanticThreshold")
+    // a jaccard threshold outside (0, 1] can never match a pair — the
+    // audit would run and publish an empty report, silently: the same
+    // silently-meaningless-config class as the guards above
+    require(auditSplits.forall(t => t > 0 && t <= 1),
+      s"audit-splits threshold must sit in (0, 1], got ${auditSplits.getOrElse(0.0)}")
     val raw = format match {
       case "jsonl" =>
         // a crawl dump's broken lines (malformed OR null-required-field)
@@ -462,7 +534,7 @@ object CorpusMain {
       publishVectors, quota, publishShingles, tokenBudget, chunk,
       chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
       urlDedup, quotaHeap, qualityFloor, floorThreshold,
-      semanticBench, semanticThreshold)
+      semanticBench, semanticThreshold, auditSplits)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -489,7 +561,8 @@ object CorpusMain {
       qualityFloor: Option[Double] = None,
       floorThreshold: Boolean = false,
       semanticBench: Option[String] = None,
-      semanticThreshold: Double = 0.3): Unit = {
+      semanticThreshold: Double = 0.3,
+      auditSplits: Option[Double] = None): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -837,6 +910,10 @@ object CorpusMain {
           Warehouse.retireDir(spark, s"$output/corpus_stats")
           Warehouse.retireDir(spark, s"$output/composition")
         }
+        if (auditSplits.isEmpty) {
+          Warehouse.retireDir(spark, s"$output/split_leakage")
+          Warehouse.retireDir(spark, s"$output/split_leakage_report")
+        }
         // optional JSONL mirror of the published corpus — the exchange
         // format tokenizer/trainer tooling consumes — derived from the
         // PUBLISHED parquet (so it can never diverge from it), swapped in
@@ -880,13 +957,37 @@ object CorpusMain {
         // overwrite is drop-and-recreate, not a swap: the only reader is
         // a gate at STARTUP, and a failed write is healed by rerunning —
         // never by serving a half-written index mid-stream.
-        // one re-shingle pass over the published corpus feeds both text
-        // at-rest artifacts: the (b,v)-bucketed band index and the
-        // doc_id-bucketed shingle table (the gate's probe and verify sides)
-        if (publishIndex.nonEmpty || publishShingles.nonEmpty) {
-          val pubSh = DedupOps.shingledOf(spark.read.parquet(s"$output/corpus"))
-          publishIndex.foreach(DedupOps.writeCorpusBandIndex(pubSh, _))
-          publishShingles.foreach(DedupOps.writeCorpusShingles(pubSh, _))
+        // one re-shingle pass over the published corpus feeds every text
+        // at-rest artifact that reads it: the (b,v)-bucketed band index,
+        // the doc_id-bucketed shingle table (the gate's probe and verify
+        // sides) — and the split-leakage audit's pair producer
+        if (publishIndex.nonEmpty || publishShingles.nonEmpty ||
+            auditSplits.nonEmpty) {
+          val pubSh = DedupOps.shingledOf(
+            spark.read.parquet(s"$output/corpus")).persist()
+          try {
+            publishIndex.foreach(DedupOps.writeCorpusBandIndex(pubSh, _))
+            publishShingles.foreach(DedupOps.writeCorpusShingles(pubSh, _))
+            // --audit-splits: the eval-hygiene audit run over what the
+            // run just SHIPPED (q113/q115 as a stage). The dedup stage
+            // collapses near-dups at ITS threshold regardless of split,
+            // so pairs above it cannot reach publication — what this
+            // audit catches is the band BELOW it (near-misses that still
+            // leak eval signal; the audit threshold is typically lower)
+            // and any banding-recall gap. Evidence first, then its
+            // rendering: split_leakage/ is q113's cross-split pair list
+            // over the published corpus, split_leakage_report/ is q115's
+            // per-(split_a, split_b) summary derived from the PUBLISHED
+            // pair evidence (evidence-then-read-back, like every audit).
+            auditSplits.foreach { t =>
+              Warehouse.replaceDir(
+                DedupOps.crossSplitPairs(DedupOps.minhashNearDup(pubSh, t))
+                  .select(col("doc_a"), col("doc_b"), col("split_a"),
+                    col("split_b"), col("jaccard")),
+                s"$output/split_leakage")
+              publishSplitReport(spark, output)
+            }
+          } finally { pubSh.unpersist(); () }
         }
         // the vector-space twins: over the PUBLISHED survivors' prepped
         // (vec_id, e, nrm) rows — what the streaming twin loads via

@@ -775,6 +775,56 @@ object DedupOps {
           / col("n_docs").cast("double")).as("dup_rate"))
   }
 
+  /** The cross-split filter behind q113: annotate a near-dup pair list
+    * with each side's deterministic split (q49's md5 rule computed IN
+    * PLACE on the pair's own id columns — the same Column as the
+    * splitter, so the two cannot drift, and zero joins: the split is a
+    * pure per-row function of the id) and keep only pairs whose sides
+    * land in different splits — each one is held-out data leaking into
+    * training at the near-dup threshold. */
+  def crossSplitPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("split_a", TextOps.splitColumn(col("doc_a")))
+      .withColumn("split_b", TextOps.splitColumn(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+
+  /** Cross-split leakage SUMMARY (q115): the q113 pair list rendered as
+    * the report an eval-hygiene pass actually reads — per directional
+    * (split_a, split_b): the cross-split pair count, how many DISTINCT
+    * docs on each side are implicated, and what share of that split's
+    * doc population they are (the number that says "0.4% of val leaks
+    * into train" instead of handing the reader a pair list). The pair
+    * list stays the evidence; this is its one-screen rendering — the
+    * same evidence + summary pairing as dup_stats over the components.
+    *
+    * Shape at scale: one aggregation of the (already pair-bounded)
+    * cross-split pair set at split-pair granularity (≤ |splits|² rows;
+    * the two distinct-counts expand the pair rows 3x before the
+    * aggregation — pair-bounded, never corpus-bounded), one
+    * low-cardinality count of the corpus per split, and two broadcast
+    * joins of the 3-row totals onto the ≤ 9-row report. Shares are one
+    * double division of exact longs (q92's dup_rate rule). */
+  def splitLeakageReport(docs: DataFrame, crossPairs: DataFrame): DataFrame = {
+    val totals = docs
+      .select(TextOps.splitColumn(col("doc_id")).as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_total"))
+    crossPairs
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+      .join(broadcast(totals.select(
+        col("split").as("split_a"), col("n_total").as("_ta"))), "split_a")
+      .join(broadcast(totals.select(
+        col("split").as("split_b"), col("n_total").as("_tb"))), "split_b")
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        (col("n_docs_a").cast("double") / col("_ta").cast("double"))
+          .as("share_a"),
+        (col("n_docs_b").cast("double") / col("_tb").cast("double"))
+          .as("share_b"))
+  }
+
   /** Cross-source overlap matrix (q84): for every unordered pair of
     * sources, how many DISTINCT word-3-gram shingles they share — the
     * provenance-leakage diagnostic read BEFORE mixing crawls: a hot pair
@@ -956,12 +1006,20 @@ object DedupOps {
     // carries). Only cross-split pairs survive; empty output == the
     // splits are leak-free at the near-dup threshold.
     "q113_split_leakage" -> { (s, dir) =>
-      minhashNearDup(shingled(s, dir))
-        .withColumn("split_a", TextOps.splitColumn(col("doc_a")))
-        .withColumn("split_b", TextOps.splitColumn(col("doc_b")))
-        .filter(col("split_a") =!= col("split_b"))
+      crossSplitPairs(minhashNearDup(shingled(s, dir)))
         .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
           col("jaccard"))
+    },
+
+    // CROSS-SPLIT leakage REPORT (q115): q113's pair list aggregated to
+    // the per-(split_a, split_b) summary — pair count, distinct docs
+    // implicated on each side, and the share of each split's population
+    // that is. The pair list is the evidence; this is the one-screen
+    // number an eval-hygiene review reads (and the shape CorpusMain's
+    // --audit-splits stage publishes beside it).
+    "q115_split_leakage_report" -> { (s, dir) =>
+      splitLeakageReport(Tables.documents(s, dir),
+        crossSplitPairs(minhashNearDup(shingled(s, dir))))
     },
 
     // Exact n-gram Jaccard via inverted-index (posting-list) self-join
@@ -1162,6 +1220,35 @@ object DedupOps {
          FROM pairs
          WHERE ${TextOps.splitCaseSql("doc_a")}
             <> ${TextOps.splitCaseSql("doc_b")}""",
+    // q113's cross-split pairs aggregated per (split_a, split_b) with
+    // distinct-doc counts and population shares; shares are one double
+    // division of exact longs (q92's rule)
+    "q115_split_leakage_report" ->
+      s"""$shingleCte,
+         $minhashCandCte,
+         pairs AS ($minhashPairsSelect),
+         x AS (
+           SELECT doc_a, doc_b,
+             ${TextOps.splitCaseSql("doc_a")} AS split_a,
+             ${TextOps.splitCaseSql("doc_b")} AS split_b
+           FROM pairs
+           WHERE ${TextOps.splitCaseSql("doc_a")}
+              <> ${TextOps.splitCaseSql("doc_b")}),
+         tot AS (
+           SELECT ${TextOps.splitCaseSql("doc_id")} AS split,
+             count(*) AS n_total
+           FROM documents GROUP BY 1),
+         agg AS (
+           SELECT split_a, split_b, count(*) AS n_pairs,
+             count(DISTINCT doc_a) AS n_docs_a,
+             count(DISTINCT doc_b) AS n_docs_b
+           FROM x GROUP BY 1, 2)
+         SELECT a.split_a, a.split_b, a.n_pairs, a.n_docs_a, a.n_docs_b,
+           CAST(a.n_docs_a AS DOUBLE) / CAST(ta.n_total AS DOUBLE) AS share_a,
+           CAST(a.n_docs_b AS DOUBLE) / CAST(tb.n_total AS DOUBLE) AS share_b
+         FROM agg a
+         JOIN tot ta ON a.split_a = ta.split
+         JOIN tot tb ON a.split_b = tb.split""",
     // pairs from the q31 machinery; within pairs attributed once, cross
     // pairs once per side; dup_rate is one division of exact longs
     "q92_dup_rate_by_source" ->

@@ -1035,6 +1035,72 @@ class CorpusMainSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("--audit-splits publishes the cross-split near-dup evidence + report; purge re-derives") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_auditsplit_in").toString
+    val out = Files.createTempDirectory("corpus_auditsplit_out").toString
+    // pick one train id and one non-train id with the pipeline's own
+    // splitter, so the planted pair is cross-split BY CONSTRUCTION
+    val splits = (1L to 60L).toDF("doc_id")
+      .select(col("doc_id"), graft.queries.TextOps.splitColumn(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val idA = (1L to 60L).find(splits(_) == "train").get
+    val idB = (1L to 60L).find(splits(_) != "train").get
+    val others = (1L to 60L).filter(i => i != idA && i != idB).take(4)
+    // A and B share a 28-token block with distinct 4-token tails:
+    // 30 shingles each, 26 shared -> jaccard 26/34 ~ 0.76 — BELOW the
+    // dedup threshold (0.8: both docs publish, the dedup pass cannot see
+    // the leak) but above the audit's 0.5 — exactly the near-miss band
+    // the audit exists for
+    val shared = (1 to 28).map(i => s"leak$i").mkString(" ")
+    val docs =
+      Seq((idA, "s", s"$shared a1 a2 a3 a4"), (idB, "s", s"$shared b1 b2 b3 b4")) ++
+        others.zipWithIndex.map { case (id, i) =>
+          (id, "s", (1 to 24).map(j => s"inno${i}x$j").mkString(" ")) }
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    CorpusMain.runWith(spark, tmpIn, out, auditSplits = Some(0.5))
+    // both sides of the planted pair published, in different splits
+    val pub = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(pub.contains(idA) && pub.contains(idB) &&
+      pub(idA) == "train" && pub(idB) != "train", pub.toString)
+    // the evidence: exactly the planted pair, cross-split, at its true
+    // jaccard; the report: its one-screen rendering with population
+    // shares over the published corpus
+    val pairs = spark.read.parquet(s"$out/split_leakage")
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+      .as[(Long, Long, String, String, Double)].collect()
+    assert(pairs.length == 1, pairs.mkString("|"))
+    val (pa, pb, sa, sb, j) = pairs.head
+    assert(Set(pa, pb) == Set(idA, idB) && sa != sb, pairs.head.toString)
+    assert(math.abs(j - 26.0 / 34.0) < 1e-9, j.toString)
+    val report = spark.read.parquet(s"$out/split_leakage_report")
+      .select("split_a", "split_b", "n_pairs", "n_docs_a", "n_docs_b",
+        "share_a", "share_b")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(report.length == 1, report.mkString("|"))
+    val (ra, rb, np, na, nb, sha, shb) = report.head
+    assert((ra, rb) == ((sa, sb)) && np == 1L && na == 1L && nb == 1L)
+    val totals = pub.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(math.abs(sha - 1.0 / totals(ra)) < 1e-12 &&
+      math.abs(shb - 1.0 / totals(rb)) < 1e-12, report.head.toString)
+
+    // erasure: purging one side removes the pair AND re-derives the
+    // report from the purged evidence (empty — no stale summary left
+    // describing pairs that no longer exist)
+    val purged = CorpusMain.purgeCurated(spark, out, Seq(idA))
+    assert(purged("split_leakage")._2 == 1L, purged.toString)
+    assert(spark.read.parquet(s"$out/split_leakage_report").count() == 0L)
+    val rerun = CorpusMain.purgeCurated(spark, out, Seq(idA))
+    assert(rerun.values.forall(_ == ((0, 0L))), rerun.toString)
+
+    // an audit-less rerun retires both artifacts (stale-evidence rule)
+    CorpusMain.runWith(spark, tmpIn, out)
+    assert(!new java.io.File(s"$out/split_leakage").exists())
+    assert(!new java.io.File(s"$out/split_leakage_report").exists())
+  }
+
   test("purgeCurated reaches parsed-but-quarantined lines; unparseable lines survive") {
     val root = Files.createTempDirectory("corpus_purge_quar").toString
     val (in, out) = (s"$root/in", s"$root/out")
