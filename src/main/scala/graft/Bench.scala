@@ -19,7 +19,8 @@ object Bench {
     "q33_ngram_jaccard", "q38_components", "q39_dedupe_corpus",
     "q48_neardup_gate", "q51_decontaminate", "q58_boilerplate",
     "q74_canonical_pick", "q81_dup_stats", "q87_bloom_decontaminate",
-    "q92_dup_rate_by_source", "q113_split_leakage")
+    "q92_dup_rate_by_source", "q113_split_leakage",
+    "q115_split_leakage_report")
 
   // Adjudicated per-query clean-run bands (seconds) at sf0.1 / local[32]:
   // lo ~ the fast steady-state, hi ~ the upper edge of the band observed
@@ -368,8 +369,14 @@ object Bench {
     // the full line above truncates mid-map and loses the headline (the
     // r11 verdict: BENCH_r10/r11 carried no recoverable total). This
     // compact trailer restates the adjudicated totals LAST, so any tail
-    // capture still carries a parseable summary.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${adjudicated.size},"failed":${failed.size},"flaky":${flaky.size},"retimed":${retimed.size},"sf":${js(sfDir)}}""")
+    // capture still carries a parseable summary — including the slowest
+    // queries (the r12 verdict: the per-query map truncated away, so the
+    // expensive-query plan audit needed a manual rerun; the top-10 IS
+    // that audit's working set, and ~500 bytes keeps the trailer inside
+    // any plausible tail capture).
+    val slowest = adjudicated.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (q, t) => s"[${js(q)},$t]" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${adjudicated.size},"failed":${failed.size},"flaky":${flaky.size},"retimed":${retimed.size},"slowest":$slowest,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

@@ -16,6 +16,33 @@ import graft.nba.{GameSide, Lineups}
   * in-place substitutions, so a late event would have to rewrite history —
   * reference semantics therefore map to "drop late rows", which is exactly
   * what a watermark + event-time ordering inside each micro-batch gives.
+  *
+  * ==State-schema compatibility (the upgrade contract)==
+  *
+  * Every stateful tracker here persists its state case class into the
+  * checkpoint through its Spark `Encoder` ([[FunnelState]],
+  * [[CounterState]], [[ModeState]], [[TopKState]], [[BurstState]],
+  * [[QuantileState]], [[AnomalyState]], and the lineup trackers' roster
+  * map), and Spark's state store offers NO schema evolution for
+  * flatMapGroupsWithState state: the serialized shape is the FIELD
+  * NAMES, TYPES, AND ORDER of the class at write time. A redeploy that
+  * adds, removes, reorders, or retypes a field and then restarts from an
+  * existing checkpoint is undefined behavior — at best a loud
+  * state-schema error, at worst silently misread state (the failure mode
+  * this note exists to prevent on a long-running gate). The contract:
+  *
+  *   - these state classes are FROZEN. A behavior change that needs more
+  *     state is a NEW tracker with a NEW state class and a new
+  *     checkpoint, never a field added to an existing one;
+  *   - a code-identical redeploy (same class shape, recompiled/restarted
+  *     process) restores cleanly — StreamOpsSpec pins this by stopping a
+  *     checkpointed query and resuming it with a fresh query instance;
+  *   - the supported upgrade path for a SHAPE change is the gate's own
+  *     operational story: drain the stream, let the at-rest tables
+  *     absorb ([[graft.corpus.GateState]] compaction), start the new
+  *     code with a NEW checkpoint dir and rebuild tracker state from the
+  *     at-rest truth — the same restart-from-tables path a checkpoint
+  *     loss already requires, which is why it needs no extra machinery.
   */
 object StreamOps {
 

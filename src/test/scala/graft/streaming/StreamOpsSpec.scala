@@ -70,6 +70,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed tracker state survives a code-identical redeploy (restart pin)") {
+    // the state-schema compatibility contract's positive half (see the
+    // StreamOps object scaladoc): stop a checkpointed stateful query,
+    // deliver more data, start a FRESH query instance over the same
+    // unchanged state class and checkpoint — the counter must CONTINUE
+    // from restored state, not restart from zero
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("restart_pin").toString
+    val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    // a DURABLE sink: the memory sink refuses checkpoint recovery, and a
+    // real gate writes files anyway
+    def startQuery() =
+      StreamOps.sinceLastSignup(in.toDS())
+        .toDF("event_id", "user_id", "n")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      in.addData((1L, ts(1), 10L, "click"), (1L, ts(2), 11L, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // delivered while the query is DOWN — the restarted instance picks it
+    // up from the committed source offsets
+    in.addData((1L, ts(3), 12L, "click"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).select("event_id", "n")
+      .as[(Long, Long)].collect().toMap
+    // event 12 counts 3, not 1: CounterState(n = 2) was RESTORED from
+    // the checkpoint by the second (code-identical) query instance
+    assert(got == Map(10L -> 1L, 11L -> 2L, 12L -> 3L),
+      s"restored state must continue the pre-restart count: $got")
+  }
+
   test("funnelProgress: cross-batch depth, tie rule, and stream == batch census") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String)]
