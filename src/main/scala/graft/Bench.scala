@@ -49,7 +49,20 @@ object Bench {
   // clean-run worst crossed the band (q20/q22/q27/q28/q29/q39, all
   // <= 1.27x) were raised to 1.05x the observed clean worst so a clean
   // run adjudicates with zero exceedances — the envelope's purpose.
-  // The seven provisional_hi entries (r11 loosenings) stay recorded
+  // Round 13: every lo refreshed again (min(prior, 0.9x best of three
+  // fresh clean runs, totals 62.0-67.4 s)); THREE of the seven r11
+  // provisional_hi bars RESTORED (q43/q48/q51 — worst-of-three clean
+  // runs back inside the pre-drift bar, the confirmation ADVICE.md's
+  // closure asked for); the other four stay loosened with their records
+  // kept (q42/q45/q46/q62 — clean observations still above the old bar,
+  // so restoring would make every clean run adjudicate dirty). The four
+  // r12-verdict wobble his (q40/q41/q42/q82, judge's clean run <= 1.06x
+  // over) folded to 1.05x the worst clean observation (judge run + the
+  // three r13 runs, one disturbed-run spike excluded per the retime
+  // philosophy — an isolated 1.4-1.9x spike contradicted by the runs
+  // around it is the r9 noise signal, not the steady state), and
+  // q46's retime-confirmed 0.798 took the same rule (0.78 -> 0.84).
+  // The remaining provisional_hi entries stay recorded
   // for restoration once drift is confirmed gone for good. Committed
   // beside BASELINE.md as BENCH_ENVELOPE.json — BenchEnvelopeSpec pins
   // that the file and this table never drift. Twice in nine rounds the single
@@ -63,38 +76,38 @@ object Bench {
   // r7 signal (real regression); one that collapses into the band is the
   // r9 signal (noise, already self-corrected in the total).
   private[graft] val envelope: Seq[(String, Double, Double)] = Seq(
-    ("q01_pricing_summary", 0.44, 0.85),
+    ("q01_pricing_summary", 0.404, 0.85),
     ("q02_project_filter", 0.129, 0.25),
     ("q03_filter_in_contains", 0.08, 0.15),
     ("q04_join_agg", 0.705, 1.3),
     ("q05_join_semi", 0.2, 0.35),
     ("q06_join_anti", 0.177, 0.3),
-    ("q07_broadcast_dims", 0.858, 1.3),
-    ("q08_distinct", 0.112, 0.2),
+    ("q07_broadcast_dims", 0.801, 1.3),
+    ("q08_distinct", 0.105, 0.2),
     ("q09_union", 0.094, 0.18),
-    ("q10_except", 0.22, 0.36),
-    ("q11_window_topn", 0.25, 0.5),
+    ("q10_except", 0.215, 0.36),
+    ("q11_window_topn", 0.245, 0.5),
     ("q12_sort_limit", 0.143, 0.45),
     ("q13_key_multiplicity", 0.257, 0.5),
     ("q14_id_synth", 0.1, 0.2),
-    ("q15_first_per_key", 0.193, 0.45),
+    ("q15_first_per_key", 0.191, 0.45),
     ("q16_sessionize", 0.277, 0.45),
     ("q17_collect_types", 0.15, 0.3),
     ("q18_asof_signup", 0.22, 0.5),
     ("q19_json_roundtrip", 0.289, 0.5),
-    ("q20_clock_math", 0.17, 0.32),
-    ("q21_season_parse", 0.26, 0.5),
-    ("q22_stint_agg", 0.321, 0.51),
+    ("q20_clock_math", 0.165, 0.32),
+    ("q21_season_parse", 0.232, 0.5),
+    ("q22_stint_agg", 0.295, 0.51),
     ("q23_stateful_scan", 0.224, 0.35),
     ("q24_first_match", 0.126, 0.22),
-    ("q25_interval_join", 0.35, 0.55),
+    ("q25_interval_join", 0.346, 0.55),
     ("q26_composite_delta", 0.424, 0.7),
-    ("q27_rollup_totals", 0.349, 0.67),
+    ("q27_rollup_totals", 0.333, 0.67),
     ("q28_lsh_bucketed_exact", 0.32, 0.89),
-    ("q29_repetition", 0.443, 0.8),
+    ("q29_repetition", 0.409, 0.8),
     ("q30_dedup_exact", 0.114, 0.25),
-    ("q31_minhash_lsh", 1.033, 1.5),
-    ("q32_simhash", 1.15, 1.67),
+    ("q31_minhash_lsh", 0.998, 1.5),
+    ("q32_simhash", 1.084, 1.67),
     ("q33_ngram_jaccard", 1.533, 2.85),
     ("q34_cosine_neardup", 0.2, 0.4),
     ("q35_ann_topk", 0.21, 0.5),
@@ -102,85 +115,88 @@ object Bench {
     ("q37_hyperplane_lsh", 0.594, 0.95),
     ("q38_components", 1.344, 2.95),
     ("q39_dedupe_corpus", 1.43, 2.14),
-    ("q40_token_count", 0.125, 0.22),
-    ("q41_quality_score", 0.15, 0.25),
-    ("q42_lang_id", 0.151, 0.26),
-    ("q43_fingerprint", 0.218, 0.49),
+    ("q40_token_count", 0.125, 0.24),
+    ("q41_quality_score", 0.15, 0.28),
+    ("q42_lang_id", 0.147, 0.28),
+    ("q43_fingerprint", 0.218, 0.28),
     ("q44_array_exists", 0.071, 0.15),
-    ("q45_tfidf_terms", 0.5, 0.93),
-    ("q46_kmeans", 0.424, 0.78),
+    ("q45_tfidf_terms", 0.477, 0.93),
+    ("q46_kmeans", 0.424, 0.84),
     ("q47_ivf_trained", 0.704, 1.1),
-    ("q48_neardup_gate", 0.989, 1.7),
-    ("q49_hash_split", 0.07, 0.12),
-    ("q50_pack_windows", 0.12, 0.2),
-    ("q51_decontaminate", 0.427, 0.67),
+    ("q48_neardup_gate", 0.942, 1.4),
+    ("q49_hash_split", 0.068, 0.12),
+    ("q50_pack_windows", 0.118, 0.2),
+    ("q51_decontaminate", 0.4, 0.55),
     ("q52_corpus_mix", 0.1, 0.17),
     ("q53_embed_dedup", 2.467, 4.7),
-    ("q54_vector_gate", 0.544, 0.8),
-    ("q55_domain_quota", 0.188, 0.45),
+    ("q54_vector_gate", 0.491, 0.8),
+    ("q55_domain_quota", 0.185, 0.45),
     ("q56_domain_quota_threshold", 0.5, 1.1),
     ("q57_token_budget_mix", 0.15, 0.45),
-    ("q58_boilerplate", 0.489, 1.2),
+    ("q58_boilerplate", 0.447, 1.2),
     ("q59_vocab_topk", 0.19, 0.55),
     ("q60_chunk_windows", 0.09, 0.3),
     ("q61_composition", 0.1, 0.3),
     ("q62_fuzzy_neardup", 0.15, 1.15),
-    ("q63_redact", 0.4, 0.6),
+    ("q63_redact", 0.33, 0.6),
     // r10: generate now materializes tokens before the lambda (was
     // re-splitting text per element) — 2.5-3.3 band dropped ~4x
-    ("q64_ngram_topk", 0.338, 1.2),
+    ("q64_ngram_topk", 0.31, 1.2),
     ("q65_funnel", 0.281, 0.8),
     ("q66_retention", 0.225, 0.8),
     ("q67_rolling_actives", 0.289, 1.2),
-    ("q68_change_intervals", 0.356, 1.1),
-    ("q69_top_paths", 0.465, 1.5),
+    ("q68_change_intervals", 0.345, 1.1),
+    ("q69_top_paths", 0.432, 1.5),
     ("q70_key_skew", 0.138, 0.85),
     ("q71_stratified_sample", 0.107, 0.85),
-    ("q72_attribution", 0.289, 1),
+    ("q72_attribution", 0.248, 1),
     // round-10 additions (local best-of-2 ranges, short history)
-    ("q73_lm_score", 0.659, 2),
-    ("q74_canonical_pick", 2, 3.8),
-    ("q75_daily_anomaly", 0.19, 0.8),
+    ("q73_lm_score", 0.629, 2),
+    ("q74_canonical_pick", 1.919, 3.8),
+    ("q75_daily_anomaly", 0.18, 0.8),
     ("q76_semantic_dedup", 0.4, 1.3),
-    ("q77_soft_quality", 0.275, 0.8),
+    ("q77_soft_quality", 0.266, 0.8),
     ("q78_length_quantiles", 0.129, 0.7),
     ("q79_asof_next", 0.226, 1),
     ("q80_windowed_funnel", 0.258, 1),
     ("q81_dup_stats", 1.632, 3.5),
-    ("q82_span_dedup", 1.3, 2.2),
+    ("q82_span_dedup", 1.251, 2.45),
     ("q83_funnel_latency", 0.302, 0.9),
-    ("q84_source_overlap", 1.1, 2),
-    ("q85_normalize", 0.141, 0.6),
+    ("q84_source_overlap", 1.001, 2),
+    ("q85_normalize", 0.136, 0.6),
     ("q86_incremental_agg", 0.25, 0.7),
     ("q87_bloom_decontaminate", 0.65, 1.8),
-    ("q88_decay_score", 0.219, 0.8),
+    ("q88_decay_score", 0.215, 0.8),
     ("q89_label_mode", 0.158, 0.6),
-    ("q90_cooccurrence", 0.505, 1.4),
-    ("q91_gap_histogram", 0.301, 1.1),
-    ("q92_dup_rate_by_source", 2.173, 6.6),
+    ("q90_cooccurrence", 0.486, 1.4),
+    ("q91_gap_histogram", 0.3, 1.1),
+    ("q92_dup_rate_by_source", 2.083, 6.6),
     ("q93_url_canonicalize", 0.2, 0.5),
     ("q94_url_dedup", 0.28, 0.6),
-    ("q95_burst_detect", 0.213, 0.9),
+    ("q95_burst_detect", 0.203, 0.9),
     ("q96_topk_per_source", 0.177, 1.1),
     ("q97_cluster_purity", 0.681, 2.2),
     ("q98_freshness", 0.204, 0.7),
     ("q99_returns_topk", 0.698, 2),
     ("q100_local_volume", 0.7, 1.5),
-    ("q101_quality_calibrated", 0.189, 1),
+    ("q101_quality_calibrated", 0.186, 1),
     // round-11 additions (local best-of-2 ranges, short history)
     ("q102_top_terms_per_source", 0.16, 0.9),
-    ("q103_funnel_collapsed", 0.4, 1),
+    ("q103_funnel_collapsed", 0.398, 1),
     ("q104_decay_skew_safe", 0.23, 1),
     ("q105_burst_skew_safe", 0.33, 0.9),
     ("q106_winsorize", 0.3, 0.9),
-    ("q107_asof_nearest", 0.31, 1.6),
-    ("q108_incremental_extrema", 0.575, 1.7),
+    ("q107_asof_nearest", 0.295, 1.6),
+    ("q108_incremental_extrema", 0.548, 1.7),
     // round-12 additions (local best-of-2 ranges, short history)
-    ("q109_embed_dedup_lsh", 1.85, 2.89),
+    ("q109_embed_dedup_lsh", 1.727, 2.89),
     ("q110_incremental_distinct", 0.34, 0.75),
-    ("q111_semantic_decontaminate", 0.75, 1.2),
-    ("q112_pps_token_sample", 0.4, 0.8),
-    ("q113_split_leakage", 1.9, 3.9))
+    ("q111_semantic_decontaminate", 0.353, 1.2),
+    ("q112_pps_token_sample", 0.123, 0.8),
+    ("q113_split_leakage", 1.017, 3.9),
+    // round-13 additions (local best-of-3 ranges, short history)
+    ("q114_incremental_topk", 0.6, 1.3),
+    ("q115_split_leakage_report", 1.19, 2.2))
 
   private[graft] val RetimeFactor = 2.0
 
@@ -191,26 +207,28 @@ object Bench {
     * regression on these queries is only caught at the LOOSENED hi, and
     * without this record the old bar would be unrecoverable. */
   private[graft] val provisionalHi: Map[String, Double] = Map(
-    "q42_lang_id" -> 0.22, "q43_fingerprint" -> 0.28,
-    "q45_tfidf_terms" -> 0.65, "q46_kmeans" -> 0.65,
-    "q48_neardup_gate" -> 1.4, "q51_decontaminate" -> 0.55,
-    "q62_fuzzy_neardup" -> 0.8)
+    "q42_lang_id" -> 0.22, "q45_tfidf_terms" -> 0.65,
+    "q46_kmeans" -> 0.65, "q62_fuzzy_neardup" -> 0.8)
 
   /** The committed-file rendering of [[envelope]] — one source of truth;
     * BenchEnvelopeSpec asserts BENCH_ENVELOPE.json equals this string. */
   private[graft] def envelopeJson: String = {
     val note = "Adjudicated per-query clean-run bands (seconds) at " +
-      "sf0.1 local[32], rounds 6-9 plus round-10/11/12 locals; lo " +
-      "re-derived in rounds 11-12 as min(prior lo, 0.9x best of four " +
-      "same-code runs), r12 his raised only where four clean zero-retime " +
-      "runs crossed the band (<= 1.27x wobble) or under the 1.15x-best " +
-      "rule (q32); noise-adjudicated runs excluded. Source of truth: " +
-      "Bench.envelope " +
+      "sf0.1 local[32], rounds 6-9 plus round-10/11/12/13 locals; lo " +
+      "re-derived each round since r11 as min(prior lo, 0.9x best of " +
+      "fresh same-code clean runs); his raised only where clean " +
+      "zero-retime runs (or the r12 judge run) crossed the band, to " +
+      "1.05x the worst clean observation, with isolated spikes " +
+      "contradicted by surrounding runs excluded as the r9 noise " +
+      "signal. Round 13 RESTORED three of the seven r11 provisional " +
+      "bars (q43/q48/q51 — worst-of-three clean runs back inside); the " +
+      "four still-loosened entries keep their provisional_hi records. " +
+      "Source of truth: Bench.envelope " +
       "(BenchEnvelopeSpec pins no drift). Bench re-times any query " +
       "observed above 2x hi and reports both numbers in the output's " +
       "'retimed' field; the per-query value is min(observed, retimed). " +
       "Entries carrying provisional_hi were loosened under the r11 host " +
-      "drift from that recorded pre-drift value; restore it once the " +
+      "drift from that recorded pre-drift value; restore each once its " +
       "drift is confirmed resolved."
     envelope.map { case (q, lo, hi) =>
       val prov = provisionalHi.get(q)
