@@ -291,6 +291,14 @@ object CorpusMain {
         maxConcurrentFiles))
     }
     val corpusPurged = swept.getOrElse("corpus", (0, 0L))._2
+    // a purge can legally erase EVERY published doc; deleteWhere then
+    // leaves the corpus dir with zero data files, and anything derived
+    // "from the published corpus" can no longer be re-derived (no schema
+    // to read) — the truthful rendering of derived artifacts over an
+    // empty corpus is their ABSENCE, so the blocks below RETIRE instead
+    // of re-deriving in that state
+    val corpusDir = new org.apache.hadoop.fs.Path(root, "corpus")
+    val corpusEmpty = fs.exists(corpusDir) && !dirHasData(fs, corpusDir)
     // the mirror keys its re-derivation on ITS OWN hit count, never on
     // this run's corpus delete count: a crash (or a caller running
     // deleteWhere on corpus/ first) can leave corpus rows already gone
@@ -299,25 +307,20 @@ object CorpusMain {
     // erasure non-compliance. Counting the mirror's hits directly makes
     // the rerun-no-op contract TRUE instead of assumed.
     val mirror = new org.apache.hadoop.fs.Path(root, "corpus_jsonl")
-    def mirrorHasData: Boolean = {
-      val it = fs.listFiles(mirror, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith(".") && !n.startsWith("_")
-      }
-      found
-    }
     val mirrorEntry =
       if (!fs.exists(mirror)) None
-      // a mirror a previous purge emptied (corpus fully erased) is a
-      // valid (0, 0) target, not a schema-inference crash
-      else if (!mirrorHasData) Some("corpus_jsonl" -> ((0, 0L)))
+      // a mirror a previous purge emptied or retired is a valid (0, 0)
+      // target, not a schema-inference crash
+      else if (!dirHasData(fs, mirror)) Some("corpus_jsonl" -> ((0, 0L)))
       else {
         val mirrorHits = spark.read.json(mirror.toString)
           .filter(hits("doc_id")).count()
         if (mirrorHits == 0) Some("corpus_jsonl" -> ((0, 0L)))
-        else {
+        else if (corpusEmpty) {
+          // nothing left to mirror: retiring IS the re-derivation here
+          Warehouse.retireDir(spark, s"$output/corpus_jsonl")
+          Some("corpus_jsonl" -> ((1, mirrorHits)))
+        } else {
           exportJsonlMirror(spark, output)
           Some("corpus_jsonl" -> ((1, mirrorHits)))
         }
@@ -327,13 +330,18 @@ object CorpusMain {
     // is (lang, source)-sized) — this also heals a crash between the
     // corpus delete and the stats recompute
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "corpus_stats"))) {
-      val stale = corpusPurged > 0 || mirrorEntry.exists(_._2._2 > 0) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(root, "composition")) || {
-          val counted = spark.read.parquet(s"$output/composition")
-            .agg(coalesce(sum(col("n_docs")), lit(0L))).collect()(0).getLong(0)
-          counted != spark.read.parquet(s"$output/corpus").count()
-        }
-      if (stale) publishStats(spark, output)
+      if (corpusEmpty) {
+        Warehouse.retireDir(spark, s"$output/corpus_stats")
+        Warehouse.retireDir(spark, s"$output/composition")
+      } else {
+        val stale = corpusPurged > 0 || mirrorEntry.exists(_._2._2 > 0) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(root, "composition")) || {
+            val counted = spark.read.parquet(s"$output/composition")
+              .agg(coalesce(sum(col("n_docs")), lit(0L))).collect()(0).getLong(0)
+            counted != spark.read.parquet(s"$output/corpus").count()
+          }
+        if (stale) publishStats(spark, output)
+      }
     }
     // the split-leakage report is an aggregate of the pair EVIDENCE (no
     // per-doc rows of its own), so like the stats it re-derives when its
@@ -345,6 +353,8 @@ object CorpusMain {
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage_report")) &&
         fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage"))) {
       val slPurged = swept.getOrElse("split_leakage", (0, 0L))._2
+      if (corpusEmpty) Warehouse.retireDir(spark, s"$output/split_leakage_report")
+      else {
       val stale = corpusPurged > 0 || slPurged > 0 || {
         val reportPath = new org.apache.hadoop.fs.Path(root, "split_leakage_report")
         val reported =
@@ -354,6 +364,7 @@ object CorpusMain {
         reported != readSplitLeakage(spark, output).count()
       }
       if (stale) publishSplitReport(spark, output)
+      }
     }
     swept ++ quarantineEntry ++ mirrorEntry
   }

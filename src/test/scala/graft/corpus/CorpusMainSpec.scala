@@ -1137,6 +1137,46 @@ class CorpusMainSpec extends SparkSpec {
     assert(rerun.values.forall(_ == ((0, 0L))), rerun.toString)
   }
 
+  test("purging EVERY published doc retires the corpus-derived artifacts instead of crashing") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_purge_all_in").toString
+    val out = Files.createTempDirectory("corpus_purge_all_out").toString
+    Seq(
+      (1L, "s", (1 to 20).map(i => s"alpha$i").mkString(" ")),
+      (2L, "s", (1 to 20).map(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    CorpusMain.runWith(spark, tmpIn, out, exportJsonl = true, stats = true,
+      auditSplits = Some(0.5))
+    // erase the WHOLE corpus: the legal degenerate case — deleteWhere
+    // leaves the corpus dir with zero data files, so nothing "derived
+    // from the published corpus" can be re-derived (no schema to read);
+    // the truthful rendering of derived artifacts over an empty corpus
+    // is their absence
+    val report = CorpusMain.purgeCurated(spark, out, Seq(1L, 2L))
+    assert(report("corpus")._2 == 2L, report.toString)
+    assert(report("corpus_jsonl")._2 == 2L, report.toString)
+    // no visible data file remains under corpus/ (a read would have no
+    // schema to infer — exactly why re-derivation must not be attempted)
+    def dataFiles(f: java.io.File): Seq[java.io.File] =
+      if (!f.exists()) Seq.empty
+      else if (f.isDirectory)
+        f.listFiles().filterNot(c =>
+          c.getName.startsWith(".") || c.getName.startsWith("_"))
+          .flatMap(dataFiles).toSeq
+      else Seq(f)
+    assert(dataFiles(new java.io.File(s"$out/corpus")).isEmpty)
+    for (d <- Seq("corpus_jsonl", "corpus_stats", "composition",
+        "split_leakage_report"))
+      assert(!new java.io.File(s"$out/$d").exists(),
+        s"$d must be retired when the corpus it describes is fully erased")
+    // rerun: no-op (the mirror/stats/report dirs are gone, the corpus
+    // has no rows to match)
+    val rerun = CorpusMain.purgeCurated(spark, out, Seq(1L, 2L))
+    assert(rerun.values.forall(_ == ((0, 0L))), rerun.toString)
+  }
+
   test("purgeCurated heals a mirror orphaned by a corpus-first delete (crash window)") {
     import spark.implicits._
     val tmpIn = Files.createTempDirectory("corpus_heal_in").toString
