@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * updates contribute their difference) that works for any aggregate with
   * an abelian-group structure (count, sum, and anything derived from them;
   * min/max need the base back only for the keys a departure puts at risk —
-  * [[maintainExtrema]] implements that selective-recompute extension).
+  * [[maintainExtrema]] implements that selective-recompute extension,
+  * [[maintainTopK]] generalizes it from 1 to k, and
+  * [[maintainDistinctSupport]] serves the class neither trick covers
+  * through a support table — the four aggregate classes a serving layer
+  * actually maintains).
   *
   * At 100 TB the point is the asymptotics: refreshing a per-key rollup
   * over a slowly-changing fact estate costs O(|delta| + |MV|) — one
@@ -321,7 +325,7 @@ object IncrementalAgg {
 
   private val AppliedMarker = "_applied_batch"
 
-  /** The shared exactly-once fold harness behind all three `foreachBatch`
+  /** The shared exactly-once fold harness behind all four `foreachBatch`
     * maintainers: recover the target dir, read the `_applied_batch`
     * marker (an underscore file — invisible to parquet readers, and
     * swapped atomically WITH the data it describes), SKIP a replayed

@@ -487,6 +487,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == want, "selective top-k maintenance must equal full recompute")
   }
 
+  test("maintainTopK: string ids ride graft_topk's widened id path (URL/term keys)") {
+    // real serving keys are often URLs or terms, not synthetic longs —
+    // graft_topk's string-id path (binary UTF-8 tie order) must survive
+    // the fold unchanged
+    val base = Seq((1L, "ur", "10"), (1L, "va", "8"), (1L, "zb", "5"))
+      .toDF("k", "id", "v")
+      .select(col("k"), col("id"), col("v").cast("decimal(18,4)").as("v"))
+    def top(rows: org.apache.spark.sql.DataFrame) = rows.groupBy(col("k"))
+      .agg(call_function("graft_topk", col("v"), col("id"), lit(2)).as("t"))
+      .select(col("k"), explode(col("t")).as("t"))
+      .select(col("k"), col("t.id").as("id"), col("t.score").as("v"))
+    val delta = Seq(("delete", 1L, "va", Some("8"), Option.empty[String]))
+      .toDF("op", "k", "id", "o", "n").select(col("op"), col("k"), col("id"),
+        col("o").cast("decimal(18,4)").as("old_value"),
+        col("n").cast("decimal(18,4)").as("new_value"))
+    val post = base.filter(col("id") =!= "va")
+    val got = IncrementalAgg.maintainTopK(top(base), delta, post, Seq("k"),
+        k = 2, idCol = "id")
+      .select(col("k"), col("id"), col("v").cast("double"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "ur", 10.0), (1L, "zb", 5.0)), got.toString)
+  }
+
   test("maintainTopK: unknown op fails the job loudly") {
     val base = tfacts((1L, 10L, "10"))
     val e = intercept[Exception] {
