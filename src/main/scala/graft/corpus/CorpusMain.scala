@@ -313,7 +313,16 @@ object CorpusMain {
       // target, not a schema-inference crash
       else if (!dirHasData(fs, mirror)) Some("corpus_jsonl" -> ((0, 0L)))
       else {
-        val mirrorHits = spark.read.json(mirror.toString)
+        // schema LOCKED to the id projection: inference would read the
+        // whole mirror once just to discover columns the hit count never
+        // touches — on a corpus-sized mirror that is a full extra pass
+        // (the r12 review's watch item); doc_id alone both parses every
+        // mirror line and is the only field the predicate needs
+        val mirrorHits = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType))))
+          .json(mirror.toString)
           .filter(hits("doc_id")).count()
         if (mirrorHits == 0) Some("corpus_jsonl" -> ((0, 0L)))
         else if (corpusEmpty) {
