@@ -306,4 +306,46 @@ class DedupOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Double)].collect().head
     assert(got == (("s", 4L, 3L, 3L, 0L, 0.75)), got.toString)
   }
+
+  test("splitLeakageReport: hand-computed shares, distinct docs count once, broadcast totals") {
+    import org.apache.spark.sql.functions.col
+    // resolve each id's split with the library's own splitter so the
+    // fixture can be built cross-split BY CONSTRUCTION
+    val splits = (1L to 80L).toDF("doc_id")
+      .select(col("doc_id"), TextOps.splitColumn(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val train = (1L to 80L).filter(splits(_) == "train")
+    val other = (1L to 80L).filter(splits(_) != "train")
+    // corpus: 6 train docs + 3 non-train docs
+    val ids = train.take(6) ++ other.take(3)
+    val docs = ids.toDF("doc_id")
+    // one train doc (t0) near-dups TWO held-out docs; a second pair
+    // reuses t0 — distinct-doc counts must count t0 ONCE per side pair
+    val t0 = train.head
+    val (h0, h1) = (other.head, other(1))
+    val pairs = Seq((t0, h0, 0.9), (t0, h1, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+      .withColumn("split_a", TextOps.splitColumn(col("doc_a")))
+      .withColumn("split_b", TextOps.splitColumn(col("doc_b")))
+    val report = DedupOps.splitLeakageReport(docs, pairs)
+    val rows = report
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    // h0 and h1 may sit in different non-train splits: group by split_b
+    val bySplitB = rows.map(r => r._2 -> r).toMap
+    val totals = ids.groupBy(splits).view.mapValues(_.size.toLong).toMap
+    var pairsSeen = 0L
+    for ((sb, (sa, _, np, na, nb, sha, shb)) <- bySplitB) {
+      assert(sa == "train")
+      pairsSeen += np
+      assert(na == 1L, s"t0 must count once on the a side: $rows")
+      assert(math.abs(sha - 1.0 / totals("train")) < 1e-12)
+      assert(math.abs(shb - nb.toDouble / totals(sb)) < 1e-12)
+    }
+    assert(pairsSeen == 2L, rows.mkString("|"))
+    // plan: the 3-row totals broadcast onto the report — the pair set
+    // never sort-merge-joins the corpus
+    val plan = report.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2, plan)
+  }
 }
