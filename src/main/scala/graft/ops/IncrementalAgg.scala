@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   * pays. Correctness relies on exact addition: integer counts always, and
   * DECIMAL (never double) value sums, because `sum(base) + sum(delta) =
   * sum(all)` holds bit-exactly in decimal under ANY grouping or order.
+  *
+  * ==Intra-batch event multiplicity (the CDC feed contract)==
+  *
+  * The ALGEBRAIC maintainers ([[maintain]], [[maintainDistinctSupport]])
+  * tolerate multiple events for the same physical row inside one batch —
+  * an insert-then-update chain contributes `new + (newer - new)` to the
+  * sum and `+1@v, -1@v, +1@v'` to the support table, both exactly the
+  * net effect, in any order (spec-pinned). The SELECTIVE-RECOMPUTE
+  * maintainers ([[maintainExtrema]], [[maintainTopK]]) do NOT: they
+  * treat each arriving value as a candidate that exists in the post
+  * state, so an intra-batch chain (insert 5 then update it to 50) would
+  * leave the superseded 5 as a live candidate. Their contract is AT MOST
+  * ONE EVENT PER PHYSICAL ROW PER BATCH — which this library's own CDC
+  * producer guarantees by construction
+  * ([[graft.sources.Warehouse.snapshotDiff]] full-outer-joins on the
+  * key, so each row yields at most one added/removed/changed event per
+  * diff); a deployment feeding a raw multi-event log (e.g. an
+  * uncompacted binlog) must compact to net events per row first — the
+  * standard CDC-consumer discipline, stated here rather than assumed.
   */
 object IncrementalAgg {
 
@@ -92,7 +111,11 @@ object IncrementalAgg {
     * `mv` carries keyCols + countCol/sumCol/minCol/maxCol; `base`
     * carries keyCols + `valueCol`. Negative-count corruption keys stay
     * visible (maintain's rule); their extrema come from base, which at
-    * that point is the only trustworthy witness.
+    * that point is the only trustworthy witness. Feed contract: at most
+    * one event per physical row per batch (see the object scaladoc —
+    * an intra-batch insert-then-update chain would leave the superseded
+    * value as a live extremum candidate; snapshotDiff satisfies this by
+    * construction).
     *
     * Block-release contract: the merged (MV-sized) frame is lazily
     * localCheckpoint'ed so it evaluates ONCE per refresh instead of once
@@ -272,6 +295,11 @@ object IncrementalAgg {
     * k x at-risk keys — bucket/partition base on the key so dynamic
     * pruning cuts that scan's files, and a delta with no kept-row
     * departures never reads base at all.
+    *
+    * Feed contract: at most one event per physical row per batch (see
+    * the object scaladoc — an intra-batch insert-then-update chain for
+    * one id would leave the superseded value as a second live candidate
+    * under the same id; snapshotDiff satisfies this by construction).
     *
     * Corruption visibility caveat (weaker than [[maintain]]'s negative
     * count, stated honestly): a delete naming a (key, id) the MV never

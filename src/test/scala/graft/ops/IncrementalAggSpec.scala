@@ -392,6 +392,24 @@ class IncrementalAggSpec extends SparkSpec {
       "corruption evidence must not be filtered away")
   }
 
+  test("intra-batch event chains net out exactly in the ALGEBRAIC classes (feed-contract exempt half)") {
+    // one physical row inserted THEN updated inside one batch — the
+    // multi-event feed the object scaladoc's contract discusses. The
+    // algebraic maintainers must land on the net effect; the
+    // selective-recompute classes (extrema, top-k) document the
+    // one-event-per-row contract instead (snapshotDiff satisfies it by
+    // construction: full outer on the key, one event per row per diff).
+    val got = collectMv(IncrementalAgg.maintain(mvOf(facts()),
+      cdc(("insert", 1L, None, Some("5")),
+        ("update", 1L, Some("5"), Some("50"))), Seq("k")))
+    assert(got == Map(1L -> ((1L, dec("50")))), got.toString)
+    val sup = IncrementalAgg.maintainDistinctSupport(supportOf(sfacts()),
+      scdc(("insert", 1L, None, Some("a")),
+        ("update", 1L, Some("a"), Some("b"))), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sup == Seq((1L, "b", 1L)), sup.toString)
+  }
+
   // ---- per-key top-k (the fourth IVM class) ---------------------------
 
   private def tfacts(rows: (Long, Long, String)*): DataFrame =
