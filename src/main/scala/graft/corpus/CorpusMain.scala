@@ -287,7 +287,8 @@ object CorpusMain {
       val p = new org.apache.hadoop.fs.Path(root, "quarantine")
       if (!fs.exists(p)) None
       else Some("quarantine" -> Warehouse.deleteWhere(spark, p.toString,
-        graft.sources.Jsonl.lineIdIn(col("line"), JsonlDocSchema, "doc_id", ids),
+        graft.sources.Jsonl.lineIdIn(col("line"),
+          graft.sources.Jsonl.idProjection("doc_id"), "doc_id", ids),
         maxConcurrentFiles))
     }
     val corpusPurged = swept.getOrElse("corpus", (0, 0L))._2
@@ -313,32 +314,52 @@ object CorpusMain {
       // target, not a schema-inference crash
       else if (!dirHasData(fs, mirror)) Some("corpus_jsonl" -> ((0, 0L)))
       else {
-        // schema LOCKED to the id projection: inference would read the
-        // whole mirror once just to discover columns the hit count never
-        // touches — on a corpus-sized mirror that is a full extra pass
-        // (the r12 review's watch item); doc_id alone both parses every
-        // mirror line and is the only field the predicate needs
-        val mirrorHits = spark.read
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType))))
-          .json(mirror.toString)
-          .filter(hits("doc_id")).count()
-        if (mirrorHits == 0) Some("corpus_jsonl" -> ((0, 0L)))
-        else if (corpusEmpty) {
-          // nothing left to mirror: retiring IS the re-derivation here
+        if (corpusEmpty) {
+          // nothing left to mirror: retiring IS the re-derivation, and it
+          // must NOT be gated on this run's ids hitting the mirror — a
+          // prior purge can have emptied the corpus and crashed before
+          // its own mirror block, leaving a full-text mirror describing
+          // an erased corpus that a LATER purge (different ids, zero
+          // hits) would otherwise skip right past. Reported rows = the
+          // WHOLE mirror (everything the retire removes), counted
+          // through the same locked one-column read as the hit probe.
+          val removed = spark.read
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType))))
+            .json(mirror.toString).count()
           Warehouse.retireDir(spark, s"$output/corpus_jsonl")
-          Some("corpus_jsonl" -> ((1, mirrorHits)))
+          Some("corpus_jsonl" -> ((1, removed)))
         } else {
-          exportJsonlMirror(spark, output)
-          Some("corpus_jsonl" -> ((1, mirrorHits)))
+          // schema LOCKED to the id projection: inference would read the
+          // whole mirror once just to discover columns the hit count
+          // never touches — on a corpus-sized mirror that is a full
+          // extra pass (the r12 review's watch item); doc_id alone both
+          // parses every mirror line and is the only field the
+          // predicate needs
+          val mirrorHits = spark.read
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType))))
+            .json(mirror.toString)
+            .filter(hits("doc_id")).count()
+          if (mirrorHits == 0) Some("corpus_jsonl" -> ((0, 0L)))
+          else {
+            exportJsonlMirror(spark, output)
+            Some("corpus_jsonl" -> ((1, mirrorHits)))
+          }
         }
       }
     // stats carry no per-doc rows to count, so their staleness check is
     // the composition row-count vs the live corpus (cheap: composition
     // is (lang, source)-sized) — this also heals a crash between the
     // corpus delete and the stats recompute
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, "corpus_stats"))) {
+    // gate on EITHER stats dir: a crash between the two retires below
+    // must be healable by rerun (retiring corpus_stats first and dying
+    // would otherwise orphan composition forever)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "corpus_stats")) ||
+        (corpusEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(root, "composition")))) {
       if (corpusEmpty) {
         Warehouse.retireDir(spark, s"$output/corpus_stats")
         Warehouse.retireDir(spark, s"$output/composition")
@@ -364,13 +385,37 @@ object CorpusMain {
       val slPurged = swept.getOrElse("split_leakage", (0, 0L))._2
       if (corpusEmpty) Warehouse.retireDir(spark, s"$output/split_leakage_report")
       else {
+      val reportPath = new org.apache.hadoop.fs.Path(root, "split_leakage_report")
       val stale = corpusPurged > 0 || slPurged > 0 || {
-        val reportPath = new org.apache.hadoop.fs.Path(root, "split_leakage_report")
-        val reported =
-          if (!dirHasData(fs, reportPath)) 0L
-          else spark.read.parquet(reportPath.toString)
+        if (!dirHasData(fs, reportPath))
+          // an absent-content report is stale iff evidence exists
+          readSplitLeakage(spark, output).count() != 0
+        else {
+          val rep = spark.read.parquet(reportPath.toString)
+          val reported = rep
             .agg(coalesce(sum(col("n_pairs")), lit(0L))).collect()(0).getLong(0)
-        reported != readSplitLeakage(spark, output).count()
+          // two crash windows heal here: pair-count drift (a crash
+          // between the pair sweep and the re-derivation) AND
+          // denominator drift (a crash between the CORPUS sweep and the
+          // re-derivation — the report publishes its totals precisely so
+          // this check can exist; shares alone carry no evidence of
+          // what they divided by). The totals probe reads one partition
+          // column of the corpus; rows.isEmpty skips it for the empty
+          // report, whose shares describe nothing.
+          reported != readSplitLeakage(spark, output).count() || {
+            val claimed = rep.select(col("split_a").as("s"),
+                col("n_total_a").as("n"))
+              .unionByName(rep.select(col("split_b").as("s"),
+                col("n_total_b").as("n")))
+              .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+            claimed.nonEmpty && {
+              val live = spark.read.parquet(s"$output/corpus")
+                .groupBy(col("split")).agg(count(lit(1)).as("n"))
+                .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+              claimed.exists { case (sp, n) => !live.get(sp).contains(n) }
+            }
+          }
+        }
       }
       if (stale) publishSplitReport(spark, output)
       }

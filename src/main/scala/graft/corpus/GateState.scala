@@ -515,10 +515,7 @@ object GateState {
       if (!fs.exists(q)) None
       else Some("quarantine" -> Warehouse.deleteWhere(spark, q.toString,
         graft.sources.Jsonl.lineIdIn(col("line"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType))),
-          "doc_id", idList),
+          graft.sources.Jsonl.idProjection("doc_id"), "doc_id", idList),
         maxConcurrentFiles))
     }
     (tables ++ batches ++ quarantine).toMap

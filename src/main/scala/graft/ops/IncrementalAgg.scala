@@ -44,6 +44,13 @@ import org.apache.spark.sql.functions._
   * diff); a deployment feeding a raw multi-event log (e.g. an
   * uncompacted binlog) must compact to net events per row first — the
   * standard CDC-consumer discipline, stated here rather than assumed.
+  *
+  * Null keys: every maintainer merges on key EQUALITY, which can never
+  * address a null key — the merge would manufacture a spurious second
+  * null-key row instead of updating the group (silent divergence). All
+  * four maintainers therefore fail loudly on a CDC row with a null key
+  * (and, for top-k, a null id); a null-key group in the base/MV is
+  * untargetable by definition and simply passes through.
   */
 object IncrementalAgg {
 
@@ -65,8 +72,16 @@ object IncrementalAgg {
       countCol: String = "n_rows", sumCol: String = "sum_value"): DataFrame = {
     require(keyCols.nonEmpty, "maintain needs at least one key column")
     val op = col("op")
+    // null keys fail loudly: every merge below joins on key EQUALITY, so
+    // a null-key CDC row could never address its MV group — it would
+    // full-outer into a spurious second null-key row instead (silent
+    // divergence, the failure mode the unknown-op guard exists for too)
+    val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
     val dCount: Column =
-      when(op === "insert", 1L).when(op === "delete", -1L)
+      when(nullKey, raise_error(lit(
+        "CDC row with a null key column: equality joins cannot address " +
+          "it (incremental maintenance requires non-null keys)")))
+        .when(op === "insert", 1L).when(op === "delete", -1L)
         .when(op === "update", 0L)
         .otherwise(raise_error(concat(lit("unknown CDC op: "), op)))
     val dSum: Column =
@@ -131,8 +146,16 @@ object IncrementalAgg {
       minCol: String = "min_value", maxCol: String = "max_value"): DataFrame = {
     require(keyCols.nonEmpty, "maintainExtrema needs at least one key column")
     val op = col("op")
+    // null keys fail loudly: every merge below joins on key EQUALITY, so
+    // a null-key CDC row could never address its MV group — it would
+    // full-outer into a spurious second null-key row instead (silent
+    // divergence, the failure mode the unknown-op guard exists for too)
+    val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
     val dCount: Column =
-      when(op === "insert", 1L).when(op === "delete", -1L)
+      when(nullKey, raise_error(lit(
+        "CDC row with a null key column: equality joins cannot address " +
+          "it (incremental maintenance requires non-null keys)")))
+        .when(op === "insert", 1L).when(op === "delete", -1L)
         .when(op === "update", 0L)
         .otherwise(raise_error(concat(lit("unknown CDC op: "), op)))
     val dSum: Column =
@@ -226,8 +249,12 @@ object IncrementalAgg {
     val op = col("op")
     // each CDC row contributes ±1 at one or two (key, value) points:
     // insert +1 @ new, delete -1 @ old, update -1 @ old AND +1 @ new
+    val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
     val contrib =
-      when(op === "insert",
+      when(nullKey, raise_error(lit(
+        "CDC row with a null key column: equality joins cannot address " +
+          "it (incremental maintenance requires non-null keys)")))
+      .when(op === "insert",
         array(struct(col("new_value").as("pv"), lit(1L).as("d"))))
       .when(op === "delete",
         array(struct(col("old_value").as("pv"), lit(-1L).as("d"))))
@@ -315,20 +342,36 @@ object IncrementalAgg {
     require(keyCols.nonEmpty, "maintainTopK needs at least one key column")
     require(k >= 1, s"maintainTopK needs k >= 1, got $k")
     val op = col("op")
-    // evaluated per CDC row BEFORE the op-based routing below: an
-    // unknown op must fail the job loudly (maintain's rule), not fall
-    // through both filters and silently vanish from the fold
+    // evaluated per CDC row BEFORE the op-based routing below. Two loud
+    // failures, both maintain's fail-loudly rule: an unknown op must not
+    // fall through both filters and silently vanish from the fold, and a
+    // NULL key (or id) must not slip past the equality joins — the
+    // at-risk probe and the safe-path anti join can never match a null
+    // key, so a delete of a null-key kept row would be served forever,
+    // the view silently diverging instead of erroring.
+    val nullKey = (keyCols :+ idCol).map(col(_).isNull).reduce(_ || _)
     val checked = cdc.withColumn("_op",
-      when(op.isin("insert", "delete", "update"), op)
+      when(nullKey, raise_error(lit(
+        "CDC row with a null key/id column: equality joins cannot " +
+          "address it (maintainTopK requires non-null keys and ids)")))
+        .when(op.isin("insert", "delete", "update"), op)
         .otherwise(raise_error(concat(lit("unknown CDC op: "), op))))
     val keyAndId = keyCols :+ idCol
     val departing = checked.filter(col("_op") =!= "insert")
       .select(keyAndId.map(col): _*)
     // at-risk = keys where a departure hits a KEPT row; delta-bounded,
     // so both the anti join (safe side) and semi join (base side) below
-    // broadcast it
+    // broadcast it. Materialized ONCE (lazy localCheckpoint, the same
+    // discipline as maintainExtrema's merged frame): it is referenced by
+    // both the anti and semi joins, and without materialization each
+    // reference re-evaluates the MV-sized semi probe — one extra full MV
+    // scan per refresh (the exact repeated-evaluation cost the r11
+    // advisory fixed in maintainExtrema). Blocks are released per
+    // trigger by foldExactlyOnce's rddsOf sweep (maintainTopKBatch);
+    // one-shot callers can leave them to session teardown.
     val atRisk = mv.join(departing, keyAndId, "left_semi")
       .select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(false)
     val arriving = checked.filter(col("_op") =!= "delete")
       .select(keyCols.map(col) ++ Seq(col(idCol),
         col("new_value").cast("double").as(valueCol)): _*)

@@ -817,8 +817,13 @@ object DedupOps {
         col("split").as("split_a"), col("n_total").as("_ta"))), "split_a")
       .join(broadcast(totals.select(
         col("split").as("split_b"), col("n_total").as("_tb"))), "split_b")
+      // the denominators PUBLISH with the shares: a reader can check the
+      // division, and a maintainer (CorpusMain's purge re-derivation)
+      // can detect a report whose totals no longer describe the live
+      // corpus — shares alone carry no evidence of what they divided by
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         col("n_docs_a"), col("n_docs_b"),
+        col("_ta").as("n_total_a"), col("_tb").as("n_total_b"),
         (col("n_docs_a").cast("double") / col("_ta").cast("double"))
           .as("share_a"),
         (col("n_docs_b").cast("double") / col("_tb").cast("double"))
@@ -1244,6 +1249,7 @@ object DedupOps {
              count(DISTINCT doc_b) AS n_docs_b
            FROM x GROUP BY 1, 2)
          SELECT a.split_a, a.split_b, a.n_pairs, a.n_docs_a, a.n_docs_b,
+           ta.n_total AS n_total_a, tb.n_total AS n_total_b,
            CAST(a.n_docs_a AS DOUBLE) / CAST(ta.n_total AS DOUBLE) AS share_a,
            CAST(a.n_docs_b AS DOUBLE) / CAST(tb.n_total AS DOUBLE) AS share_b
          FROM agg a

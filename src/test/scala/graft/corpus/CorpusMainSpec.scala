@@ -1077,14 +1077,31 @@ class CorpusMainSpec extends SparkSpec {
     assert(math.abs(j - 26.0 / 34.0) < 1e-9, j.toString)
     val report = spark.read.parquet(s"$out/split_leakage_report")
       .select("split_a", "split_b", "n_pairs", "n_docs_a", "n_docs_b",
-        "share_a", "share_b")
-      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+        "n_total_a", "n_total_b", "share_a", "share_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect()
     assert(report.length == 1, report.mkString("|"))
-    val (ra, rb, np, na, nb, sha, shb) = report.head
+    val (ra, rb, np, na, nb, ta, tb, sha, shb) = report.head
     assert((ra, rb) == ((sa, sb)) && np == 1L && na == 1L && nb == 1L)
     val totals = pub.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(ta == totals(ra) && tb == totals(rb), report.head.toString)
     assert(math.abs(sha - 1.0 / totals(ra)) < 1e-12 &&
       math.abs(shb - 1.0 / totals(rb)) < 1e-12, report.head.toString)
+
+    // crash-window heal: a corpus-first delete (a purge that died between
+    // the corpus sweep and the report re-derivation looks exactly like
+    // this) leaves the report's DENOMINATORS describing the pre-delete
+    // corpus; a subsequent purge for an id that hits NOTHING must still
+    // detect the drift through the published totals and re-derive
+    val victim = others.find(id => pub.get(id).contains(ra)).get
+    graft.sources.Warehouse.deleteWhere(spark, s"$out/corpus",
+      col("doc_id") === victim)
+    val healed = CorpusMain.purgeCurated(spark, out, Seq(999999L))
+    assert(healed.values.forall(_ == ((0, 0L))), healed.toString)
+    val ta2 = spark.read.parquet(s"$out/split_leakage_report")
+      .select("n_total_a").as[Long].head()
+    assert(ta2 == totals(ra) - 1,
+      s"denominator drift must re-derive the report: $ta2 vs ${totals(ra)}")
 
     // erasure: purging one side removes the pair AND re-derives the
     // report from the purged evidence (empty — no stale summary left

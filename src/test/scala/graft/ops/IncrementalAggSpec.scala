@@ -392,6 +392,32 @@ class IncrementalAggSpec extends SparkSpec {
       "corruption evidence must not be filtered away")
   }
 
+  test("a null-key CDC row fails loudly across the family (equality joins cannot address it)") {
+    // without the guard the merge would manufacture a spurious second
+    // null-key row (maintain) or silently never mark the key at risk
+    // (top-k) — divergence, not an error
+    val e1 = intercept[Exception] {
+      IncrementalAgg.maintain(mvOf(facts((1L, "2"))),
+        Seq(("delete", Option.empty[Long], Some("2"), Option.empty[String]))
+          .toDF("op", "k", "o", "n")
+          .select(col("op"), col("k"),
+            col("o").cast("decimal(18,4)").as("old_value"),
+            col("n").cast("decimal(18,4)").as("new_value")),
+        Seq("k")).collect()
+    }
+    assert(messages(e1).exists(_.contains("null key")), messages(e1).toString)
+    val e2 = intercept[Exception] {
+      IncrementalAgg.maintainTopK(topOf(tfacts((1L, 10L, "5")), 2),
+        Seq(("delete", 1L, Option.empty[Long], Some("5"), Option.empty[String]))
+          .toDF("op", "k", "id", "o", "n")
+          .select(col("op"), col("k"), col("id"),
+            col("o").cast("decimal(18,4)").as("old_value"),
+            col("n").cast("decimal(18,4)").as("new_value")),
+        tfacts(), Seq("k"), k = 2).collect()
+    }
+    assert(messages(e2).exists(_.contains("null key")), messages(e2).toString)
+  }
+
   test("intra-batch event chains net out exactly in the ALGEBRAIC classes (feed-contract exempt half)") {
     // one physical row inserted THEN updated inside one batch — the
     // multi-event feed the object scaladoc's contract discusses. The

@@ -329,15 +329,19 @@ class DedupOpsSpec extends SparkSpec {
       .withColumn("split_b", TextOps.splitColumn(col("doc_b")))
     val report = DedupOps.splitLeakageReport(docs, pairs)
     val rows = report
-      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .as[(String, String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect()
     // h0 and h1 may sit in different non-train splits: group by split_b
     val bySplitB = rows.map(r => r._2 -> r).toMap
     val totals = ids.groupBy(splits).view.mapValues(_.size.toLong).toMap
     var pairsSeen = 0L
-    for ((sb, (sa, _, np, na, nb, sha, shb)) <- bySplitB) {
+    for ((sb, (sa, _, np, na, nb, ta, tb, sha, shb)) <- bySplitB) {
       assert(sa == "train")
       pairsSeen += np
       assert(na == 1L, s"t0 must count once on the a side: $rows")
+      // the denominators publish beside the shares (the purge
+      // re-derivation's staleness evidence)
+      assert(ta == totals("train") && tb == totals(sb), rows.mkString("|"))
       assert(math.abs(sha - 1.0 / totals("train")) < 1e-12)
       assert(math.abs(shb - nb.toDouble / totals(sb)) < 1e-12)
     }
