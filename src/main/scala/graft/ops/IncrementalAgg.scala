@@ -327,6 +327,11 @@ object IncrementalAgg {
     * the object scaladoc — an intra-batch insert-then-update chain for
     * one id would leave the superseded value as a second live candidate
     * under the same id; snapshotDiff satisfies this by construction).
+    * `k` is part of the MV's identity: folding an MV built at a smaller
+    * k with a larger one cannot refill ranks the smaller MV discarded
+    * (and the gap is undetectable from the MV — a key can legitimately
+    * hold fewer than k rows), so RAISING k means rebuilding from base;
+    * lowering it is just a tighter fold.
     *
     * Corruption visibility caveat (weaker than [[maintain]]'s negative
     * count, stated honestly): a delete naming a (key, id) the MV never

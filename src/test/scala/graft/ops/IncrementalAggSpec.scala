@@ -564,6 +564,46 @@ class IncrementalAggSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("unknown CDC op")), messages(e).toString)
   }
 
+  test("maintainTopKBatch: a randomized multi-trigger CDC story lands on the final-state top-k") {
+    // eight random batches (inserts of fresh ids, deletes/updates of live
+    // rows — one event per row per batch, the feed contract), base landed
+    // before each trigger (downstream-of-the-base-writer wiring); the
+    // at-rest MV after the last fold must equal a direct top-k of the
+    // final base — pinning the arrival-algebra / at-risk-recompute
+    // interplay across many triggers, not just one
+    val rnd = new scala.util.Random(115)
+    val root = java.nio.file.Files.createTempDirectory("mvtopk_rand").toString
+    val (mvDir, baseDir) = (root + "/mv", root + "/base")
+    var live = Map.empty[(Long, Long), String]
+    var nextId = 1000L
+    for (b <- 0 until 8) {
+      val liveSeq = rnd.shuffle(live.toSeq)
+      val dels = liveSeq.take(rnd.nextInt(1 + live.size / 3))
+      val upds = liveSeq.drop(dels.size).take(rnd.nextInt(1 + live.size / 3))
+      val ins = (0 until (3 + rnd.nextInt(5))).map { _ =>
+        nextId += 1
+        (rnd.nextInt(5).toLong, nextId, s"${rnd.nextInt(50)}.${rnd.nextInt(100)}")
+      }
+      val events: Seq[(String, Long, Long, Option[String], Option[String])] =
+        dels.map { case ((k, id), v) => ("delete", k, id, Some(v), None) } ++
+          upds.map { case ((k, id), v) =>
+            ("update", k, id, Some(v),
+              Some(s"${rnd.nextInt(50)}.${rnd.nextInt(100)}")) } ++
+          ins.map { case (k, id, v) => ("insert", k, id, None, Some(v)) }
+      live = live -- dels.map(_._1) ++
+        events.collect { case ("update", k, id, _, Some(n)) => (k, id) -> n } ++
+        ins.map { case (k, id, v) => (k, id) -> v }
+      tfacts(live.toSeq.map { case ((k, id), v) => (k, id, v) }: _*)
+        .write.mode("overwrite").parquet(baseDir)
+      IncrementalAgg.maintainTopKBatch(mvDir, baseDir, Seq("k"), k = 2)(
+        tcdc(events: _*), b.toLong)
+    }
+    val got = collectTop(spark.read.parquet(mvDir))
+    val want = collectTop(topOf(
+      tfacts(live.toSeq.map { case ((k, id), v) => (k, id, v) }: _*), 2))
+    assert(got == want, s"multi-trigger fold diverged: got $got want $want")
+  }
+
   test("maintainTopKBatch folds a CDC stream into an at-rest top-k MV, exactly-once on replay") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
