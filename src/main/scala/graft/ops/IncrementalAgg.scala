@@ -412,7 +412,15 @@ object IncrementalAgg {
     * fold and miss the others. A crash between the maintain and the
     * swap leaves the old table + old marker — the replay re-applies
     * cleanly. Any localCheckpoint blocks the maintained frame pinned are
-    * released after the publish (no-op for the checkpoint-free folds). */
+    * released after the publish (no-op for the checkpoint-free folds).
+    *
+    * Bootstrap semantics: `bootstrap` is the EMPTY view, which is
+    * correct when the CDC stream replays the base's history from its
+    * beginning (or base and stream start together). A deployment whose
+    * base PREDATES the stream seeds the target dir with a base-derived
+    * view before the first trigger — an existing dir is picked up as
+    * the current table (the `fs.exists` branch), marker or no marker,
+    * so seeding needs no special protocol. */
   private def foldExactlyOnce(spark: org.apache.spark.sql.SparkSession,
       dir: String, batchId: Long)(bootstrap: => DataFrame)(
       next: DataFrame => DataFrame): Unit = {
