@@ -324,9 +324,7 @@ object CorpusMain {
           // WHOLE mirror (everything the retire removes), counted
           // through the same locked one-column read as the hit probe.
           val removed = spark.read
-            .schema(org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType))))
+            .schema(graft.sources.Jsonl.idProjection("doc_id"))
             .json(mirror.toString).count()
           Warehouse.retireDir(spark, s"$output/corpus_jsonl")
           Some("corpus_jsonl" -> ((1, removed)))
@@ -338,9 +336,7 @@ object CorpusMain {
           // parses every mirror line and is the only field the
           // predicate needs
           val mirrorHits = spark.read
-            .schema(org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType))))
+            .schema(graft.sources.Jsonl.idProjection("doc_id"))
             .json(mirror.toString)
             .filter(hits("doc_id")).count()
           if (mirrorHits == 0) Some("corpus_jsonl" -> ((0, 0L)))
@@ -380,6 +376,14 @@ object CorpusMain {
     // that disagrees with the live evidence (both sides pair-bounded,
     // cheap). A purge that emptied the evidence re-derives to the empty
     // report rather than leaving a stale one describing purged pairs.
+    // an ORPHANED report (evidence dir gone — an audit-less rerun that
+    // crashed between retiring the evidence and retiring the report
+    // leaves exactly this) describes pairs that no longer exist and has
+    // nothing to re-derive from: retire it — the same either-dir heal the
+    // stats block applies
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage_report")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage")))
+      Warehouse.retireDir(spark, s"$output/split_leakage_report")
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage_report")) &&
         fs.exists(new org.apache.hadoop.fs.Path(root, "split_leakage"))) {
       val slPurged = swept.getOrElse("split_leakage", (0, 0L))._2
@@ -459,17 +463,30 @@ object CorpusMain {
     }
   }
 
-  /** Any visible (non-underscore, non-dot) data file under `p`? The
-    * guard every purge-time read needs: a dir a previous purge emptied
-    * of data files is a valid zero-row source, not an inference crash. */
+  /** Any VISIBLE data file under `p`? Visibility walks every path
+    * component up to `p` — deleteWhere's own rule — because a part file
+    * nested inside a hidden dir (a crashed deleteWhere's `.del-` staging,
+    * a killed write's `_temporary` tree) is invisible to parquet readers
+    * and must not count: the guard every purge-time read needs, so a dir
+    * a previous purge emptied reads as a valid zero-row source instead
+    * of a schema-inference crash — and a dir whose only contents are
+    * hidden debris does too. */
   private def dirHasData(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean = {
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    def visible(f: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = f
+      var ok = true
+      while (ok && cur != null && cur.toUri.getPath != rootPath) {
+        val n = cur.getName
+        ok = !n.startsWith(".") && !n.startsWith("_")
+        cur = cur.getParent
+      }
+      ok
+    }
     val it = fs.listFiles(p, true)
     var found = false
-    while (!found && it.hasNext) {
-      val n = it.next().getPath.getName
-      found = !n.startsWith(".") && !n.startsWith("_")
-    }
+    while (!found && it.hasNext) found = visible(it.next().getPath)
     found
   }
 

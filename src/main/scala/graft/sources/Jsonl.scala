@@ -75,6 +75,19 @@ object Jsonl {
         StructField(Corrupt, StringType, nullable = true)),
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt))
 
+  /** The one-field schema that addresses a JSONL line by its long id —
+    * THE projection both erasure call sites parse quarantined lines
+    * with ([[graft.corpus.CorpusMain.purgeCurated]] and
+    * [[graft.corpus.GateState.purgeDocs]]): from_json field projection
+    * is the same parse restricted to the named field, it is the
+    * invariant part of any ingest schema (the stream gate's full schema
+    * is corpus-derived at startup and not recorded anywhere a purge can
+    * read), and parsing ONLY the id skips materializing source/text for
+    * every line the predicate never looks at. One definition, so the
+    * two purges cannot drift on how a line is addressed. */
+  def idProjection(idCol: String): StructType =
+    StructType(Seq(StructField(idCol, org.apache.spark.sql.types.LongType)))
+
   /** Null-safe ERASURE predicate over a column of raw JSONL lines: TRUE
     * iff the line parses (the same schema-locked PERMISSIVE [[parse]] as
     * the ingest channels — one definition, so the purge addresses lines
@@ -90,19 +103,6 @@ object Jsonl {
     * Matching deliberately ignores the corrupt flag on OTHER fields: if
     * the id parses, the line is addressable, and erasure takes the
     * maximal reading. */
-  /** The one-field schema that addresses a JSONL line by its long id —
-    * THE projection both erasure call sites parse quarantined lines
-    * with ([[graft.corpus.CorpusMain.purgeCurated]] and
-    * [[graft.corpus.GateState.purgeDocs]]): from_json field projection
-    * is the same parse restricted to the named field, it is the
-    * invariant part of any ingest schema (the stream gate's full schema
-    * is corpus-derived at startup and not recorded anywhere a purge can
-    * read), and parsing ONLY the id skips materializing source/text for
-    * every line the predicate never looks at. One definition, so the
-    * two purges cannot drift on how a line is addressed. */
-  def idProjection(idCol: String): StructType =
-    StructType(Seq(StructField(idCol, org.apache.spark.sql.types.LongType)))
-
   def lineIdIn(lineCol: Column, schema: StructType, idCol: String,
       ids: Seq[Long]): Column = {
     validate(schema, None)
