@@ -1116,6 +1116,16 @@ class CorpusMainSpec extends SparkSpec {
     CorpusMain.runWith(spark, tmpIn, out)
     assert(!new java.io.File(s"$out/split_leakage").exists())
     assert(!new java.io.File(s"$out/split_leakage_report").exists())
+
+    // orphan heal: an audit-less rerun that crashed BETWEEN retiring the
+    // evidence and retiring the report leaves a report describing pairs
+    // that no longer exist; the next purge — any purge — must retire it
+    CorpusMain.runWith(spark, tmpIn, out, auditSplits = Some(0.5))
+    graft.sources.Warehouse.retireDir(spark, s"$out/split_leakage")
+    assert(new java.io.File(s"$out/split_leakage_report").exists())
+    CorpusMain.purgeCurated(spark, out, Seq(999999L))
+    assert(!new java.io.File(s"$out/split_leakage_report").exists(),
+      "an orphaned report must be retired by the next purge")
   }
 
   test("purgeCurated reaches parsed-but-quarantined lines; unparseable lines survive") {
