@@ -63,6 +63,42 @@ class JsonlSpec extends SparkSpec {
     assert(quarantine.isEmpty)
   }
 
+  test("lineIdIn is never null over arbitrary lines — the keep-side deleteWhere contract (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the contract under test: deleteWhere keeps rows via filter(!pred),
+    // where a NULL predicate silently DELETES the unaddressable line it
+    // must keep — so lineIdIn must evaluate to true/false on EVERY line,
+    // garbage included
+    val ids = Seq(7L, 13L)
+    val gen: Gen[(String, Option[Boolean])] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => (s"garbage $s", Some(false))),
+      Gen.choose(0L, 20L).map(i =>
+        (s"""{"doc_id": $i, "text": "t"}""", Some(ids.contains(i)))),
+      Gen.const(("""{"doc_id": null, "text": "t"}""", Some(false))),
+      Gen.const(("""{"text": "no id field"}""", Some(false))),
+      // type-mismatched id: engine-defined match value, but the
+      // never-null property must still hold
+      Gen.choose(0L, 20L).map(i => (s"""{"doc_id": "$i"}""", None)))
+    val rows = Gen.listOfN(400, gen)
+      .pureApply(Gen.Parameters.default, Seed(113L))
+    val df = rows.map(_._1).toDF("line")
+    val pred = Jsonl.lineIdIn(col("line"),
+      Jsonl.idProjection("doc_id"), "doc_id", ids)
+    val got = df.select(col("line"), pred.as("m"), pred.isNull.as("nul"))
+      .collect()
+    assert(got.forall(!_.getBoolean(2)),
+      "the predicate must never evaluate to null")
+    val expected = rows.toMap
+    got.foreach { r =>
+      expected(r.getString(0)).foreach(e =>
+        assert(r.getBoolean(1) == e, s"line '${r.getString(0)}'"))
+    }
+    // the partition property deleteWhere's rewrite relies on
+    assert(df.filter(pred).count() + df.filter(!pred).count() == df.count(),
+      "filter(pred) + filter(!pred) must partition the lines")
+  }
+
   test("a schema declaring the internal corrupt column is rejected loudly") {
     intercept[IllegalArgumentException] {
       Jsonl.read(spark, "/nonexistent", StructType(Seq(
