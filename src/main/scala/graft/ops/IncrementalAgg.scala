@@ -43,7 +43,12 @@ import org.apache.spark.sql.functions._
   * key, so each row yields at most one added/removed/changed event per
   * diff); a deployment feeding a raw multi-event log (e.g. an
   * uncompacted binlog) must compact to net events per row first — the
-  * standard CDC-consumer discipline, stated here rather than assumed.
+  * standard CDC-consumer discipline. [[maintainTopK]] ENFORCES the
+  * contract (its events are id-named, so a second event for one
+  * (key, id) in a batch is detectable and raises loudly);
+  * [[maintainExtrema]] cannot (no row id — two same-key events are
+  * indistinguishable from two distinct rows) and states the limit in
+  * its scaladoc rather than pretending to check it.
   *
   * Null keys: every maintainer merges on key EQUALITY, which can never
   * address a null key — the merge would manufacture a spurious second
@@ -130,7 +135,14 @@ object IncrementalAgg {
     * one event per physical row per batch (see the object scaladoc —
     * an intra-batch insert-then-update chain would leave the superseded
     * value as a live extremum candidate; snapshotDiff satisfies this by
-    * construction).
+    * construction). Honest limit: UNLIKE [[maintainTopK]], this
+    * contract is NOT enforceable here — the CDC rows carry no row id,
+    * so two same-key events in one batch are indistinguishable from
+    * two legitimately distinct physical rows of that key (a perfectly
+    * valid delta). A deployment that cannot guarantee the contract at
+    * the source should route through the id-carrying top-k maintainer
+    * with k = 1 (same extrema, enforced contract) or compact its feed
+    * to net events per row first.
     *
     * Block-release contract: the merged (MV-sized) frame is lazily
     * localCheckpoint'ed so it evaluates ONCE per refresh instead of once
@@ -313,6 +325,8 @@ object IncrementalAgg {
     * domain) + `valueCol` (numeric); `cdc` is [[maintain]]'s shape plus
     * `idCol` (old_value/new_value carry the departing/arriving VALUE,
     * the id names the row); `base` carries keyCols + idCol + valueCol.
+    * Bootstrapping, and RAISING k (see below), are [[rebuildTopK]] over
+    * the full base — the same fold kernel run once from scratch.
     * Returns the refreshed exploded MV — one row per kept (key, id,
     * value), value widened to DOUBLE (graft_topk's buffer type, so the
     * output is fold-stable: feeding it back as next refresh's `mv`
@@ -327,10 +341,21 @@ object IncrementalAgg {
     * the object scaladoc — an intra-batch insert-then-update chain for
     * one id would leave the superseded value as a second live candidate
     * under the same id; snapshotDiff satisfies this by construction).
+    * Unlike the documentation-only situation the r13 review flagged,
+    * the contract is ENFORCED here: the id makes a violation cheaply
+    * detectable (two events for one (key, id) in a batch), so a
+    * delta-sized windowed count raises loudly — the module's
+    * fail-loudly rule, same class as the null-key and unknown-op
+    * guards — instead of silently diverging the view.
+    * ([[maintainExtrema]] has no id column: two same-key events in one
+    * batch are indistinguishable from two legitimately distinct
+    * physical rows, so its contract stays documentation + the
+    * snapshotDiff-by-construction guarantee — stated honestly there.)
     * `k` is part of the MV's identity: folding an MV built at a smaller
     * k with a larger one cannot refill ranks the smaller MV discarded
     * (and the gap is undetectable from the MV — a key can legitimately
-    * hold fewer than k rows), so RAISING k means rebuilding from base;
+    * hold fewer than k rows), so RAISING k means rebuilding from base
+    * — [[rebuildTopK]], the one-call form of exactly that rebuild;
     * lowering it is just a tighter fold.
     *
     * Corruption visibility caveat (weaker than [[maintain]]'s negative
@@ -355,16 +380,42 @@ object IncrementalAgg {
     // key, so a delete of a null-key kept row would be served forever,
     // the view silently diverging instead of erroring.
     val nullKey = (keyCols :+ idCol).map(col(_).isNull).reduce(_ || _)
+    val keyAndId = keyCols :+ idCol
+    // the feed contract (at most one event per physical row per batch)
+    // is cheaply checkable here because the row HAS a name: a second
+    // event for one (key, id) within the batch is one delta-sized
+    // windowed count away from a loud failure. Without this, an
+    // intra-batch insert-then-update chain folds the superseded value
+    // as a second live candidate — silent divergence, against the
+    // module's fail-loudly rule. The window shuffles only the delta
+    // (the small, broadcast-bound side) and rides the same projection
+    // the op guard lives in, so no consumer can prune it away.
+    val eventsPerRow = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(keyAndId.map(col): _*))
     val checked = cdc.withColumn("_op",
       when(nullKey, raise_error(lit(
         "CDC row with a null key/id column: equality joins cannot " +
           "address it (maintainTopK requires non-null keys and ids)")))
+        .when(eventsPerRow > 1, raise_error(concat(
+          lit("maintainTopK feed contract violated: "),
+          eventsPerRow.cast("string"),
+          lit(" events for one (key, id) within a single batch — the " +
+            "contract is at most one event per physical row per batch " +
+            "(compact the CDC feed to net events per row first; " +
+            "snapshotDiff satisfies this by construction)"))))
         .when(op.isin("insert", "delete", "update"), op)
         .otherwise(raise_error(concat(lit("unknown CDC op: "), op))))
-    val keyAndId = keyCols :+ idCol
-    val departing = checked.filter(col("_op") =!= "insert")
-      .select(keyAndId.map(col): _*)
-    // at-risk = keys where a departure hits a KEPT row; delta-bounded,
+    // the probe covers EVERY event's (key, id), not just departures: a
+    // departure hitting a kept row opens a slot (the classic at-risk
+    // case), and an ARRIVAL naming an already-kept id — an update
+    // mislabeled as insert, the second feed fault the r13 review
+    // flagged — would otherwise fold as a phantom second candidate
+    // under the same id. Any kept-row hit routes through the base
+    // recompute instead (exact: base is the post-delta truth), and a
+    // valid feed's inserts are fresh ids that never match, so the
+    // valid path pays the same single MV-vs-delta semi probe as before.
+    val touched = checked.select(keyAndId.map(col): _*)
+    // at-risk = keys where an event hits a KEPT row; delta-bounded,
     // so both the anti join (safe side) and semi join (base side) below
     // broadcast it. Materialized ONCE (lazy localCheckpoint, the same
     // discipline as maintainExtrema's merged frame): it is referenced by
@@ -374,29 +425,51 @@ object IncrementalAgg {
     // advisory fixed in maintainExtrema). Blocks are released per
     // trigger by foldExactlyOnce's rddsOf sweep (maintainTopKBatch);
     // one-shot callers can leave them to session teardown.
-    val atRisk = mv.join(departing, keyAndId, "left_semi")
+    val atRisk = mv.join(touched, keyAndId, "left_semi")
       .select(keyCols.map(col): _*).distinct()
       .localCheckpoint(false)
     val arriving = checked.filter(col("_op") =!= "delete")
       .select(keyCols.map(col) ++ Seq(col(idCol),
         col("new_value").cast("double").as(valueCol)): _*)
-    def topK(rows: DataFrame): DataFrame = rows
+    val safe = rebuildTopK(
+      mv.select(keyCols.map(col) ++ Seq(col(idCol),
+          col(valueCol).cast("double").as(valueCol)): _*)
+        .unionByName(arriving)
+        .join(atRisk, keyCols, "left_anti"), keyCols, k, idCol, valueCol)
+    val recomputed = rebuildTopK(
+      base.join(atRisk, keyCols, "left_semi"), keyCols, k, idCol, valueCol)
+    safe.unionByName(recomputed)
+  }
+
+  /** The from-scratch top-k build [[maintainTopK]]'s fold is the
+    * incremental form of: one `graft_topk` bounded-heap aggregation of
+    * `rows` (keyCols + idCol + valueCol; extra columns ignored),
+    * exploded to the MV's one-row-per-kept-(key, id, value) shape with
+    * valueCol widened to double — byte-identical to what maintainTopK's
+    * at-risk recompute produces for a key, because it IS that kernel.
+    * This is the one-call answer to the two operations the fold cannot
+    * express: BOOTSTRAPPING the MV before the first delta, and RAISING
+    * k (the fold cannot refill ranks a smaller-k MV discarded — see
+    * maintainTopK's k-identity rule), where hand-writing the
+    * bootstrap aggregation risks a subtly different total order than
+    * the heap's (value descending, ties to the LOWER id). The output is
+    * fold-stable: feeding it to maintainTopK as `mv` with an empty
+    * delta is a fixpoint (spec-pinned). O(|rows|), map-side combinable
+    * at O(k) state per key — the same scan the batch aggregate pays,
+    * paid once. */
+  def rebuildTopK(rows: DataFrame, keyCols: Seq[String], k: Int,
+      idCol: String = "id", valueCol: String = "v"): DataFrame = {
+    require(keyCols.nonEmpty, "rebuildTopK needs at least one key column")
+    require(k >= 1, s"rebuildTopK needs k >= 1, got $k")
+    rows
+      .select(keyCols.map(col) ++ Seq(col(idCol),
+        col(valueCol).cast("double").as(valueCol)): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(call_function("graft_topk",
         col(valueCol), col(idCol), lit(k)).as("_top"))
       .select(keyCols.map(col) :+ explode(col("_top")).as("_t"): _*)
       .select(keyCols.map(col) ++
         Seq(col("_t.id").as(idCol), col("_t.score").as(valueCol)): _*)
-    val safe = topK(
-      mv.select(keyCols.map(col) ++ Seq(col(idCol),
-          col(valueCol).cast("double").as(valueCol)): _*)
-        .unionByName(arriving)
-        .join(atRisk, keyCols, "left_anti"))
-    val recomputed = topK(
-      base.select(keyCols.map(col) ++ Seq(col(idCol),
-          col(valueCol).cast("double").as(valueCol)): _*)
-        .join(atRisk, keyCols, "left_semi"))
-    safe.unionByName(recomputed)
   }
 
   private val AppliedMarker = "_applied_batch"

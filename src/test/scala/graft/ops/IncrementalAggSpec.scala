@@ -564,6 +564,76 @@ class IncrementalAggSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("unknown CDC op")), messages(e).toString)
   }
 
+  test("maintainTopK: an intra-batch event chain for one (key, id) raises, naming the contract") {
+    // insert-then-update of one id inside one batch — the feed-contract
+    // violation the r13 review flagged as silently diverging; it must
+    // now fail like the null-key and unknown-op cases do
+    val base = tfacts((1L, 10L, "10"))
+    val e = intercept[Exception] {
+      IncrementalAgg.maintainTopK(topOf(base, 2),
+        tcdc(("insert", 1L, 11L, None, Some("5")),
+          ("update", 1L, 11L, Some("5"), Some("50"))),
+        tfacts((1L, 10L, "10"), (1L, 11L, "50")), Seq("k"), k = 2).collect()
+    }
+    assert(messages(e).exists(m => m.contains("feed contract") &&
+      m.contains("at most one event per physical row per batch")),
+      messages(e).toString)
+    // two inserts of the same (key, id) are the same violation
+    val e2 = intercept[Exception] {
+      IncrementalAgg.maintainTopK(topOf(base, 2),
+        tcdc(("insert", 1L, 11L, None, Some("5")),
+          ("insert", 1L, 11L, None, Some("7"))),
+        tfacts((1L, 10L, "10")), Seq("k"), k = 2).collect()
+    }
+    assert(messages(e2).exists(_.contains("feed contract")), messages(e2).toString)
+    // one event per (key, id) — including the same id under two
+    // DIFFERENT keys, which is legal (ids are only unique within a key's
+    // fact domain here) — still folds cleanly
+    val ok = collectTop(IncrementalAgg.maintainTopK(topOf(base, 2),
+      tcdc(("insert", 1L, 11L, None, Some("5")),
+        ("insert", 2L, 11L, None, Some("7"))),
+      tfacts((1L, 10L, "10"), (1L, 11L, "5"), (2L, 11L, "7")), Seq("k"), k = 2))
+    assert(ok == Map(1L -> Set((10L, 10.0), (11L, 5.0)),
+      2L -> Set((11L, 7.0))), ok.toString)
+  }
+
+  test("maintainTopK: an insert naming an already-kept (key, id) cannot create a phantom candidate") {
+    // an update mislabeled as insert (the other feed fault): folding it
+    // as a pure arrival would keep the superseded (20 -> 8.0) as a
+    // second live candidate beside (20 -> 12.0). The at-risk probe now
+    // covers arrivals too, so the key recomputes from base — the
+    // post-delta truth — and exactly one row per id survives.
+    val base = tfacts((1L, 10L, "10"), (1L, 20L, "8"), (1L, 30L, "5"))
+    val post = tfacts((1L, 10L, "10"), (1L, 20L, "12"), (1L, 30L, "5"))
+    val got = collectTop(IncrementalAgg.maintainTopK(
+      topOf(base, 3), tcdc(("insert", 1L, 20L, None, Some("12"))),
+      post, Seq("k"), k = 3))
+    assert(got == Map(1L -> Set((20L, 12.0), (10L, 10.0), (30L, 5.0))),
+      got.toString)
+  }
+
+  test("rebuildTopK equals the row_number oracle and is a fold fixpoint (the k-raise path)") {
+    val rnd = new scala.util.Random(116)
+    val rows = (1 to 150).map(i => (rnd.nextInt(10).toLong, i.toLong,
+      s"${rnd.nextInt(40)}.${rnd.nextInt(100)}"))
+    val base = tfacts(rows: _*)
+    val rebuilt = IncrementalAgg.rebuildTopK(base, Seq("k"), 3)
+    // the oracle form maintainTopK's scaladoc warns against hand-writing:
+    // row_number over (value desc, id asc) — graft_topk's total order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("v").cast("double").desc, col("id").asc)
+    val want = collectTop(base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("k"), col("id"), col("v").cast("double").as("v")))
+    assert(collectTop(rebuilt) == want,
+      "rebuildTopK must reproduce the row_number total order")
+    // fixpoint: a subsequent fold with an empty delta returns the
+    // rebuild unchanged (the MV round-trip maintainTopK promises)
+    val folded = collectTop(IncrementalAgg.maintainTopK(
+      rebuilt, tcdc(), base, Seq("k"), k = 3))
+    assert(folded == want, "an empty-delta fold over the rebuild must be a fixpoint")
+  }
+
   test("maintainTopKBatch: a randomized multi-trigger CDC story lands on the final-state top-k") {
     // eight random batches (inserts of fresh ids, deletes/updates of live
     // rows — one event per row per batch, the feed contract), base landed
