@@ -94,6 +94,18 @@ object CorpusMain {
 
   private val log = org.slf4j.LoggerFactory.getLogger(CorpusMain.getClass)
 
+  /** THE split cuts for everything this pipeline derives: the corpus's
+    * published `split` column and the leakage audit's per-side split
+    * recomputation both route through this one pair, so they cannot
+    * drift (the r13 advisory: two call sites each silently relying on
+    * TextOps' defaults would desynchronize the moment one grew a flag).
+    * If cuts ever become a CLI option, this constant becomes the parsed
+    * value and both sites follow automatically; the report side already
+    * prefers the PUBLISHED split column wherever one exists
+    * ([[graft.queries.DedupOps.splitLeakageReport]]). */
+  private[corpus] val SplitCuts: (String, String) =
+    (TextOps.DefaultTrainUpper, TextOps.DefaultValUpper)
+
   def main(argv: Array[String]): Unit = {
     val usage = "usage: graft.corpus.CorpusMain --input <dir> --output <dir> " +
       "[--capacity N] [--bench <parquet>] [--min-hits N] [--quota N] " +
@@ -299,7 +311,13 @@ object CorpusMain {
     // empty corpus is their ABSENCE, so the blocks below RETIRE instead
     // of re-deriving in that state
     val corpusDir = new org.apache.hadoop.fs.Path(root, "corpus")
-    val corpusEmpty = fs.exists(corpusDir) && !dirHasData(fs, corpusDir)
+    // a corpus dir that is ABSENT entirely counts as empty too: a crash
+    // (or hand cleanup) can remove the dir while report/evidence/stats
+    // survive, and the staleness probes below read $output/corpus — on
+    // a missing dir they would throw instead of healing (the r13
+    // advisory; same class as the empty-corpus case, so it takes the
+    // same retire path)
+    val corpusEmpty = !fs.exists(corpusDir) || !dirHasData(fs, corpusDir)
     // the mirror keys its re-derivation on ITS OWN hit count, never on
     // this run's corpus delete count: a crash (or a caller running
     // deleteWhere on corpus/ first) can leave corpus rows already gone
@@ -463,32 +481,15 @@ object CorpusMain {
     }
   }
 
-  /** Any VISIBLE data file under `p`? Visibility walks every path
-    * component up to `p` — deleteWhere's own rule — because a part file
-    * nested inside a hidden dir (a crashed deleteWhere's `.del-` staging,
-    * a killed write's `_temporary` tree) is invisible to parquet readers
-    * and must not count: the guard every purge-time read needs, so a dir
-    * a previous purge emptied reads as a valid zero-row source instead
-    * of a schema-inference crash — and a dir whose only contents are
-    * hidden debris does too. */
+  /** Any VISIBLE data file under `p`? One shared definition of the
+    * hidden-path-component rule — [[graft.sources.Warehouse
+    * .dirHasVisibleData]], the same walk deleteWhere's empty-target
+    * guard uses — so the purge-time "valid zero-row source vs
+    * schema-inference crash" decision can never drift from the rule the
+    * deleter itself applies. */
   private def dirHasData(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean = {
-    val rootPath = fs.makeQualified(p).toUri.getPath
-    def visible(f: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = f
-      var ok = true
-      while (ok && cur != null && cur.toUri.getPath != rootPath) {
-        val n = cur.getName
-        ok = !n.startsWith(".") && !n.startsWith("_")
-        cur = cur.getParent
-      }
-      ok
-    }
-    val it = fs.listFiles(p, true)
-    var found = false
-    while (!found && it.hasNext) found = visible(it.next().getPath)
-    found
-  }
+      p: org.apache.hadoop.fs.Path): Boolean =
+    Warehouse.dirHasVisibleData(fs, p)
 
   /** The sketch-statistics + long-form composition reports over the
     * PUBLISHED corpus — shared by the `--stats` stage and
@@ -943,7 +944,8 @@ object CorpusMain {
         // appending them costs zero joins — only the pack window itself
         // shuffles, once, on the stream key
         val withSplit = budgeted
-          .withColumn("split", TextOps.splitColumn(col("doc_id")))
+          .withColumn("split",
+            TextOps.splitColumn(col("doc_id"), SplitCuts._1, SplitCuts._2))
         // pack per (split, source): a training stream never crosses a
         // split boundary, so offsets must restart inside each split
         val packed = capacity
@@ -1063,7 +1065,8 @@ object CorpusMain {
             // pair evidence (evidence-then-read-back, like every audit).
             auditSplits.foreach { t =>
               Warehouse.replaceDir(
-                DedupOps.crossSplitPairs(DedupOps.minhashNearDup(pubSh, t))
+                DedupOps.crossSplitPairs(DedupOps.minhashNearDup(pubSh, t),
+                    SplitCuts._1, SplitCuts._2)
                   .select(col("doc_a"), col("doc_b"), col("split_a"),
                     col("split_b"), col("jaccard")),
                 s"$output/split_leakage")

@@ -782,10 +782,12 @@ object DedupOps {
     * pure per-row function of the id) and keep only pairs whose sides
     * land in different splits — each one is held-out data leaking into
     * training at the near-dup threshold. */
-  def crossSplitPairs(pairs: DataFrame): DataFrame =
+  def crossSplitPairs(pairs: DataFrame,
+      trainUpper: String = TextOps.DefaultTrainUpper,
+      valUpper: String = TextOps.DefaultValUpper): DataFrame =
     pairs
-      .withColumn("split_a", TextOps.splitColumn(col("doc_a")))
-      .withColumn("split_b", TextOps.splitColumn(col("doc_b")))
+      .withColumn("split_a", TextOps.splitColumn(col("doc_a"), trainUpper, valUpper))
+      .withColumn("split_b", TextOps.splitColumn(col("doc_b"), trainUpper, valUpper))
       .filter(col("split_a") =!= col("split_b"))
 
   /** Cross-split leakage SUMMARY (q115): the q113 pair list rendered as
@@ -804,9 +806,19 @@ object DedupOps {
     * low-cardinality count of the corpus per split, and two broadcast
     * joins of the 3-row totals onto the ≤ 9-row report. Shares are one
     * double division of exact longs (q92's dup_rate rule). */
-  def splitLeakageReport(docs: DataFrame, crossPairs: DataFrame): DataFrame = {
-    val totals = docs
-      .select(TextOps.splitColumn(col("doc_id")).as("split"))
+  def splitLeakageReport(docs: DataFrame, crossPairs: DataFrame,
+      trainUpper: String = TextOps.DefaultTrainUpper,
+      valUpper: String = TextOps.DefaultValUpper): DataFrame = {
+    // denominators come from docs' OWN published split column when one
+    // exists — a corpus's labels are the authority its audit must agree
+    // with, and a corpus published under custom cuts must not be
+    // measured against recomputed default-cut splits (the r13 advisory's
+    // desync). Only an unlabeled doc table (q115's raw documents) falls
+    // back to computing the split in place, with the cuts threaded so
+    // the caller's pair producer and this report share one constant.
+    val totals = (if (docs.columns.contains("split")) docs.select(col("split"))
+      else docs.select(
+        TextOps.splitColumn(col("doc_id"), trainUpper, valUpper).as("split")))
       .groupBy(col("split")).agg(count(lit(1)).as("n_total"))
     crossPairs
       .groupBy(col("split_a"), col("split_b"))

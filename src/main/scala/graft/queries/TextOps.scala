@@ -29,8 +29,12 @@ object TextOps {
   // cannot drift when a default changes
   // shared with DedupOps' split-leakage oracle (q113) so the split rule
   // cannot drift between the splitter and its auditor
-  private[queries] val DefaultTrainUpper = "cc" // 204/256 ~ 80%
-  private[queries] val DefaultValUpper = "e6"   // +26/256 ~ 10%
+  // private[graft], not [queries]: CorpusMain's split assignment and the
+  // leakage audit's split recomputation must share ONE pair of cuts (the
+  // r13 advisory — two call sites each relying on "the default" would
+  // silently desynchronize the moment the cuts became configurable)
+  private[graft] val DefaultTrainUpper = "cc" // 204/256 ~ 80%
+  private[graft] val DefaultValUpper = "e6"   // +26/256 ~ 10%
 
   /** SQL mirror of [[splitColumn]] over an id EXPRESSION — one
     * definition for the q49 oracle and DedupOps' q113 auditor, so the

@@ -540,6 +540,38 @@ object Warehouse {
     * before writing. Same single-maintainer assumption as compact: one
     * maintenance writer at a time. Returns (filesRewritten, rowsDeleted).
     */
+  /** Does `dir` hold any data file a parquet/json reader would SEE? A
+    * file counts only if neither it nor any path component strictly
+    * below `dir` is hidden (leading `.` or `_`) — a part file nested in
+    * a crashed [[deleteWhere]]'s `.del-` staging, a killed write's
+    * `_temporary` tree, or a swap's `.{name}.old` aside is invisible to
+    * readers and must not count. ONE definition of that visibility rule
+    * (the r13 advisory: [[deleteWhere]]'s empty-target guard and
+    * CorpusMain's purge-time reads each carried a copy that could
+    * drift), used by every "is this dir a valid zero-row source or a
+    * schema-inference crash" decision. `dir` must exist — callers gate
+    * on `fs.exists` first, because a missing dir is a DIFFERENT state
+    * (nothing was ever published, or everything was retired) that each
+    * caller handles per its own protocol. */
+  def dirHasVisibleData(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Boolean = {
+    val rootPath = fs.makeQualified(dir).toUri.getPath
+    def visible(f: Path): Boolean = {
+      var cur = f
+      var ok = true
+      while (ok && cur != null && cur.toUri.getPath != rootPath) {
+        val n = cur.getName
+        ok = !n.startsWith(".") && !n.startsWith("_")
+        cur = cur.getParent
+      }
+      ok
+    }
+    val it = fs.listFiles(dir, true)
+    var found = false
+    while (!found && it.hasNext) found = visible(it.next().getPath)
+    found
+  }
+
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       maxConcurrentFiles: Int = 8): (Int, Long) = {
@@ -551,23 +583,7 @@ object Warehouse {
     // a dir a previous delete emptied of data files (every row matched)
     // is a valid no-op target, not a schema-inference crash — the case a
     // RERUN of the same erasure hits (GateState.purgeDocs idempotence)
-    val qualified = fs.makeQualified(target).toUri.getPath
-    def isDataFile(p: Path): Boolean = {
-      var cur = p
-      var visible = !cur.getName.startsWith("_") && !cur.getName.startsWith(".")
-      cur = cur.getParent
-      while (visible && cur != null && cur.toUri.getPath != qualified) {
-        if (cur.getName.startsWith("_") || cur.getName.startsWith("."))
-          visible = false
-        cur = cur.getParent
-      }
-      visible
-    }
-    val fileIt = fs.listFiles(target, true)
-    var hasData = false
-    while (!hasData && fileIt.hasNext)
-      hasData = isDataFile(fileIt.next().getPath)
-    if (!hasData) return (0, 0L)
+    if (!dirHasVisibleData(fs, target)) return (0, 0L)
     val affected = spark.read.parquet(dir).filter(predicate)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()

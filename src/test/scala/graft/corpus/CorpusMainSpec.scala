@@ -1128,6 +1128,44 @@ class CorpusMainSpec extends SparkSpec {
       "an orphaned report must be retired by the next purge")
   }
 
+  test("purge heals a corpus dir that is ABSENT entirely (not just emptied)") {
+    // a crash (or hand cleanup) can remove $out/corpus wholesale while
+    // report + evidence + stats + mirror survive; every staleness probe
+    // that reads the corpus must take the retire path instead of
+    // throwing on the missing dir — the same heal as the emptied-corpus
+    // case, which this is one step beyond
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_nocorpus_in").toString
+    val out = Files.createTempDirectory("corpus_nocorpus_out").toString
+    (1L to 40L).map(i =>
+        (i, "s", "en", (1 to 24).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    CorpusMain.runWith(spark, tmpIn, out, auditSplits = Some(0.5),
+      stats = true, exportJsonl = true)
+    assert(new java.io.File(s"$out/corpus_stats").exists() &&
+      new java.io.File(s"$out/corpus_jsonl").exists() &&
+      new java.io.File(s"$out/split_leakage_report").exists())
+    // remove the corpus DIR, not just its files
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(s"$out/corpus"))
+    assert(!new java.io.File(s"$out/corpus").exists())
+    val swept = CorpusMain.purgeCurated(spark, out, Seq(999999L))
+    // derived artifacts of a corpus that no longer exists are retired
+    // (the truthful rendering is their absence), and the mirror's rows
+    // are reported as removed
+    assert(!new java.io.File(s"$out/split_leakage_report").exists())
+    assert(!new java.io.File(s"$out/corpus_stats").exists())
+    assert(!new java.io.File(s"$out/composition").exists())
+    assert(!new java.io.File(s"$out/corpus_jsonl").exists() ||
+      swept.get("corpus_jsonl").exists(_._2 > 0L), swept.toString)
+    // and the heal is idempotent: a rerun over the retired estate no-ops
+    val rerun = CorpusMain.purgeCurated(spark, out, Seq(999999L))
+    assert(rerun.values.forall(_ == ((0, 0L))), rerun.toString)
+  }
+
   test("purgeCurated reaches parsed-but-quarantined lines; unparseable lines survive") {
     val root = Files.createTempDirectory("corpus_purge_quar").toString
     val (in, out) = (s"$root/in", s"$root/out")

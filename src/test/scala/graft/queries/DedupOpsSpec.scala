@@ -352,4 +352,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"), plan)
     assert("BroadcastHashJoin".r.findAllIn(plan).length == 2, plan)
   }
+
+  test("splitLeakageReport denominators follow a PUBLISHED split column over recomputation") {
+    import org.apache.spark.sql.functions.col
+    // a corpus published under custom cuts carries its own split labels;
+    // the report's denominators must describe THOSE, not a default-cut
+    // recomputation that would disagree with the corpus (the r13
+    // advisory's desync scenario). Here every doc is labeled train
+    // regardless of what the default cuts would say.
+    // a 5/5 train/val labeling no default cut produces over 1..10 (the
+    // default assigns ~80% train), so matching 5 proves the published
+    // column won
+    val docs = (1L to 10L)
+      .map(i => (i, if (i <= 5) "train" else "val")).toDF("doc_id", "split")
+    val pairs = Seq((1L, 6L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+      .withColumn("split_a", org.apache.spark.sql.functions.lit("train"))
+      .withColumn("split_b", org.apache.spark.sql.functions.lit("val"))
+    val row = DedupOps.splitLeakageReport(docs, pairs)
+      .select(col("n_total_a"), col("n_total_b")).as[(Long, Long)].collect()
+    assert(row.toSeq == Seq((5L, 5L)),
+      s"published split labels are the denominator authority: ${row.toSeq}")
+  }
 }
