@@ -1,0 +1,91 @@
+package graft.tools
+
+/** Derive the adjudicated bench envelope from recorded run JSONs —
+  * `sbt 'runMain graft.tools.DeriveBenchEnvelope run1.json run2.json …'`
+  * — applying [[EnvelopeRule]] per query against the CURRENT committed
+  * bands ([[graft.Bench.envelope]] + its provisional records).
+  *
+  * Ends the hand-executed envelope chore the r12/r13 reviews flagged:
+  * the operator records N clean full runs (graft.Bench's stdout, one
+  * file per run), points this main at them, and pastes the emitted
+  * Scala rows into Bench.envelope (the single source of truth —
+  * BenchEnvelopeSpec pins the committed JSON to it; regenerate the file
+  * with [[WriteBenchEnvelope]] afterwards). Stderr carries the audit:
+  * per-file retime/failed counts (a run with retimes is NOT clean —
+  * drop it from the input set), every noise exclusion, and every
+  * band change with its rule tag, so the adjudication is reviewable
+  * without re-running anything.
+  *
+  * Parsing is deliberately narrow: only the `"queries":{…}` map of the
+  * bench line is read (name -> seconds; failed-query `-1` sentinels are
+  * dropped), via a regex that cannot match the `retimed` sub-objects or
+  * the `slowest` trailer — no JSON library exists in the offline build,
+  * and the bench emits exactly this shape ([[graft.Bench]]). */
+object DeriveBenchEnvelope {
+
+  private val QuerySeconds =
+    """"(q\d+[A-Za-z0-9_]*)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
+
+  /** name -> seconds for one recorded bench run (failed sentinels
+    * dropped), plus (retimeCount, failedCount) for the cleanliness
+    * audit. */
+  private[tools] def parseRun(text: String): (Map[String, Double], (Int, Int)) = {
+    val line = text.linesIterator
+      .find(l => l.contains("\"metric\":\"total\"") && l.contains("\"queries\":{"))
+      .getOrElse(sys.error("no bench output line with a \"queries\" map found"))
+    val qs = line.indexOf("\"queries\":{")
+    val qe = line.indexOf("}", qs)
+    val queries = QuerySeconds
+      .findAllMatchIn(line.substring(qs, qe + 1))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val retimes = "\"observed\":".r.findAllIn(line).length
+    val failed = queries.count(_._2 < 0)
+    (queries.filter(_._2 >= 0), (retimes, failed))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: DeriveBenchEnvelope <bench-run.json> [more runs…]")
+    val runs = args.toSeq.map { f =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+      val (qs, (retimes, failed)) = parseRun(text)
+      System.err.println(
+        s"[derive] $f: ${qs.size} queries, $retimes retimes, $failed failed" +
+          (if (retimes > 0) "  <-- NOT a clean run; consider dropping it"
+           else ""))
+      qs
+    }
+    var changed = 0
+    val rows = graft.Bench.envelope.map { case (name, lo, hi) =>
+      val prior = EnvelopeRule.Band(lo, hi, graft.Bench.provisionalHi.get(name))
+      val obs = runs.flatMap(_.get(name))
+      if (obs.size < runs.size)
+        System.err.println(
+          s"[derive] WARN: $name present in only ${obs.size}/${runs.size} runs")
+      val adj = EnvelopeRule.adjudicate(prior, obs)
+      adj.excluded.foreach(x => System.err.println(
+        f"[derive] $name: excluded $x%.3fs as an isolated spike " +
+          s"(clean set ${adj.excluded.size} removed of ${obs.size})"))
+      if (adj.action != "kept") {
+        changed += 1
+        System.err.println(f"[derive] $name: ${adj.action} " +
+          f"(${lo}%.3f..${hi}%.3f -> ${adj.band.lo}%.3f..${adj.band.hi}%.3f" +
+          adj.band.provisionalHi.fold("")(p => f", provisional $p%.3f kept") + ")")
+      }
+      name -> adj.band
+    }
+    System.err.println(s"[derive] $changed of ${rows.size} bands changed; " +
+      "paste the rows below into Bench.envelope, move any remaining " +
+      "provisional entries into Bench.provisionalHi, then regenerate the " +
+      "committed file with WriteBenchEnvelope")
+    rows.foreach { case (name, b) =>
+      val lo = if (b.lo == b.lo.toLong) b.lo.toLong.toString else b.lo.toString
+      val hi = if (b.hi == b.hi.toLong) b.hi.toLong.toString else b.hi.toString
+      println(s"""    ("$name", $lo, $hi),""")
+    }
+    val prov = rows.collect { case (n, EnvelopeRule.Band(_, _, Some(p))) =>
+      s""""$n" -> $p""" }
+    println(prov.mkString("  provisionalHi: Map(", ", ", ")"))
+  }
+}
