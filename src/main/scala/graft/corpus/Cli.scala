@@ -60,6 +60,23 @@ private[corpus] object Cli {
   def toBoolean(args: Map[String, String], flag: String, usage: String): Option[Boolean] =
     args.get(flag).map(converted(flag, _, "true|false", usage)(_.toBoolean))
 
+  /** Parse the `--split-cuts tt:vv` pair: two lowercase hex bytes with
+    * tt strictly below vv (the train upper bound below the val upper
+    * bound — equal cuts would silently publish an empty val split, a
+    * config bug). The cuts compare against md5-prefix strings, so
+    * fixed-width lowercase hex is required for the `<` ordering to mean
+    * what it reads as. */
+  def parseSplitCuts(spec: String, usage: String): (String, String) =
+    spec.split(':') match {
+      case Array(t, v) if t.matches("[0-9a-f]{2}") &&
+          v.matches("[0-9a-f]{2}") && t < v => (t, v)
+      case _ =>
+        System.err.println(s"bad --split-cuts value '$spec' " +
+          "(want tt:vv — two lowercase hex bytes, tt < vv)")
+        System.err.println(usage)
+        sys.exit(2)
+    }
+
   /** Parse the `src0:ff,src1:7f` mix-rate list. */
   def parseMix(spec: String): Seq[(String, String)] =
     spec.split(',').toSeq.map { kv =>

@@ -94,15 +94,18 @@ object CorpusMain {
 
   private val log = org.slf4j.LoggerFactory.getLogger(CorpusMain.getClass)
 
-  /** THE split cuts for everything this pipeline derives: the corpus's
-    * published `split` column and the leakage audit's per-side split
-    * recomputation both route through this one pair, so they cannot
+  /** THE default split cuts for everything this pipeline derives: the
+    * corpus's published `split` column and the leakage audit's per-side
+    * split recomputation both route through ONE pair — [[runWith]]'s
+    * `splitCuts` parameter, defaulting to this constant — so they cannot
     * drift (the r13 advisory: two call sites each silently relying on
     * TextOps' defaults would desynchronize the moment one grew a flag).
-    * If cuts ever become a CLI option, this constant becomes the parsed
-    * value and both sites follow automatically; the report side already
-    * prefers the PUBLISHED split column wherever one exists
-    * ([[graft.queries.DedupOps.splitLeakageReport]]). */
+    * `--split-cuts tt:vv` ([[Cli.parseSplitCuts]]) overrides the pair
+    * for a whole run and both sites follow automatically; the report
+    * side additionally prefers the PUBLISHED split column wherever one
+    * exists ([[graft.queries.DedupOps.splitLeakageReport]]), so a
+    * re-audit of an already-published corpus agrees with its column
+    * regardless of the current flag. */
   private[corpus] val SplitCuts: (String, String) =
     (TextOps.DefaultTrainUpper, TextOps.DefaultValUpper)
 
@@ -120,7 +123,8 @@ object CorpusMain {
       "[--stats true|false] [--review-sample N] [--keep-best true|false] " +
       "[--normalize true|false] [--cut-spans N] [--url-dedup true|false] " +
       "[--quota-heap true|false] [--quality-floor D] " +
-      "[--floor-threshold true|false] [--audit-splits D]"
+      "[--floor-threshold true|false] [--audit-splits D] " +
+      "[--split-cuts tt:vv]"
     val args = Cli.parseArgs(argv,
       allowed = Set("input", "output", "capacity", "bench", "min-hits", "mix",
         "mix-default", "embeddings", "cos-threshold", "broadcast-bench",
@@ -129,7 +133,7 @@ object CorpusMain {
         "publish-vectors", "publish-shingles", "quota", "token-budget",
         "chunk", "chunk-stride", "stats", "review-sample", "keep-best",
         "normalize", "cut-spans", "url-dedup", "quota-heap",
-        "quality-floor", "floor-threshold", "audit-splits"),
+        "quality-floor", "floor-threshold", "audit-splits", "split-cuts"),
       required = Set("input", "output"),
       usage = usage)
     // a tuning flag whose master stage is absent is always a config bug —
@@ -170,6 +174,8 @@ object CorpusMain {
     val qualityFloor = Cli.toDouble(args, "quality-floor", usage)
     val floorThreshold = Cli.toBoolean(args, "floor-threshold", usage).getOrElse(false)
     val auditSplits = Cli.toDouble(args, "audit-splits", usage)
+    val splitCuts = args.get("split-cuts")
+      .map(Cli.parseSplitCuts(_, usage)).getOrElse(SplitCuts)
     val spark = graft.Sessions.local("graft-corpus")
     try runWith(spark, args("input"), args("output"),
       capacity, args.get("bench"),
@@ -199,7 +205,8 @@ object CorpusMain {
       floorThreshold,
       semanticBench = args.get("semantic-bench"),
       semanticThreshold = semanticThreshold,
-      auditSplits = auditSplits)
+      auditSplits = auditSplits,
+      splitCuts = splitCuts)
     finally spark.stop()
   }
 
@@ -550,7 +557,13 @@ object CorpusMain {
       floorThreshold: Boolean = false,
       semanticBench: Option[String] = None,
       semanticThreshold: Double = 0.3,
-      auditSplits: Option[Double] = None): Unit = {
+      auditSplits: Option[Double] = None,
+      splitCuts: (String, String) = SplitCuts): Unit = {
+    // the same shape Cli.parseSplitCuts guarantees on the flag path —
+    // programmatic callers get the fail-loudly form of the same check
+    require(splitCuts._1.matches("[0-9a-f]{2}") &&
+        splitCuts._2.matches("[0-9a-f]{2}") && splitCuts._1 < splitCuts._2,
+      s"split cuts must be two lowercase hex bytes with train < val, got $splitCuts")
     require(minHits >= 1, s"min-hits must be >= 1, got $minHits")
     require(cutSpans.forall(_ >= 2),
       s"cut-spans gram width must be >= 2, got ${cutSpans.get}")
@@ -617,7 +630,7 @@ object CorpusMain {
       publishVectors, quota, publishShingles, tokenBudget, chunk,
       chunkStride, stats, reviewSample, keepBest, normalize, cutSpans,
       urlDedup, quotaHeap, qualityFloor, floorThreshold,
-      semanticBench, semanticThreshold, auditSplits)
+      semanticBench, semanticThreshold, auditSplits, splitCuts)
   }
 
   private def runStages(spark: SparkSession, raw: DataFrame, output: String,
@@ -645,7 +658,8 @@ object CorpusMain {
       floorThreshold: Boolean = false,
       semanticBench: Option[String] = None,
       semanticThreshold: Double = 0.3,
-      auditSplits: Option[Double] = None): Unit = {
+      auditSplits: Option[Double] = None,
+      splitCuts: (String, String) = SplitCuts): Unit = {
     // mixing first: membership is a pure hash of (doc_id, rate table), so
     // mixFilter is a broadcast join + filter — no shuffle, nothing read
     // beyond the scan every later stage pays only for the kept fraction of.
@@ -945,7 +959,7 @@ object CorpusMain {
         // shuffles, once, on the stream key
         val withSplit = budgeted
           .withColumn("split",
-            TextOps.splitColumn(col("doc_id"), SplitCuts._1, SplitCuts._2))
+            TextOps.splitColumn(col("doc_id"), splitCuts._1, splitCuts._2))
         // pack per (split, source): a training stream never crosses a
         // split boundary, so offsets must restart inside each split
         val packed = capacity
@@ -1066,7 +1080,7 @@ object CorpusMain {
             auditSplits.foreach { t =>
               Warehouse.replaceDir(
                 DedupOps.crossSplitPairs(DedupOps.minhashNearDup(pubSh, t),
-                    SplitCuts._1, SplitCuts._2)
+                    splitCuts._1, splitCuts._2)
                   .select(col("doc_a"), col("doc_b"), col("split_a"),
                     col("split_b"), col("jaccard")),
                 s"$output/split_leakage")

@@ -141,7 +141,9 @@ object IncrementalAgg {
     * two legitimately distinct physical rows of that key (a perfectly
     * valid delta). A deployment that cannot guarantee the contract at
     * the source should route through the id-carrying top-k maintainer
-    * with k = 1 (same extrema, enforced contract) or compact its feed
+    * with k = 1 (same extrema, enforced contract) — packaged as
+    * [[maintainExtremaEnforced]], so nobody hand-assembles the mapping
+    * (and inverts the min direction's negation) — or compact its feed
     * to net events per row first.
     *
     * Block-release contract: the merged (MV-sized) frame is lazily
@@ -388,8 +390,13 @@ object IncrementalAgg {
     // intra-batch insert-then-update chain folds the superseded value
     // as a second live candidate — silent divergence, against the
     // module's fail-loudly rule. The window shuffles only the delta
-    // (the small, broadcast-bound side) and rides the same projection
-    // the op guard lives in, so no consumer can prune it away.
+    // (the small, broadcast-bound side). Enforcement path: the guards
+    // live in `_op`, and BOTH consumers of `checked` force its
+    // evaluation through an `_op`-referencing filter — `arriving`'s
+    // not-delete filter on the safe side, and `touched`'s tautological
+    // op filter below (a no-op for valid feeds that exists precisely so
+    // a refactor consuming only the recompute side cannot prune the
+    // check away with the projection).
     val eventsPerRow = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(keyAndId.map(col): _*))
     val checked = cdc.withColumn("_op",
@@ -414,7 +421,13 @@ object IncrementalAgg {
     // recompute instead (exact: base is the post-delta truth), and a
     // valid feed's inserts are fresh ids that never match, so the
     // valid path pays the same single MV-vs-delta semi probe as before.
-    val touched = checked.select(keyAndId.map(col): _*)
+    // the filter is semantically a no-op (the op guard already raises on
+    // anything outside the set) but REFERENCES _op, so column pruning
+    // cannot drop the guard expression from this branch — the raise
+    // survives even if arriving's filter is refactored away
+    val touched = checked
+      .filter(col("_op").isin("insert", "delete", "update"))
+      .select(keyAndId.map(col): _*)
     // at-risk = keys where an event hits a KEPT row; delta-bounded,
     // so both the anti join (safe side) and semi join (base side) below
     // broadcast it. Materialized ONCE (lazy localCheckpoint, the same
@@ -470,6 +483,75 @@ object IncrementalAgg {
       .select(keyCols.map(col) :+ explode(col("_top")).as("_t"): _*)
       .select(keyCols.map(col) ++
         Seq(col("_t.id").as(idCol), col("_t.score").as(valueCol)): _*)
+  }
+
+  /** The ENFORCED min/max maintainer [[maintainExtrema]]'s scaladoc
+    * points at: both extrema routed through the id-carrying
+    * [[maintainTopK]] with k = 1, packaged as one call so a deployment
+    * that cannot guarantee the feed contract at the source doesn't
+    * hand-assemble the mapping — the max direction is top-1 verbatim,
+    * the MIN direction is top-1 over NEGATED values (and negated CDC
+    * old/new values, and a negated base), un-negated on the way out —
+    * exactly the inversion a hand-written wrapper gets subtly wrong.
+    *
+    * What enforcement buys (the difference from [[maintainExtrema]]):
+    * the CDC rows carry `idCol`, so an intra-batch duplicate (key, id)
+    * RAISES instead of silently folding a superseded value as a live
+    * candidate, and an insert naming an already-kept id routes through
+    * the at-risk base recompute — both checks inherited from
+    * maintainTopK, firing identically in both directions. The price is
+    * the id column itself plus top-k's per-direction machinery (two
+    * delta-bounded probes instead of one merged frame).
+    *
+    * `mv` carries keyCols + minIdCol/minCol/maxIdCol/maxCol — the
+    * extremum VALUES and the row ids holding them (the ids are what
+    * make the contract checkable; ties go to the lower id, graft_topk's
+    * total order). `cdc` is [[maintainTopK]]'s shape; `base` carries
+    * keyCols + idCol + valueCol. Values widen to DOUBLE (graft_topk's
+    * buffer type), so the output is fold-stable: feeding it back as the
+    * next refresh's `mv` round-trips (spec-pinned, both directions).
+    * On a valid feed the min/max VALUES equal [[maintainExtrema]]'s
+    * (spec-pinned); count/sum stay with [[maintain]] run beside this —
+    * the module's one-CDC-feed-many-views pairing. A key whose rows all
+    * departed leaves both directions; a key present in only ONE
+    * direction is corruption evidence (an inconsistent mv pair) and
+    * stays VISIBLE as a half-null row — [[maintain]]'s rule — via the
+    * full-outer merge. Cost: 2x maintainTopK(k = 1) = O(|delta| + |MV|)
+    * twice plus at-risk-bounded base recomputes; partition/bucket base
+    * on the key so dynamic pruning serves both probes. */
+  def maintainExtremaEnforced(mv: DataFrame, cdc: DataFrame,
+      base: DataFrame, keyCols: Seq[String], idCol: String = "id",
+      valueCol: String = "v",
+      minCol: String = "min_value", maxCol: String = "max_value",
+      minIdCol: String = "min_id", maxIdCol: String = "max_id"): DataFrame = {
+    require(keyCols.nonEmpty,
+      "maintainExtremaEnforced needs at least one key column")
+    val maxMv = mv.select(keyCols.map(col) ++ Seq(
+      col(maxIdCol).as(idCol), col(maxCol).cast("double").as(valueCol)): _*)
+    // the min direction is max over the NEGATED value axis: negate the
+    // stored bound, the CDC's departing/arriving values, and base —
+    // one sign, applied in one place, un-applied once on the way out
+    val minMv = mv.select(keyCols.map(col) ++ Seq(
+      col(minIdCol).as(idCol),
+      (-col(minCol).cast("double")).as(valueCol)): _*)
+    val negCdc = cdc
+      .withColumn("old_value", -col("old_value").cast("double"))
+      .withColumn("new_value", -col("new_value").cast("double"))
+    val negBase = base.withColumn(valueCol, -col(valueCol).cast("double"))
+    val newMax = maintainTopK(maxMv, cdc, base, keyCols, 1, idCol, valueCol)
+    val newMin = maintainTopK(minMv, negCdc, negBase, keyCols, 1, idCol,
+      valueCol)
+    // full outer, not inner: a consistent mv pair yields identical key
+    // sets (both directions fold the same base/delta), so an asymmetric
+    // key is corruption evidence and must stay visible as a half-null
+    // row, not silently drop (maintain's negative-count rule)
+    newMax.select(keyCols.map(col) ++ Seq(
+        col(idCol).as(maxIdCol), col(valueCol).as(maxCol)): _*)
+      .join(newMin.select(keyCols.map(col) ++ Seq(
+          col(idCol).as(minIdCol), (-col(valueCol)).as(minCol)): _*),
+        keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(col(minIdCol), col(minCol),
+        col(maxIdCol), col(maxCol)): _*)
   }
 
   private val AppliedMarker = "_applied_batch"

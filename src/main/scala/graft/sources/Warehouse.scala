@@ -579,6 +579,11 @@ object Warehouse {
     require(maxConcurrentFiles >= 1, s"need >= 1 worker, got $maxConcurrentFiles")
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dir that was never published (or fully retired) holds nothing to
+    // delete — a valid no-op for an erasure, not an error, and the gate
+    // dirHasVisibleData's contract requires (its recursive listing throws
+    // a raw FileNotFoundException on a missing dir)
+    if (!fs.exists(target)) return (0, 0L)
     recover(spark, dir)
     // a dir a previous delete emptied of data files (every row matched)
     // is a valid no-op target, not a schema-inference crash — the case a

@@ -35,9 +35,22 @@ object DeriveBenchEnvelope {
       .getOrElse(sys.error("no bench output line with a \"queries\" map found"))
     val qs = line.indexOf("\"queries\":{")
     val qe = line.indexOf("}", qs)
+    val inner = line.substring(qs + "\"queries\":{".length, qe)
+    // the narrow parse is correct ONLY for a flat map: a future nested
+    // value would put a '{' before the first '}' and silently truncate
+    // the run — fail loudly instead, and pin that every comma-separated
+    // entry actually matched the name:seconds regex
+    require(!inner.contains("{"),
+      "queries map is not flat — the first-'}' parse would truncate the " +
+        "run; extend the parser before deriving bands from this file")
+    val entryCount = inner.split(",").count(_.trim.nonEmpty)
     val queries = QuerySeconds
       .findAllMatchIn(line.substring(qs, qe + 1))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    require(queries.size == entryCount,
+      s"parsed ${queries.size} of $entryCount entries in the queries map " +
+        "(malformed or duplicate entries) — refusing to derive bands " +
+        "from a partial parse")
     val retimes = "\"observed\":".r.findAllIn(line).length
     val failed = queries.count(_._2 < 0)
     (queries.filter(_._2 >= 0), (retimes, failed))

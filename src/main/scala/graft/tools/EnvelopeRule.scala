@@ -56,6 +56,13 @@ object EnvelopeRule {
     * Empty observations keep the prior band untouched ("kept"). */
   def adjudicate(prior: Band, obs: Seq[Double]): Adjudication = {
     require(obs.forall(_ >= 0), s"observations must be non-negative, got $obs")
+    // a provisional bar is by construction the PRE-drift hi kept on file
+    // while the committed hi ran raised — a record above the committed hi
+    // is a mistyped record, and restoring it would RAISE the band while
+    // tagging it "restored"; a restore may only tighten
+    prior.provisionalHi.foreach(bar => require(bar <= prior.hi,
+      f"provisional bar $bar%.3f above the committed hi ${prior.hi}%.3f " +
+        "— a restore can only tighten; fix the provisional record"))
     if (obs.isEmpty) return Adjudication(prior, Nil, "kept")
     val (clean, excluded) = excludeNoise(obs)
     val best = clean.min

@@ -1128,6 +1128,71 @@ class CorpusMainSpec extends SparkSpec {
       "an orphaned report must be retired by the next purge")
   }
 
+  test("--split-cuts re-cuts the published split AND the leakage audit together; bad cuts fail loudly") {
+    import spark.implicits._
+    val tmpIn = Files.createTempDirectory("corpus_cuts_in").toString
+    val out = Files.createTempDirectory("corpus_cuts_out").toString
+    val cuts = ("40", "80") // ~25% train / ~25% val / ~50% test
+    def splitsOf(tt: String, vv: String): Map[Long, String] =
+      (1L to 200L).toDF("doc_id")
+        .select(col("doc_id"),
+          graft.queries.TextOps.splitColumn(col("doc_id"), tt, vv).as("s"))
+        .as[(Long, String)].collect().toMap
+    val custom = splitsOf(cuts._1, cuts._2)
+    val default = splitsOf(graft.queries.TextOps.DefaultTrainUpper,
+      graft.queries.TextOps.DefaultValUpper)
+    // the planted near-dup pair is cross-split under the CUSTOM cuts but
+    // same-split under the DEFAULTS — if either the publish or the audit
+    // side silently fell back to the default cuts, the audit would see a
+    // same-split pair and publish no evidence (one cut authority,
+    // exercised end to end)
+    val (idA, idB) = (for {
+      a <- 1L to 200L; b <- 1L to 200L
+      if a != b && custom(a) == "train" && custom(b) != "train" &&
+        default(a) == default(b)
+    } yield (a, b)).head
+    val others = (1L to 200L).filter(i => i != idA && i != idB).take(4)
+    val shared = (1 to 28).map(i => s"leak$i").mkString(" ")
+    val docs =
+      Seq((idA, "s", s"$shared a1 a2 a3 a4"), (idB, "s", s"$shared b1 b2 b3 b4")) ++
+        others.zipWithIndex.map { case (id, i) =>
+          (id, "s", (1 to 24).map(j => s"inno${i}x$j").mkString(" ")) }
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmpIn/documents.parquet")
+    CorpusMain.runWith(spark, tmpIn, out, auditSplits = Some(0.5),
+      splitCuts = cuts)
+    // the published split column is the custom splitter's output, row
+    // for row — and actually differs from the default cut somewhere
+    val pub = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    pub.foreach { case (id, s) =>
+      assert(s == custom(id), s"doc $id published as $s, custom cut says ${custom(id)}") }
+    assert(pub.exists { case (id, s) => s != default(id) },
+      "custom cuts must re-cut at least one published doc away from the defaults")
+    assert(pub(idA) == "train" && pub(idB) != "train", pub.toString)
+    // the audit found the planted pair AS cross-split — only possible if
+    // it recut with the same custom pair
+    val pairs = spark.read.parquet(s"$out/split_leakage")
+      .select("doc_a", "doc_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect()
+    assert(pairs.length == 1 && Set(pairs.head._1, pairs.head._2) == Set(idA, idB)
+      && pairs.head._3 != pairs.head._4, pairs.mkString("|"))
+    // and the report's denominators agree with the PUBLISHED column
+    val totals = pub.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val report = spark.read.parquet(s"$out/split_leakage_report")
+      .select("split_a", "split_b", "n_pairs", "n_total_a", "n_total_b")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(report.length == 1 && report.head._3 == 1L, report.mkString("|"))
+    assert(report.head._4 == totals(report.head._1) &&
+      report.head._5 == totals(report.head._2), report.head.toString)
+    // malformed cuts are a loud config error, before any work: reversed
+    // ordering, equal cuts, and non-hex shapes all die in the require
+    for (bad <- Seq(("80", "40"), ("40", "40"), ("4", "80"), ("GG", "aa")))
+      intercept[IllegalArgumentException] {
+        CorpusMain.runWith(spark, tmpIn, out, splitCuts = bad)
+      }
+  }
+
   test("purge heals a corpus dir that is ABSENT entirely (not just emptied)") {
     // a crash (or hand cleanup) can remove $out/corpus wholesale while
     // report + evidence + stats + mirror survive; every staleness probe

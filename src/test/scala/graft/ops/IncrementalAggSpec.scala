@@ -634,6 +634,87 @@ class IncrementalAggSpec extends SparkSpec {
     assert(folded == want, "an empty-delta fold over the rebuild must be a fixpoint")
   }
 
+  /** The enforced-extrema MV shape: argmin/argmax ids beside the bounds,
+    * ties to the LOWER id (graft_topk's total order) via struct ordering
+    * — an oracle independent of the code under test. */
+  private def extEnfOf(base: DataFrame): DataFrame =
+    base.groupBy(col("k")).agg(
+      min(struct(col("v").cast("double").as("v"), col("id"))).as("mn"),
+      max(struct(col("v").cast("double").as("v"), (-col("id")).as("nid"))).as("mx"))
+      .select(col("k"), col("mn.id").as("min_id"), col("mn.v").as("min_value"),
+        (-col("mx.nid")).as("max_id"), col("mx.v").as("max_value"))
+
+  private def collectEnf(df: DataFrame): Map[Long, (Long, Double, Long, Double)] =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+
+  test("maintainExtremaEnforced: bounds equal maintainExtrema's on a valid feed, ids equal the argmin/argmax oracle") {
+    val rnd = new scala.util.Random(115)
+    val baseRows = (1 to 200).map(i => (rnd.nextInt(12).toLong, i.toLong,
+      s"${rnd.nextInt(100)}.${rnd.nextInt(100)}"))
+    val base = tfacts(baseRows: _*)
+    val targets = rnd.shuffle(baseRows).take(60)
+    val delta =
+      targets.take(30).map { case (k, id, v) =>
+        ("delete", k, id, Some(v), None) } ++
+      targets.drop(30).map { case (k, id, v) =>
+        ("update", k, id, Some(v),
+          Some(s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")) } ++
+      (1 to 25).map(i => ("insert", rnd.nextInt(14).toLong, 1000L + i, None,
+        Some(s"${rnd.nextInt(100)}.${rnd.nextInt(100)}")))
+    val post = applyTopCdc(base, delta)
+    val got = collectEnf(IncrementalAgg.maintainExtremaEnforced(
+      extEnfOf(base), tcdc(delta: _*), post, Seq("k")))
+    // full equality (ids included) against the independent struct oracle
+    // over the post-delta state
+    assert(got == collectEnf(extEnfOf(post)),
+      "enforced extrema must equal the argmin/argmax recompute")
+    // and the VALUES equal the unenforced maintainer's on the same story
+    // (the id columns are ignored by maintainExtrema's grouping) — the
+    // two operators may never disagree on a bound for a valid feed
+    val unenforced = collectExt(IncrementalAgg.maintainExtrema(
+      mvExtOf(base), tcdc(delta: _*), post, Seq("k")))
+    assert(got.keySet == unenforced.keySet)
+    got.foreach { case (k, (_, mn, _, mx)) =>
+      assert(mn == unenforced(k)._3.doubleValue && mx == unenforced(k)._4.doubleValue,
+        s"key $k: enforced ($mn, $mx) vs maintainExtrema ${unenforced(k)}")
+    }
+    // fold-stability: the output round-trips as the next refresh's mv
+    val folded = collectEnf(IncrementalAgg.maintainExtremaEnforced(
+      IncrementalAgg.maintainExtremaEnforced(
+        extEnfOf(base), tcdc(delta: _*), post, Seq("k")),
+      tcdc(), post, Seq("k")))
+    assert(folded == got, "an empty-delta fold must be a fixpoint")
+  }
+
+  test("maintainExtremaEnforced: an intra-batch duplicate (key, id) raises in BOTH directions") {
+    val base = tfacts((1L, 10L, "10"))
+    val e = intercept[Exception] {
+      IncrementalAgg.maintainExtremaEnforced(extEnfOf(base),
+        tcdc(("insert", 1L, 11L, None, Some("5")),
+          ("update", 1L, 11L, Some("5"), Some("50"))),
+        tfacts((1L, 10L, "10"), (1L, 11L, "50")), Seq("k")).collect()
+    }
+    assert(messages(e).exists(_.contains("feed contract")), messages(e).toString)
+    // the min direction alone (negated axis) carries the same check:
+    // consume only the min columns and the raise still fires
+    val e2 = intercept[Exception] {
+      IncrementalAgg.maintainExtremaEnforced(extEnfOf(base),
+        tcdc(("insert", 1L, 11L, None, Some("5")),
+          ("insert", 1L, 11L, None, Some("7"))),
+        tfacts((1L, 10L, "10")), Seq("k"))
+        .select(col("k"), col("min_id"), col("min_value")).collect()
+    }
+    assert(messages(e2).exists(_.contains("feed contract")), messages(e2).toString)
+    // and a mislabeled insert (already-kept id) routes through the base
+    // recompute in both directions instead of folding a phantom bound
+    val got = collectEnf(IncrementalAgg.maintainExtremaEnforced(
+      extEnfOf(tfacts((1L, 10L, "10"), (1L, 20L, "8"))),
+      tcdc(("insert", 1L, 10L, None, Some("2"))),
+      tfacts((1L, 10L, "2"), (1L, 20L, "8")), Seq("k")))
+    assert(got == Map(1L -> ((10L, 2.0, 20L, 8.0))), got.toString)
+  }
+
   test("maintainTopKBatch: a randomized multi-trigger CDC story lands on the final-state top-k") {
     // eight random batches (inserts of fresh ids, deletes/updates of live
     // rows — one event per row per batch, the feed contract), base landed

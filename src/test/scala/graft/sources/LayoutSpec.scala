@@ -367,6 +367,14 @@ class LayoutSpec extends SparkSpec {
     assert(Warehouse.deleteWhere(spark, dir, col("id") >= 0) == ((0, 0L)))
   }
 
+  test("deleteWhere on a dir that was never published is a (0,0) no-op, not a FileNotFoundException") {
+    // nothing published (or everything retired) means nothing to erase —
+    // the r14 advisory: the visible-data gate's recursive listing throws
+    // raw on a missing dir, so deleteWhere must exists-gate first
+    val dir = new java.io.File(tmp(), "never_published").getPath
+    assert(Warehouse.deleteWhere(spark, dir, col("id") >= 0) == ((0, 0L)))
+  }
+
   test("deleteWhere heals a stranded file-level .old before running (recover-first)") {
     val dir = tmp()
     spark.range(100).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)

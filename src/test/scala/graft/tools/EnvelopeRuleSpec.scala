@@ -48,6 +48,33 @@ class EnvelopeRuleSpec extends AnyFunSuite {
     assert(a.band.hi == 0.8 && a.excluded == Seq(1.4), a.toString)
   }
 
+  test("a mistyped provisional bar ABOVE the committed hi fails loudly instead of raising under a 'restored' tag") {
+    val e = intercept[IllegalArgumentException] {
+      adjudicate(Band(0.15, 0.28, Some(0.35)), Seq(0.17, 0.18, 0.2))
+    }
+    assert(e.getMessage.contains("can only tighten"), e.getMessage)
+    // the check guards the band's SHAPE, so it fires even when no
+    // observation would trigger the restore branch
+    intercept[IllegalArgumentException] {
+      adjudicate(Band(0.15, 0.28, Some(0.35)), Seq(0.3, 0.31))
+    }
+    // a bar exactly at the hi is a legal (degenerate) record
+    val ok = adjudicate(Band(0.15, 0.28, Some(0.28)), Seq(0.17, 0.2))
+    assert(ok.band == Band(0.15, 0.28, None) && ok.action.contains("restored"))
+  }
+
+  test("parseRun fails loudly on a nested or partially-matching queries map instead of truncating") {
+    val flat = """{"metric":"total","value":2.0,"unit":"sec","queries":{"q01_a":1.25,"q02_b":0.75},"sf":0.1}"""
+    val (qs, (retimes, failed)) = DeriveBenchEnvelope.parseRun(flat)
+    assert(qs == Map("q01_a" -> 1.25, "q02_b" -> 0.75) && retimes == 0 && failed == 0)
+    val nested = """{"metric":"total","value":2.0,"queries":{"q01_a":{"observed":3.0},"q02_b":0.75}}"""
+    val e1 = intercept[RuntimeException](DeriveBenchEnvelope.parseRun(nested))
+    assert(e1.getMessage.contains("not flat"), e1.getMessage)
+    val partial = """{"metric":"total","value":2.0,"queries":{"q01_a":1.25,"bogus":0.75}}"""
+    val e2 = intercept[RuntimeException](DeriveBenchEnvelope.parseRun(partial))
+    assert(e2.getMessage.contains("partial parse"), e2.getMessage)
+  }
+
   test("empty observations keep the prior band; rounding is the committed 3 decimals") {
     assert(adjudicate(Band(0.5, 1.0, Some(0.9)), Nil) ==
       EnvelopeRule.Adjudication(Band(0.5, 1.0, Some(0.9)), Nil, "kept"))
