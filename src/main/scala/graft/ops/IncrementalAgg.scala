@@ -684,4 +684,35 @@ object IncrementalAgg {
           batch.sparkSession.read.parquet(baseDir), keyCols,
           valueCol, countCol, sumCol, minCol, maxCol)
         .withColumn(sumCol, col(sumCol).cast("decimal(38,4)")))
+
+  /** [[maintainAggBatch]] for the ENFORCED extrema view: the
+    * `foreachBatch` fold that maintains an at-rest argmin/argmax MV via
+    * [[maintainExtremaEnforced]] — the continuous form every other view
+    * class already carries (agg/extrema/distinct/top-k), so the enforced
+    * variant is a first-class serving choice rather than a one-shot
+    * call. Same post-delta `baseDir` contract as
+    * [[maintainExtremaBatch]] — wire it downstream of the base table's
+    * own writer, never ahead of it — and the same exactly-once
+    * marker/replay-skip/swap discipline from [[foldExactlyOnce]],
+    * including the per-trigger release of maintainTopK's checkpointed
+    * at-risk probes (one per direction). The bootstrap MV is empty with
+    * the id columns typed from the batch's own `idCol` and the bound
+    * columns DOUBLE (graft_topk's buffer type — the fold-stable shape
+    * maintainExtremaEnforced both consumes and emits). Per trigger:
+    * O(|batch| + |MV|) twice (one top-1 fold per direction) plus the
+    * at-risk keys' base aggregations. */
+  def maintainExtremaEnforcedBatch(mvDir: String, baseDir: String,
+      keyCols: Seq[String], idCol: String = "id", valueCol: String = "v",
+      minCol: String = "min_value", maxCol: String = "max_value",
+      minIdCol: String = "min_id", maxIdCol: String = "max_id")(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit =
+    foldExactlyOnce(batch.sparkSession, mvDir, batchId)(
+      batch.select(keyCols.map(col) :+ col(idCol).as(minIdCol): _*).limit(0)
+        .withColumn(minCol, lit(null).cast("double"))
+        .withColumn(maxIdCol, col(minIdCol))
+        .withColumn(maxCol, lit(null).cast("double")))(mv =>
+      maintainExtremaEnforced(mv, batch.toDF(),
+        batch.sparkSession.read.parquet(baseDir), keyCols, idCol, valueCol,
+        minCol, maxCol, minIdCol, maxIdCol))
 }

@@ -394,6 +394,53 @@ object Relational {
         k = 3, idCol = "o_orderkey", valueCol = "v")
     },
 
+    // Incremental MV maintenance with ENFORCED extrema (ops/IncrementalAgg
+    // .maintainExtremaEnforced): q108's argmin/argmax story routed through
+    // the id-carrying top-1 maintainer in both directions — the form a
+    // deployment uses when it cannot guarantee maintainExtrema's
+    // one-event-per-row feed contract at the source (the id makes a
+    // violation detectable and raising, instead of silently folding a
+    // superseded value as a live bound). Same deterministic CDC partition
+    // of orders as q114; the oracle is the direct argmin/argmax of the
+    // final state under graft_topk's total order (ties to the LOWER id).
+    "q116_incremental_extrema_enforced" -> { (s, dir) =>
+      val keyed = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("v"))
+      val base = keyed.filter(col("o_orderkey") % 10 =!= 0)
+      // bootstrap MV: argmin/argmax ids beside the bounds via struct
+      // ordering (ties to the lower id — the max direction negates the id
+      // so maximizing picks the smaller one), independent of the
+      // maintainer's own rebuild kernel
+      val mv = base.groupBy(col("o_custkey")).agg(
+        min(struct(col("v").cast("double").as("v"),
+          col("o_orderkey"))).as("mn"),
+        max(struct(col("v").cast("double").as("v"),
+          (-col("o_orderkey")).as("nid"))).as("mx"))
+        .select(col("o_custkey"),
+          col("mn.o_orderkey").as("min_id"), col("mn.v").as("min_value"),
+          (-col("mx.nid")).as("max_id"), col("mx.v").as("max_value"))
+      val cdc = keyed
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, "insert")
+            .when(col("o_orderkey") % 7 === 0, "delete")
+            .when(col("o_orderkey") % 13 === 0, "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("o_custkey"), col("o_orderkey"),
+          when(col("op") =!= "insert", col("v")).as("old_value"),
+          when(col("op") === "insert", col("v"))
+            .when(col("op") === "update", (col("v") + 1).cast("decimal(18,4)"))
+            .as("new_value"))
+      // the post-delta fact state (maintainExtrema's base contract)
+      val post = keyed
+        .withColumn("v",
+          when(col("o_orderkey") % 10 === 0, col("v"))
+            .when(col("o_orderkey") % 13 === 0, (col("v") + 1).cast("decimal(18,4)"))
+            .otherwise(col("v")))
+        .filter(!(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0))
+      IncrementalAgg.maintainExtremaEnforced(mv, cdc, post, Seq("o_custkey"),
+        idCol = "o_orderkey", valueCol = "v")
+    },
+
     // F5 synthetic dash-joined id (reference: utils/utils.py:57-60).
     "q14_id_synth" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -470,6 +517,32 @@ object Relational {
            FROM f)
          SELECT o_custkey, o_orderkey, CAST(v AS DOUBLE) AS v
          FROM r WHERE rk <= 3""",
+    // the final-state argmin/argmax per customer under the SAME total
+    // order the top-1 heaps keep (min: value asc; max: value desc; ties
+    // to the lower id in both directions) — the enforced two-direction
+    // fold must land on exactly these (ids included)
+    "q116_incremental_extrema_enforced" ->
+      """WITH f AS (
+           SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                  WHEN o_orderkey % 13 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS v
+           FROM orders
+           WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)),
+         r AS (
+           SELECT o_custkey, o_orderkey, v,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY v ASC, o_orderkey) AS rk_min,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY v DESC, o_orderkey) AS rk_max
+           FROM f)
+         SELECT mn.o_custkey,
+           mn.o_orderkey AS min_id, CAST(mn.v AS DOUBLE) AS min_value,
+           mx.o_orderkey AS max_id, CAST(mx.v AS DOUBLE) AS max_value
+         FROM r mn JOIN r mx ON mn.o_custkey = mx.o_custkey
+         WHERE mn.rk_min = 1 AND mx.rk_max = 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -579,12 +579,21 @@ object Warehouse {
     require(maxConcurrentFiles >= 1, s"need >= 1 worker, got $maxConcurrentFiles")
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a dir that was never published (or fully retired) holds nothing to
-    // delete — a valid no-op for an erasure, not an error, and the gate
-    // dirHasVisibleData's contract requires (its recursive listing throws
-    // a raw FileNotFoundException on a missing dir)
-    if (!fs.exists(target)) return (0, 0L)
+    // heal FIRST, then gate: a crash between swap's retire and publish
+    // leaves the table solely in the hidden `.dir.old` sibling with the
+    // target absent — an exists-gate that ran BEFORE the heal would
+    // report (0, 0) "nothing to delete" while the next recover() (any
+    // later entry point) resurrects the rows the caller believes erased
+    // (the r15 advisory; GateState routes purgeDocs through here).
+    // recover is safe on a missing dir: recoverDir restores the target
+    // from the .old sibling when absent, and walk() is exists-guarded.
     recover(spark, dir)
+    // a dir that was never published (or fully retired — recover found
+    // no .old to restore) holds nothing to delete: a valid no-op for an
+    // erasure, not an error, and the gate dirHasVisibleData's contract
+    // requires (its recursive listing throws a raw FileNotFoundException
+    // on a missing dir)
+    if (!fs.exists(target)) return (0, 0L)
     // a dir a previous delete emptied of data files (every row matched)
     // is a valid no-op target, not a schema-inference crash — the case a
     // RERUN of the same erasure hits (GateState.purgeDocs idempotence)

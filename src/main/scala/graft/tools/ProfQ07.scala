@@ -92,7 +92,12 @@ object ProfQ07 {
       (wall, gt1 - gt0, cms + bms + xms)
     }
     val walls = rows.map(_._1).sorted
-    val med = walls(walls.length / 2)
+    // true midpoint: for even n average the two middle observations —
+    // the upper-middle pick inflated the median and deflated the
+    // max/median spike ratio the summary is built around (r15 advisory)
+    val med =
+      if (walls.length % 2 == 1) walls(walls.length / 2)
+      else (walls(walls.length / 2 - 1) + walls(walls.length / 2)) / 2.0
     val worst = rows.maxBy(_._1)
     println(f"summary: n=$iters median=$med%.3f s min=${walls.head}%.3f " +
       f"max=${walls.last}%.3f (x${walls.last / med}%.2f of median; worst " +

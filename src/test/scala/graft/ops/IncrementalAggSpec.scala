@@ -715,6 +715,82 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == Map(1L -> ((10L, 2.0, 20L, 8.0))), got.toString)
   }
 
+  test("maintainExtremaEnforced plan shape: two broadcast at-risk probes, a full-outer merge, no cartesian") {
+    // a kept-row departure in each direction so BOTH at-risk recomputes
+    // are live in the plan (nothing prunes to the trivial safe-only form)
+    val base = tfacts((1L, 10L, "10"), (1L, 20L, "2"), (1L, 30L, "5"))
+    val delta = Seq[(String, Long, Long, Option[String], Option[String])](
+      ("delete", 1L, 10L, Some("10"), None), // departs the MAX
+      ("delete", 1L, 20L, Some("2"), None))  // departs the MIN
+    val post = applyTopCdc(base, delta)
+    val refreshed = IncrementalAgg.maintainExtremaEnforced(
+      extEnfOf(base), tcdc(delta: _*), post, Seq("k"))
+    assert(collectEnf(refreshed) == collectEnf(extEnfOf(post)))
+    val plan = refreshed.queryExecution.executedPlan.toString
+    // the composition a refactor must not regress silently (each sibling
+    // maintainer carries the same class of pin): never a cartesian or
+    // nested loop anywhere in the two-direction composition...
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+    // ...the at-risk key sets stay DELTA-BOUNDED broadcasts into their
+    // semi/anti joins — one probe per direction, so at least two
+    // broadcast semi joins (neither direction's base filter may degrade
+    // to a shuffled join of corpus-sized sides)...
+    val semis = "BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).size
+    assert(semis >= 2,
+      s"expected a broadcast at-risk semi probe per direction, found $semis: $plan")
+    assert(plan.contains("LeftAnti"), plan)
+    // ...and the final min/max pairing is the MV-sized FULL-OUTER merge
+    // (asymmetric keys stay visible as half-null corruption evidence,
+    // never silently inner-joined away)
+    assert(plan.contains("FullOuter"),
+      s"the direction merge must stay full-outer: $plan")
+  }
+
+  test("maintainExtremaEnforcedBatch folds a CDC stream into an at-rest MV, exactly-once on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("mvenf").toString
+    val mvDir = root + "/mv"
+    val baseDir = root + "/base"
+    def landBase(rows: (Long, Long, String)*): Unit =
+      tfacts(rows: _*).write.mode("overwrite").parquet(baseDir)
+    val in = MemoryStream[(String, Long, Long, Option[String], Option[String])]
+    val cdcStream = in.toDF().toDF("op", "k", "id", "o", "n")
+      .select(col("op"), col("k"), col("id"),
+        col("o").cast("decimal(18,4)").as("old_value"),
+        col("n").cast("decimal(18,4)").as("new_value"))
+    val q = cdcStream.writeStream
+      .foreachBatch(
+        IncrementalAgg.maintainExtremaEnforcedBatch(mvDir, baseDir, Seq("k")) _)
+      .start()
+    try {
+      landBase((1L, 10L, "10"), (1L, 20L, "2"), (1L, 30L, "5"))
+      in.addData(("insert", 1L, 10L, None, Some("10")),
+        ("insert", 1L, 20L, None, Some("2")),
+        ("insert", 1L, 30L, None, Some("5")))
+      q.processAllAvailable()
+      // delete the argmax 10: the refill (30 -> 5.0) lives only in base;
+      // the min bound (20 -> 2.0) is untouched by the departure
+      landBase((1L, 20L, "2"), (1L, 30L, "5"))
+      in.addData(("delete", 1L, 10L, Some("10"), None))
+      q.processAllAvailable()
+    } finally q.stop()
+    def readMv() = collectEnf(spark.read.parquet(mvDir)
+      .select(col("k"), col("min_id"), col("min_value"),
+        col("max_id"), col("max_value")))
+    val got = readMv()
+    assert(got == Map(1L -> ((20L, 2.0, 30L, 5.0))), got.toString)
+    // a replayed micro-batch id must be a no-op (restart redelivery)
+    IncrementalAgg.maintainExtremaEnforcedBatch(mvDir, baseDir, Seq("k"))(
+      tcdc(("insert", 1L, 40L, None, Some("100"))), 0L)
+    assert(readMv() == got, "batch id 0 was already applied: replay must not double-fold")
+    // a genuinely NEW batch id applies through the arrival algebra
+    landBase((1L, 20L, "2"), (1L, 30L, "5"), (1L, 40L, "100"))
+    IncrementalAgg.maintainExtremaEnforcedBatch(mvDir, baseDir, Seq("k"))(
+      tcdc(("insert", 1L, 40L, None, Some("100"))), 99L)
+    assert(readMv() == Map(1L -> ((20L, 2.0, 40L, 100.0))))
+  }
+
   test("maintainTopKBatch: a randomized multi-trigger CDC story lands on the final-state top-k") {
     // eight random batches (inserts of fresh ids, deletes/updates of live
     // rows — one event per row per batch, the feed contract), base landed

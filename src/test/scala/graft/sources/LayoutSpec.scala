@@ -375,6 +375,27 @@ class LayoutSpec extends SparkSpec {
     assert(Warehouse.deleteWhere(spark, dir, col("id") >= 0) == ((0, 0L)))
   }
 
+  test("deleteWhere heals a whole-dir interrupted swap before gating (recover-first, r15 advisory)") {
+    val root = tmp()
+    val dir = s"$root/t"
+    spark.range(100).toDF("id").coalesce(1).write.parquet(dir)
+    // simulate a crash between swap's retire and publish: the ENTIRE
+    // table sits in the hidden .t.old sibling, the target dir is absent.
+    // An exists-gate running before recover() would report (0, 0) —
+    // "nothing to delete" — and the next recover() would resurrect the
+    // rows this erasure claimed to remove (GateState.purgeDocs routes
+    // actual erasures through deleteWhere, so this is an erasure bug)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(s"$root/.t.old"))
+    val (nf, nr) = Warehouse.deleteWhere(spark, dir, col("id") === 5)
+    assert(nf == 1 && nr == 1, s"heal must restore the table first: ($nf, $nr)")
+    assert(spark.read.parquet(dir).count() == 99)
+    assert(spark.read.parquet(dir).filter(col("id") === 5).count() == 0,
+      "the matching row must actually be gone after the heal")
+    assert(!new java.io.File(s"$root/.t.old").exists(),
+      "the .old sibling must be consumed by the heal, not left to resurrect")
+  }
+
   test("deleteWhere heals a stranded file-level .old before running (recover-first)") {
     val dir = tmp()
     spark.range(100).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
