@@ -30,6 +30,16 @@ object DeriveBenchEnvelope {
     * dropped), plus (retimeCount, failedCount) for the cleanliness
     * audit. */
   private[tools] def parseRun(text: String): (Map[String, Double], (Int, Int)) = {
+    val (seq, counts) = parseRunOrdered(text)
+    (seq.filter(_._2 >= 0).toMap, counts)
+  }
+
+  /** Like [[parseRun]] but preserving the run's EMISSION order (the
+    * order queries were timed — what [[WobbleWindow]]'s contiguous-
+    * window analysis is defined over) and keeping failed sentinels in
+    * place for the caller to drop. */
+  private[tools] def parseRunOrdered(
+      text: String): (Seq[(String, Double)], (Int, Int)) = {
     val line = text.linesIterator
       .find(l => l.contains("\"metric\":\"total\"") && l.contains("\"queries\":{"))
       .getOrElse(sys.error("no bench output line with a \"queries\" map found"))
@@ -46,14 +56,15 @@ object DeriveBenchEnvelope {
     val entryCount = inner.split(",").count(_.trim.nonEmpty)
     val queries = QuerySeconds
       .findAllMatchIn(line.substring(qs, qe + 1))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    require(queries.size == entryCount,
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    require(queries.size == entryCount &&
+        queries.map(_._1).distinct.size == queries.size,
       s"parsed ${queries.size} of $entryCount entries in the queries map " +
         "(malformed or duplicate entries) — refusing to derive bands " +
         "from a partial parse")
     val retimes = "\"observed\":".r.findAllIn(line).length
     val failed = queries.count(_._2 < 0)
-    (queries.filter(_._2 >= 0), (retimes, failed))
+    (queries, (retimes, failed))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,158 @@
+package graft.tools
+
+/** Mechanizes the wobble-window adjudication the round-15/16 SCALING.md
+  * notes executed by hand — `sbt 'runMain graft.tools.WobbleWindow
+  * suspect.json other1.json [more…]'` — so a reproducer adjudicates a
+  * noisy recorded run with one command instead of a spreadsheet.
+  *
+  * The analysis (SCALING.md's round-16 "run1 cluster, named" note):
+  * take the suspect run's per-query seconds IN RUN ORDER (the emission
+  * order of the committed JSON's "queries" map — the order the suite
+  * timed them), ratio each against the best of the other recorded
+  * runs, and look for CONTIGUOUS spans of elevated ratios. A transient
+  * host-level window (GC storm, scheduler stall, another process's
+  * tail) taxes every query measured inside it by a similar factor, so
+  * it shows up as one run-order span at 1.3-1.9x — not as independent
+  * per-query events — while a genuine plan regression follows the
+  * QUERY across runs instead of the clock. Heavy queries inside the
+  * window absorb the same tax but stay inside their wide envelope
+  * bands; only the sub-second queries surface as marginal exceedances,
+  * which is why wobble clusters look like alphabetical neighborhoods
+  * of light queries (r15 run1's q16-q24, r16 run1's q110-q28).
+  *
+  * Detection rule, calibrated on the two hand-adjudicated precedents
+  * (bench_runs/r15 run1, bench_runs/r16 run1 — WobbleWindowSpec pins
+  * both reproductions): a query is HOT when its ratio >= [[HotFactor]];
+  * hot queries cluster into one window when separated by at most
+  * [[MaxGap]] non-hot queries (a window's light tail can dip under the
+  * factor — r16 run1's q116/q18 sit at 1.06-1.07x INSIDE the span —
+  * so small gaps do not split it); a cluster is a WINDOW when it has
+  * at least [[MinHot]] hot members, else its hots are reported as the
+  * isolated spikes the envelope rule's r9 noise signal handles.
+  * Windows are ranked by excess seconds (suspect minus others-best,
+  * summed over the span) — the transient's total tax on the run.
+  *
+  * Reads the same committed bench JSONs as [[DeriveBenchEnvelope]]
+  * (whose narrow parser it shares); no Spark session, pure arithmetic
+  * on recorded artifacts. */
+object WobbleWindow {
+
+  /** A query at or above this ratio to the best of the other runs is
+    * "hot" — the 1.3x floor of the hand-adjudicated window amplitudes
+    * (both precedents ran 1.3-1.9x inside the span). */
+  val HotFactor = 1.3
+
+  /** Hot queries separated by at most this many non-hot queries merge
+    * into one window: a window's lightest members can ride under the
+    * hot bar (the suite's fastest queries resolve a host stall
+    * coarsely), and the r16 precedent needs exactly 6 (q115..q14
+    * between hot q114 and hot q15). */
+  val MaxGap = 6
+
+  /** A cluster below this many hot members is not a window — it is
+    * the isolated-spike class EnvelopeRule.excludeNoise already
+    * handles per query. */
+  val MinHot = 3
+
+  /** One query's suspect-vs-others measurement. `othersBest` is the
+    * minimum over the comparison runs; `startSec` is the cumulative
+    * suspect-run time when this query began (run-order clock). */
+  final case class Entry(name: String, suspect: Double, othersBest: Double,
+      startSec: Double) {
+    def ratio: Double = suspect / othersBest
+    def hot: Boolean = ratio >= HotFactor
+  }
+
+  /** A detected contiguous transient window (first hot .. last hot). */
+  final case class Window(entries: Seq[Entry]) {
+    def span: String = s"${entries.head.name} -> ${entries.last.name}"
+    def hotCount: Int = entries.count(_.hot)
+    def startSec: Double = entries.head.startSec
+    def endSec: Double = entries.last.startSec + entries.last.suspect
+    /** The transient's total tax on the suspect run, seconds. */
+    def excessSec: Double = entries.map(e => e.suspect - e.othersBest).sum
+    def medianRatio: Double = {
+      val s = entries.map(_.ratio).sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+  }
+
+  /** Pair the suspect run (in emission order) with the best of the
+    * comparison runs. A query missing from every comparison run (or
+    * failed there) cannot be ratio'd: it is kept in the sequence as a
+    * neutral 1.0x entry so window contiguity is unaffected, and the
+    * caller is told. Failed suspect entries are dropped the same way
+    * DeriveBenchEnvelope drops sentinels. */
+  def ratios(suspect: Seq[(String, Double)],
+      others: Seq[Map[String, Double]]): (Seq[Entry], Seq[String]) = {
+    require(others.nonEmpty, "need at least one comparison run")
+    var clock = 0.0
+    val unmatched = Seq.newBuilder[String]
+    val entries = suspect.filter(_._2 >= 0).map { case (name, sec) =>
+      val best = others.flatMap(_.get(name)).filter(_ >= 0) match {
+        case Nil => unmatched += name; sec
+        case bs => bs.min
+      }
+      val e = Entry(name, sec, best, clock)
+      clock += sec
+      e
+    }
+    (entries, unmatched.result())
+  }
+
+  /** Cluster hot entries under the gap rule; return (windows ranked by
+    * excess seconds, leftover isolated-spike entries). */
+  def windows(entries: Seq[Entry]): (Seq[Window], Seq[Entry]) = {
+    val hotIdx = entries.zipWithIndex.collect { case (e, i) if e.hot => i }
+    val clusters = hotIdx.foldLeft(List.empty[List[Int]]) {
+      case (Nil, i) => List(List(i))
+      case (cur :: done, i) =>
+        if (i - cur.head - 1 <= MaxGap) (i :: cur) :: done
+        else List(i) :: cur :: done
+    }.map(_.reverse).reverse
+    val (windowed, spiky) = clusters.partition(_.size >= MinHot)
+    val ws = windowed
+      .map(c => Window(entries.slice(c.head, c.last + 1)))
+      .sortBy(-_.excessSec)
+    (ws, spiky.flatten.map(entries))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: WobbleWindow <suspect-run.json> <other-run.json> [more…]")
+    def read(f: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    val (suspect, (sRetimes, sFailed)) =
+      DeriveBenchEnvelope.parseRunOrdered(read(args.head))
+    val others = args.tail.toSeq.map { f =>
+      val (m, _) = DeriveBenchEnvelope.parseRun(read(f)); m
+    }
+    val (entries, unmatched) = ratios(suspect, others)
+    println(f"[wobble] suspect ${args.head}: ${entries.size} queries, " +
+      f"total ${entries.map(_.suspect).sum}%.2f s, $sRetimes retimes, " +
+      f"$sFailed failed; vs best of ${others.size} other run(s)")
+    unmatched.foreach(n => println(
+      s"[wobble] WARN: $n absent from every comparison run — held at 1.0x"))
+    entries.foreach { e =>
+      println(f"${e.name}%-40s ${e.suspect}%7.3f ${e.othersBest}%7.3f " +
+        f"${e.ratio}%5.2fx  t=${e.startSec}%6.1f" +
+        (if (e.hot) "  HOT" else ""))
+    }
+    val (ws, spikes) = windows(entries)
+    if (ws.isEmpty) println(
+      s"[wobble] no transient window (no cluster of >= $MinHot hot " +
+        s"queries within gap $MaxGap) — any hot entries below are the " +
+        "isolated-spike class")
+    ws.foreach { w =>
+      println(f"[wobble] window ${w.span}: ${w.entries.size} queries, " +
+        f"t=${w.startSec}%.1f..${w.endSec}%.1f s, ${w.hotCount} hot " +
+        f">= ${HotFactor}x, median ${w.medianRatio}%.2fx, " +
+        f"excess +${w.excessSec}%.2f s")
+    }
+    spikes.foreach(e => println(
+      f"[wobble] isolated spike ${e.name}: ${e.ratio}%.2fx at " +
+        f"t=${e.startSec}%.1f s (under $MinHot hot neighbors — the r9 " +
+        "per-query noise class, see EnvelopeRule.excludeNoise)"))
+  }
+}
