@@ -1,9 +1,12 @@
 package graft.tools
 
 /** Derive the adjudicated bench envelope from recorded run JSONs —
-  * `sbt 'runMain graft.tools.DeriveBenchEnvelope run1.json run2.json …'`
-  * — applying [[EnvelopeRule]] per query against the CURRENT committed
-  * bands ([[graft.Bench.envelope]] + its provisional records).
+  * `sbt 'runMain graft.tools.DeriveBenchEnvelope [--graduate=q,…]
+  * run1.json run2.json …'` — applying [[EnvelopeRule]] per query
+  * against the CURRENT committed bands ([[graft.Bench.envelope]] + its
+  * provisional records); queries named by `--graduate` take
+  * [[EnvelopeRule.graduate]] (the provisional-wide band's one-time
+  * re-derivation, which may lower hi) instead.
   *
   * Ends the hand-executed envelope chore the r12/r13 reviews flagged:
   * the operator records N clean full runs (graft.Bench's stdout, one
@@ -68,9 +71,25 @@ object DeriveBenchEnvelope {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: DeriveBenchEnvelope <bench-run.json> [more runs…]")
-    val runs = args.toSeq.map { f =>
+    // --graduate=<query>[,<query>…]: re-derive these queries' hi bands
+    // as 1.05x the worst clean observation in EITHER direction (the
+    // provisional-wide graduation, EnvelopeRule.graduate) instead of
+    // the raise-only default. Explicit and repeatable: lowering a band
+    // is a deliberate act the audit trail names.
+    val (flags, files) = args.toSeq.partition(_.startsWith("--"))
+    val graduating = flags.flatMap {
+      case s if s.startsWith("--graduate=") =>
+        s.stripPrefix("--graduate=").split(',').filter(_.nonEmpty)
+      case s => sys.error(s"unknown flag $s (only --graduate=<q>[,<q>…])")
+    }.toSet
+    graduating.filterNot(q => graft.Bench.envelope.exists(_._1 == q)) match {
+      case bad if bad.nonEmpty =>
+        sys.error(s"--graduate names unknown queries: ${bad.mkString(",")}")
+      case _ => ()
+    }
+    require(files.nonEmpty,
+      "usage: DeriveBenchEnvelope [--graduate=q,…] <bench-run.json> [more runs…]")
+    val runs = files.map { f =>
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
       val (qs, (retimes, failed)) = parseRun(text)
@@ -87,7 +106,13 @@ object DeriveBenchEnvelope {
       if (obs.size < runs.size)
         System.err.println(
           s"[derive] WARN: $name present in only ${obs.size}/${runs.size} runs")
-      val adj = EnvelopeRule.adjudicate(prior, obs)
+      val adj =
+        if (graduating(name)) EnvelopeRule.graduate(prior, obs)
+        else EnvelopeRule.adjudicate(prior, obs)
+      if (graduating(name) && obs.size < EnvelopeRule.MinGraduationObs)
+        System.err.println(s"[derive] WARN: $name cannot graduate on " +
+          s"${obs.size} observation(s) (< ${EnvelopeRule.MinGraduationObs}) " +
+          "— band kept")
       adj.excluded.foreach(x => System.err.println(
         f"[derive] $name: excluded $x%.3fs as an isolated spike " +
           s"(clean set ${adj.excluded.size} removed of ${obs.size})"))

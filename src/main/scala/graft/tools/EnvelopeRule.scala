@@ -79,4 +79,37 @@ object EnvelopeRule {
     Adjudication(Band(lo, hi, prov), excluded,
       if (tags.isEmpty) "kept" else tags.mkString(","))
   }
+
+  /** A graduation needs at least one full round of clean runs — a
+    * single observation must not set a band. */
+  val MinGraduationObs = 3
+
+  /** Graduate a provisional-WIDE band: a newly added query's hi is
+    * hand-set generous ("until history accumulates" — q116 in round
+    * 16) because fresh-JVM measurements overshoot the in-suite steady
+    * state. Once a full round of clean in-suite history exists, the
+    * band should meet the same bar as every mature one — so, unlike
+    * [[adjudicate]] (whose hi only ever rises, or restores), a
+    * graduation RE-DERIVES hi as 1.05x the worst clean observation in
+    * whichever direction that lies. The caller names the graduating
+    * queries explicitly (DeriveBenchEnvelope's --graduate flag): the
+    * lowering power stays a deliberate, audited act, never the
+    * default rule. lo follows the normal tightening rule and the r9
+    * noise exclusion applies before the worst is read. Fewer than
+    * [[MinGraduationObs]] observations keep the band untouched. */
+  def graduate(prior: Band, obs: Seq[Double]): Adjudication = {
+    require(obs.forall(_ >= 0), s"observations must be non-negative, got $obs")
+    require(prior.provisionalHi.isEmpty,
+      "a band cannot both await a provisional restore and graduate — " +
+        "the restore already records the hi the band should return to")
+    if (obs.size < MinGraduationObs) return Adjudication(prior, Nil, "kept")
+    val (clean, excluded) = excludeNoise(obs)
+    val lo = math.min(prior.lo, round3(0.9 * clean.min))
+    val hi = round3(1.05 * clean.max)
+    val tags = Seq(
+      if (lo < prior.lo) Some("lo_tightened") else None,
+      if (hi != prior.hi) Some("graduated") else None).flatten
+    Adjudication(Band(lo, hi, None), excluded,
+      if (tags.isEmpty) "kept" else tags.mkString(","))
+  }
 }

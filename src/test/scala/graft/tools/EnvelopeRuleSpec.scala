@@ -75,6 +75,31 @@ class EnvelopeRuleSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partial parse"), e2.getMessage)
   }
 
+  test("graduation re-derives a provisional-wide hi at 1.05x the worst clean observation — in either direction") {
+    // the q116 shape: hand-set generous hi, in-suite steady state far
+    // below it — graduation LOWERS to the same bar mature bands meet
+    val down = EnvelopeRule.graduate(Band(1.098, 3.6, None), Seq(1.15, 1.22, 1.19))
+    assert(down.band == Band(1.035, 1.281, None), down.toString)
+    assert(down.action == "lo_tightened,graduated")
+    // steady state ABOVE the hand-set hi graduates upward with the
+    // same formula — no special case
+    val up = EnvelopeRule.graduate(Band(0.5, 1.0, None), Seq(1.1, 1.2, 1.15))
+    assert(up.band.hi == 1.26 && up.action == "graduated", up.toString)
+    // the r9 noise exclusion still shields the worst-read
+    val noisy = EnvelopeRule.graduate(Band(0.5, 3.0, None), Seq(0.6, 0.62, 1.4))
+    assert(noisy.band.hi == 0.651 && noisy.excluded == Seq(1.4), noisy.toString)
+  }
+
+  test("graduation refuses thin history and provisional-restore records") {
+    // fewer than MinGraduationObs observations: band untouched
+    val thin = EnvelopeRule.graduate(Band(1.0, 3.6, None), Seq(1.2, 1.3))
+    assert(thin.band == Band(1.0, 3.6, None) && thin.action == "kept")
+    // a band awaiting a provisional restore has its own lowering path
+    intercept[IllegalArgumentException] {
+      EnvelopeRule.graduate(Band(0.15, 0.28, Some(0.22)), Seq(0.17, 0.18, 0.2))
+    }
+  }
+
   test("empty observations keep the prior band; rounding is the committed 3 decimals") {
     assert(adjudicate(Band(0.5, 1.0, Some(0.9)), Nil) ==
       EnvelopeRule.Adjudication(Band(0.5, 1.0, Some(0.9)), Nil, "kept"))
