@@ -89,7 +89,26 @@ object Warehouse {
     require(fs.exists(staging),
       s"no staged data for $dir — run stageDirWith before publishStaged")
     swap(fs, staging, target)
+    refreshPath(spark, dir)
   }
+
+  /** Invalidate and re-cache any CACHED Datasets over `dir` after a
+    * FILESYSTEM-level publish (`Catalog.refreshByPath`). DataFrameWriter
+    * refreshes only the path IT wrote — for every swap protocol here
+    * that is the hidden STAGING sibling, never the live table — so a
+    * Dataset a long-lived session has `.cache()`d over the table would
+    * keep serving the RETIRED snapshot's rows across publishes for the
+    * rest of the session: silently stale data, not even a crash
+    * (WarehouseSpec's coherence test pins both sides — it fails with
+    * this line removed). Scope is honest: UNCACHED readers were always
+    * safe — a fresh `spark.read.parquet` lists fresh, and a stale
+    * HANDLE (a DataFrame created before the publish) snapshots its
+    * listing by Spark's documented reader semantics and must simply be
+    * re-created after a publish (PipelineVolumeSpec's reader-contract
+    * note, found in the round-17 full-DAG rehearsal). Cache
+    * invalidation only — no filesystem I/O. */
+  private def refreshPath(spark: SparkSession, dir: String): Unit =
+    spark.catalog.refreshByPath(dir)
 
   /** Publish `staging` as `target` without a window in which neither
     * exists: old target → hidden `.old` sibling, staging → target, then
@@ -107,13 +126,16 @@ object Warehouse {
   }
 
   /** Heal an interrupted swap: if a crash left the `.old` sibling holding
-    * the table (target missing), rename it back; otherwise drop leftovers. */
-  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, target: Path): Unit = {
+    * the table (target missing), rename it back; otherwise drop leftovers.
+    * Returns whether anything was healed (the caller refreshes cached
+    * listings only when the live tree actually changed). */
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, target: Path): Boolean = {
     val old = oldFor(target)
     if (fs.exists(old)) {
       if (!fs.exists(target)) fs.rename(old, target)
       else fs.delete(old, true)
-    }
+      true
+    } else false
   }
 
   /** Heal ALL interrupted swaps under table `dir` — the root and every
@@ -127,7 +149,7 @@ object Warehouse {
   def recover(spark: SparkSession, dir: String): Unit = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverDir(fs, target)
+    var healed = recoverDir(fs, target)
     def walk(p: Path): Unit =
       if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).foreach { st =>
@@ -137,6 +159,7 @@ object Warehouse {
               val orig = new Path(p, n.drop(1).dropRight(4))
               if (!fs.exists(orig)) fs.rename(st.getPath, orig)
               else fs.delete(st.getPath, true)
+              healed = true
             } else if (n.startsWith(".del-")) {
               // orphan deleteWhere staging: always disposable — the swap
               // that would consume it never ran (it deletes its staging)
@@ -148,9 +171,14 @@ object Warehouse {
             val orig = new Path(p, n.drop(1).dropRight(4))
             if (!fs.exists(orig)) fs.rename(st.getPath, orig)
             else fs.delete(st.getPath, false)
+            healed = true
           }
         }
     walk(target)
+    // a heal changed the live tree behind any cached listing; a clean
+    // pass (the overwhelmingly common case — recover runs before every
+    // read) must NOT invalidate, or the cache would never help
+    if (healed) refreshPath(spark, dir)
   }
 
   /** Dynamic partition overwrite via write-audit-publish: stage `df`
@@ -195,6 +223,9 @@ object Warehouse {
       swap(fs, leaf, dst) // per-partition rename-aside: no delete-then-rename window
     }
     fs.delete(staging, true)
+    // the swaps happened behind DataFrameWriter's back (it refreshed the
+    // staging path it wrote, not the live leaves) — see refreshPath
+    if (staged.nonEmpty) refreshPath(df.sparkSession, dir)
     staged.length
   }
 
@@ -208,7 +239,7 @@ object Warehouse {
     fs.delete(oldFor(target), true)
     fs.delete(stagingFor(target), true)
     fs.delete(target, true)
-    ()
+    refreshPath(spark, dir)
   }
 
   private def stagingFor(target: Path): Path =
@@ -436,6 +467,7 @@ object Warehouse {
           }
           throw first
         }
+        if (frag.nonEmpty) refreshPath(spark, dir)
         frag.size
       } finally pool.shutdown()
     }
@@ -666,6 +698,7 @@ object Warehouse {
         catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
       failures.headOption.foreach(throw _)
     } finally pool.shutdown()
+    refreshPath(spark, dir) // file-level swaps happened; see refreshPath
     (affected.length, affected.map(_._2).sum)
   }
 

@@ -49,6 +49,21 @@ class WarehouseSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$root/.t.old")))
   }
 
+  test("publish refreshes cached Datasets over the table (coherence across swaps)") {
+    val dir = s"${tmp()}/t"
+    Warehouse.replaceDir(Seq(1, 2).toDF("id"), dir)
+    val cached = spark.read.parquet(dir).cache()
+    assert(cached.count() == 2) // materialize the cache over the OLD files
+    // a filesystem-level swap happens behind DataFrameWriter's back (it
+    // refreshed the hidden staging path it wrote, not the live table):
+    // without the publish-side refreshByPath, this cached Dataset keeps
+    // serving the retired snapshot's rows for the rest of the session
+    Warehouse.replaceDir(Seq(3, 4, 5).toDF("id"), dir)
+    try assert(cached.count() == 3,
+      "a cached reader must see the published table, not the retired snapshot")
+    finally cached.unpersist()
+  }
+
   test("overwritePartitions swaps exactly the staged partitions, leaves others intact") {
     val dir = s"${tmp()}/t"
     val v1 = Seq((1, "2023-24", "Regular Season"), (2, "2024-25", "Regular Season"))
