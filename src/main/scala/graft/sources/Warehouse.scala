@@ -467,9 +467,19 @@ object Warehouse {
           }
           throw first
         }
-        if (frag.nonEmpty) refreshPath(spark, dir)
         frag.size
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdown()
+        // in the finally, NOT after the rethrow: when some leaf swaps
+        // landed and another failed, the exception must propagate with
+        // the cache already invalidated — a caller that catches and
+        // continues in-session would otherwise serve retired-snapshot
+        // rows from cached Datasets over a table that WAS partially
+        // rewritten on disk (the r17 publish-coherence rule, extended
+        // to the partial-failure path per the r17 advisory; frag is
+        // nonEmpty on this branch, so this never fires on a no-op)
+        refreshPath(spark, dir)
+      }
     }
   }
 
@@ -588,20 +598,39 @@ object Warehouse {
   def dirHasVisibleData(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Boolean = {
     val rootPath = fs.makeQualified(dir).toUri.getPath
-    def visible(f: Path): Boolean = {
-      var cur = f
-      var ok = true
-      while (ok && cur != null && cur.toUri.getPath != rootPath) {
-        val n = cur.getName
-        ok = !n.startsWith(".") && !n.startsWith("_")
-        cur = cur.getParent
-      }
-      ok
-    }
     val it = fs.listFiles(dir, true)
     var found = false
-    while (!found && it.hasNext) found = visible(it.next().getPath)
+    while (!found && it.hasNext)
+      found = allSegmentsVisible(rootPath, it.next().getPath)
     found
+  }
+
+  /** A file is VISIBLE data when every path segment below the table root
+    * is free of the '.'/'_' prefixes parquet readers skip (swap siblings,
+    * staging, _SUCCESS markers). */
+  private def allSegmentsVisible(rootPath: String, f: Path): Boolean = {
+    var cur = f
+    var ok = true
+    while (ok && cur != null && cur.toUri.getPath != rootPath) {
+      val n = cur.getName
+      ok = !n.startsWith(".") && !n.startsWith("_")
+      cur = cur.getParent
+    }
+    ok
+  }
+
+  /** All visible data files under `dir` — [[dirHasVisibleData]]'s rule,
+    * collected. One recursive listing, driver-side. */
+  private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[Path] = {
+    val rootPath = fs.makeQualified(dir).toUri.getPath
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (allSegmentsVisible(rootPath, p)) out += p
+    }
+    out.result()
   }
 
   def deleteWhere(spark: SparkSession, dir: String,
@@ -630,7 +659,22 @@ object Warehouse {
     // is a valid no-op target, not a schema-inference crash — the case a
     // RERUN of the same erasure hits (GateState.purgeDocs idempotence)
     if (!dirHasVisibleData(fs, target)) return (0, 0L)
-    val affected = spark.read.parquet(dir).filter(predicate)
+    // the discovery scan must see REAL file provenance: a Dataset this
+    // session has .cache()d over the dir would substitute the scan with
+    // its InMemoryRelation (the cache manager matches any plan over the
+    // same root path), where input_file_name() evaluates to "" — no file
+    // scan underneath — and the erasure would die on an empty path
+    // instead of deleting (found by WarehouseSpec's partial-failure pin).
+    // Reading the EXPLICIT file list gives the scan a FileIndex whose
+    // roots are the files, which the cache over the dir never matches;
+    // basePath keeps directory-encoded partition columns resolvable for
+    // the predicate. (Dataset.inputFiles cannot produce this list — it
+    // reads the OPTIMIZED plan, which cache substitution has already
+    // collapsed to the InMemoryRelation, yielding zero files.) The walk
+    // is one listing pass, the same cost dirHasVisibleData above paid.
+    val dataFiles = visibleDataFiles(fs, target).map(_.toString)
+    val affected = spark.read.option("basePath", dir).parquet(dataFiles: _*)
+      .filter(predicate)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (new Path(new java.net.URI(r.getString(0))), r.getLong(1)))
@@ -697,8 +741,18 @@ object Warehouse {
         try { f.get(); None }
         catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
       failures.headOption.foreach(throw _)
-    } finally pool.shutdown()
-    refreshPath(spark, dir) // file-level swaps happened; see refreshPath
+    } finally {
+      pool.shutdown()
+      // in the finally, NOT after the rethrow: an erasure that partially
+      // applied (some file swaps landed, one failed) must propagate its
+      // exception with the cache already invalidated, or a caller that
+      // catches and continues in-session serves rows the partial erasure
+      // already removed from disk — for a GDPR delete that is the worst
+      // possible staleness (the r17 publish-coherence rule, extended to
+      // the partial-failure path per the r17 advisory; affected is
+      // nonEmpty here — the no-op cases returned above)
+      refreshPath(spark, dir)
+    }
     (affected.length, affected.map(_._2).sum)
   }
 

@@ -64,6 +64,89 @@ class WarehouseSpec extends SparkSpec {
     finally cached.unpersist()
   }
 
+  test("deleteWhere invalidates cached Datasets even when a file rewrite fails (partial erasure)") {
+    val dir = s"${tmp()}/t"
+    // two single-file writes -> two data files; file B carries the poison row
+    Seq(("a1", 1), ("a2", 2)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Seq(("b1", 3), ("boom", 4)).toDF("k", "v").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val fileB = new java.io.File(dir).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .find(f => spark.read.parquet(f.getPath).filter($"k" === "boom").count() > 0)
+      .get
+    // the injected failure fires only inside file B's REWRITE: the hidden
+    // `.del-<name>` staging sibling exists only while deleteWhere is
+    // rewriting that exact file, so the initial affected-files scan passes
+    // (B is affected via b1) and file A's rewrite lands regardless of pool
+    // scheduling — a deterministic PARTIAL erasure
+    val stagingB = s"${fileB.getParent}/.del-${fileB.getName}"
+    val poison = udf((k: String) => {
+      if (k == "boom" &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(stagingB)))
+        throw new RuntimeException("injected rewrite failure")
+      k == "a1" || k == "b1"
+    })
+    val cached = spark.read.parquet(dir).cache()
+    assert(cached.count() == 4) // materialize over the pre-erasure files
+    intercept[Exception] {
+      Warehouse.deleteWhere(spark, dir, poison($"k"), maxConcurrentFiles = 2)
+    }
+    // the erasure partially applied: a1 is gone from disk, file B intact
+    val onDisk = spark.read.parquet(dir).select("k").as[String].collect().toSet
+    assert(onDisk == Set("a2", "b1", "boom"), s"injection shape changed: $onDisk")
+    // ...and the propagated failure must leave the cache invalidated: a
+    // caller that catches and continues in-session must NOT be served the
+    // row the partial erasure already removed (for a GDPR delete, the
+    // worst staleness) — refreshPath runs in deleteWhere's finally
+    try assert(cached.select("k").as[String].collect().toSet == onDisk,
+      "cached reader served an already-erased row after a failed deleteWhere")
+    finally cached.unpersist()
+  }
+
+  test("deleteWhere erases correctly when the session has the table cached (real file provenance)") {
+    val dir = s"${tmp()}/t"
+    Seq(("a1", 1), ("a2", 2)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Seq(("b1", 3), ("b2", 4)).toDF("k", "v").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    // cache substitution would hand deleteWhere's affected-files scan the
+    // InMemoryRelation, where input_file_name() is "" (no file scan
+    // underneath) — the discovery must read the explicit file list so an
+    // in-session cache cannot blind the erasure to file provenance
+    val cached = spark.read.parquet(dir).cache()
+    assert(cached.count() == 4)
+    val (files, rows) = Warehouse.deleteWhere(spark, dir, $"k" === "a1")
+    assert(files == 1 && rows == 1)
+    try assert(cached.select("k").as[String].collect().toSet == Set("a2", "b1", "b2"))
+    finally cached.unpersist()
+  }
+
+  test("compact invalidates cached Datasets even when a leaf rewrite fails (partial compaction)") {
+    val dir = s"${tmp()}/t"
+    // leaf-by-leaf layout: leaf a's files carry a column leaf b's lack, so
+    // clusterCols=Seq("extra") compacts leaf a cleanly and fails analysis
+    // on leaf b — a deterministic partial compaction, independent of pool
+    // scheduling (the drain waits for every leaf either way)
+    Seq((1, "x"), (2, "y")).toDF("id", "extra").coalesce(1).write.parquet(s"$dir/p=a")
+    Seq((5, "z")).toDF("id", "extra").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/p=a")
+    Seq(3).toDF("id").coalesce(1).write.parquet(s"$dir/p=b")
+    Seq(4).toDF("id").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/p=b")
+    // cache WITHOUT materializing: the entry's file listing snapshots the
+    // four pre-compaction data files
+    val cached = spark.read.parquet(dir).cache()
+    intercept[Exception] {
+      Warehouse.compact(spark, dir, clusterCols = Seq("extra"))
+    }
+    // leaf a WAS compacted (its two originals replaced by one new file):
+    // materializing the cache from the stale listing would throw
+    // FileNotFound — compact's finally-refresh relists, so the cached
+    // reader just sees the table despite the propagated failure
+    try assert(cached.count() == 5,
+      "cached reader failed after a partially-failed compact — cache not refreshed")
+    finally cached.unpersist()
+  }
+
   test("overwritePartitions swaps exactly the staged partitions, leaves others intact") {
     val dir = s"${tmp()}/t"
     val v1 = Seq((1, "2023-24", "Regular Season"), (2, "2024-25", "Regular Season"))

@@ -104,6 +104,40 @@ class WobbleWindowSpec extends AnyFunSuite {
       ws.map(w => w.span -> w.excessSec).toString)
   }
 
+  test("bandExceedances: strict hi comparison, unknown queries skipped, run order kept") {
+    val es = Seq(entry("a", 1.0, 1.0, 0), entry("b", 0.50, 0.4, 1),
+      entry("c", 0.499, 0.4, 2), entry("nobody", 9.0, 1.0, 3))
+    val got = WobbleWindow.bandExceedances(es,
+      Map("a" -> 2.0, "b" -> 0.45, "c" -> 0.5))
+    // a in-band; b over (0.50 > 0.45); c at 0.499 vs hi 0.5 NOT over
+    // (exceed means strictly above, matching the derivation rule);
+    // "nobody" has no committed band -> no verdict, not a crash
+    assert(got.map { case (e, hi) => (e.name, hi) } == Seq(("b", 0.45)))
+  }
+
+  test("envelope verdicts on committed r17 artifacts: the confirm run's q19 1.20x is the SOLE band exceedance; all three derivation inputs are spotless") {
+    val hiBands = graft.Bench.envelope.map { case (n, _, hi) => n -> hi }.toMap
+    def exceed(suspectFile: String, otherFiles: Seq[String]) = {
+      val (es, _) = ratios(load(suspectFile)._1, otherFiles.map(load(_)._2))
+      WobbleWindow.bandExceedances(es, hiBands)
+    }
+    val runs = (1 to 3).map(r => s"bench_runs/r17/run$r.json")
+    // the r17 verdict's done-criterion: one command names q19's 1.20x
+    // without the operator opening the envelope file
+    val confirm = exceed("bench_runs/r17/confirm.json", runs)
+    assert(confirm.map(_._1.name) == Seq("q19_json_roundtrip"),
+      confirm.map(_._1.name).toString)
+    val (e19, hi19) = confirm.head
+    assert(math.abs(e19.suspect / hi19 - 1.20) < 0.01, s"${e19.suspect} / $hi19")
+    // SCALING.md's r17 claim, machine-checked: the three derivation
+    // inputs adjudicate at zero exceedances each against the envelope
+    // they derived (the first all-spotless derivation)
+    runs.foreach { r =>
+      val got = exceed(r, runs.filterNot(_ == r))
+      assert(got.isEmpty, s"$r: ${got.map(_._1.name)}")
+    }
+  }
+
   test("committed r15 artifacts: run1's dominant window contains the q16-q24 exceedance cluster; run2 yields the q40-q51 window with q109 as an isolated spike") {
     def adjudicate(suspectFile: String, otherFiles: Seq[String]) = {
       val (es, _) = ratios(load(suspectFile)._1, otherFiles.map(load(_)._2))

