@@ -33,7 +33,17 @@ object Jsonl {
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredNonNull: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     // validate the contract BEFORE touching the filesystem: a bad schema
-    // must fail as the config error it is, not as a path error
+    // must fail as the config error it is, not as a path error.
+    // Provenance caveat (same mechanism as the deleteWhere discovery fix
+    // in Warehouse, different stakes): if this session has .cache()d a
+    // text read over the SAME dump path, cache substitution serves the
+    // scan from memory and `_file` evaluates to "" — the quarantine's
+    // file column degrades, nothing else. Left unhardened deliberately:
+    // the input here is a raw crawl dump no caller caches (the scaladoc
+    // above explains why the dump is never persisted), and the explicit
+    // file-list read that fixes it would add a driver-side listing to
+    // every ingest for a config no pipeline produces. deleteWhere took
+    // the fix because it DERIVES A MUTATION from file provenance.
     validate(schema, requiredNonNull)
     channels(spark.read.textFile(path).toDF("_line")
       .withColumn("_file", input_file_name()), schema, requiredNonNull)
