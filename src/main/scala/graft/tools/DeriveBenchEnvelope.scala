@@ -2,11 +2,14 @@ package graft.tools
 
 /** Derive the adjudicated bench envelope from recorded run JSONs —
   * `sbt 'runMain graft.tools.DeriveBenchEnvelope [--graduate=q,…]
-  * run1.json run2.json …'` — applying [[EnvelopeRule]] per query
-  * against the CURRENT committed bands ([[graft.Bench.envelope]] + its
-  * provisional records); queries named by `--graduate` take
-  * [[EnvelopeRule.graduate]] (the provisional-wide band's one-time
-  * re-derivation, which may lower hi) instead.
+  * [--watch=q,…] run1.json run2.json …'` — applying [[EnvelopeRule]]
+  * per query against the CURRENT committed bands
+  * ([[graft.Bench.envelope]] + its provisional records); queries named
+  * by `--graduate` take [[EnvelopeRule.graduate]] (the
+  * provisional-wide band's one-time re-derivation, which may lower hi)
+  * instead; queries named by `--watch` get an explicit stderr
+  * adjudication line even when kept (a flagged possibly-tight band
+  * whose fresh runs come back clean otherwise leaves no audit trace).
   *
   * Ends the hand-executed envelope chore the r12/r13 reviews flagged:
   * the operator records N clean full runs (graft.Bench's stdout, one
@@ -80,15 +83,30 @@ object DeriveBenchEnvelope {
     val graduating = flags.flatMap {
       case s if s.startsWith("--graduate=") =>
         s.stripPrefix("--graduate=").split(',').filter(_.nonEmpty)
-      case s => sys.error(s"unknown flag $s (only --graduate=<q>[,<q>…])")
+      case s if s.startsWith("--watch=") => Nil
+      case s => sys.error(
+        s"unknown flag $s (only --graduate=<q>[,<q>…] and --watch=<q>[,<q>…])")
     }.toSet
-    graduating.filterNot(q => graft.Bench.envelope.exists(_._1 == q)) match {
-      case bad if bad.nonEmpty =>
-        sys.error(s"--graduate names unknown queries: ${bad.mkString(",")}")
-      case _ => ()
-    }
+    // --watch=<query>[,<query>…]: print an explicit stderr adjudication
+    // line for these queries EVEN WHEN their bands are kept — a band the
+    // previous round flagged as possibly tight-by-luck otherwise leaves
+    // no trace in the audit when the fresh runs simply come back clean
+    // (the r17 verdict's q19/q01 watch directive: "done = the next
+    // derivation's stderr adjudicates both explicitly").
+    val watching = flags.flatMap {
+      case s if s.startsWith("--watch=") =>
+        s.stripPrefix("--watch=").split(',').filter(_.nonEmpty)
+      case _ => Nil
+    }.toSet
+    for ((set, flag) <- Seq(graduating -> "--graduate", watching -> "--watch"))
+      set.filterNot(q => graft.Bench.envelope.exists(_._1 == q)) match {
+        case bad if bad.nonEmpty =>
+          sys.error(s"$flag names unknown queries: ${bad.mkString(",")}")
+        case _ => ()
+      }
     require(files.nonEmpty,
-      "usage: DeriveBenchEnvelope [--graduate=q,…] <bench-run.json> [more runs…]")
+      "usage: DeriveBenchEnvelope [--graduate=q,…] [--watch=q,…] " +
+        "<bench-run.json> [more runs…]")
     val runs = files.map { f =>
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
@@ -116,6 +134,19 @@ object DeriveBenchEnvelope {
       adj.excluded.foreach(x => System.err.println(
         f"[derive] $name: excluded $x%.3fs as an isolated spike " +
           s"(clean set ${adj.excluded.size} removed of ${obs.size})"))
+      if (watching(name)) {
+        val verdict =
+          if (obs.isEmpty) "NO OBSERVATIONS"
+          else if (obs.max > prior.hi)
+            f"crossed hi (worst ${obs.max}%.3f > ${prior.hi}%.3f)"
+          else f"all in-band (worst ${obs.max}%.3f vs hi ${prior.hi}%.3f, " +
+            f"${obs.max / prior.hi * 100}%.0f%% of the bar)"
+        System.err.println(
+          s"[derive] WATCH $name: obs " +
+            obs.map(o => f"$o%.3f").mkString("/") +
+            f" vs band ${prior.lo}%.3f..${prior.hi}%.3f — $verdict; " +
+            s"band ${adj.action}")
+      }
       if (adj.action != "kept") {
         changed += 1
         System.err.println(f"[derive] $name: ${adj.action} " +
