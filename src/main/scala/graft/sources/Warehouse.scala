@@ -110,6 +110,22 @@ object Warehouse {
   private def refreshPath(spark: SparkSession, dir: String): Unit =
     spark.catalog.refreshByPath(dir)
 
+  /** [[refreshPath]] for a `finally` block: a refresh failure must never
+    * REPLACE an exception already propagating out of the guarded block —
+    * Scala `finally` semantics would, and compact's "do not run recover()
+    * until it settles" IOException matters strictly more than a catalog
+    * hiccup (the r18 advisory). With a `primary` in flight the refresh
+    * failure rides along as a suppressed exception on it; with none it
+    * propagates itself, because the caller must learn that cached
+    * readers may still serve the retired snapshot. */
+  private[sources] def refreshPathSuppressing(spark: SparkSession,
+      dir: String, primary: Throwable): Unit =
+    try refreshPath(spark, dir)
+    catch {
+      case scala.util.control.NonFatal(rf) if primary != null =>
+        primary.addSuppressed(rf)
+    }
+
   /** Publish `staging` as `target` without a window in which neither
     * exists: old target → hidden `.old` sibling, staging → target, then
     * drop the `.old`. On a failed final rename the old table is restored. */
@@ -417,6 +433,7 @@ object Warehouse {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(maxConcurrentLeaves, frag.size))
+      var primary: Throwable = null
       try {
         val done = frag.map { case (p, w) =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -468,7 +485,8 @@ object Warehouse {
           throw first
         }
         frag.size
-      } finally {
+      } catch { case t: Throwable => primary = t; throw t }
+      finally {
         pool.shutdown()
         // in the finally, NOT after the rethrow: when some leaf swaps
         // landed and another failed, the exception must propagate with
@@ -477,8 +495,11 @@ object Warehouse {
         // rows from cached Datasets over a table that WAS partially
         // rewritten on disk (the r17 publish-coherence rule, extended
         // to the partial-failure path per the r17 advisory; frag is
-        // nonEmpty on this branch, so this never fires on a no-op)
-        refreshPath(spark, dir)
+        // nonEmpty on this branch, so this never fires on a no-op).
+        // Suppressing: a refresh failure must not mask `primary` — in
+        // particular the cancellation path's "swap may still be in
+        // flight" IOException (the r18 advisory)
+        refreshPathSuppressing(spark, dir, primary)
       }
     }
   }
@@ -651,15 +672,15 @@ object Warehouse {
     recover(spark, dir)
     // a dir that was never published (or fully retired — recover found
     // no .old to restore) holds nothing to delete: a valid no-op for an
-    // erasure, not an error, and the gate dirHasVisibleData's contract
-    // requires (its recursive listing throws a raw FileNotFoundException
-    // on a missing dir)
+    // erasure, not an error, and the listing below requires it (a
+    // recursive listFiles throws a raw FileNotFoundException on a
+    // missing dir)
     if (!fs.exists(target)) return (0, 0L)
-    // a dir a previous delete emptied of data files (every row matched)
-    // is a valid no-op target, not a schema-inference crash — the case a
-    // RERUN of the same erasure hits (GateState.purgeDocs idempotence)
-    if (!dirHasVisibleData(fs, target)) return (0, 0L)
-    // the discovery scan must see REAL file provenance: a Dataset this
+    // one recursive listing serves BOTH decisions below: the "previous
+    // delete emptied every data file" no-op gate (a valid RERUN of the
+    // same erasure — GateState.purgeDocs idempotence — not a
+    // schema-inference crash) and the discovery scan's explicit file
+    // list. The scan must see REAL file provenance: a Dataset this
     // session has .cache()d over the dir would substitute the scan with
     // its InMemoryRelation (the cache manager matches any plan over the
     // same root path), where input_file_name() evaluates to "" — no file
@@ -670,9 +691,9 @@ object Warehouse {
     // basePath keeps directory-encoded partition columns resolvable for
     // the predicate. (Dataset.inputFiles cannot produce this list — it
     // reads the OPTIMIZED plan, which cache substitution has already
-    // collapsed to the InMemoryRelation, yielding zero files.) The walk
-    // is one listing pass, the same cost dirHasVisibleData above paid.
+    // collapsed to the InMemoryRelation, yielding zero files.)
     val dataFiles = visibleDataFiles(fs, target).map(_.toString)
+    if (dataFiles.isEmpty) return (0, 0L)
     val affected = spark.read.option("basePath", dir).parquet(dataFiles: _*)
       .filter(predicate)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
@@ -729,6 +750,7 @@ object Warehouse {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(maxConcurrentFiles, affected.length))
+    var primary: Throwable = null
     try {
       val done = affected.map { case (p, _) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -741,7 +763,8 @@ object Warehouse {
         try { f.get(); None }
         catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
       failures.headOption.foreach(throw _)
-    } finally {
+    } catch { case t: Throwable => primary = t; throw t }
+    finally {
       pool.shutdown()
       // in the finally, NOT after the rethrow: an erasure that partially
       // applied (some file swaps landed, one failed) must propagate its
@@ -750,8 +773,10 @@ object Warehouse {
       // already removed from disk — for a GDPR delete that is the worst
       // possible staleness (the r17 publish-coherence rule, extended to
       // the partial-failure path per the r17 advisory; affected is
-      // nonEmpty here — the no-op cases returned above)
-      refreshPath(spark, dir)
+      // nonEmpty here — the no-op cases returned above). Suppressing: a
+      // refresh failure must not mask the partial-erasure exception
+      // itself (the r18 advisory)
+      refreshPathSuppressing(spark, dir, primary)
     }
     (affected.length, affected.map(_._2).sum)
   }

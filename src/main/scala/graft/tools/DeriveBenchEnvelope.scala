@@ -135,12 +135,29 @@ object DeriveBenchEnvelope {
         f"[derive] $name: excluded $x%.3fs as an isolated spike " +
           s"(clean set ${adj.excluded.size} removed of ${obs.size})"))
       if (watching(name)) {
+        // the verdict must agree with the adjudication it annotates: it
+        // is computed from the CLEAN set (obs minus the noise
+        // exclusions adjudicate already removed), not the raw max — a
+        // watched query whose worst observation was excluded as an
+        // isolated spike would otherwise print "crossed hi" on a band
+        // the rule legitimately kept, a contradictory audit line (the
+        // r18 advisory). Excluded observations are still named inline.
+        val clean = adj.excluded.foldLeft(obs.toList) { (rem, x) =>
+          val i = rem.indexOf(x)
+          if (i >= 0) rem.patch(i, Nil, 1) else rem
+        }
+        val excludedNote =
+          if (adj.excluded.isEmpty) ""
+          else adj.excluded.map(x => f"$x%.3f")
+            .mkString(" (excluded as noise: ", "/", ")")
         val verdict =
-          if (obs.isEmpty) "NO OBSERVATIONS"
-          else if (obs.max > prior.hi)
-            f"crossed hi (worst ${obs.max}%.3f > ${prior.hi}%.3f)"
-          else f"all in-band (worst ${obs.max}%.3f vs hi ${prior.hi}%.3f, " +
-            f"${obs.max / prior.hi * 100}%.0f%% of the bar)"
+          if (clean.isEmpty) "NO CLEAN OBSERVATIONS" + excludedNote
+          else if (clean.max > prior.hi)
+            f"crossed hi (clean worst ${clean.max}%.3f > ${prior.hi}%.3f)" +
+              excludedNote
+          else f"all in-band (clean worst ${clean.max}%.3f vs hi " +
+            f"${prior.hi}%.3f, ${clean.max / prior.hi * 100}%.0f%% of " +
+            "the bar)" + excludedNote
         System.err.println(
           s"[derive] WATCH $name: obs " +
             obs.map(o => f"$o%.3f").mkString("/") +

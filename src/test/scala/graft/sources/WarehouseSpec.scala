@@ -64,6 +64,23 @@ class WarehouseSpec extends SparkSpec {
     finally cached.unpersist()
   }
 
+  test("a refresh failure in a maintenance finally must not mask the primary exception") {
+    // injection: Catalog.refreshByPath cannot make a Path from an empty
+    // string, so "" forces the refresh itself to throw. With a primary
+    // exception in flight (the partial-erasure/compaction failure the
+    // finally is protecting) the refresh failure must ride along as a
+    // suppressed exception, never REPLACE it — Scala finally semantics
+    // would otherwise swallow compact's "swap may still be in flight"
+    // IOException (the r18 advisory)
+    val primary = new java.io.IOException("the partial-erasure failure")
+    Warehouse.refreshPathSuppressing(spark, "", primary)
+    assert(primary.getSuppressed.nonEmpty,
+      "the refresh failure must attach to the primary as suppressed")
+    // without a primary the refresh failure itself propagates — the
+    // caller must learn cached readers may still serve the retired rows
+    intercept[Exception] { Warehouse.refreshPathSuppressing(spark, "", null) }
+  }
+
   test("deleteWhere invalidates cached Datasets even when a file rewrite fails (partial erasure)") {
     val dir = s"${tmp()}/t"
     // two single-file writes -> two data files; file B carries the poison row

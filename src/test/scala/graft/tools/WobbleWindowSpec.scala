@@ -116,7 +116,20 @@ class WobbleWindowSpec extends AnyFunSuite {
   }
 
   test("envelope verdicts on committed r17 artifacts: the confirm run's q19 1.20x is the SOLE band exceedance; all three derivation inputs are spotless") {
-    val hiBands = graft.Bench.envelope.map { case (n, _, hi) => n -> hi }.toMap
+    // adjudicate against the R17-ERA envelope (committed as a fixture
+    // next to the runs it governed — git 66b33f9^), NOT the live
+    // Bench.envelope: a future legitimate hi raise must not silently
+    // weaken this historical "spotless" pin, and raising q19's hi would
+    // otherwise fail the 1.20x assertion for reasons unrelated to the
+    // code under test (the r18 advisory). The era fixture's q19 hi is
+    // additionally pinned at 0.5 below, the value the 1.20x claim needs.
+    val eraText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_runs/r17/envelope.json")), "UTF-8")
+    val hiBands = """"(q\w+)":\s*\{"lo":\s*[\d.]+,\s*"hi":\s*([\d.]+)\}""".r
+      .findAllMatchIn(eraText).map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+    assert(hiBands.size == 116 && hiBands("q19_json_roundtrip") == 0.5,
+      s"r17 envelope fixture parsed ${hiBands.size} bands")
     def exceed(suspectFile: String, otherFiles: Seq[String]) = {
       val (es, _) = ratios(load(suspectFile)._1, otherFiles.map(load(_)._2))
       WobbleWindow.bandExceedances(es, hiBands)
