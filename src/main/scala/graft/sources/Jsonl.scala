@@ -33,19 +33,34 @@ object Jsonl {
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredNonNull: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     // validate the contract BEFORE touching the filesystem: a bad schema
-    // must fail as the config error it is, not as a path error.
-    // Provenance caveat (same mechanism as the deleteWhere discovery fix
-    // in Warehouse, different stakes): if this session has .cache()d a
-    // text read over the SAME dump path, cache substitution serves the
-    // scan from memory and `_file` evaluates to "" — the quarantine's
-    // file column degrades, nothing else. Left unhardened deliberately:
-    // the input here is a raw crawl dump no caller caches (the scaladoc
-    // above explains why the dump is never persisted), and the explicit
-    // file-list read that fixes it would add a driver-side listing to
-    // every ingest for a config no pipeline produces. deleteWhere took
-    // the fix because it DERIVES A MUTATION from file provenance.
+    // must fail as the config error it is, not as a path error
     validate(schema, requiredNonNull)
-    channels(spark.read.textFile(path).toDF("_line")
+    // the quarantine's `_file` provenance must survive same-session
+    // cache substitution: if this session has .cache()d a text read over
+    // the SAME dump path, the cache manager substitutes the scan with
+    // its InMemoryRelation — no file scan underneath — and
+    // input_file_name() evaluates to "", blanking the audit column both
+    // erasure call sites parse quarantined lines from (the deleteWhere
+    // discovery failure mode, Warehouse r18; JsonlSpec's cached-dump
+    // test reproduces the blank without this). Reading the EXPLICIT file
+    // list gives the scan a FileIndex whose roots are the files, which a
+    // cache over the directory never matches. Cost: one driver-side
+    // recursive listing per ingest — a metadata pass Spark's own file
+    // index performs anyway. Glob inputs expand first; a missing path
+    // falls through to the plain read so Spark raises its standard
+    // path-does-not-exist error (an EMPTY dir also falls through — it
+    // has no rows to mis-attribute).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .flatMap { st =>
+        if (st.isDirectory) Warehouse.visibleDataFiles(fs, st.getPath)
+        else Seq(st.getPath)
+      }.map(_.toString)
+    val lines =
+      if (files.isEmpty) spark.read.textFile(path)
+      else spark.read.textFile(files: _*)
+    channels(lines.toDF("_line")
       .withColumn("_file", input_file_name()), schema, requiredNonNull)
   }
 

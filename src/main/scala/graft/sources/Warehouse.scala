@@ -641,8 +641,13 @@ object Warehouse {
   }
 
   /** All visible data files under `dir` — [[dirHasVisibleData]]'s rule,
-    * collected. One recursive listing, driver-side. */
-  private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+    * collected. One recursive listing, driver-side. Shared with
+    * [[Jsonl.read]], whose explicit-file-list scan uses the same
+    * visibility rule for the same reason (real `input_file_name()`
+    * provenance under same-session cache substitution). A bare FILE
+    * path also works: the listing returns the file itself, trivially
+    * visible (no segment below the root). */
+  private[sources] def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[Path] = {
     val rootPath = fs.makeQualified(dir).toUri.getPath
     val it = fs.listFiles(dir, true)

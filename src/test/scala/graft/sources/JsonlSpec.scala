@@ -39,6 +39,30 @@ class JsonlSpec extends SparkSpec {
     assert(bad.exists(_.getString(0).contains(""""doc_id": 3""")))
   }
 
+  test("quarantine _file provenance survives same-session cache substitution") {
+    val dir = Files.createTempDirectory("jsonl_cached").toString
+    Files.write(Paths.get(s"$dir/crawl.jsonl"), java.util.List.of(
+      """{"doc_id": 1, "source": "src0", "text": "clean"}""",
+      """not json at all {{{"""))
+    // poison the session the way a long-lived ingest job would: some
+    // other step has .cache()d a text read over the SAME dump path. The
+    // cache manager substitutes any later scan over the dir with the
+    // InMemoryRelation, where input_file_name() evaluates to "" — the
+    // quarantine audit column would blank (the deleteWhere discovery
+    // failure mode, r18; here it degrades an audit string, but a blank
+    // file name in an erasure audit is still a wrong answer)
+    val cached = spark.read.text(dir).cache()
+    cached.count()
+    try {
+      val (good, quarantine) = Jsonl.read(spark, dir, schema)
+      assert(good.count() == 1)
+      val bad = quarantine.collect()
+      assert(bad.length == 1 && bad.head.getString(1).contains("crawl.jsonl"),
+        s"quarantine must name the offending file even with the dump " +
+          s"cached; got '${bad.headOption.map(_.getString(1))}'")
+    } finally cached.unpersist()
+  }
+
   test("requiredNonNull relaxes per column; unknown columns rejected loudly") {
     val dir = Files.createTempDirectory("jsonl_opt").toString
     Files.write(Paths.get(s"$dir/crawl.jsonl"), java.util.List.of(
