@@ -158,9 +158,19 @@ object CorpusStreamMain {
   }
 
   /** Idempotent per-batch publish: `batch=<id>` is swapped whole, so a
-    * replay of the same micro-batch id replaces its own output. */
-  def publishBatch(curated: DataFrame, output: String, batchId: Long): Unit =
+    * replay of the same micro-batch id replaces its own output. The swap
+    * refreshes caches over the batch dir; the extra refresh here covers
+    * readers cached over the OUTPUT ROOT (the `batch=N`-partitioned
+    * estate a consumer naturally reads whole), which a child-path
+    * refresh never matches — without it a root-cached reader would hide
+    * every batch published after it was cached, AND a replayed batch's
+    * REPLACED rows would keep serving stale (GateState.purgeDocs makes
+    * the same move for erasure, where the stakes are GDPR-grade). Cache
+    * invalidation only — no I/O, no-op when nothing is cached. */
+  def publishBatch(curated: DataFrame, output: String, batchId: Long): Unit = {
     Warehouse.replaceDir(curated, s"$output/batch=$batchId")
+    curated.sparkSession.catalog.refreshByPath(output)
+  }
 
   /** Wire a (streaming) crawl frame through the gate and start the query.
     * `decode` turns a raw micro-batch into document rows (the jsonl path:

@@ -309,9 +309,20 @@ object GateState {
     val compacted =
       if (tablesCover) compactedBatchIds(spark, output) else Set.empty[Long]
     val tail = dirs.filterNot { case (id, _) => compacted(id) }
+    // a published batch whose docs were ALL purged ([[purgeDocs]] before
+    // the next compaction — erasure requests arrive whenever they like)
+    // leaves its `batch=<id>` dir EMPTY of data files: valid no-row
+    // history, nothing to re-fold — not a schema-inference crash on
+    // restart (found by GateVolumeSpec's emptied-batch stage). Its id
+    // still counts as published (replay identity must keep recognizing
+    // the batch), it just contributes no rows to the absorbed side.
+    val fs = new Path(output)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val readable = tail.filter { case (_, p) =>
+      Warehouse.dirHasVisibleData(fs, p) }
     val published =
-      if (tail.isEmpty) None
-      else Some(spark.read.parquet(tail.map(_._2.toString): _*)
+      if (readable.isEmpty) None
+      else Some(spark.read.parquet(readable.map(_._2.toString): _*)
         .select("doc_id", "text"))
     build(corpus, published, dirs.map(_._1).toSet, vectors,
       baseIndex, baseShingles, baseVecIndex, persistVectors)
@@ -368,9 +379,25 @@ object GateState {
     val compacted = compactedBatchIds(spark, output)
     val tail = publishedBatchDirs(spark, output)
       .filterNot { case (id, _) => compacted(id) }
+    // an all-purged tail batch's dir holds zero data files ([[resume]]'s
+    // emptied-batch rule, same discovery): fold it as the no-row batch it
+    // is — its id goes into the manifest (so restarts stop re-reading the
+    // empty dir forever) but it cannot be read for schema, let alone rows
+    val fs = new Path(output)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val readable = tail.filter { case (_, p) =>
+      Warehouse.dirHasVisibleData(fs, p) }
     if (tail.isEmpty) 0
+    else if (readable.isEmpty) {
+      // nothing to append anywhere — just mark the emptied batches
+      import spark.implicits._
+      Warehouse.replaceDir(
+        (compacted ++ tail.map(_._1)).toSeq.sorted.toDF("batch"),
+        manifestDir(output))
+      tail.size
+    }
     else {
-      val docs = spark.read.parquet(tail.map(_._2.toString): _*)
+      val docs = spark.read.parquet(readable.map(_._2.toString): _*)
         .select("doc_id", "text")
       val tailIds = docs.select("doc_id").distinct()
       // ids of the tail NOT yet in `table` — the per-table idempotence
@@ -518,6 +545,18 @@ object GateState {
           graft.sources.Jsonl.idProjection("doc_id"), "doc_id", idList),
         maxConcurrentFiles))
     }
+    // deleteWhere refreshed each batch dir it rewrote, but a reader this
+    // session cached over the OUTPUT ROOT — the natural way to read a
+    // `batch=N`-partitioned estate — is rooted at the PARENT, which a
+    // child-path refresh never matches (recacheByPath matches caches
+    // rooted AT or UNDER the refreshed path, not above it): it would keep
+    // serving the erased rows for the rest of the session, and substitute
+    // them into every fresh root read too — for a GDPR delete, the r17
+    // worst-staleness rule one directory level up (found by
+    // GateVolumeSpec's cached-root erasure stage). One root refresh
+    // covers the root and every batch/quarantine cache beneath it; cache
+    // invalidation only, no filesystem I/O.
+    output.foreach(out => spark.catalog.refreshByPath(out))
     (tables ++ batches ++ quarantine).toMap
   }
 
