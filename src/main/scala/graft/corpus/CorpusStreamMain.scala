@@ -262,12 +262,20 @@ object CorpusStreamMain {
     * publish the batch's broken lines to their own
     * `quarantine/batch=<id>` dir via the same crash-safe swap the corpus
     * uses — so quarantine is exactly-once under replay just like the
-    * corpus. */
+    * corpus. The extra refresh makes the quarantine estate
+    * SELF-coherent for readers cached over `quarantine/` whole (the
+    * natural audit read, and the read erasure parses quarantined lines
+    * from) — [[publishBatch]]'s output-root refresh later in the same
+    * micro-batch happens to cover it today, but leaving the estate's
+    * coherence to another publisher's refresh ORDER is the exact
+    * coupling the r19 gate rehearsal's purge bug grew from. Cache
+    * invalidation only — no I/O, no-op when nothing is cached. */
   def jsonlDecode(output: String,
       schema: org.apache.spark.sql.types.StructType): (DataFrame, Long) => DataFrame =
     (b: DataFrame, id: Long) => {
       val (good, bad) = Jsonl.channels(b, schema)
       Warehouse.replaceDir(bad, s"$output/quarantine/batch=$id")
+      bad.sparkSession.catalog.refreshByPath(s"$output/quarantine")
       good
     }
 

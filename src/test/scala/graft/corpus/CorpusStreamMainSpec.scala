@@ -955,4 +955,30 @@ class CorpusStreamMainSpec extends SparkSpec {
     val rerun = GateState.purgeDocs(spark, Seq(92L), output = Some(out))
     assert(rerun("quarantine") == ((0, 0L)), rerun.toString)
   }
+
+  test("quarantine publish is self-coherent under a reader cached over the estate root") {
+    val out = Files.createTempDirectory("stream_qcache").toString
+    val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
+    val decode = CorpusStreamMain.jsonlDecode(out, schema)
+    // batch 0 quarantines one line, then the session caches the NATURAL
+    // audit read — the quarantine estate root, all batch= partitions
+    decode(Seq(("""broken line 0""", "f0"))
+      .toDF("_line", "_file"), 0L)
+    val audit = spark.read.parquet(s"$out/quarantine").cache()
+    assert(audit.count() == 1)
+    try {
+      // batch 1 quarantines another line via jsonlDecode ALONE — no
+      // publishBatch follows, so nothing else refreshes the output
+      // root: the estate must be coherent on the strength of its own
+      // publisher. Pre-fix, the root-cached audit substituted its
+      // InMemoryRelation into this fresh read and hid batch 1's line.
+      decode(Seq(("""broken line 1""", "f1"))
+        .toDF("_line", "_file"), 1L)
+      val lines = spark.read.parquet(s"$out/quarantine")
+        .select("line").as[String].collect().toSet
+      assert(lines == Set("broken line 0", "broken line 1"),
+        s"a quarantine batch published after the audit was cached must " +
+          s"be visible to a fresh estate read; got $lines")
+    } finally audit.unpersist()
+  }
 }
