@@ -956,6 +956,26 @@ class CorpusStreamMainSpec extends SparkSpec {
     assert(rerun("quarantine") == ((0, 0L)), rerun.toString)
   }
 
+  test("an all-rejected micro-batch publishes a READABLE empty batch dir (absorb cannot crash)") {
+    // at volume this is a routine batch, not an edge: a micro-batch made
+    // entirely of re-crawls curates to ZERO rows, and start()'s next
+    // statement reads the published dir back for the absorbed side. The
+    // publish must leave a schema-bearing (readable) dir — the purge
+    // counterpart (a dir emptied by FILE DELETION) is the r19
+    // emptied-batch rule in resume/compactState; this pins the WRITE
+    // side, where Spark's empty-frame parquet commit carries the schema.
+    val out = Files.createTempDirectory("stream_emptyb").toString
+    val empty = Seq((1L, "src0", "body")).toDF("doc_id", "source", "text")
+      .filter(col("doc_id") < 0)
+    CorpusStreamMain.publishBatch(empty, out, 0L)
+    val absorbed = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id", "text")
+    assert(absorbed.count() == 0)
+    // and a REPLAY of the same empty batch swaps cleanly too
+    CorpusStreamMain.publishBatch(empty, out, 0L)
+    assert(spark.read.parquet(s"$out/batch=0").count() == 0)
+  }
+
   test("quarantine publish is self-coherent under a reader cached over the estate root") {
     val out = Files.createTempDirectory("stream_qcache").toString
     val schema = Seq((0L, "s", "t")).toDF("doc_id", "source", "text").schema
