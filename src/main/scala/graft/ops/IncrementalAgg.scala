@@ -575,7 +575,19 @@ object IncrementalAgg {
     * base PREDATES the stream seeds the target dir with a base-derived
     * view before the first trigger — an existing dir is picked up as
     * the current table (the `fs.exists` branch), marker or no marker,
-    * so seeding needs no special protocol. */
+    * so seeding needs no special protocol.
+    *
+    * Emptied-dir rule: a complete erasure ([[graft.sources.Warehouse
+    * .deleteWhere]] over the whole view — tenant offboarding, a GDPR
+    * sweep across the derived estates) drops every DATA file but leaves
+    * the `_SUCCESS` and `_applied_batch` markers (underscore-invisible
+    * to its visible-files walk), so the dir EXISTS with zero readable
+    * files. That is a valid EMPTY view — real published history emptied,
+    * GateState's emptied-batch rule — so the next trigger folds against
+    * `bootstrap` instead of dying on zero-file schema inference, while
+    * the surviving marker still gates replay (found by
+    * IncrementalVolumeSpec's emptied-estate stage, the same hazard
+    * family GateVolumeSpec caught in `GateState.resume`). */
   private def foldExactlyOnce(spark: org.apache.spark.sql.SparkSession,
       dir: String, batchId: Long)(bootstrap: => DataFrame)(
       next: DataFrame => DataFrame): Unit = {
@@ -590,7 +602,12 @@ object IncrementalAgg {
         try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
       }
     if (batchId <= applied) return // replayed micro-batch: already folded
-    val cur = if (fs.exists(p)) spark.read.parquet(dir) else bootstrap
+    // exists-but-no-visible-data = erasure-emptied view (see the
+    // emptied-dir rule above): fold as empty, never schema-infer
+    val cur =
+      if (fs.exists(p) && graft.sources.Warehouse.dirHasVisibleData(fs, p))
+        spark.read.parquet(dir)
+      else bootstrap
     val out = next(cur)
     try graft.sources.Warehouse.replaceDirWith(spark, dir) { staging =>
       out.write.parquet(staging)
@@ -600,6 +617,28 @@ object IncrementalAgg {
     } finally {
       graft.ops.Checkpoints.rddsOf(out).foreach(_.unpersist(false))
     }
+  }
+
+  /** The per-trigger base read shared by the folds that consult the
+    * post-delta fact table ([[maintainExtremaBatch]],
+    * [[maintainTopKBatch]], [[maintainExtremaEnforcedBatch]]). Same
+    * emptied-dir rule as [[foldExactlyOnce]]'s view read: a base dir
+    * that EXISTS but holds zero visible data files is an
+    * erasure-emptied table — the post-delta state really is "no rows"
+    * (the erasure arrives as this very batch's CDC deletes), so the
+    * at-risk recompute consults `empty`, a zero-row frame typed from
+    * the batch's own columns (the CDC old/new values carry the value
+    * domain), instead of dying on schema inference (found by
+    * IncrementalVolumeSpec's emptied-base stage). A MISSING dir stays
+    * a loud failure: the fold was wired ahead of the base table's own
+    * writer, the wiring error the batch folds' scaladocs forbid —
+    * folding it as empty would silently diverge every at-risk key. */
+  private def baseOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String)(empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && !graft.sources.Warehouse.dirHasVisibleData(fs, p)) empty
+    else spark.read.parquet(baseDir)
   }
 
   /** Continuous aggregation: the `foreachBatch` fold that maintains an
@@ -666,7 +705,10 @@ object IncrementalAgg {
       batch.select((keyCols :+ idCol).map(col): _*).limit(0)
         .withColumn(valueCol, lit(null).cast("double")))(mv =>
       maintainTopK(mv, batch.toDF(),
-        batch.sparkSession.read.parquet(baseDir), keyCols, k, idCol, valueCol))
+        baseOrEmpty(batch.sparkSession, baseDir)(
+          batch.select(keyCols.map(col) ++ Seq(col(idCol),
+            col("old_value").as(valueCol)): _*).limit(0)),
+        keyCols, k, idCol, valueCol))
 
   def maintainExtremaBatch(mvDir: String, baseDir: String, keyCols: Seq[String],
       valueCol: String = "v", countCol: String = "n_rows",
@@ -681,8 +723,10 @@ object IncrementalAgg {
         .withColumn(minCol, lit(null).cast("decimal(18,4)"))
         .withColumn(maxCol, lit(null).cast("decimal(18,4)")))(mv =>
       maintainExtrema(mv, batch.toDF(),
-          batch.sparkSession.read.parquet(baseDir), keyCols,
-          valueCol, countCol, sumCol, minCol, maxCol)
+          baseOrEmpty(batch.sparkSession, baseDir)(
+            batch.select(keyCols.map(col) :+
+              col("old_value").as(valueCol): _*).limit(0)),
+          keyCols, valueCol, countCol, sumCol, minCol, maxCol)
         .withColumn(sumCol, col(sumCol).cast("decimal(38,4)")))
 
   /** [[maintainAggBatch]] for the ENFORCED extrema view: the
@@ -713,6 +757,8 @@ object IncrementalAgg {
         .withColumn(maxIdCol, col(minIdCol))
         .withColumn(maxCol, lit(null).cast("double")))(mv =>
       maintainExtremaEnforced(mv, batch.toDF(),
-        batch.sparkSession.read.parquet(baseDir), keyCols, idCol, valueCol,
-        minCol, maxCol, minIdCol, maxIdCol))
+        baseOrEmpty(batch.sparkSession, baseDir)(
+          batch.select(keyCols.map(col) ++ Seq(col(idCol),
+            col("old_value").as(valueCol)): _*).limit(0)),
+        keyCols, idCol, valueCol, minCol, maxCol, minIdCol, maxIdCol))
 }
