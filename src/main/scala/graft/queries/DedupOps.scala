@@ -58,9 +58,25 @@ object DedupOps {
     * shingle table's blocks per distinct dir, and interleaved dedup passes
     * over different dirs each keep theirs. The caller owns release:
     * `spark.catalog.clearCache()` (the bench does, between queries, for
-    * per-query cost accounting) or `unpersist()` on any same-plan frame. */
+    * per-query cost accounting) or `unpersist()` on any same-plan frame.
+    *
+    * Partitioning (r21): the staged table is hash-repartitioned by doc_id
+    * to the session's parallelism BEFORE the shingling kernel. The bench
+    * tables ship as one single-row-group parquet file, so the scan is one
+    * task and every CPU-bound kernel downstream (split, n-gram transform,
+    * per-posting md5) would otherwise run serially on one core — the
+    * "unsplittable input, repartition right after the read" case of the
+    * optimization guide (§2.5). doc_id is the key on purpose: the cached
+    * layout satisfies the signature groupBy(doc_id) and the verify joins
+    * on doc_a/doc_b, so those plan with NO further exchange (§2.4 —
+    * establish the partitioning once). The explicit partition count pins
+    * the kernel's parallelism to the cluster (AQE would coalesce a
+    * byte-sized estimate of this tiny-but-CPU-heavy stage to one
+    * partition); it tracks SPARK_GRAFT_CPUS locally and executor count on
+    * a real cluster. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingledOf(Tables.documents(s, dir)).persist()
+    shingledOf(Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))).persist()
 
   /** doc_id + distinct word-n-gram shingles for any documents frame. */
   def shingledOf(docs: DataFrame): DataFrame =
@@ -141,9 +157,18 @@ object DedupOps {
       struct(lit(b).as("b"),
         concat((0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*).as("v"))
     }
+    // PERSISTED: the band table is read twice (both sides of the
+    // self-join below), and without the persist each side re-runs the
+    // whole posting-explode + per-posting-md5 + groupBy-min signature
+    // pipeline — profiled as the two dominant ~equal stages of q31 at
+    // sf0.1 (exchange reuse does not fire across the aliased sides).
+    // Tiny (4 rows/doc, ~40 bytes each); released by the caller's
+    // clearCache like the staged shingle table (the shared contract of
+    // this module's staged frames).
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+      .persist()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -494,60 +519,62 @@ object DedupOps {
   /** [[componentsStar]] plus the number of large+small cycles executed. */
   private[graft] def componentsStarWithRounds(pairs: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
-    // canonical undirected edges: lo < hi, distinct (self-pairs dropped);
-    // the size rides the checkpoint job as an Observation — no count job
-    val obs0 = org.apache.spark.sql.Observation()
+    // canonical undirected edges: lo < hi, distinct (self-pairs dropped)
     var edges = pairs.select(
         least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
     var prevRdds = graft.ops.Checkpoints.rddsOf(edges)
-    var edgeCount = obs0.get("n").asInstanceOf[Long]
     var iter = 0
     var done = false
     try {
       while (!done && iter < maxIter) {
         // large-star: m(u) = min(u, N(u)); every v in N(u) with v > u
         // relinks to m(u). m < v always holds, so (m, v) is canonical.
+        // The v > u half of sym is the canonical edge set itself, so the
+        // join drives off `edges` directly (one fewer union branch).
         val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
           .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
         val mL = sym.groupBy(col("u")).agg(min(col("v")).as("nm"))
           .select(col("u"), least(col("u"), col("nm")).as("m"))
-        val large = sym.filter(col("v") > col("u"))
+        // Convergence (r21): both star passes count their RELINKS as
+        // Observations riding the one checkpoint job — zero relinks in
+        // both passes means each pass was the identity, so next == edges
+        // exactly. This replaces the old membership test (a per-cycle
+        // left join of next against the old edge set plus a row-count
+        // compare) — one full join and its exchanges gone per cycle.
+        // Equivalence is provable, not heuristic: each pass maps every
+        // edge endpoint to a value <= itself, and a finite set mapped
+        // onto itself by a pointwise-<= function is fixed pointwise, so
+        // set-stability forces zero relinks — the two criteria stop on
+        // the SAME cycle (DedupVolumeSpec pins the cycle counts).
+        val obsL = org.apache.spark.sql.Observation()
+        val obsS = org.apache.spark.sql.Observation()
+        val large = edges.select(col("lo").as("u"), col("hi").as("v"))
           .join(mL, "u")
+          .observe(obsL, count(when(col("m") =!= col("u"), true)).as("relinked"))
           .select(col("m").as("lo"), col("v").as("hi"))
-          .filter(col("lo") =!= col("hi")).distinct()
+        // No distinct here (r21): mS's min and the final distinct are
+        // duplicate-insensitive, and the relink observations only test
+        // zero-ness — collapsing large early bought nothing but one more
+        // exchange per cycle.
         // small-star keyed at the larger endpoint: m = min of the smaller
         // neighbors (always < hi); the node and its other small neighbors
         // relink to m
         val mS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-        // ONE job per cycle: the convergence test rides the checkpoint job
-        // as an Observation instead of a count + left_anti probe pair of
-        // follow-up actions. A left join against the OLD edge set (cached
-        // checkpoint blocks, shrinking every cycle) marks survivors;
-        // `fresh == 0` (next ⊆ edges) plus `n == edgeCount` (both sides
-        // distinct) is exact set equality — same criterion as before, two
-        // fewer job launches per cycle, which is what dominates the
-        // many-short-rounds regime at cluster scale.
-        val obs = org.apache.spark.sql.Observation()
         val next = large.join(mS, "hi")
+          .observe(obsS, count(when(col("lo") =!= col("m"), true)).as("relinked"))
           .filter(col("lo") =!= col("m"))
           .select(col("m").as("lo"), col("lo").as("hi"))
           .unionByName(mS.select(col("m").as("lo"), col("hi")))
           .distinct()
-          .join(edges.withColumn("__seen", lit(1)), Seq("lo", "hi"), "left")
-          .observe(obs, count(lit(1)).as("n"),
-            count(when(col("__seen").isNull, true)).as("fresh"))
-          .select(col("lo"), col("hi"))
           .localCheckpoint(true)
-        val nextCount = obs.get("n").asInstanceOf[Long]
-        done = obs.get("fresh").asInstanceOf[Long] == 0L && nextCount == edgeCount
+        done = obsL.get("relinked").asInstanceOf[Long] == 0L &&
+          obsS.get("relinked").asInstanceOf[Long] == 0L
         prevRdds.foreach(_.unpersist(false))
         prevRdds = graft.ops.Checkpoints.rddsOf(next)
         edges = next
-        edgeCount = nextCount
         iter += 1
       }
       require(done, s"componentsStar did not converge within $maxIter cycles")
@@ -747,21 +774,33 @@ object DedupOps {
     * division of exact longs. */
   def dupRateBySource(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val withSrc = pairs
+    // STAGED (r21): the pair set is referenced by three independent
+    // branches below (source attachment, distinct dup-doc count, and —
+    // pre-restructure — three contrib legs); unpersisted, each branch
+    // re-ran the whole MinHash pair producer, making q92 cost ~3x q31.
+    // components()/canonicalByQuality already stage their pair input the
+    // same way; released by the caller's clearCache (module contract).
+    val p = pairs.persist()
+    val withSrc = p
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
     val perSource = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+    val dupDocs = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id")))
       .distinct()
       .join(src, "doc_id")
       .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
-    val contrib = withSrc.filter(col("src_a") === col("src_b"))
-      .select(col("src_a").as("source"), lit(1L).as("w"), lit(0L).as("c"))
-      .unionByName(withSrc.filter(col("src_a") =!= col("src_b"))
-        .select(col("src_a").as("source"), lit(0L).as("w"), lit(1L).as("c")))
-      .unionByName(withSrc.filter(col("src_a") =!= col("src_b"))
-        .select(col("src_b").as("source"), lit(0L).as("w"), lit(1L).as("c")))
+    // ONE pass over withSrc instead of three union legs (each leg re-ran
+    // the two source-attachment joins): a within pair contributes one
+    // (source, 1, 0) row, a cross pair one (source, 0, 1) row PER SIDE —
+    // the same attribution rule, emitted by a single bounded generate.
+    val contrib = withSrc
+      .select(explode(when(col("src_a") === col("src_b"),
+          array(struct(col("src_a").as("source"), lit(1L).as("w"), lit(0L).as("c"))))
+        .otherwise(array(
+          struct(col("src_a").as("source"), lit(0L).as("w"), lit(1L).as("c")),
+          struct(col("src_b").as("source"), lit(0L).as("w"), lit(1L).as("c"))))).as("x"))
+      .select(col("x.source").as("source"), col("x.w").as("w"), col("x.c").as("c"))
       .groupBy(col("source"))
       .agg(sum(col("w")).as("n_within_pairs"), sum(col("c")).as("n_cross_pairs"))
     perSource
