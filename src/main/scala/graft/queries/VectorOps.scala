@@ -588,21 +588,42 @@ object VectorOps {
     require(iters >= 1, s"kmeans needs at least one round, got $iters")
     val n = n0.filter(col("nrm") > 0)
     // One round: assign, then fold each cluster's members into quantized
-    // per-dim cells. `e` is a window-output attribute in the assignment,
-    // so the generator's child is a plain column — the explode-recomputes-
-    // its-child pitfall the dedup suite documents cannot bite. The round
-    // result is localCheckpoint'ed (k x dim rows — tiny): without the
-    // materialization, round r's broadcast subtree would re-execute
-    // rounds 1..r-1's full-corpus assignment — O(iters^2) corpus passes —
-    // and stack the iterative plan (the componentsWithRounds pitfall).
+    // per-dim cells. The fold is a WIDE aggregation — one quantized sum
+    // per dimension over the vector column in place — instead of the
+    // earlier posexplode + groupBy(cluster, dim): exploding multiplied
+    // the pre-shuffle row count by `dim` (guide §2.3 — shuffle fewer
+    // bytes; 64x here) only to re-group what was already colocated in
+    // the array. The per-element arithmetic is unchanged
+    // (floor(x·scale) cast long, summed as long), so the cells are
+    // bit-identical; the (cluster, dim) rows are re-derived from the
+    // k-row wide result by a bounded generate AFTER the aggregation.
+    // The round result is localCheckpoint'ed (k x dim rows — tiny):
+    // without the materialization, round r's broadcast subtree would
+    // re-execute rounds 1..r-1's full-corpus assignment — O(iters^2)
+    // corpus passes — and stack the iterative plan (the
+    // componentsWithRounds pitfall).
+    // The wide fold sums dims 0..Dim-1 with the null-tolerant get(), so a
+    // UNIFORM width <= Dim (the hand fixtures) works unchanged — absent
+    // dims sum to null and are filtered out of the generate; a width
+    // above Dim raises loudly via assert_true instead of silently
+    // truncating the centroids. (Ragged widths are outside this module's
+    // vector contract — every operator here assumes fixed-width rows.)
     def round(cent: DataFrame): DataFrame =
       assignToCentroids(n, cent)
-        .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(floor(col("x") * KmeansScale).cast("long")).as("qsum"),
-          count(lit(1)).as("n_members"))
-        .select(col("cluster"), col("dim"),
-          (col("qsum").cast("double") /
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(size(col("e"))).as("_msz") +:
+            (0 until Dim).map(i =>
+              sum(floor(get(col("e"), lit(i)) * KmeansScale).cast("long"))
+                .as(s"q$i")): _*)
+        .select(col("cluster"), col("n_members"),
+          explode(array((0 until Dim).map(i =>
+            struct(lit(i).as("dim"), col(s"q$i").as("qsum"))): _*)).as("dq"),
+          assert_true(col("_msz") <= lit(Dim),
+            lit(s"kmeansCells wide fold supports vector width <= $Dim")).as("_chk"))
+        .filter(col("_chk").isNull && col("dq.qsum").isNotNull)
+        .select(col("cluster"), col("dq.dim").as("dim"),
+          (col("dq.qsum").cast("double") /
             (col("n_members") * KmeansScale).cast("double")).as("value"),
           col("n_members"))
         .localCheckpoint(true)
@@ -642,19 +663,25 @@ object VectorOps {
 
   /** The nearest-centroid assignment shared by q36's IVF search and the
     * k-means trainer (so the two cannot drift): per vector, the
-    * argmax-cosine centroid, ties to the lower centroid id, via a
-    * row_number window over the broadcast centroid set.
-    * Returns (vec_id, e, nrm, cluster). */
-  private def assignToCentroids(n: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+    * argmax-cosine centroid, ties to the lower centroid id — max over
+    * struct(c_cos, -c_id), the struct-argmax idiom (same rule as the
+    * former row_number window: cosine desc, ties to the lower id; Spark
+    * normalizes -0.0 identically in sort and struct comparison, and
+    * NaN cosines are excluded by the callers' nrm > 0 guards). A plain
+    * map-side-combinable aggregation instead of exchange + full sort +
+    * filter — the window sorted every (vector x centroid) row, arrays
+    * included, to keep one row per vector (guide §2.3/§4: prefer
+    * combinable aggregates over per-group sorting). `e`/`nrm` ride
+    * `first(...)`: functionally dependent on vec_id, so any row of the
+    * group yields the same value. Returns (vec_id, e, nrm, cluster). */
+  private def assignToCentroids(n: DataFrame, cent: DataFrame): DataFrame =
     n.join(broadcast(cent))
       .select(col("vec_id"), col("e"), col("nrm"), col("c_id"),
         cos(col("e"), col("nrm"), col("ce"), col("cn")).as("c_cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cluster"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"), first(col("nrm")).as("nrm"),
+        max(struct(col("c_cos").as("c"), (-col("c_id")).as("n"))).as("m"))
+      .select(col("vec_id"), col("e"), col("nrm"), (-col("m.n")).as("cluster"))
 
   /** Fold (cluster, dim, value) cells into (c_id, ce array<double>, cn)
     * centroid rows — k rows, each array rebuilt in dim order. A cluster
