@@ -570,8 +570,14 @@ object DedupOps {
           .unionByName(mS.select(col("m").as("lo"), col("hi")))
           .distinct()
           .localCheckpoint(true)
-        done = obsL.get("relinked").asInstanceOf[Long] == 0L &&
-          obsS.get("relinked").asInstanceOf[Long] == 0L
+        // An ABSENT metric means AQE's runtime empty-relation propagation
+        // replaced the observed subtree (mid-plan CollectMetrics nodes
+        // are pruned with it): provably zero rows, hence zero relinks —
+        // the converged-empty-graph case (dedupeCorpus over a pair-free
+        // batch hits this on its first cycle).
+        def relinks(o: org.apache.spark.sql.Observation): Long =
+          o.get.getOrElse("relinked", 0L).asInstanceOf[Long]
+        done = relinks(obsL) == 0L && relinks(obsS) == 0L
         prevRdds.foreach(_.unpersist(false))
         prevRdds = graft.ops.Checkpoints.rddsOf(next)
         edges = next

@@ -945,6 +945,20 @@ class CorpusMainSpec extends SparkSpec {
     val idCols = Set("doc_id", "canonical_id", "doc_a", "doc_b", "survivor_id")
     val frags = Seq("zqx", "xtok07")
     def traces(dir: java.io.File): Long = {
+      // a dir the purge emptied COMPLETELY holds zero data files — the
+      // engine's documented erasure end-state (deleteWhere drops
+      // all-rows-matched files rather than publish empty husks), and the
+      // strongest possible "no trace". Before r21 this case was masked
+      // by 0-row husk part files the ORIGINAL writes left from empty
+      // planner partitions; adaptive planning writes no husks, so the
+      // raw read would die on schema inference instead of reporting 0.
+      def hasData(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.exists(k =>
+          (k.isFile && !k.getName.startsWith(".") && !k.getName.startsWith("_")) ||
+            (k.isDirectory && hasData(k)))
+      }
+      if (!hasData(dir)) return 0L
       val df = if (dir.getName == "corpus_jsonl")
         spark.read.json(dir.toString) else spark.read.parquet(dir.toString)
       val preds =
